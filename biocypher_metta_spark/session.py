@@ -1,0 +1,48 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for the north rule: AQE on (runtime re-plan + skew-join splitting),
+Arrow enabled for every pandas UDF crossing, shuffle partitions sized for
+local[N] testing but overridable for cluster runs via env/conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS: dict[str, str] = {
+    # Adaptive execution: runtime coalescing, broadcast promotion, skew-join
+    # splitting (north-rule requirement for hub-entity skew).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for pandas UDFs / toPandas — the A+B axes contract.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Broadcast threshold generous: dimension tables (alias maps, tissue
+    # maps) are << 256MB; big sides never qualify so joins stay correct.
+    "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024 * 1024),
+    # Sane local default; cluster runs override via spark-submit --conf.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def get_spark(app_name: str = "biocypher-metta-spark",
+              master: str | None = None,
+              extra_confs: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) the session. `master` defaults to local[$SPARK_GRAFT_CPUS]."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    confs = dict(DEFAULT_CONFS)
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
