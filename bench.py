@@ -1,0 +1,100 @@
+"""Benchmark harness — prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+ "sf": ..., "triples_per_sec": ..., "n_docs": ...}
+
+Headline: full KG construction (span synth -> parse -> gene/transcript
+nodes + transcribed_to edges -> MeTTa atoms) over an arithmetic
+interleaved documents corpus sized ~SF, plus the reference's two probe
+queries (metta_space_import.py:73-92) and the relational/doc operator
+suite on the driver testdata.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all), SPARK_GRAFT_DOCS (corpus override).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from biocypher_metta_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = 0.1
+    n_docs = int(os.environ.get("SPARK_GRAFT_DOCS", str(int(2_000_000 * sf_num / 0.1))))
+
+    spark = get_spark("bcm-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from biocypher_metta_spark.adapters import gencode
+    from biocypher_metta_spark.entry_queries import QUERIES, REGISTRY
+    from biocypher_metta_spark.sources.documents import span_lines
+    from biocypher_metta_spark.sources.gtf import GENE_KEYS, parse_gtf
+    from biocypher_metta_spark.sources.synth import synth_gtf_documents
+
+    timings: dict[str, float] = {}
+    t_all = time.time()
+
+    # ---- headline: KG construction throughput --------------------------
+    t0 = time.time()
+    docs = synth_gtf_documents(spark, n_docs)
+    gtf = parse_gtf(span_lines(docs, "gtf"), keys=GENE_KEYS)
+    _, gene_atoms = gencode.gene_nodes(gtf)
+    _, tx_atoms = gencode.transcript_nodes(gtf)
+    _, edge_atoms = gencode.transcribed_edges(gtf, REGISTRY, "to")
+    n_atoms = (
+        gene_atoms.unionByName(tx_atoms).unionByName(edge_atoms)
+    ).count()
+    timings["kg_construct"] = time.time() - t0
+    triples_per_sec = n_atoms / timings["kg_construct"]
+
+    # ---- probe queries (reference metta_space_import.py:73-92) ---------
+    typed, _ = gencode.gene_nodes(gtf)
+    typed = typed.cache()
+    t0 = time.time()
+    typed.filter("chr = 'chr16' AND start > 53000000 AND end < 56000000").count()
+    timings["probe_gene_window"] = time.time() - t0
+    t0 = time.time()
+    typed.filter(F.col("id") == "ENSG00000000000042").collect()
+    timings["probe_node_props"] = time.time() - t0
+    typed.unpersist()
+
+    # ---- operator suite on the driver testdata -------------------------
+    for name in ["rel_pricing_summary", "rel_shuffle_join_agg",
+                 "rel_collect_ordered", "doc_quality", "doc_minhash",
+                 "doc_token_stats", "emb_dot_topk", "kg_gtf_gene_nodes",
+                 "kg_vcf_snp_nodes"]:
+        fn, _sql = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = time.time() - t0
+
+    total = time.time() - t_all
+    print(json.dumps({
+        "metric": "kg_construct+operator_suite",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_num,
+        "n_docs": n_docs,
+        "n_atoms": n_atoms,
+        "triples_per_sec": round(triples_per_sec, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

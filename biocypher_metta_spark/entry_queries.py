@@ -1,0 +1,588 @@
+"""Driver-contract query implementations + DuckDB oracle SQL.
+
+Each `queries()` entry in __spark_entry__.py maps to one operator family
+from SURVEY.md §2 (or a training-data op) and has an ANSI-SQL twin the
+driver runs in DuckDB at sf0.01. Portability rules used throughout:
+
+* numbers that cross the compare are exact integers (cents, permille,
+  fixed-point quantization) — never engine-summed doubles;
+* the shared deterministic hash is the 60-bit md5 prefix
+  (Spark `conv(substr(md5(x),1,15),16,10)` == DuckDB
+  `('0x'||substr(md5(x),1,15))::BIGINT`);
+* the KG queries run over a spans `documents` table synthesized
+  arithmetically from the testdata doc_ids (sources/synth.py), so the
+  oracle can re-derive expected triples independently — the Spark side
+  must parse them back out of the span text (the real pipeline path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biocypher_metta_spark.adapters import gencode
+from biocypher_metta_spark.operators import dedup as dedup_ops
+from biocypher_metta_spark.operators import similarity as sim_ops
+from biocypher_metta_spark.operators import text as text_ops
+from biocypher_metta_spark.schema import load_default_registry
+from biocypher_metta_spark.sources.documents import span_lines
+from biocypher_metta_spark.sources.gtf import GENE_KEYS, parse_gtf
+from biocypher_metta_spark.sources.synth import synth_gtf_documents_from_ids
+from biocypher_metta_spark.sources.vcf import info_multi, parse_vcf
+
+REGISTRY = load_default_registry()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# Relational operator twins (SURVEY.md §2.3-2.5) over the TPC-H-ish tables
+# ===========================================================================
+
+
+def rel_window_filter(spark, sf_dir):
+    """P1 genomic-window predicate twin: pushed-down range filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.floor(F.col("l_quantity")).cast("long").alias("qty"),
+        )
+    )
+
+
+REL_WINDOW_FILTER_SQL = """
+SELECT l_orderkey, l_linenumber, CAST(floor(l_quantity) AS BIGINT) AS qty
+FROM lineitem WHERE l_quantity >= 10 AND l_quantity <= 20
+"""
+
+
+def rel_composite_id(spark, sf_dir):
+    """P7 composite-ID builder twin (concat_ws + lower)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.concat_ws("_", F.lower(F.col("o_orderstatus")),
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.lit("GRCh38")).alias("composite_id"),
+    )
+
+
+REL_COMPOSITE_ID_SQL = """
+SELECT o_orderkey,
+       lower(o_orderstatus) || '_' || CAST(o_orderkey AS VARCHAR) || '_' ||
+       CAST(o_custkey AS VARCHAR) || '_GRCh38' AS composite_id
+FROM orders
+"""
+
+
+def rel_score_cutoff(spark, sf_dir):
+    """P4 score-cutoff filter + P9 fixed-point scaling."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.abs(F.col("value")) >= 0.5)
+        .select("event_id", F.floor(F.col("value") * 1000).cast("long").alias("value_milli"))
+    )
+
+
+REL_SCORE_CUTOFF_SQL = """
+SELECT event_id, CAST(floor(value * 1000) AS BIGINT) AS value_milli
+FROM events WHERE abs(value) >= 0.5
+"""
+
+
+def rel_broadcast_left_join(spark, sf_dir):
+    """J1 broadcast left join with coalesce fallback."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left")
+        .select("o_orderkey", F.coalesce(F.col("c_name"), F.lit("UNKNOWN")).alias("cust_name"))
+    )
+
+
+REL_BROADCAST_LEFT_JOIN_SQL = """
+SELECT o_orderkey, coalesce(c_name, 'UNKNOWN') AS cust_name
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def rel_double_inner_join(spark, sf_dir):
+    """J2 double broadcast inner join (both dimension lookups must hit)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select("l_orderkey", "l_linenumber", "s_name", "p_brand")
+    )
+
+
+REL_DOUBLE_INNER_JOIN_SQL = """
+SELECT l_orderkey, l_linenumber, s_name, p_brand
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+JOIN part ON l_partkey = p_partkey
+"""
+
+
+def rel_shuffle_join_agg(spark, sf_dir):
+    """J5 twin: fact-fact shuffle join + partial-agg groupBy (AQE handles
+    skew); exact integer cents keep the compare engine-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_price_cents"),
+        )
+    )
+
+
+REL_SHUFFLE_JOIN_AGG_SQL = """
+SELECT o_orderpriority, count(*) AS n_rows,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def rel_collect_ordered(spark, sf_dir):
+    """A1 ordered-collect twin (PWM list assembly): order-preserving
+    collect_list via sort_array(struct)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("l_linenumber",
+                                                         F.floor(F.col("l_quantity")).cast("long").alias("q")))),
+                    lambda r: r["q"].cast("string"),
+                ),
+            ).alias("qty_seq")
+        )
+    )
+
+
+REL_COLLECT_ORDERED_SQL = """
+SELECT l_orderkey,
+       string_agg(CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR), ',' ORDER BY l_linenumber, CAST(floor(l_quantity) AS BIGINT)) AS qty_seq
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def rel_distinct_dedup(spark, sf_dir):
+    """A5 node-dedup twin: dropDuplicates on the business key."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select("c_mktsegment", F.col("c_nationkey").cast("long").alias("c_nationkey")).distinct()
+
+
+REL_DISTINCT_DEDUP_SQL = """
+SELECT DISTINCT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey FROM customer
+"""
+
+
+def rel_union_adapters(spark, sf_dir):
+    """Union-of-adapters twin: unionByName(allowMissingColumns=True)."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    a = c.select(F.col("c_name").alias("name"),
+                 F.floor(F.col("c_acctbal")).cast("long").alias("bal_floor"),
+                 F.col("c_mktsegment").alias("segment"))
+    b = s.select(F.col("s_name").alias("name"),
+                 F.floor(F.col("s_acctbal")).cast("long").alias("bal_floor"))
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+REL_UNION_ADAPTERS_SQL = """
+SELECT c_name AS name, CAST(floor(c_acctbal) AS BIGINT) AS bal_floor, c_mktsegment AS segment
+FROM customer
+UNION ALL
+SELECT s_name AS name, CAST(floor(s_acctbal) AS BIGINT) AS bal_floor, NULL AS segment
+FROM supplier
+"""
+
+
+def rel_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped aggregation in exact cents (bench headline twin)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+            F.sum(cents).alias("sum_base_cents"),
+            F.sum(disc_cents).alias("sum_disc_cents"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+REL_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ===========================================================================
+# KG construction over the synthesized interleaved documents table
+# ===========================================================================
+# The spans are synthesized arithmetically from testdata doc_ids (both
+# engines can derive them); Spark must round-trip through the REAL span
+# -> parse -> extract pipeline while the oracle derives the expected
+# output directly from the arithmetic.
+
+# shared arithmetic (DuckDB spelling) — keep in sync with sources/synth.py
+_DUCK = {
+    "chrom": "('chr' || CAST(1 + doc_id % 22 AS VARCHAR))",
+    "start": "(1 + (doc_id * 9973) % 100000000)",
+    "end": "((1 + (doc_id * 9973) % 100000000) + 100 + (doc_id % 5000))",
+    "gene_base": "('ENSG' || lpad(CAST(doc_id % 100000 AS VARCHAR), 11, '0'))",
+    "gene_type": "(['protein_coding','lncRNA','miRNA'])[CAST(doc_id % 3 AS INT) + 1]",
+    "gene_name": "('G' || lpad(CAST(doc_id % 100000 AS VARCHAR), 11, '0'))",
+}
+
+# window chosen to be selective over the arithmetic corpus at small sf
+# (doc_id<5000 -> start<50M): keeps ~half the chr16 docs, drops the rest
+KG_WINDOW = dict(chr="chr16", start=1_000_000, end=50_000_000)
+
+
+def _kg_docs(spark, sf_dir):
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    return synth_gtf_documents_from_ids(ids)
+
+
+def kg_gtf_gene_nodes(spark, sf_dir):
+    """Full span->parse->extract pipeline; window-filtered gene nodes."""
+    docs = _kg_docs(spark, sf_dir)
+    gtf = parse_gtf(span_lines(docs, "gtf"), keys=GENE_KEYS)
+    typed, _ = gencode.gene_nodes(gtf, alias_df=None, **KG_WINDOW)
+    return typed.select("id", "chr",
+                        F.col("start").cast("long").alias("start"),
+                        F.col("end").cast("long").alias("end"),
+                        "gene_type", "gene_name")
+
+
+KG_GTF_GENE_NODES_SQL = f"""
+SELECT {_DUCK['gene_base']} AS id,
+       {_DUCK['chrom']} AS chr,
+       {_DUCK['start']} AS start,
+       {_DUCK['end']} AS "end",
+       {_DUCK['gene_type']} AS gene_type,
+       {_DUCK['gene_name']} AS gene_name
+FROM documents
+WHERE {_DUCK['chrom']} = 'chr16'
+  AND {_DUCK['start']} >= {KG_WINDOW['start']}
+  AND {_DUCK['end']} <= {KG_WINDOW['end']}
+"""
+
+
+def kg_gtf_gene_atoms(spark, sf_dir):
+    """MeTTa rendering of the windowed gene nodes (serializer parity in
+    the driver gate): one atom string per row."""
+    docs = _kg_docs(spark, sf_dir)
+    gtf = parse_gtf(span_lines(docs, "gtf"), keys=GENE_KEYS)
+    _, atoms = gencode.gene_nodes(gtf, alias_df=None, **KG_WINDOW,
+                                  add_provenance=False)
+    return atoms
+
+
+KG_GTF_GENE_ATOMS_SQL = f"""
+WITH g AS (
+  SELECT {_DUCK['gene_base']} AS id, {_DUCK['chrom']} AS chr,
+         {_DUCK['start']} AS s, {_DUCK['end']} AS e,
+         {_DUCK['gene_type']} AS gt, {_DUCK['gene_name']} AS gn
+  FROM documents
+  WHERE {_DUCK['chrom']} = 'chr16'
+    AND {_DUCK['start']} >= {KG_WINDOW['start']}
+    AND {_DUCK['end']} <= {KG_WINDOW['end']}
+)
+SELECT atom FROM (
+  SELECT '(gene ' || id || ')' AS atom FROM g
+  UNION ALL SELECT '(gene_type (gene ' || id || ') ' || gt || ')' FROM g
+  UNION ALL SELECT '(chr (gene ' || id || ') ' || chr || ')' FROM g
+  UNION ALL SELECT '(start (gene ' || id || ') ' || CAST(s AS VARCHAR) || ')' FROM g
+  UNION ALL SELECT '(end (gene ' || id || ') ' || CAST(e AS VARCHAR) || ')' FROM g
+  UNION ALL SELECT '(gene_name (gene ' || id || ') ' || gn || ')' FROM g
+)
+"""
+
+
+# --- VCF snp extraction ----------------------------------------------------
+
+VCF_DUCK = {
+    "chrom": "CAST(1 + doc_id % 22 AS VARCHAR)",
+    "pos": "(1 + (doc_id * 7919) % 100000000)",
+    "rsid": "('rs' || CAST(1000 + doc_id AS VARCHAR))",
+    "ref": "(['A','C','G','T'])[CAST(doc_id % 4 AS INT) + 1]",
+    "alt": "(['G','T','A','C'])[CAST(doc_id % 4 AS INT) + 1]",
+    "caf_alt": "('0.' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0'))",
+    "caf_ref": "('0.' || lpad(CAST(899 - doc_id % 900 AS VARCHAR), 3, '0'))",
+}
+
+VCF_LINE_SPARK = (
+    "concat(cast(1 + i % 22 as string), '\\t', "
+    "cast(1 + (i * 7919) % 100000000 as string), '\\t', "
+    "concat('rs', cast(1000 + i as string)), '\\t', "
+    "element_at(array('A','C','G','T'), cast(i % 4 as int) + 1), '\\t', "
+    "element_at(array('G','T','A','C'), cast(i % 4 as int) + 1), '\\t', "
+    "'.', '\\t', '.', '\\t', "
+    "concat('RS=', cast(1000 + i as string), "
+    "';CAF=', concat('0.', lpad(cast(899 - i % 900 as string), 3, '0')), ',', "
+    "concat('0.', lpad(cast(i % 900 + 100 as string), 3, '0')), ';COMMON=1'))"
+)
+
+
+def _vcf_docs(spark, sf_dir):
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long").alias("i"))
+    return ids.select(
+        F.concat(F.lit("doc-"), F.col("i").cast("string")).alias("doc_id"),
+        F.array(
+            F.struct(F.lit("vcf").alias("kind"), F.expr(VCF_LINE_SPARK).alias("text"),
+                     F.lit(None).cast("string").alias("media_ref"),
+                     F.lit(0).cast("int").alias("offset")),
+        ).alias("spans"),
+    )
+
+
+def kg_vcf_snp_nodes(spark, sf_dir):
+    """dbSNP-semantics snp extraction (dbsnp_adapter.py:38-67) from vcf
+    spans: id=rsid, chr prefixed, CAF split into ref/alt strings."""
+    docs = _vcf_docs(spark, sf_dir)
+    v = parse_vcf(span_lines(docs, "vcf"))
+    caf = info_multi(F.col("info_map"), "CAF")
+    return v.select(
+        F.col("id").alias("rsid"),
+        F.concat(F.lit("chr"), F.col("chrom")).alias("chr"),
+        F.col("pos").alias("start"),
+        F.col("pos").alias("end"),
+        "ref", "alt",
+        F.get(caf, 0).alias("caf_ref"),
+        F.get(caf, 1).alias("caf_alt"),
+    )
+
+
+KG_VCF_SNP_NODES_SQL = f"""
+SELECT {VCF_DUCK['rsid']} AS rsid,
+       ('chr' || {VCF_DUCK['chrom']}) AS chr,
+       {VCF_DUCK['pos']} AS start,
+       {VCF_DUCK['pos']} AS "end",
+       {VCF_DUCK['ref']} AS ref,
+       {VCF_DUCK['alt']} AS alt,
+       {VCF_DUCK['caf_ref']} AS caf_ref,
+       {VCF_DUCK['caf_alt']} AS caf_alt
+FROM documents
+"""
+
+
+def kg_transcribed_to_edges(spark, sf_dir):
+    """transcribed_to edge extraction from the transcript spans, rendered
+    def_out included (edge registry lookup path)."""
+    docs = _kg_docs(spark, sf_dir)
+    gtf = parse_gtf(span_lines(docs, "gtf"),
+                    keys=["gene_id", "transcript_id", "gene_type", "gene_name",
+                          "transcript_type", "transcript_name"])
+    typed, _ = gencode.transcribed_edges(gtf, REGISTRY, "to")
+    return typed.select("src", "tgt",
+                        F.concat(F.lit("(transcribed_to (gene "), F.col("src"),
+                                 F.lit(") (transcript "), F.col("tgt"),
+                                 F.lit("))")).alias("atom"))
+
+
+KG_TRANSCRIBED_TO_SQL = f"""
+SELECT {_DUCK['gene_base']} AS src,
+       ('ENST' || lpad(CAST(doc_id % 100000 AS VARCHAR), 11, '0')) AS tgt,
+       ('(transcribed_to (gene ' || {_DUCK['gene_base']} || ') (transcript ' ||
+        'ENST' || lpad(CAST(doc_id % 100000 AS VARCHAR), 11, '0') || '))') AS atom
+FROM documents
+"""
+
+
+def kg_node_dedup(spark, sf_dir):
+    """A5 canonicalization core: two overlapping extractions union ->
+    dropDuplicates(id,label) (skip_duplicate_nodes semantics,
+    biocypher_config.yaml:11)."""
+    docs = _kg_docs(spark, sf_dir)
+    gtf = parse_gtf(span_lines(docs, "gtf"), keys=GENE_KEYS)
+    a, _ = gencode.gene_nodes(gtf, alias_df=None, chr="chr16")
+    b, _ = gencode.gene_nodes(gtf, alias_df=None, chr="chr16",
+                              start=20_000_000, end=80_000_000)
+    both = a.select("id", "label").unionByName(b.select("id", "label"))
+    return both.dropDuplicates(["id", "label"]).select("id", "label")
+
+
+KG_NODE_DEDUP_SQL = f"""
+SELECT DISTINCT {_DUCK['gene_base']} AS id, 'gene' AS label
+FROM documents WHERE {_DUCK['chrom']} = 'chr16'
+"""
+
+
+# ===========================================================================
+# Training-data ops over documents / embeddings
+# ===========================================================================
+
+
+def doc_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.token_stats(d)
+
+
+DOC_TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       length(text) AS n_chars_obs,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens,
+       len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_unique_tokens
+FROM documents
+"""
+
+
+def doc_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.quality_score(d)
+
+
+DOC_QUALITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[\.,;:!\?''"\(\)-]')) AS punct
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(floor(punct * 1000.0 / greatest(n_chars, 1)) AS BIGINT) AS punct_permille,
+         CAST(floor(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) * 1000.0 / greatest(len(toks), 1)) AS BIGINT) AS stop_permille,
+         CAST(floor(len(list_distinct(toks)) * 1000.0 / greatest(len(toks), 1)) AS BIGINT) AS rep_permille,
+         len(toks) AS n_tok
+  FROM t
+)
+SELECT doc_id, punct_permille, stop_permille, rep_permille,
+       CAST((CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 250 ELSE 0 END)
+          + (CASE WHEN stop_permille >= 20 THEN 250 ELSE 0 END)
+          + (CASE WHEN rep_permille >= 300 THEN 250 ELSE 0 END)
+          + (CASE WHEN punct_permille <= 200 THEN 250 ELSE 0 END) AS BIGINT) AS quality_score
+FROM m
+"""
+
+
+def doc_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.lang_id(d)
+
+
+DOC_LANG_ID_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS en,
+         len(list_filter(toks, x -> x IN ('und','der','die','das'))) AS de,
+         len(list_filter(toks, x -> x IN ('le','la','les','et'))) AS fr,
+         len(list_filter(toks, x -> x IN ('el','los','las','y'))) AS es
+  FROM t
+)
+SELECT doc_id, CAST(en AS BIGINT) AS en_score,
+       CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unk'
+            WHEN en = greatest(en, de, fr, es) THEN 'en'
+            WHEN de = greatest(en, de, fr, es) THEN 'de'
+            WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM s
+"""
+
+
+def doc_exact_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup_ops.exact_dedup(d)
+
+
+DOC_EXACT_DEDUP_SQL = """
+SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def doc_minhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup_ops.minhash_signatures(d, num_perm=4)
+
+
+DOC_MINHASH_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                        i -> array_to_string(toks[i:i+4], ' ')) AS shingles
+  FROM t
+), hs AS (
+  SELECT doc_id,
+         list_transform(shingles,
+                        s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hv
+  FROM sh
+)
+SELECT doc_id,
+  CAST(list_min(list_transform(hv, h -> (h::HUGEINT * 1000000007 + 12345) % 2305843009213693951)) AS BIGINT) AS mh_0,
+  CAST(list_min(list_transform(hv, h -> (h::HUGEINT * 998244353 + 54321) % 2305843009213693951)) AS BIGINT) AS mh_1,
+  CAST(list_min(list_transform(hv, h -> (h::HUGEINT * 777767777 + 98765) % 2305843009213693951)) AS BIGINT) AS mh_2,
+  CAST(list_min(list_transform(hv, h -> (h::HUGEINT * 613651369 + 13579) % 2305843009213693951)) AS BIGINT) AS mh_3
+FROM hs
+"""
+
+
+def emb_dot_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qvec = list(qrow[0]) if qrow else []
+    return sim_ops.quantized_dot_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+EMB_DOT_TOPK_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       CAST(list_sum(list_transform(list_zip(e.embedding, q.qv),
+            p -> round(CAST(p[1] AS DOUBLE) * 1000) * round(CAST(p[2] AS DOUBLE) * 1000))) AS BIGINT) AS dot
+FROM embeddings e, q
+WHERE e.vec_id != 0
+ORDER BY dot DESC, vec_id
+LIMIT 10
+"""
+
+
+QUERIES = {
+    "rel_window_filter": (rel_window_filter, REL_WINDOW_FILTER_SQL),
+    "rel_composite_id": (rel_composite_id, REL_COMPOSITE_ID_SQL),
+    "rel_score_cutoff": (rel_score_cutoff, REL_SCORE_CUTOFF_SQL),
+    "rel_broadcast_left_join": (rel_broadcast_left_join, REL_BROADCAST_LEFT_JOIN_SQL),
+    "rel_double_inner_join": (rel_double_inner_join, REL_DOUBLE_INNER_JOIN_SQL),
+    "rel_shuffle_join_agg": (rel_shuffle_join_agg, REL_SHUFFLE_JOIN_AGG_SQL),
+    "rel_collect_ordered": (rel_collect_ordered, REL_COLLECT_ORDERED_SQL),
+    "rel_distinct_dedup": (rel_distinct_dedup, REL_DISTINCT_DEDUP_SQL),
+    "rel_union_adapters": (rel_union_adapters, REL_UNION_ADAPTERS_SQL),
+    "rel_pricing_summary": (rel_pricing_summary, REL_PRICING_SUMMARY_SQL),
+    "kg_gtf_gene_nodes": (kg_gtf_gene_nodes, KG_GTF_GENE_NODES_SQL),
+    "kg_gtf_gene_atoms": (kg_gtf_gene_atoms, KG_GTF_GENE_ATOMS_SQL),
+    "kg_vcf_snp_nodes": (kg_vcf_snp_nodes, KG_VCF_SNP_NODES_SQL),
+    "kg_transcribed_to_edges": (kg_transcribed_to_edges, KG_TRANSCRIBED_TO_SQL),
+    "kg_node_dedup": (kg_node_dedup, KG_NODE_DEDUP_SQL),
+    "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
+    "doc_quality": (doc_quality, DOC_QUALITY_SQL),
+    "doc_lang_id": (doc_lang_id, DOC_LANG_ID_SQL),
+    "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
+    "doc_minhash": (doc_minhash, DOC_MINHASH_SQL),
+    "emb_dot_topk": (emb_dot_topk, EMB_DOT_TOPK_SQL),
+}

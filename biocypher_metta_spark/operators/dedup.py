@@ -1,0 +1,150 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale notes (100 TB):
+* exact dedup is a hash-shuffle groupBy on a 16-byte digest — with AQE
+  the skew (empty/boilerplate docs collapsing to one key) is split
+  automatically; keep the digest, not the text, in the shuffle.
+* MinHash/LSH: signatures are computed scan-side (map-only); the only
+  shuffle is the band-bucket join, whose keys are uniform by
+  construction. Candidate verification re-reads only candidate pairs.
+* SimHash: 64-bit signature via per-token hashes; near-dup = hamming
+  distance <= k over banded prefixes.
+
+Portability: the shingle hash is the 60-bit md5 prefix (operators.text.
+portable_hash) so DuckDB oracles can reproduce signatures exactly.
+MinHash permutations are (a*h + b) mod p with fixed constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from biocypher_metta_spark.operators.text import portable_hash, shingles
+
+MERSENNE_P = (1 << 61) - 1
+# fixed, engine-portable permutation constants (any odd a works)
+MINHASH_AS = [1000000007, 998244353, 777767777, 613651369,
+              536870923, 402653189, 268435459, 201326611]
+MINHASH_BS = [12345, 54321, 98765, 13579, 24680, 111111, 222222, 333333]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per identical text; digest-only
+    shuffle."""
+    h = F.md5(F.col(text_col)).alias("digest")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_perm: int = 8,
+                       shingle_n: int = 5) -> DataFrame:
+    """doc -> minhash signature array<bigint> (num_perm values).
+
+    h_i(doc) = min over shingles s of (a_i * H(s) + b_i) mod p, where
+    H = 60-bit md5 prefix. Map-only; no shuffle.
+    """
+    sh = shingles(F.col(text_col), shingle_n)
+    hs = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("decimal(38,0)"))
+    def _perm(a, b):
+        return lambda h: (h * a + b) % F.lit(MERSENNE_P)
+
+    sig_cols = []
+    for i in range(num_perm):
+        a, b = MINHASH_AS[i % len(MINHASH_AS)], MINHASH_BS[i % len(MINHASH_BS)]
+        sig_cols.append(F.array_min(F.transform(hs, _perm(a, b)))
+                        .cast("long").alias(f"mh_{i}"))
+    return df.select(F.col(id_col), *sig_cols)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        bands: int = 4, rows_per_band: int = 2) -> DataFrame:
+    """Band the signature, bucket-join on (band, band-hash): docs sharing
+    any band become candidate pairs. The self-join shuffles on uniform
+    band hashes (no hub keys); output is (id_a < id_b) pairs."""
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                 for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.md5(F.concat_ws("_", *parts)).alias("bh")))
+    banded = sigs.select(F.col(id_col),
+                         F.explode(F.array(*band_cols)).alias("bb")) \
+                 .select(id_col, "bb.band", "bb.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        shingle_n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification stage).
+    Emits similarity as exact permille (intersection*1000/union)."""
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    a = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a")
+    b = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b")
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "id_a", "id_b",
+        F.floor(inter * 1000.0 / F.greatest(union, F.lit(1))).cast("long")
+        .alias("jaccard_permille"),
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: sign-sum of per-token hash
+    bits. Pure expression work (aggregate over bit positions)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    # for each bit position, count tokens with that bit set vs total
+    def _bit_set(mask):
+        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
+
+    bit_exprs = []
+    for i in range(bits):
+        mask = 1 << i if i < 63 else -(1 << 63)
+        ones = F.size(F.filter(th, _bit_set(mask)))
+        bit = F.when(ones * 2 > F.size(th), F.lit(1)).otherwise(F.lit(0))
+        bit_exprs.append(bit.cast("long") * F.lit(mask))
+    sig = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        sig = sig + e
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def hamming_near_pairs(sims: DataFrame, id_col: str = "doc_id",
+                       max_dist: int = 3, prefix_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the high prefix (LSH-style) to
+    avoid the quadratic join, then exact popcount filter."""
+    pref = F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits).alias("block")
+    blocked = sims.select(F.col(id_col), F.col("simhash"), pref)
+    a, b = blocked.alias("a"), blocked.alias("b")
+    xor = F.expr("a.simhash ^ b.simhash")
+    dist = F.bit_count(xor)
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .filter(dist <= max_dist)
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                dist.alias("hamming"))
+    )

@@ -1,0 +1,111 @@
+"""Similarity search over embedding columns (array<float>).
+
+* quantized_dot_topk — exact-integer dot product against a broadcast
+  query vector (engine-portable: same result in DuckDB oracles).
+* cosine_topk — double-precision brute-force baseline (bench path).
+* lsh_bucketed_topk — scale path: deterministic hyperplane LSH buckets
+  shrink the candidate set before exact scoring; the bucket join shuffles
+  on uniform sketch keys instead of broadcasting the full corpus.
+
+All built-in expressions (F.zip_with / F.aggregate); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 1000  # fixed-point scale for portable integer math
+
+
+def quantize(vec: Column, scale: int = QUANT_SCALE) -> Column:
+    """array<float> -> array<bigint> via round(x*scale)."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * scale).cast("long"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def quantized_dot_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Top-k by exact integer dot product with a constant query vector.
+    Map-only scoring + a single global top-k (sort spilled safely); ties
+    broken by id for determinism."""
+    # quantize the query with F.round too (Python round is banker's —
+    # would diverge from SQL HALF_UP on exact .5)
+    q = quantize(F.array(*[F.lit(float(v)) for v in query_vec]))
+    scored = emb.select(
+        F.col(id_col),
+        int_dot(quantize(F.col(vec_col)), q).alias("dot"),
+    )
+    return scored.orderBy(F.col("dot").desc(), F.col(id_col)).limit(k)
+
+
+def dot_double(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qn = sum(float(x) * float(x) for x in query_vec) ** 0.5
+    sim = dot_double(v, q) / (F.sqrt(dot_double(v, v)) * F.lit(qn))
+    return (
+        emb.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplane(dim: int, seed: int) -> list[int]:
+    """Deterministic ±1 hyperplane from a seed (no RNG — resumability)."""
+    out = []
+    x = seed * 2654435761 % (1 << 32)
+    for _ in range(dim):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        out.append(1 if (x >> 16) & 1 else -1)
+    return out
+
+
+def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
+    """Sign-sketch bucket id: n_planes-bit signature of the vector."""
+    bits = []
+    for p in range(n_planes):
+        plane = _hyperplane(dim, p + 1)
+        proj = F.aggregate(
+            F.zip_with(vec_col, F.array(*[F.lit(float(w)) for w in plane]),
+                       lambda x, w: x.cast("double") * w),
+            F.lit(0.0), lambda acc, v: acc + v)
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return bucket.cast("int")
+
+
+def lsh_bucketed_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_planes: int = 6, probe_adjacent: bool = True) -> DataFrame:
+    """ANN: score only vectors whose sign-sketch matches the query's
+    bucket (optionally 1-bit-flip neighbors). At 100 TB this turns a full
+    scan per query into a pruned bucket read when the table is written
+    partitioned by bucket."""
+    dim = len(query_vec)
+    qb_bits = []
+    for p in range(n_planes):
+        plane = _hyperplane(dim, p + 1)
+        proj = sum(float(v) * w for v, w in zip(query_vec, plane))
+        qb_bits.append(1 << p if proj >= 0 else 0)
+    qb = sum(qb_bits)
+    buckets = {qb}
+    if probe_adjacent:
+        for p in range(n_planes):
+            buckets.add(qb ^ (1 << p))
+    cand = emb.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes)) \
+              .filter(F.col("_bucket").isin(sorted(buckets)))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)

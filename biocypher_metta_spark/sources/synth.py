@@ -87,55 +87,63 @@ GTF_LINE_SQL = (
     "'\"; gene_type \"', {gene_type}, '\"; gene_name \"', {gene_name}, '\";')"
 ).format(**GTF_SYNTH_EXPRS)
 
+GTF_TX_EXPRS = dict(
+    GTF_SYNTH_EXPRS,
+    transcript_id="concat('ENST', lpad(cast(i % 100000 as string), 11, '0'), '.', cast(1 + i % 9 as string))",
+    transcript_name="concat('T', lpad(cast(i % 100000 as string), 11, '0'))",
+)
 
-def synth_gtf_documents(spark: SparkSession, n_docs: int,
-                        partitions: int | None = None) -> DataFrame:
-    """documents table with one GTF gene line span + one media span per doc.
-    Fully distributed (spark.range), seedless-deterministic (pure function
-    of the id)."""
-    rng = spark.range(n_docs)
-    if partitions:
-        rng = rng.repartition(partitions)
-    df = rng.select(F.col("id").alias("i"))
-    line = F.expr(GTF_LINE_SQL)
+GTF_TX_LINE_SQL = (
+    "concat({chrom}, '\\tHAVANA\\ttranscript\\t', cast({start} as string), '\\t', "
+    "cast({end} as string), '\\t.\\t+\\t.\\tgene_id \"', {gene_id}, "
+    "'\"; transcript_id \"', {transcript_id}, '\"; gene_type \"', {gene_type}, "
+    "'\"; gene_name \"', {gene_name}, '\"; transcript_type \"', {gene_type}, "
+    "'\"; transcript_name \"', {transcript_name}, '\";')"
+).format(**GTF_TX_EXPRS)
+
+
+def _gtf_spans_from_i(df: DataFrame) -> DataFrame:
+    """i -> documents row: gene line span + transcript line span + media
+    span (interleaved text+media per the input contract)."""
+    gene_line = F.expr(GTF_LINE_SQL)
+    tx_line = F.expr(GTF_TX_LINE_SQL)
     return df.select(
         F.concat(F.lit("doc-"), F.col("i").cast("string")).alias("doc_id"),
         F.array(
             F.struct(
                 F.lit("gtf").alias("kind"),
-                line.alias("text"),
+                gene_line.alias("text"),
                 F.lit(None).cast("string").alias("media_ref"),
                 F.lit(0).cast("int").alias("offset"),
+            ),
+            F.struct(
+                F.lit("gtf").alias("kind"),
+                tx_line.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(1).cast("int").alias("offset"),
             ),
             F.struct(
                 F.lit("image").alias("kind"),
                 F.lit(None).cast("string").alias("text"),
                 F.concat(F.lit("media://img/"), F.col("i").cast("string")).alias("media_ref"),
-                F.lit(1).cast("int").alias("offset"),
+                F.lit(2).cast("int").alias("offset"),
             ),
         ).alias("spans"),
     )
+
+
+def synth_gtf_documents(spark: SparkSession, n_docs: int,
+                        partitions: int | None = None) -> DataFrame:
+    """documents table with GTF gene+transcript line spans and one media
+    span per doc. Fully distributed (spark.range), seedless-deterministic
+    (pure function of the id)."""
+    rng = spark.range(n_docs)
+    if partitions:
+        rng = rng.repartition(partitions)
+    return _gtf_spans_from_i(rng.select(F.col("id").alias("i")))
 
 
 def synth_gtf_documents_from_ids(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Same corpus but keyed off an existing integer id column (e.g. the
     driver testdata documents.doc_id) so DuckDB oracles can reproduce it."""
-    df = ids_df.select(F.col(id_col).cast("long").alias("i"))
-    line = F.expr(GTF_LINE_SQL)
-    return df.select(
-        F.concat(F.lit("doc-"), F.col("i").cast("string")).alias("doc_id"),
-        F.array(
-            F.struct(
-                F.lit("gtf").alias("kind"),
-                line.alias("text"),
-                F.lit(None).cast("string").alias("media_ref"),
-                F.lit(0).cast("int").alias("offset"),
-            ),
-            F.struct(
-                F.lit("image").alias("kind"),
-                F.lit(None).cast("string").alias("text"),
-                F.concat(F.lit("media://img/"), F.col("i").cast("string")).alias("media_ref"),
-                F.lit(1).cast("int").alias("offset"),
-            ),
-        ).alias("spans"),
-    )
+    return _gtf_spans_from_i(ids_df.select(F.col(id_col).cast("long").alias("i")))
