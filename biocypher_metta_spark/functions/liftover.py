@@ -1,0 +1,59 @@
+"""hg19 -> hg38 liftover as an Arrow-batched pandas UDF (P11).
+
+Reference: helpers.py:145-175 convert_genome_reference — a cached
+chainfile lifter queried per row; rows that fail to lift are dropped
+(dbsuper_adapter.py:51-52,83).
+
+The chainfile library isn't available in this container, so the lifter
+implementation is PLUGGABLE: `make_liftover_udf(lifter_fn)` wraps any
+``(chr_no: str, pos: int) -> list[tuple]`` query function (the
+`liftover.get_lifter(...)[chr]` protocol). Production wiring would pass
+a module-level lazy-initialized chainfile lifter (one init per executor,
+SURVEY.md §7 risk 3); tests pass the same deterministic fake the golden
+run uses. No chainfile in the environment => default raises
+NotImplementedError at call time, never at import.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def default_lifter(chr_no: str, pos: int):
+    raise NotImplementedError(
+        "no chainfile library in this environment — inject a lifter "
+        "(tests use tests.reference_shim.fake_lifter_shift)"
+    )
+
+
+def make_liftover_udf(lifter_fn: Callable = default_lifter):
+    """Returns liftover(chr_col, pos_col) -> nullable long column.
+
+    chr normalization matches the reference: strip 'chr'/'ch' prefix
+    (helpers.py:168). Failed lifts -> NULL (callers drop, P11).
+    """
+
+    @F.pandas_udf(LongType())
+    def _lift(chrs: pd.Series, poss: pd.Series) -> pd.Series:
+        out = []
+        for c, p in zip(chrs, poss):
+            if c is None or p is None:
+                out.append(None)
+                continue
+            chr_no = str(c).replace("chr", "").replace("ch", "")
+            try:
+                res = lifter_fn(chr_no, int(p))
+                out.append(int(res[0][1]) if res else None)
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype="object")
+
+    def liftover(chr_col: Column, pos_col: Column) -> Column:
+        return _lift(chr_col, pos_col.cast("long"))
+
+    return liftover
