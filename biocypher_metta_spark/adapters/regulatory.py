@@ -209,3 +209,172 @@ def tadmap_nodes(lines: DataFrame, skip_header: bool = True,
         ] + provenance_props(*TAD_SOURCE, write_properties, add_provenance)
     atoms = atoms_df(d, node_def_out("tad", F.col("_id")), props)
     return typed, atoms
+
+
+# --------------------------------------------------------------------------
+# dbSUPER super-enhancers (liftover P11)
+# --------------------------------------------------------------------------
+
+DBSUPER_COLS = {"chr": 0, "coord_start": 1, "coord_end": 2, "se_id": 3,
+                "gene_id": 4, "cell_name": 5}
+
+
+def _dbsuper_base(lines: DataFrame, liftover, chr, start, end) -> DataFrame:
+    """Shared scan: 0-based hg19 -> +1 -> lifted hg38; rows whose lift
+    fails are dropped (dbsuper_adapter.py:46-52)."""
+    d = split_cols(lines, DBSUPER_COLS, "\t")
+    d = d.filter(F.col("chr") != "chrom")
+    s19 = F.col("coord_start").try_cast("long") + 1
+    e19 = F.col("coord_end").try_cast("long") + 1
+    d = (d.withColumn("_s19", s19).withColumn("_e19", e19)
+         .filter(F.col("_s19").isNotNull() & F.col("_e19").isNotNull()))
+    d = (d.withColumn("_s", liftover(F.col("chr"), F.col("_s19")))
+         .withColumn("_e", liftover(F.col("chr"), F.col("_e19")))
+         .filter(F.col("_s").isNotNull() & F.col("_e").isNotNull()))
+    d = d.withColumn("_id", build_regulatory_region_id(
+        F.col("chr"), F.col("_s"), F.col("_e")))
+    return d.filter(genomic_window(F.col("chr"), F.col("_s"), F.col("_e"),
+                                   chr, start, end))
+
+
+def dbsuper_nodes(lines: DataFrame, liftover, label: str = "super_enhancer",
+                  chr: str | None = None, start: int | None = None,
+                  end: int | None = None,
+                  write_properties: bool = True, add_provenance: bool = True,
+                  ) -> tuple[DataFrame, DataFrame]:
+    d = _dbsuper_base(lines, liftover, chr, start, end)
+    typed = d.select(F.col("_id").alias("id"), F.lit(label).alias("label"),
+                     "chr", F.col("_s").alias("start"), F.col("_e").alias("end"),
+                     F.col("se_id"))
+    props: list[Prop] = []
+    if write_properties:
+        props = [
+            Prop("id", F.col("se_id"), "str"),
+            Prop("chr", F.col("chr"), "str"),
+            Prop("start", F.col("_s"), "int"),
+            Prop("end", F.col("_e"), "int"),
+        ] + provenance_props(*DBSUPER_SOURCE, write_properties, add_provenance)
+    atoms = atoms_df(d, node_def_out(label, F.col("_id")), props)
+    return typed, atoms
+
+
+def dbsuper_edges(lines: DataFrame, liftover, hgnc2ensembl: DataFrame,
+                  tissue_map: DataFrame, registry,
+                  label: str = "super_enhancer_gene",
+                  chr: str | None = None, start: int | None = None,
+                  end: int | None = None,
+                  write_properties: bool = True, add_provenance: bool = True,
+                  ) -> tuple[DataFrame, DataFrame]:
+    """super_enhancer -> gene (dbsuper_adapter.py:68-94). Note the
+    reference KeyErrors (crashes) on a tissue-map miss at :81 — sample
+    data always hits, so an inner join is behavior-equivalent."""
+    d = _dbsuper_base(lines, liftover, chr, start, end)
+    g = hgnc2ensembl.select(F.col("key").alias("_g"), F.col("value").alias("tgt"))
+    d = d.join(F.broadcast(g), F.col("gene_id") == g["_g"])
+    m = tissue_map.select(F.col("key").alias("_k"), F.col("value").alias("_ctx"))
+    d = d.join(F.broadcast(m), F.col("cell_name") == m["_k"])
+    typed = d.select(F.col("_id").alias("src"), F.col("tgt"),
+                     F.lit(label).alias("label"),
+                     F.col("_ctx").alias("biological_context"))
+    props: list[Prop] = []
+    if write_properties:
+        props = [Prop("biological_context", F.col("_ctx"), "str")]
+        props += provenance_props(*DBSUPER_SOURCE, write_properties, add_provenance)
+    atoms = atoms_df(d, edge_def_out(label, registry, F.col("_id"), F.col("tgt")), props)
+    return typed, atoms
+
+
+# --------------------------------------------------------------------------
+# PEREGRINE enhancers (J8 multi-file join)
+# --------------------------------------------------------------------------
+
+def peregrine_nodes(enhancer_lines: DataFrame, source_lines: DataFrame,
+                    label: str = "enhancer",
+                    chr: str | None = None, start: int | None = None,
+                    end: int | None = None,
+                    write_properties: bool = True, add_provenance: bool = True,
+                    ) -> tuple[DataFrame, DataFrame]:
+    """enhancer nodes (peregrine_adapter.py:64-101): enhancers file joined
+    with the datasource file on enhancer_id (the reference KeyErrors on a
+    missing source => inner join)."""
+    e = split_cols(enhancer_lines, {"chr": 0, "coord_start": 1,
+                                    "coord_end": 2, "enh_id": 3}, "\t")
+    s = F.col("coord_start").try_cast("long")
+    en = F.col("coord_end").try_cast("long")
+    e = (e.withColumn("_s", s).withColumn("_e", en)
+         .filter(F.col("_s").isNotNull() & F.col("_e").isNotNull()))
+    # reference dict build keeps the LAST row per enhancer_id (:65-74)
+    e = e.withColumn("_rn", F.row_number().over(
+        __import__("pyspark").sql.Window.partitionBy("enh_id")
+        .orderBy(F.col("offset").desc()))).filter(F.col("_rn") == 1)
+    src = split_cols(source_lines, {"src_id": 0, "data_source": 1}, "\t") \
+        .dropDuplicates(["src_id"])
+    e = e.join(F.broadcast(src), e["enh_id"] == src["src_id"])
+    e = e.withColumn("_id", build_regulatory_region_id(
+        F.col("chr"), F.col("_s"), F.col("_e")))
+    e = e.filter(genomic_window(F.col("chr"), F.col("_s"), F.col("_e"),
+                                chr, start, end))
+    typed = e.select(F.col("_id").alias("id"), F.lit(label).alias("label"),
+                     "chr", F.col("_s").alias("start"), F.col("_e").alias("end"),
+                     F.col("enh_id"), F.col("data_source"))
+    props: list[Prop] = []
+    if write_properties:
+        props = [
+            Prop("id", F.col("enh_id"), "str"),
+            Prop("chr", F.col("chr"), "str"),
+            Prop("start", F.col("_s"), "int"),
+            Prop("end", F.col("_e"), "int"),
+            Prop("data_source", F.col("data_source"), "str"),
+        ] + provenance_props(*PEREGRINE_SOURCE, write_properties, add_provenance)
+    atoms = atoms_df(e, node_def_out(label, F.col("_id")), props)
+    return typed, atoms
+
+
+def peregrine_edges(enhancer_lines: DataFrame, link_lines: DataFrame,
+                    hgnc_ensembl_map: DataFrame, tissue_map: DataFrame,
+                    registry, label: str = "enhancer_gene",
+                    chr: str | None = None, start: int | None = None,
+                    end: int | None = None,
+                    write_properties: bool = True, add_provenance: bool = True,
+                    ) -> tuple[DataFrame, DataFrame]:
+    """enhancer -> gene links (peregrine_adapter.py:103-146): enhancer id
+    -> region id (window-filtered), gene 'HUMAN|HGNC=..|..' -> 'HGNC:..'
+    -> ensembl (skip on miss), tissue -> ontology (skip on miss; the map
+    values are LISTS — element 0 is used, :137). Score column optional."""
+    e = split_cols(enhancer_lines, {"chr": 0, "coord_start": 1,
+                                    "coord_end": 2, "enh_id": 3}, "\t")
+    s = F.col("coord_start").try_cast("long")
+    en = F.col("coord_end").try_cast("long")
+    e = (e.withColumn("_s", s).withColumn("_e", en)
+         .filter(F.col("_s").isNotNull() & F.col("_e").isNotNull()))
+    e = e.filter(genomic_window(F.col("chr"), F.col("_s"), F.col("_e"),
+                                chr, start, end))
+    e = e.select(F.col("enh_id").alias("_eid"),
+                 build_regulatory_region_id(F.col("chr"), F.col("_s"),
+                                            F.col("_e")).alias("_region")) \
+         .dropDuplicates(["_eid"])
+    l = split_cols(link_lines, {"enhancer": 0, "gene": 1, "linkid": 2,
+                                "assay": 3, "tissue": 4, "pvalue": 5,
+                                "eqtl": 6, "score": 7}, "\t")
+    l = l.filter(F.col("enhancer") != "enhancer")
+    l = l.join(F.broadcast(e), l["enhancer"] == e["_eid"])
+    hgnc = F.regexp_replace(F.get(F.split(F.col("gene"), r"\|"), 1), "=", ":")
+    l = l.withColumn("_hgnc", hgnc)
+    g = hgnc_ensembl_map.select(F.col("key").alias("_g"), F.col("value").alias("tgt"))
+    l = l.join(F.broadcast(g), F.col("_hgnc") == g["_g"])
+    m = tissue_map.select(F.col("key").alias("_k"), F.col("value").alias("_ctx"))
+    l = l.join(F.broadcast(m), F.col("tissue") == m["_k"])
+    score = F.when((F.col("score").isNotNull()) & (F.col("score") != ""),
+                   F.col("score"))
+    typed = l.select(F.col("_region").alias("src"), F.col("tgt"),
+                     F.lit(label).alias("label"),
+                     F.col("_ctx").alias("biological_context"),
+                     score.alias("score"))
+    props: list[Prop] = []
+    if write_properties:
+        props = [
+            Prop("biological_context", F.col("_ctx"), "str"),
+            Prop("score", score, "str"),
+        ] + provenance_props(*PEREGRINE_SOURCE, write_properties, add_provenance)
+    atoms = atoms_df(l, edge_def_out(label, registry, F.col("_region"), F.col("tgt")), props)
+    return typed, atoms

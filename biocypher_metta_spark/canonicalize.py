@@ -1,0 +1,104 @@
+"""Entity canonicalization: alias-graph connected components + node dedup.
+
+The reference's only dedup is the sink-level `skip_duplicate_nodes: true`
+(biocypher_config.yaml:11 == dropDuplicates(label, id), A5). The north
+rule generalizes this to salt-keyed canonicalization via connected
+components over the alias graph formed by the id maps (hgnc<->ensembl,
+entrez->ensembl, ensembl_protein->uniprot — SURVEY §2.4 J1-J4).
+
+Implementation: iterative label propagation with plain DataFrame joins
+(no GraphFrames dependency). Alias chains are short (id systems form
+star-shaped components around one canonical accession), so the loop
+converges in <= `max_iter` rounds; each round is one shuffle on the node
+key. Deterministic canonical pick = lexicographic min id in the
+component. Hub safety: membership is keyed by node id (unique), so the
+join keys are skew-free; the final groupBy aggregates componet sizes with
+map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         max_iter: int = 10) -> DataFrame:
+    """edges -> (id, component) where component = min id reachable.
+
+    Label propagation: every node starts labeled with itself; each round
+    adopts the min label among itself and its neighbors; stop when no
+    label changes (checked with a cheap agg) or max_iter.
+    """
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+           .filter(F.col("a") != F.col("b"))
+           .distinct())
+    labels = (sym.select(F.col("a").alias("id"))
+              .union(sym.select(F.col("b").alias("id")))
+              .distinct()
+              .withColumn("component", F.col("id")))
+    sym = sym.localCheckpoint(eager=True) if hasattr(sym, "localCheckpoint") else sym
+    for _ in range(max_iter):
+        neigh = (sym.join(labels, sym["b"] == labels["id"])
+                 .select(F.col("a").alias("id"),
+                         F.col("component").alias("nlabel")))
+        new_labels = (labels.join(neigh, "id", "left")
+                      .groupBy("id")
+                      .agg(F.least(F.min("component"), F.min("nlabel")).alias("newc"),
+                           F.first("component").alias("component")))
+        changed = new_labels.filter(
+            F.col("newc").isNotNull() & (F.col("newc") != F.col("component"))
+        ).limit(1).count()
+        labels = new_labels.select(
+            "id", F.coalesce("newc", "component").alias("component"))
+        labels = labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_id_map(alias_edges: DataFrame, max_iter: int = 10) -> DataFrame:
+    """(id, canonical_id): lexicographic-min member per alias component."""
+    comp = connected_components(alias_edges, max_iter=max_iter)
+    canon = comp.groupBy("component").agg(F.min("id").alias("canonical_id"))
+    return (comp.join(canon, "component")
+            .select("id", "canonical_id"))
+
+
+def alias_edges_from_dims(*dims: DataFrame) -> DataFrame:
+    """Union (key, value) dimension tables into an alias edge list."""
+    out = None
+    for d in dims:
+        e = d.select(F.col("key").alias("src"), F.col("value").alias("dst"))
+        out = e if out is None else out.union(e)
+    return out.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+
+
+def dedup_nodes(nodes: DataFrame, id_col: str = "id",
+                label_col: str = "label") -> DataFrame:
+    """skip_duplicate_nodes semantics (A5): first row per (label, id)."""
+    return nodes.dropDuplicates([label_col, id_col])
+
+
+def canonicalize_nodes(nodes: DataFrame, id_map: DataFrame,
+                       id_col: str = "id", label_col: str = "label",
+                       salt_buckets: int = 0) -> DataFrame:
+    """Rewrite node ids to their canonical representative, then dedup.
+
+    `salt_buckets > 0` pre-aggregates within salted sub-keys before the
+    global dedup — use when a handful of hub ids dominate (north-rule
+    salted aggregation): stage 1 dedups (id, label, salt) partitions,
+    stage 2 merges the few survivors per (id, label).
+    """
+    m = id_map.select(F.col("id").alias("_aid"),
+                      F.col("canonical_id").alias("_cid"))
+    out = (nodes.join(m, nodes[id_col] == m["_aid"], "left")
+           .withColumn(id_col, F.coalesce(F.col("_cid"), F.col(id_col)))
+           .drop("_aid", "_cid"))
+    if salt_buckets > 0:
+        salted = out.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)),
+                                                F.lit(salt_buckets)))
+        stage1 = salted.dropDuplicates([label_col, id_col, "_salt"]).drop("_salt")
+        return stage1.dropDuplicates([label_col, id_col])
+    return dedup_nodes(out, id_col, label_col)
