@@ -39,7 +39,7 @@ RESTRICTION_PREDICATES = [HAS_PART, PART_OF]
 
 SOURCES = {
     "go": ("Gene Ontology", "http://purl.obolibrary.org/obo/go.owl"),
-    "uberon": ("Uberon", "http://purl.obolibrary.org/obo/uberon.owl"),
+    "uberon": ("UBERON", "http://purl.obolibrary.org/obo/uberon.owl"),
     "clo": ("Cell Line Ontology", "http://purl.obolibrary.org/obo/clo.owl"),
 }
 
@@ -48,7 +48,10 @@ def to_key_col(uri) -> "F.Column":
     """Column twin of OntologyAdapter.to_key (ontologies_adapter.py:164-176):
     URI tail, '#?&=/~ ' rewrites, '_'->':', numeric guard."""
     key = F.element_at(F.split(uri, "/"), -1)
-    key = F.translate(key, "#?&=~", ".._._")
+    # positional map: '#'->'.', '?'->'_', '&'->'.', '='->'_', '~'->'.'
+    # ('?'/'=' become '_' first and then ':' in the '_'->':' pass below,
+    # exactly like the reference's replace chain)
+    key = F.translate(key, "#?&=~", "._._.")
     key = F.regexp_replace(key, "_", ":")
     key = F.regexp_replace(key, " ", "")
     return F.when(F.regexp_replace(key, r"\.", "").rlike(r"^[0-9]+$"),
@@ -83,7 +86,9 @@ def ontology_nodes(triples: DataFrame, label: str, ontology: str = "go",
                    ) -> tuple[DataFrame, DataFrame]:
     """Ontology term nodes (ontologies_adapter.py:55-86): one node per
     non-blank URI subject; term_name/description joined, synonyms =
-    related + exact collections."""
+    related + exact collections. For GO, the `subontology` property is
+    appended from the OBO namespace (gene_ontology_adapter.py:17-41 —
+    note the reference appends it AFTER source/source_url)."""
     uris = (
         triples.filter(~F.col("subj_blank"))
         .select(F.col("subject")).distinct()
@@ -94,6 +99,9 @@ def ontology_nodes(triples: DataFrame, label: str, ontology: str = "go",
     exact = _collect_prop(triples, EXACT_SYNONYM, "exact")
     n = (uris.join(names, "subject", "left").join(descs, "subject", "left")
          .join(rel, "subject", "left").join(exact, "subject", "left"))
+    if ontology == "go":
+        ns = _collect_prop(triples, NAMESPACE, "namespaces")
+        n = n.join(ns, "subject", "left")
     empty = F.array().cast("array<string>")
     term_name = F.array_join(F.coalesce(F.col("term_names"), empty), ", ")
     description = F.array_join(F.coalesce(F.col("descriptions"), empty), " ")
@@ -102,10 +110,14 @@ def ontology_nodes(triples: DataFrame, label: str, ontology: str = "go",
     n = n.withColumn("_id", to_key_col(F.col("subject")))
     if dry_run:
         n = n.limit(101)
+    sub_cols = []
+    if ontology == "go":
+        subontology = F.element_at(F.col("namespaces"), -1)
+        sub_cols = [subontology.alias("subontology")]
     typed = n.select(F.col("_id").alias("id"), F.lit(label).alias("label"),
                      term_name.alias("term_name"),
                      description.alias("description"),
-                     synonyms.alias("synonyms"))
+                     synonyms.alias("synonyms"), *sub_cols)
     src, url = SOURCES.get(ontology, ("Ontology", ""))
     props: list[Prop] = []
     if write_properties:
@@ -114,6 +126,9 @@ def ontology_nodes(triples: DataFrame, label: str, ontology: str = "go",
             Prop("description", description, "str"),
             Prop("synonyms", synonyms, "str_list"),
         ] + provenance_props(src, url, write_properties, add_provenance)
+        if ontology == "go":
+            props.append(Prop("subontology",
+                              F.element_at(F.col("namespaces"), -1), "str"))
     atoms = atoms_df(n, node_def_out(label, F.col("_id")), props)
     return typed, atoms
 

@@ -163,8 +163,22 @@ def install_stubs() -> None:
     uniprot.GOA = goa
 
     # misc deps of ontology/pathway adapters
-    mod("owlready2", get_ontology=lambda *a, **k: None, onto_path=[])
-    mod("rdflib", Graph=object, URIRef=object, BNode=object, Literal=object)
+    mod("owlready2", get_ontology=lambda *a, **k: None, onto_path=[],
+        default_world=None)
+
+    class _URIRef(str):
+        pass
+
+    class _BNode(str):
+        pass
+
+    class _Literal(str):
+        pass
+
+    rterm = mod("rdflib.term", URIRef=_URIRef, BNode=_BNode, Literal=_Literal)
+    rl = mod("rdflib", Graph=object, URIRef=_URIRef, BNode=_BNode,
+             Literal=_Literal)
+    rl.term = rterm
     mod("tqdm", tqdm=lambda x, **k: x)
     try:
         import requests  # noqa: F401
