@@ -70,11 +70,20 @@ def explode_spans(df: DataFrame) -> DataFrame:
 def span_lines(df: DataFrame, kind: str) -> DataFrame:
     """Text payloads of one format family: filter on span kind — this
     predicate reaches the scan (partition pruning when the table is
-    partitioned/bucketed by kind)."""
+    partitioned/bucketed by kind). Selects only kind/text/offset so
+    nested-schema pruning drops media_ref from the parquet read."""
+    # arrays_zip over direct nested-field extractions is the one explode
+    # form where nested-schema pruning survives a downstream filter: the
+    # parquet ReadSchema drops media_ref (verified via .explain — plain
+    # explode/posexplode + filter read the full span struct)
+    z = F.arrays_zip(F.col("spans.kind").alias("kind"),
+                     F.col("spans.text").alias("text"),
+                     F.col("spans.offset").alias("offset"))
     return (
-        explode_spans(df)
-        .filter(F.col("kind") == kind)
-        .select("doc_id", "offset", F.col("text").alias("value"))
+        df.select("doc_id", F.explode(z).alias("span"))
+        .filter(F.col("span.kind") == kind)
+        .select("doc_id", F.col("span.offset").alias("offset"),
+                F.col("span.text").alias("value"))
     )
 
 
