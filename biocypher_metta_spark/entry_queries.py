@@ -586,3 +586,274 @@ QUERIES = {
     "doc_minhash": (doc_minhash, DOC_MINHASH_SQL),
     "emb_dot_topk": (emb_dot_topk, EMB_DOT_TOPK_SQL),
 }
+
+
+# ===========================================================================
+# batch 2: windows, time aggs, fingerprints, LSH pairs, HGVS, components,
+# span invariants, prolog sink, multimodal plumbing
+# ===========================================================================
+
+
+def rel_window_rank(spark, sf_dir):
+    """Window function: top order per customer by total price (training
+    pipelines use this constantly; deterministic tie-break on orderkey)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (o.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 2)
+            .select("o_custkey", "o_orderkey", F.col("rnk").cast("long").alias("rnk")))
+
+
+REL_WINDOW_RANK_SQL = """
+SELECT o_custkey, o_orderkey, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 2
+"""
+
+
+def rel_events_hourly(spark, sf_dir):
+    """Tumbling-window event aggregation (streaming-shaped, batch twin)."""
+    e = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    return (e.groupBy(hour.alias("hour"), F.col("event_type"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_value_c"))
+            .withColumn("hour", F.date_format("hour", "yyyy-MM-dd HH:mm:ss")))
+
+
+REL_EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n_events,
+       sum(CAST(floor(value * 100) AS BIGINT)) AS sum_value_c
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.fingerprint(d)
+
+
+DOC_FINGERPRINT_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                        i -> array_to_string(toks[i:i+4], ' ')) AS shingles
+  FROM t
+)
+SELECT doc_id,
+       list_min(list_transform(shingles,
+                s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS fingerprint
+FROM sh
+"""
+
+
+def doc_lsh_pairs(spark, sf_dir):
+    """MinHash banding -> candidate near-dup pairs (the LSH bucket join)."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = dedup_ops.minhash_signatures(d, num_perm=4)
+    return dedup_ops.lsh_candidate_pairs(sigs, bands=2, rows_per_band=2)
+
+
+DOC_LSH_PAIRS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), hs AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                          i -> array_to_string(toks[i:i+4], ' ')),
+           s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hv
+  FROM t
+), sig AS (
+  SELECT doc_id,
+    CAST(list_min(list_transform(hv, h -> (h::HUGEINT * 1000000007 + 12345) % 2305843009213693951)) AS VARCHAR) AS mh_0,
+    CAST(list_min(list_transform(hv, h -> (h::HUGEINT * 998244353 + 54321) % 2305843009213693951)) AS VARCHAR) AS mh_1,
+    CAST(list_min(list_transform(hv, h -> (h::HUGEINT * 777767777 + 98765) % 2305843009213693951)) AS VARCHAR) AS mh_2,
+    CAST(list_min(list_transform(hv, h -> (h::HUGEINT * 613651369 + 13579) % 2305843009213693951)) AS VARCHAR) AS mh_3
+  FROM hs
+), banded AS (
+  SELECT doc_id, 0 AS band, md5(mh_0 || '_' || mh_1) AS bh FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh_2 || '_' || mh_3) AS bh FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+"""
+
+
+def doc_simhash(spark, sf_dir):
+    """SimHash signatures — xxhash64-based, Spark-only (rows-only check)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup_ops.simhash(d)
+
+
+def kg_hgvs_variant_ids(spark, sf_dir):
+    """P8 HGVS regex path over synthesized hgvs spans."""
+    from biocypher_metta_spark.functions.hgvs import variant_id_from_hgvs
+
+    ids = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("i"))
+    hgvs = F.expr(
+        "concat('NC_0000', lpad(cast(1 + i % 25 as string), 2, '0'), '.',"
+        " cast(10 + i % 5 as string), ':g.', cast(1000 + i as string),"
+        " element_at(array('A','C','G','T'), cast(i % 4 as int) + 1), '>',"
+        " element_at(array('G','T','A','C'), cast(i % 4 as int) + 1))")
+    d = ids.select(F.col("i").alias("doc_id"), hgvs.alias("hgvs"))
+    return d.select("doc_id", "hgvs",
+                    variant_id_from_hgvs(F.col("hgvs")).alias("variant_id"))
+
+
+KG_HGVS_SQL = """
+WITH h AS (
+  SELECT doc_id, 1 + doc_id % 25 AS chrn, 1000 + doc_id AS pos,
+         (['A','C','G','T'])[CAST(doc_id % 4 AS INT) + 1] AS ref,
+         (['G','T','A','C'])[CAST(doc_id % 4 AS INT) + 1] AS alt
+  FROM documents
+)
+SELECT doc_id,
+       'NC_0000' || lpad(CAST(chrn AS VARCHAR), 2, '0') || '.' ||
+       CAST(10 + doc_id % 5 AS VARCHAR) || ':g.' || CAST(pos AS VARCHAR) ||
+       ref || '>' || alt AS hgvs,
+       CASE WHEN chrn < 23 THEN
+              CAST(chrn AS VARCHAR) || '_' || CAST(pos AS VARCHAR) || '_' ||
+              ref || '_' || alt || '_GRCh38'
+            WHEN chrn = 23 THEN
+              'x_' || CAST(pos AS VARCHAR) || '_' || ref || '_' || alt || '_GRCh38'
+            WHEN chrn = 24 THEN
+              'y_' || CAST(pos AS VARCHAR) || '_' || ref || '_' || alt || '_GRCh38'
+            ELSE NULL END AS variant_id
+FROM h
+"""
+
+
+def kg_connected_components(spark, sf_dir):
+    """Canonicalization core: connected components over a synthetic alias
+    graph (star per group of 4: i -> i - i%4). Spark runs the REAL
+    iterative label propagation; the oracle derives components
+    arithmetically."""
+    from biocypher_metta_spark.canonicalize import connected_components
+
+    ids = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("i"))
+    edges = ids.select(
+        F.concat(F.lit("E"), F.lpad(F.col("i").cast("string"), 8, "0")).alias("src"),
+        F.concat(F.lit("E"), F.lpad((F.col("i") - F.col("i") % 4).cast("string"),
+                                    8, "0")).alias("dst"))
+    comp = connected_components(edges, max_iter=6)
+    return comp.select(F.col("id"), F.col("component"))
+
+
+KG_COMPONENTS_SQL = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+pairs AS (SELECT i, i - i % 4 AS hub FROM ids WHERE i % 4 != 0),
+members AS (
+  SELECT 'E' || lpad(CAST(i AS VARCHAR), 8, '0') AS id,
+         'E' || lpad(CAST(hub AS VARCHAR), 8, '0') AS component FROM pairs
+  UNION
+  SELECT DISTINCT 'E' || lpad(CAST(hub AS VARCHAR), 8, '0'),
+         'E' || lpad(CAST(hub AS VARCHAR), 8, '0') FROM pairs
+)
+SELECT id, component FROM members
+"""
+
+
+def kg_span_fingerprints(spark, sf_dir):
+    """Per-doc span-sequence fingerprint (the per-row invariant carrier):
+    sha256 over the offset-sorted (offset,kind,text,media_ref) sequence.
+    Oracle recomputes the same digest from the arithmetic corpus."""
+    from biocypher_metta_spark.sources.documents import span_fingerprint
+
+    docs = _kg_docs(spark, sf_dir)
+    return span_fingerprint(docs)
+
+
+def kg_prolog_facts(spark, sf_dir):
+    """Pluggable-sink proof: the same windowed gene nodes rendered as
+    Prolog facts instead of MeTTa."""
+    from biocypher_metta_spark import sinks
+
+    typed = kg_gtf_gene_nodes(spark, sf_dir)
+    nodes = typed.select("id", F.lit("gene").alias("label"), "chr")
+    return sinks.prolog_node_facts(nodes, ["chr"])
+
+
+KG_PROLOG_SQL = f"""
+WITH g AS (
+  SELECT lower({_DUCK['gene_base']}) AS id, {_DUCK['chrom']} AS chr
+  FROM documents
+  WHERE {_DUCK['chrom']} = 'chr16'
+    AND {_DUCK['start']} >= {KG_WINDOW['start']}
+    AND {_DUCK['end']} <= {KG_WINDOW['end']}
+)
+SELECT fact FROM (
+  SELECT 'gene(' || id || ').' AS fact FROM g
+  UNION ALL
+  SELECT 'chr(gene(' || id || '), ' || chr || ').' FROM g
+)
+"""
+
+
+def multimodal_decode(spark, sf_dir):
+    """Image-decode plumbing over the synthetic media store (deterministic
+    fake decoder — rows-only driver check; the decode itself is stubbed
+    per environment constraints)."""
+    from biocypher_metta_spark.operators import multimodal as mm
+
+    n = _t(spark, sf_dir, "documents").count()
+    media = mm.synth_media_table(spark, min(int(n), 2000))
+    return mm.decode_images(media, decoder=mm.fake_image_decode) \
+        .select("media_ref", "width", "height", "channels")
+
+
+def doc_lang_dist(spark, sf_dir):
+    """Predicted-language distribution (groupBy over the lang-id op)."""
+    d = _t(spark, sf_dir, "documents")
+    return (text_ops.lang_id(d).groupBy("lang_pred")
+            .agg(F.count("*").alias("n_docs")))
+
+
+DOC_LANG_DIST_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS en,
+         len(list_filter(toks, x -> x IN ('und','der','die','das'))) AS de,
+         len(list_filter(toks, x -> x IN ('le','la','les','et'))) AS fr,
+         len(list_filter(toks, x -> x IN ('el','los','las','y'))) AS es
+  FROM t
+), p AS (
+  SELECT CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unk'
+              WHEN en = greatest(en, de, fr, es) THEN 'en'
+              WHEN de = greatest(en, de, fr, es) THEN 'de'
+              WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+              ELSE 'es' END AS lang_pred
+  FROM s
+)
+SELECT lang_pred, count(*) AS n_docs FROM p GROUP BY lang_pred
+"""
+
+
+QUERIES.update({
+    "rel_window_rank": (rel_window_rank, REL_WINDOW_RANK_SQL),
+    "rel_events_hourly": (rel_events_hourly, REL_EVENTS_HOURLY_SQL),
+    "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "doc_lsh_pairs": (doc_lsh_pairs, DOC_LSH_PAIRS_SQL),
+    "doc_simhash": (doc_simhash, None),
+    "doc_lang_dist": (doc_lang_dist, DOC_LANG_DIST_SQL),
+    "kg_hgvs_variant_ids": (kg_hgvs_variant_ids, KG_HGVS_SQL),
+    "kg_connected_components": (kg_connected_components, KG_COMPONENTS_SQL),
+    "kg_span_fingerprints": (kg_span_fingerprints, None),
+    "kg_prolog_facts": (kg_prolog_facts, KG_PROLOG_SQL),
+    "multimodal_decode": (multimodal_decode, None),
+})

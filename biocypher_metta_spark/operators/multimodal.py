@@ -1,0 +1,157 @@
+"""Multimodal (image/audio/video) column operators.
+
+Media payloads are opaque `binary` columns with typed metadata structs —
+the span model's `media_ref` resolves to these via a content store. The
+image/audio decode libraries are NOT in this container, so the decode
+kernels are stubbed behind `NotImplementedError` or a deterministic fake
+— but the Spark-side plumbing (schema, partitioning, Arrow batch shape,
+UDF signatures) is real and tested.
+
+Scale notes: decode/feature-extract are mapInPandas (one Arrow batch per
+~10k rows, library initialized once per executor via module-level lazy
+init); frame sampling emits rows (explode pattern) so downstream ops
+stay columnar; binary payloads should be size-bucketed on write so a few
+4K videos don't skew task runtimes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_ref", StringType()),
+    StructField("kind", StringType()),          # image | audio | video
+    StructField("content", BinaryType()),
+    StructField("content_type", StringType()),  # mime
+    StructField("n_bytes", LongType()),
+])
+
+IMAGE_FEATURES_SCHEMA = StructType([
+    StructField("media_ref", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("embedding", ArrayType(FloatType())),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("media_ref", StringType()),
+    StructField("frame_index", IntegerType()),
+    StructField("frame", BinaryType()),
+])
+
+
+def real_image_decode(content: bytes) -> tuple[int, int, int, list[float]]:
+    """Decode kernel placeholder: the image libs (PIL/cv2) are not baked
+    into this container. Production wiring swaps this symbol."""
+    raise NotImplementedError(
+        "image decode requires PIL/cv2 — not available in this container; "
+        "inject a decoder (tests use fake_image_decode)"
+    )
+
+
+def fake_image_decode(content: bytes) -> tuple[int, int, int, list[float]]:
+    """Deterministic fake: dimensions + embedding derived from the bytes
+    themselves — exercises the full plumbing without media libs."""
+    n = len(content)
+    w = 16 + n % 64
+    h = 16 + (n * 7) % 64
+    emb = [((content[i % max(n, 1)] if n else 0) + i) % 255 / 255.0
+           for i in range(8)]
+    return w, h, 3, emb
+
+
+def decode_images(media: DataFrame,
+                  decoder: Callable = real_image_decode) -> DataFrame:
+    """binary -> (width, height, channels, embedding) via mapInPandas.
+    Decoder errors null the row out rather than failing the stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                try:
+                    w, h, c, emb = decoder(bytes(content) if content is not None else b"")
+                    rows.append((ref, w, h, c, emb))
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    rows.append((ref, None, None, None, None))
+            yield pd.DataFrame(rows, columns=["media_ref", "width", "height",
+                                              "channels", "embedding"])
+
+    return (media.filter(F.col("kind") == "image")
+            .select("media_ref", "content")
+            .mapInPandas(batches, IMAGE_FEATURES_SCHEMA))
+
+
+def resize_images(media: DataFrame, width: int, height: int,
+                  resizer: Callable | None = None) -> DataFrame:
+    """Resize kernel plumbing: binary in -> binary out. Default stub is a
+    deterministic truncate/pad fake (real impl: PIL thumbnail)."""
+
+    def default_resize(content: bytes, w: int, h: int) -> bytes:
+        target = max(w * h // 8, 1)
+        return (content * (target // max(len(content), 1) + 1))[:target]
+
+    rz = resizer or default_resize
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            out["content"] = [rz(bytes(c) if c is not None else b"", width, height)
+                              for c in pdf["content"]]
+            out["n_bytes"] = [len(c) for c in out["content"]]
+            yield out
+
+    return media.mapInPandas(batches, media.schema)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 1024,
+                  max_frames: int = 8) -> DataFrame:
+    """Video frame sampling plumbing: one row per sampled frame (explode
+    pattern). The 'frame' here is a deterministic byte slice standing in
+    for a real decoder's frame grab — the schema/batching is the real
+    contract."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                n = min(max_frames, max(len(data) // every_n_bytes, 1))
+                for i in range(n):
+                    rows.append((ref, i,
+                                 data[i * every_n_bytes:(i + 1) * every_n_bytes]))
+            yield pd.DataFrame(rows, columns=["media_ref", "frame_index", "frame"])
+
+    return (media.filter(F.col("kind") == "video")
+            .select("media_ref", "content")
+            .mapInPandas(batches, FRAME_SCHEMA))
+
+
+def synth_media_table(spark, n: int) -> DataFrame:
+    """Deterministic fake media store keyed by media_ref — pairs with the
+    span synth's 'media://img/<i>' refs."""
+    return spark.range(n).select(
+        F.concat(F.lit("media://img/"), F.col("id").cast("string")).alias("media_ref"),
+        F.when(F.col("id") % 3 == 2, F.lit("video")).otherwise(F.lit("image")).alias("kind"),
+        F.encode(F.concat(F.lit("payload-"), F.sha2(F.col("id").cast("string"), 256)),
+                 "utf-8").cast("binary").alias("content"),
+        F.lit("application/octet-stream").alias("content_type"),
+        F.lit(72).cast("long").alias("n_bytes"),
+    )
