@@ -51,14 +51,22 @@ print(json.dumps(dict(n_atoms=n_atoms, seconds=dt,
 """
 
 
-def run_level(cpus: int, n_docs: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-               SPARK_GRAFT_SHUFFLE=str(max(cpus, 8)))
-    code = CHILD.format(repo=str(REPO), n_docs=n_docs)
-    out = subprocess.run([sys.executable, "-c", code], env=env,
-                         capture_output=True, text=True, timeout=1800)
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+def run_level(cpus: int, n_docs: int, repeats: int = 2) -> dict:
+    """Best-of-N fresh-JVM runs: the sandbox VM shares a host with noisy
+    neighbors (identical configs measured 2.7x apart minutes apart), so
+    per-level minima are the comparable statistic."""
+    best = None
+    for _ in range(repeats):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                   SPARK_GRAFT_SHUFFLE=str(max(cpus, 8)))
+        code = CHILD.format(repo=str(REPO), n_docs=n_docs)
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True, timeout=1800)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        if best is None or r["seconds"] < best["seconds"]:
+            best = r
+    return best
 
 
 def main():

@@ -142,10 +142,14 @@ def gaf_edges(lines: DataFrame, registry, gaf_type: str = "human",
 
 
 def parse_rnacentral_gencode_map(lines: DataFrame) -> DataFrame:
-    """'{urs}_{taxid}' -> transcript dimension (gaf_adapter.py:68-74)."""
+    """'{urs}_{taxid}' -> transcript dimension (gaf_adapter.py:68-74).
+    Duplicate keys keep the LAST file row (dict-overwrite semantics) —
+    max_by on the span offset."""
     d = split_cols(lines, {"urs": 0, "db": 1, "tx": 2, "taxid": 3}, "\t")
-    return d.select(F.concat_ws("_", F.col("urs"), F.col("taxid")).alias("key"),
-                    F.col("tx").alias("value"))
+    d = d.select(F.concat_ws("_", F.col("urs"), F.col("taxid")).alias("key"),
+                 F.col("tx").alias("value"), F.col("offset"))
+    return (d.groupBy("key")
+            .agg(F.max_by("value", "offset").alias("value")))
 
 
 # --------------------------------------------------------------------------

@@ -351,3 +351,20 @@ def test_uniprot_edges_parity(spark, reftype, label):
     recs = read_swiss_file(spark, f"{S}/uniprot_sprot_human_sample.dat.gz")
     _, atoms = ann.uniprot_translation_edges(recs, REGISTRY, label)
     assert_pr(spark_atoms(atoms), golden, 1.0, f"uniprot {label}")
+
+
+def test_gaf_rna_parity(spark):
+    """gaf_type='rna': DB_Object_ID routed through the RNAcentral
+    '{urs}_{taxid}' -> transcript map (J9, gaf_adapter.py:68-91)."""
+    mod = load_ref("biocypher_metta.adapters.gaf_adapter")
+    mod.GAFAdapter.RNACENTRAL_ID_MAPPING_PATH = \
+        f"{S}/rnacentral_ensembl_gencode.tsv.gz"
+    ref = mod.GAFAdapter(filepath=f"{S}/goa_human_rna.gaf.gz",
+                         gaf_type="rna",
+                         write_properties=True, add_provenance=True)
+    golden = golden_edge_atoms(ref.get_edges())
+    rmap = ann.parse_rnacentral_gencode_map(
+        lines_of(spark, f"{S}/rnacentral_ensembl_gencode.tsv.gz"))
+    _, atoms = ann.gaf_edges(lines_of(spark, f"{S}/goa_human_rna.gaf.gz"),
+                             REGISTRY, gaf_type="rna", rnacentral_map=rmap)
+    assert_pr(spark_atoms(atoms), golden, 1.0, "gaf rna edges")
