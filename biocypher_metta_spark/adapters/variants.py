@@ -19,7 +19,6 @@ from biocypher_metta_spark.functions.ids import (
 from biocypher_metta_spark.serializer import (
     Prop,
     atoms_df,
-    dict_prop_atoms,
     node_def_out,
 )
 from biocypher_metta_spark.sources.tabular import split_cols
@@ -227,9 +226,20 @@ def favor_nodes(lines: DataFrame, chr: str | None = None,
             Prop("alt", F.col("alt_vcf"), "str"),
         ]
         def_out = node_def_out("sequence_variant", F.col("_id"))
-        ann_fields = [Prop(k, F.col(k), "num_or_str")
-                      for k in FAVOR_FIELDS if k not in _FAVOR_KEY_FIELDS]
-        extra = dict_prop_atoms(def_out, "annotation", ann_fields)
+        # ONE Arrow crossing for all ~80 annotation fields: the values
+        # cross as a single array<string>, come back as rendered
+        # fragments, and the atom strings assemble JVM-side (the naive
+        # per-field pandas UDF would be 80 separate crossings per batch)
+        from biocypher_metta_spark.serializer import num_or_str_fragments
+
+        ann_keys = [k for k in FAVOR_FIELDS if k not in _FAVOR_KEY_FIELDS]
+        frags = num_or_str_fragments(F.array(*[F.col(k) for k in ann_keys]))
+        head = F.concat(F.lit("(annotation "), def_out, F.lit(")"))
+        extra = [head]
+        for i, k in enumerate(ann_keys):
+            frag = F.get(frags, i)
+            extra.append(F.when(frag.isNull(), F.lit(None)).otherwise(
+                F.concat(F.lit(f"({k} "), head, F.lit(" "), frag, F.lit(")"))))
         extra += [p_atom for p_atom in
                   (_prov_atoms(def_out, write_properties, add_provenance))]
     atoms = atoms_df(d, node_def_out("sequence_variant", F.col("_id")),

@@ -52,6 +52,25 @@ class PipelineContext:
     def lines(self, kind: str) -> DataFrame:
         return span_lines(self.docs, kind)
 
+    def lines_keyed(self, prefix: str, key_col: str) -> DataFrame:
+        """S9 fan-in via span kinds: spans tagged '<prefix>:<key>' (e.g.
+        'pwm:ATF1_HUMAN.H11MO.0.B', 'gtex:Adipose_Subcutaneous') become
+        lines carrying the key as a column — the Spark twin of
+        filename-carries-the-key directory scans."""
+        from biocypher_metta_spark.sources.documents import explode_spans
+
+        sp = explode_spans(self.docs).filter(
+            F.col("kind").startswith(prefix + ":"))
+        return sp.select(
+            "doc_id", "offset", F.col("text").alias("value"),
+            F.expr(f"substring(kind, {len(prefix) + 2})").alias(key_col))
+
+    def cached(self, key, builder):
+        if key not in self._cache:
+            df = builder().cache()
+            self._cache[key] = df
+        return self._cache[key]
+
 
 # entry name -> callable(ctx, **args) -> (typed_df, atoms_df, is_edge)
 
@@ -98,13 +117,207 @@ def _dbsnp(ctx: PipelineContext, **args):
     return typed, atoms, False
 
 
+def _node_adapter(fn_path, kind, dim_args=(), is_edge=False, needs_registry=False,
+                  keyed=None):
+    """Generic registry entry: adapters.<module>.<fn>(lines, *dims[,registry])."""
+
+    def run(ctx: PipelineContext, **args):
+        import importlib
+
+        mod_name, fn_name = fn_path.rsplit(".", 1)
+        mod = importlib.import_module(f"biocypher_metta_spark.adapters.{mod_name}")
+        fn = getattr(mod, fn_name)
+        lines = ctx.lines_keyed(kind, keyed) if keyed else ctx.lines(kind)
+        dims = [ctx.dims[d] for d in dim_args]
+        if needs_registry:
+            typed, atoms = fn(lines, *dims, ctx.registry, **args)
+        else:
+            typed, atoms = fn(lines, *dims, **args)
+        return typed, atoms, is_edge
+
+    return run
+
+
+def _swiss(fn_name, is_edge, needs_registry=False):
+    def run(ctx: PipelineContext, **args):
+        import biocypher_metta_spark.adapters.annotations as ann
+        from biocypher_metta_spark.sources.swiss import parse_swiss_spans
+
+        recs = ctx.cached("swiss_records",
+                          lambda: parse_swiss_spans(ctx.lines("swiss_record")))
+        fn = getattr(ann, fn_name)
+        if needs_registry:
+            typed, atoms = fn(recs, ctx.registry, **args)
+        else:
+            typed, atoms = fn(recs, **args)
+        return typed, atoms, is_edge
+
+    return run
+
+
+def _two_file(fn_path, kinds, dim_args=(), is_edge=False, needs_registry=False):
+    def run(ctx: PipelineContext, **args):
+        import importlib
+
+        mod_name, fn_name = fn_path.rsplit(".", 1)
+        mod = importlib.import_module(f"biocypher_metta_spark.adapters.{mod_name}")
+        fn = getattr(mod, fn_name)
+        lines = [ctx.lines(k) for k in kinds]
+        dims = [ctx.dims[d] for d in dim_args]
+        if needs_registry:
+            typed, atoms = fn(*lines, *dims, ctx.registry, **args)
+        else:
+            typed, atoms = fn(*lines, *dims, **args)
+        return typed, atoms, is_edge
+
+    return run
+
+
+def _dbsuper(fn_name, is_edge):
+    def run(ctx: PipelineContext, **args):
+        from biocypher_metta_spark.adapters import regulatory as reg
+
+        lift = ctx.dims["liftover"]  # a liftover(chr,pos) callable
+        if fn_name == "dbsuper_nodes":
+            typed, atoms = reg.dbsuper_nodes(ctx.lines("dbsuper"), lift, **args)
+        else:
+            typed, atoms = reg.dbsuper_edges(
+                ctx.lines("dbsuper"), lift, ctx.dims["hgnc_to_ensembl"],
+                ctx.dims["dbsuper_tissues"], ctx.registry, **args)
+        return typed, atoms, is_edge
+
+    return run
+
+
+def _hocomoco(ctx: PipelineContext, **args):
+    import biocypher_metta_spark.adapters.annotations as ann
+
+    lines = ctx.lines_keyed("pwm", "model").withColumn(
+        "row_order", F.col("offset"))
+    model_tf = ann.parse_model_tf(ctx.lines("hocomoco_annotation"))
+    typed, atoms = ann.hocomoco_motif_nodes(
+        lines, model_tf, ctx.dims["hgnc_to_ensembl"], **args)
+    return typed, atoms, False
+
+
+def _gaf(ctx: PipelineContext, gaf_type="human", **args):
+    import biocypher_metta_spark.adapters.annotations as ann
+
+    rmap = None
+    if gaf_type == "rna":
+        rmap = ann.parse_rnacentral_gencode_map(ctx.lines("rnacentral_map"))
+    typed, atoms = ann.gaf_edges(ctx.lines("gaf"), ctx.registry,
+                                 gaf_type=gaf_type, rnacentral_map=rmap, **args)
+    return typed, atoms, True
+
+
+def _topld(ctx: PipelineContext, **args):
+    from biocypher_metta_spark.adapters import forgedb
+
+    typed, atoms = forgedb.topld_edges(ctx.lines("topld"),
+                                       ctx.dims["dbsnp_pos"],
+                                       registry=ctx.registry, **args)
+    return typed, atoms, True
+
+
+def _ontology(fn_name, is_edge):
+    def run(ctx: PipelineContext, **args):
+        from biocypher_metta_spark.adapters import ontology as onto
+
+        triples = ctx.dims["ontology_triples"]
+        fn = getattr(onto, fn_name)
+        if is_edge:
+            typed, atoms = fn(triples, args.pop("label"), ctx.registry, **args)
+        else:
+            typed, atoms = fn(triples, args.pop("label"), **args)
+        return typed, atoms, is_edge
+
+    return run
+
+
 PIPELINE_REGISTRY = {
+    # gencode family (shared cached GTF scan)
     "gencode_gene": _gencode_gene,
     "gencode_transcript": _gencode_transcript,
     "gencode_exon": _gencode_exon,
     "transcribed_to": _transcribed("to"),
     "transcribed_from": _transcribed("from"),
+    # variants
     "dbsnp": _dbsnp,
+    "dbvar": _node_adapter("variants.dbvar_nodes", "vcf"),
+    "dgv": _node_adapter("variants.dgv_nodes", "dgv"),
+    "favor": _node_adapter("variants.favor_nodes", "favor"),
+    # reactome
+    "pathway": _two_file("pathways.pathway_nodes",
+                         ["reactome_pathways", "reactome_pmids"]),
+    "genes_pathways": _node_adapter("pathways.genes_pathways_edges",
+                                    "reactome_gene_map", is_edge=True,
+                                    needs_registry=True),
+    "parent_pathway_of": _node_adapter("pathways.pathway_rel_edges",
+                                       "reactome_relations", is_edge=True,
+                                       needs_registry=True),
+    "child_pathway_of": _node_adapter("pathways.pathway_rel_edges",
+                                      "reactome_relations", is_edge=True,
+                                      needs_registry=True),
+    # interactions
+    "string": _node_adapter("interactions.string_ppi_edges", "string",
+                            ("ensembl_to_uniprot",), is_edge=True,
+                            needs_registry=True),
+    "tflink": _node_adapter("interactions.tflink_edges", "tflink",
+                            ("entrez_to_ensembl",), is_edge=True,
+                            needs_registry=True),
+    "coexpression": _node_adapter("interactions.coxpresdb_edges", "coxpresdb",
+                                  ("entrez_to_ensembl",), is_edge=True,
+                                  needs_registry=True, keyed="file_entrez"),
+    # regulatory
+    "epd_promoter": _node_adapter("regulatory.epd_promoter_nodes", "epd"),
+    "epd_promoter_gene": _node_adapter("regulatory.epd_promoter_gene_edges",
+                                       "epd", ("hgnc_to_ensembl",),
+                                       is_edge=True, needs_registry=True),
+    "enhancer_atlas": _node_adapter("regulatory.enhancer_atlas_nodes", "ea_bed"),
+    "enhancer_atlas_gene": _node_adapter("regulatory.enhancer_atlas_edges",
+                                         "ea_gene", ("ea_tissues",),
+                                         is_edge=True, needs_registry=True,
+                                         keyed="tissue"),
+    "tadmap": _node_adapter("regulatory.tadmap_nodes", "tadmap"),
+    "dbsuper": _dbsuper("dbsuper_nodes", False),
+    "dbsuper_gene": _dbsuper("dbsuper_edges", True),
+    "peregrine": _two_file("regulatory.peregrine_nodes",
+                           ["peregrine_enhancers", "peregrine_sources"]),
+    "peregrine_gene": _two_file("regulatory.peregrine_edges",
+                                ["peregrine_enhancers", "peregrine_links"],
+                                ("hgnc_ensembl_map", "peregrine_tissues"),
+                                is_edge=True, needs_registry=True),
+    # annotations
+    "rna_central": _node_adapter("annotations.rna_central_nodes", "rna_bed"),
+    "rna_central_go": _node_adapter("annotations.rna_central_go_edges",
+                                    "rna_rfam", is_edge=True,
+                                    needs_registry=True),
+    "hocomoco": _hocomoco,
+    "gaf": _gaf,
+    "uniprot_protein": _swiss("uniprot_protein_nodes", False),
+    "uniprot_translates": _swiss("uniprot_translation_edges", True,
+                                 needs_registry=True),
+    # forgedb family (dbsnp rsid dimension)
+    "roadmap": _node_adapter("forgedb.roadmap_nodes", "roadmap",
+                             ("roadmap_tissues", "dbsnp_rsid")),
+    "abc": _node_adapter("forgedb.abc_nodes", "abc",
+                         ("abc_tissues", "dbsnp_rsid")),
+    "abc_gene": _node_adapter("forgedb.abc_edges", "abc",
+                              ("hgnc_to_ensembl", "abc_tissues", "dbsnp_rsid"),
+                              is_edge=True),
+    "cadd": _node_adapter("forgedb.cadd_nodes", "cadd", ("dbsnp_rsid",)),
+    "refseq_closest_gene": _node_adapter("forgedb.refseq_closest_gene_edges",
+                                         "closest_gene",
+                                         ("hgnc_to_ensembl", "dbsnp_rsid"),
+                                         is_edge=True),
+    "topld": _topld,
+    "gtex_eqtl": _node_adapter("forgedb.gtex_eqtl_edges", "gtex",
+                               ("gtex_tissues",), is_edge=True,
+                               needs_registry=True, keyed="tissue"),
+    # ontology
+    "ontology_nodes": _ontology("ontology_nodes", False),
+    "ontology_edges": _ontology("ontology_edges", True),
 }
 
 

@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import ArrayType, StringType
 
 from biocypher_metta_spark.schema import SchemaRegistry
 
@@ -154,6 +154,29 @@ def _fmt_num_or_str(s: pd.Series) -> pd.Series:
 
 def num_or_str_fragment(col: Column) -> Column:
     return _fmt_num_or_str(col)
+
+
+@pandas_udf(ArrayType(StringType()))
+def _fmt_num_or_str_arr(s: pd.Series) -> pd.Series:
+    """Vectorized batch variant: render a whole array of num_or_str
+    values in ONE Arrow crossing (FAVOR's ~80 annotation fields)."""
+    from biocypher_metta_spark.functions.values import py_to_float
+
+    def one_val(v):
+        if v is None or v == "":
+            return None
+        if v == ".":
+            return "0"
+        try:
+            return str(py_to_float(v))
+        except (ValueError, TypeError):
+            return py_escape(v)
+
+    return s.map(lambda arr: None if arr is None else [one_val(v) for v in arr])
+
+
+def num_or_str_fragments(arr_col: Column) -> Column:
+    return _fmt_num_or_str_arr(arr_col)
 
 
 def prop_atom(def_out: Column, p: Prop) -> Column:
