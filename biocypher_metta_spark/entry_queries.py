@@ -770,11 +770,53 @@ SELECT id, component FROM members
 def kg_span_fingerprints(spark, sf_dir):
     """Per-doc span-sequence fingerprint (the per-row invariant carrier):
     sha256 over the offset-sorted (offset,kind,text,media_ref) sequence.
-    Oracle recomputes the same digest from the arithmetic corpus."""
+    The oracle recomputes the identical digest from the arithmetic corpus
+    — a cross-engine proof that extraction inputs were not mutated."""
     from biocypher_metta_spark.sources.documents import span_fingerprint
 
     docs = _kg_docs(spark, sf_dir)
     return span_fingerprint(docs)
+
+
+_DUCK_GENE_LINE = (
+    "({chrom} || chr(9) || 'HAVANA' || chr(9) || 'gene' || chr(9) || "
+    "CAST({start} AS VARCHAR) || chr(9) || CAST({end} AS VARCHAR) || "
+    "chr(9) || '.' || chr(9) || '+' || chr(9) || '.' || chr(9) || "
+    "'gene_id ' || chr(34) || {gene_base} || '.' || "
+    "CAST(1 + doc_id % 9 AS VARCHAR) || chr(34) || '; gene_type ' || "
+    "chr(34) || {gene_type} || chr(34) || '; gene_name ' || chr(34) || "
+    "{gene_name} || chr(34) || ';')"
+).format(**_DUCK)
+
+_DUCK_TX_LINE = (
+    "({chrom} || chr(9) || 'HAVANA' || chr(9) || 'transcript' || chr(9) || "
+    "CAST({start} AS VARCHAR) || chr(9) || CAST({end} AS VARCHAR) || "
+    "chr(9) || '.' || chr(9) || '+' || chr(9) || '.' || chr(9) || "
+    "'gene_id ' || chr(34) || {gene_base} || '.' || "
+    "CAST(1 + doc_id % 9 AS VARCHAR) || chr(34) || "
+    "'; transcript_id ' || chr(34) || 'ENST' || "
+    "lpad(CAST(doc_id % 100000 AS VARCHAR), 11, '0') || '.' || "
+    "CAST(1 + doc_id % 9 AS VARCHAR) || chr(34) || "
+    "'; gene_type ' || chr(34) || {gene_type} || chr(34) || "
+    "'; gene_name ' || chr(34) || {gene_name} || chr(34) || "
+    "'; transcript_type ' || chr(34) || {gene_type} || chr(34) || "
+    "'; transcript_name ' || chr(34) || 'T' || "
+    "lpad(CAST(doc_id % 100000 AS VARCHAR), 11, '0') || chr(34) || ';')"
+).format(**_DUCK)
+
+
+KG_SPAN_FP_SQL = f"""
+SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id,
+       sha256(
+         '0' || chr(31) || 'gtf' || chr(31) || {_DUCK_GENE_LINE} || chr(31) || chr(2)
+         || chr(30) ||
+         '1' || chr(31) || 'gtf' || chr(31) || {_DUCK_TX_LINE} || chr(31) || chr(2)
+         || chr(30) ||
+         '2' || chr(31) || 'image' || chr(31) || chr(2) || chr(31) ||
+         'media://img/' || CAST(doc_id AS VARCHAR)
+       ) AS span_fp
+FROM documents
+"""
 
 
 def kg_prolog_facts(spark, sf_dir):
@@ -853,7 +895,7 @@ QUERIES.update({
     "doc_lang_dist": (doc_lang_dist, DOC_LANG_DIST_SQL),
     "kg_hgvs_variant_ids": (kg_hgvs_variant_ids, KG_HGVS_SQL),
     "kg_connected_components": (kg_connected_components, KG_COMPONENTS_SQL),
-    "kg_span_fingerprints": (kg_span_fingerprints, None),
+    "kg_span_fingerprints": (kg_span_fingerprints, KG_SPAN_FP_SQL),
     "kg_prolog_facts": (kg_prolog_facts, KG_PROLOG_SQL),
     "multimodal_decode": (multimodal_decode, None),
 })

@@ -385,3 +385,115 @@ def materialize(result: PipelineResult, out_dir: str, registry: SchemaRegistry,
     for name, rows in manifests.items():
         lineage.write_manifest(rows, str(out / f"_lineage/{name}.json"), run_id)
     return manifests
+
+
+# ---------------------------------------------------------------------------
+# reference adapters_config.yaml translation
+# ---------------------------------------------------------------------------
+
+# reference module.cls (+ discriminating args) -> registry adapter name
+_REF_CLS_MAP = {
+    ("gencode_gene_adapter", "GencodeGeneAdapter"): "gencode_gene",
+    ("gencode_adapter", "GencodeAdapter", "transcript"): "gencode_transcript",
+    ("gencode_adapter", "GencodeAdapter", "transcribed to"): "transcribed_to",
+    ("gencode_adapter", "GencodeAdapter", "transcribed from"): "transcribed_from",
+    ("gencode_exon_adapter", "GencodeExonAdapter"): "gencode_exon",
+    ("dbsnp_adapter", "DBSNPAdapter"): "dbsnp",
+    ("dbvar_adapter", "DBVarVariantAdapter"): "dbvar",
+    ("dgv_variant_adapter", "DGVVariantAdapter"): "dgv",
+    ("favor_adapter", "FavorAdapter"): "favor",
+    ("reactome_pathway_adapter", "ReactomePathwayAdapter"): "pathway",
+    ("reactome_adapter", "ReactomeAdapter", "genes_pathways"): "genes_pathways",
+    ("reactome_adapter", "ReactomeAdapter", "parent_pathway_of"): "parent_pathway_of",
+    ("reactome_adapter", "ReactomeAdapter", "child_pathway_of"): "child_pathway_of",
+    ("string_ppi_adapter", "StringPPIAdapter"): "string",
+    ("tflink_adapter", "TFLinkAdapter"): "tflink",
+    ("coxpresdb_adapter", "CoxpresdbAdapter"): "coexpression",
+    ("epd_adapter", "EPDAdapter", "promoter"): "epd_promoter",
+    ("epd_adapter", "EPDAdapter", "promoter to gene association"): "epd_promoter_gene",
+    ("enhancer_atlas_adapter", "EnhancerAtlasAdapter", "enhancer"): "enhancer_atlas",
+    ("enhancer_atlas_adapter", "EnhancerAtlasAdapter",
+     "enhancer to gene association"): "enhancer_atlas_gene",
+    ("tadmap_adapter", "TADMapAdapter"): "tadmap",
+    ("dbsuper_adapter", "DBSuperAdapter", "super enhancer"): "dbsuper",
+    ("dbsuper_adapter", "DBSuperAdapter",
+     "super enhancer to gene association"): "dbsuper_gene",
+    ("peregrine_adapter", "PEREGRINEAdapter", "enhancer"): "peregrine",
+    ("peregrine_adapter", "PEREGRINEAdapter",
+     "enhancer to gene association"): "peregrine_gene",
+    ("rna_central_adapter", "RNACentralAdapter", "non coding rna"): "rna_central",
+    ("rna_central_adapter", "RNACentralAdapter", "go rna"): "rna_central_go",
+    ("hocomoco_motif_adapter", "HoCoMoCoMotifAdapter"): "hocomoco",
+    ("gaf_adapter", "GAFAdapter"): "gaf",
+    ("uniprot_protein_adapter", "UniprotProteinAdapter"): "uniprot_protein",
+    ("uniprot_adapter", "UniprotAdapter", "translates to"): "uniprot_translates",
+    ("uniprot_adapter", "UniprotAdapter", "translation of"): "uniprot_translates",
+    ("roadmap_adapter", "RoadMapAdapter"): "roadmap",
+    ("abc_adapter", "ABCAdapter", "node"): "abc",
+    ("abc_adapter", "ABCAdapter", "edge"): "abc_gene",
+    ("cadd_adapter", "CADDAdapter"): "cadd",
+    ("refseq_closest_gene_adapter", "RefSeqClosestGeneAdapter"): "refseq_closest_gene",
+    ("topld_adapter", "TopLDAdapter"): "topld",
+    ("gtex_eqtl_adapter", "GTExEQTLAdapter"): "gtex_eqtl",
+    ("gene_ontology_adapter", "GeneOntologyAdapter", "node"): "ontology_nodes",
+    ("gene_ontology_adapter", "GeneOntologyAdapter", "edge"): "ontology_edges",
+    ("uberon_adapter", "UberonAdapter", "node"): "ontology_nodes",
+    ("uberon_adapter", "UberonAdapter", "edge"): "ontology_edges",
+    ("cell_line_ontology_adapter", "CellLineOntologyAdapter", "node"): "ontology_nodes",
+    ("cell_line_ontology_adapter", "CellLineOntologyAdapter", "edge"): "ontology_edges",
+    # defaults when the config omits the discriminating type/label arg
+    ("rna_central_adapter", "RNACentralAdapter"): "rna_central",
+    ("epd_adapter", "EPDAdapter"): "epd_promoter",
+    ("enhancer_atlas_adapter", "EnhancerAtlasAdapter"): "enhancer_atlas",
+    ("dbsuper_adapter", "DBSuperAdapter"): "dbsuper",
+    ("peregrine_adapter", "PEREGRINEAdapter"): "peregrine",
+}
+
+# args carried over from the reference config into our adapter kwargs
+_PASSTHROUGH_ARGS = {"chr", "start", "end", "label", "ancestry", "cutoff",
+                     "gaf_type", "ontology", "dry_run"}
+
+
+def translate_reference_config(path: str | Path) -> list[dict]:
+    """Parse a reference adapters_config YAML into this engine's config.
+
+    File paths are intentionally DROPPED: in the span model the data
+    arrives via the documents table keyed by span kind, and dimension
+    pickles via PipelineContext.dims. What survives translation is the
+    adapter identity and its semantic args (window, labels, ancestry,
+    cutoffs). create_knowledge_graph.py:42-72 twin.
+    """
+    import yaml
+
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    out: list[dict] = []
+    for entry in cfg.values():
+        ad = entry.get("adapter", {})
+        module = ad.get("module", "").rsplit(".", 1)[-1]
+        cls = ad.get("cls", "")
+        args = ad.get("args") or {}
+        disc = args.get("type") or args.get("label")
+        name = _REF_CLS_MAP.get((module, cls, disc)) if disc else None
+        if name is None:
+            name = _REF_CLS_MAP.get((module, cls))
+        if name is None:
+            raise KeyError(f"no registry mapping for {module}.{cls} ({disc})")
+        kwargs = {k: v for k, v in args.items()
+                  if k in _PASSTHROUGH_ARGS and v is not None}
+        if name in ("uniprot_translates",) and args.get("type"):
+            kwargs["direction"] = args["type"].replace(" ", "_").replace(
+                "translation_of", "translation_of").replace(
+                "translates_to", "translates_to")
+            kwargs.pop("label", None)
+        if name in ("parent_pathway_of", "child_pathway_of"):
+            kwargs["label"] = name
+        if name in ("gencode_transcript", "gencode_gene", "gencode_exon",
+                    "transcribed_to", "transcribed_from", "dbsnp", "cadd",
+                    "roadmap", "abc", "abc_gene", "refseq_closest_gene",
+                    "gtex_eqtl"):
+            kwargs.pop("label", None)
+        if name == "gaf":
+            kwargs.pop("label", None)
+        out.append({"adapter": name, "args": kwargs})
+    return out

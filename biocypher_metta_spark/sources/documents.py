@@ -104,9 +104,9 @@ def span_fingerprint(df: DataFrame) -> DataFrame:
                 lambda s: F.concat_ws(
                     "\x1f",
                     s["offset"].cast("string"),
-                    F.coalesce(s["kind"], F.lit("\x00")),
-                    F.coalesce(s["text"], F.lit("\x00")),
-                    F.coalesce(s["media_ref"], F.lit("\x00")),
+                    F.coalesce(s["kind"], F.lit("\x02")),
+                    F.coalesce(s["text"], F.lit("\x02")),
+                    F.coalesce(s["media_ref"], F.lit("\x02")),
                 ),
             ),
         ),

@@ -76,3 +76,15 @@ def test_streaming_incremental(spark, tmp_path):
     run_incremental(read_documents_stream(spark, inp), transform, out, ckpt)
     n2 = spark.read.parquet(out).count()
     assert n2 == 150
+
+
+def test_reference_config_translation():
+    """The reference's own adapters_config_sample.yaml translates fully
+    into this engine's registry (config-compat for switching users)."""
+    cfg = pipeline.translate_reference_config(
+        "/root/reference/config/adapters_config_sample.yaml")
+    assert len(cfg) == 46
+    names = {c["adapter"] for c in cfg}
+    assert names <= set(pipeline.PIPELINE_REGISTRY)
+    topld = [c for c in cfg if c["adapter"] == "topld"][0]
+    assert topld["args"]["chr"] == "chr16" and topld["args"]["ancestry"] == "EUR"
