@@ -899,3 +899,52 @@ QUERIES.update({
     "kg_prolog_facts": (kg_prolog_facts, KG_PROLOG_SQL),
     "multimodal_decode": (multimodal_decode, None),
 })
+
+
+# ===========================================================================
+# batch 3: mention linking (the north-star UDF stage) with a SQL oracle
+# ===========================================================================
+
+LINK_DICT = {
+    "spark": "TOOL:spark",
+    "shuffle": "OP:shuffle",
+    "join": "OP:join",
+    "table": "OBJ:table",
+}
+
+
+def kg_mention_link_counts(spark, sf_dir):
+    """Broadcast-dictionary mention detection + entity-link scoring over
+    the documents text (linking.py pandas UDF), aggregated per entity
+    with salted partial aggregation. The oracle reproduces the 1-gram
+    exact-match subset in pure SQL (the UDF's scoring for unigrams is
+    deterministic: distinct mentions per doc, so counts == docs whose
+    token set contains the surface form)."""
+    from biocypher_metta_spark import linking
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("text").alias("value"))
+    detect = linking.build_mention_udf(spark, LINK_DICT, max_ngram=1)
+    linked = linking.link_documents(d, detect, min_score=0.0)
+    counts = linking.entity_mention_counts(linked, salt_buckets=8)
+    return counts.select("entity", "n_mentions")
+
+
+KG_MENTION_LINK_SQL = r"""
+WITH t AS (
+  SELECT doc_id, list_distinct(regexp_extract_all(text, '[A-Za-z0-9:_.\-]+')) AS toks
+  FROM documents
+), hits AS (
+  SELECT 'TOOL:spark' AS entity, doc_id FROM t WHERE list_contains(toks, 'spark')
+  UNION ALL
+  SELECT 'OP:shuffle', doc_id FROM t WHERE list_contains(toks, 'shuffle')
+  UNION ALL
+  SELECT 'OP:join', doc_id FROM t WHERE list_contains(toks, 'join')
+  UNION ALL
+  SELECT 'OBJ:table', doc_id FROM t WHERE list_contains(toks, 'table')
+)
+SELECT entity, count(*) AS n_mentions FROM hits GROUP BY entity
+"""
+
+QUERIES["kg_mention_link_counts"] = (kg_mention_link_counts, KG_MENTION_LINK_SQL)
