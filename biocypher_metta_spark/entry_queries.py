@@ -948,3 +948,32 @@ SELECT entity, count(*) AS n_mentions FROM hits GROUP BY entity
 """
 
 QUERIES["kg_mention_link_counts"] = (kg_mention_link_counts, KG_MENTION_LINK_SQL)
+
+
+def kg_pattern_match(spark, sf_dir):
+    """Generic conjunctive pattern match (the MeTTa `match &self` twin,
+    query.py): (, (chr $g chr16) (gene_type $g protein_coding)) over the
+    property triples of the extracted gene nodes."""
+    from biocypher_metta_spark import query
+
+    typed = kg_gtf_gene_nodes(spark, sf_dir)
+    nodes = typed.select("id", F.lit("gene").alias("label"), "chr",
+                         "start", "end", "gene_type", "gene_name")
+    triples = query.node_prop_triples(nodes)
+    out = query.match_pattern(triples, [
+        ("$g", "chr", "chr16"),
+        ("$g", "gene_type", "protein_coding"),
+    ])
+    return out.select(F.col("g").alias("gene_head"))
+
+
+KG_PATTERN_MATCH_SQL = f"""
+SELECT DISTINCT '(gene ' || {_DUCK['gene_base']} || ')' AS gene_head
+FROM documents
+WHERE {_DUCK['chrom']} = 'chr16'
+  AND {_DUCK['start']} >= {KG_WINDOW['start']}
+  AND {_DUCK['end']} <= {KG_WINDOW['end']}
+  AND {_DUCK['gene_type']} = 'protein_coding'
+"""
+
+QUERIES["kg_pattern_match"] = (kg_pattern_match, KG_PATTERN_MATCH_SQL)

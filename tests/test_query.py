@@ -1,0 +1,67 @@
+"""Query-layer tests: the reference's two probe queries + generic
+conjunctive pattern matching over the materialized KG."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from biocypher_metta_spark import query
+from biocypher_metta_spark.adapters import gencode
+from biocypher_metta_spark.sources.documents import span_lines
+from biocypher_metta_spark.sources.gtf import GENE_KEYS, parse_gtf
+from biocypher_metta_spark.sources.synth import spans_from_files
+
+GTF = "/root/reference/samples/gencode_sample.gtf.gz"
+
+
+@pytest.fixture(scope="module")
+def gene_nodes(spark):
+    docs = spans_from_files(spark, {"gtf": GTF})
+    typed, _ = gencode.gene_nodes(parse_gtf(span_lines(docs, "gtf"),
+                                            keys=GENE_KEYS))
+    t = typed.drop("synonyms").cache()
+    t.count()
+    return t
+
+
+def test_probe1_node_property_fetch(gene_nodes):
+    """metta_space_import.py:73-77 — all property atoms of one gene."""
+    props = query.fetch_node_properties(gene_nodes, "gene", "ENSG00000101349")
+    got = {(r.pred, r.obj) for r in props.collect()}
+    assert ("chr", "chr20") in got
+    assert ("start", "9537370") in got
+    assert ("end", "9839076") in got
+    assert ("gene_name", "PAK5") in got
+    assert all(r[0] == "(gene ENSG00000101349)" for r in
+               props.select("subj").collect())
+
+
+def test_probe2_gene_window(gene_nodes):
+    """metta_space_import.py:82-90 — strict-inequality window scan."""
+    rows = query.genes_in_window(gene_nodes, "chr20", 9_000_000, 10_000_000)
+    ids = {r.id for r in rows.collect()}
+    assert "ENSG00000101349" in ids
+    assert len(ids) == 4
+
+
+def test_match_pattern_conjunction(gene_nodes, spark):
+    """The probe-2 conjunction expressed as a generic pattern match over
+    property triples: (, (chr $g chr20) (gene_type $g protein_coding))."""
+    triples = query.node_prop_triples(gene_nodes)
+    out = query.match_pattern(triples, [
+        ("$g", "chr", "chr20"),
+        ("$g", "gene_type", "protein_coding"),
+    ])
+    got = {r.g for r in out.collect()}
+    direct = {f"(gene {r.id})" for r in gene_nodes.filter(
+        "chr = 'chr20' AND gene_type = 'protein_coding'").collect()}
+    assert got == direct and got
+
+
+def test_match_pattern_with_object_var(gene_nodes):
+    """(, (gene_name $g $n)) binds both variables."""
+    triples = query.node_prop_triples(gene_nodes)
+    out = query.match_pattern(triples, [("$g", "gene_name", "$n")])
+    m = {r.g: r.n for r in out.collect()}
+    assert m["(gene ENSG00000101349)"] == "PAK5"
