@@ -532,14 +532,14 @@ WITH t AS (
 ), hs AS (
   SELECT doc_id,
          list_transform(shingles,
-                        s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hv
+                        s -> CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT)) AS hv
   FROM sh
 )
 SELECT doc_id,
-  CAST(list_min(list_transform(hv, h -> (h::HUGEINT * 1000000007 + 12345) % 2305843009213693951)) AS BIGINT) AS mh_0,
-  CAST(list_min(list_transform(hv, h -> (h::HUGEINT * 998244353 + 54321) % 2305843009213693951)) AS BIGINT) AS mh_1,
-  CAST(list_min(list_transform(hv, h -> (h::HUGEINT * 777767777 + 98765) % 2305843009213693951)) AS BIGINT) AS mh_2,
-  CAST(list_min(list_transform(hv, h -> (h::HUGEINT * 613651369 + 13579) % 2305843009213693951)) AS BIGINT) AS mh_3
+  CAST(list_min(list_transform(hv, h -> (h * 32749 + 12345) % 2305843009213693951)) AS BIGINT) AS mh_0,
+  CAST(list_min(list_transform(hv, h -> (h * 28657 + 54321) % 2305843009213693951)) AS BIGINT) AS mh_1,
+  CAST(list_min(list_transform(hv, h -> (h * 24593 + 98765) % 2305843009213693951)) AS BIGINT) AS mh_2,
+  CAST(list_min(list_transform(hv, h -> (h * 17977 + 13579) % 2305843009213693951)) AS BIGINT) AS mh_3
 FROM hs
 """
 
@@ -671,14 +671,14 @@ WITH t AS (
          list_transform(
            list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
                           i -> array_to_string(toks[i:i+4], ' ')),
-           s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hv
+           s -> CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT)) AS hv
   FROM t
 ), sig AS (
   SELECT doc_id,
-    CAST(list_min(list_transform(hv, h -> (h::HUGEINT * 1000000007 + 12345) % 2305843009213693951)) AS VARCHAR) AS mh_0,
-    CAST(list_min(list_transform(hv, h -> (h::HUGEINT * 998244353 + 54321) % 2305843009213693951)) AS VARCHAR) AS mh_1,
-    CAST(list_min(list_transform(hv, h -> (h::HUGEINT * 777767777 + 98765) % 2305843009213693951)) AS VARCHAR) AS mh_2,
-    CAST(list_min(list_transform(hv, h -> (h::HUGEINT * 613651369 + 13579) % 2305843009213693951)) AS VARCHAR) AS mh_3
+    CAST(list_min(list_transform(hv, h -> (h * 32749 + 12345) % 2305843009213693951)) AS VARCHAR) AS mh_0,
+    CAST(list_min(list_transform(hv, h -> (h * 28657 + 54321) % 2305843009213693951)) AS VARCHAR) AS mh_1,
+    CAST(list_min(list_transform(hv, h -> (h * 24593 + 98765) % 2305843009213693951)) AS VARCHAR) AS mh_2,
+    CAST(list_min(list_transform(hv, h -> (h * 17977 + 13579) % 2305843009213693951)) AS VARCHAR) AS mh_3
   FROM hs
 ), banded AS (
   SELECT doc_id, 0 AS band, md5(mh_0 || '_' || mh_1) AS bh FROM sig
