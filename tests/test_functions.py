@@ -117,3 +117,45 @@ def test_media_joins_spans(spark):
     media_spans = explode_spans(docs).filter(F.col("media_ref").isNotNull())
     joined = media_spans.join(media, "media_ref")
     assert joined.count() == 20
+
+
+# --------------------------------------------------------------------------
+# GTF attribute-parse fuzz vs the reference tokenizer
+# --------------------------------------------------------------------------
+
+from hypothesis import example
+
+
+@st.composite
+def gtf_attr_strings(draw):
+    """Random GTF-ish attribute tails: shuffled keys, quoted/unquoted
+    values, stray tokens."""
+    keys = draw(st.permutations(
+        ["gene_id", "gene_type", "gene_name", "level", "tag"]))
+    parts = []
+    for k in keys:
+        if not draw(st.booleans()):
+            continue
+        v = draw(st.from_regex(r"[A-Za-z0-9_.\-]{1,12}", fullmatch=True))
+        quoted = draw(st.booleans())
+        parts.append(f'{k} "{v}";' if quoted else f"{k} {v};")
+    return " ".join(parts)
+
+
+@example(attrs='gene_id "ENSG1.2"; gene_type "lncRNA"; gene_name "DDX11L2";')
+@given(attrs=gtf_attr_strings())
+@settings(max_examples=40, deadline=None)
+def test_gtf_attr_parse_fuzz(spark, attrs):
+    """Column parser == reference parse_info_metadata on arbitrary
+    attribute tails (token-after-key, '\";' stripped)."""
+    from biocypher_metta_spark.sources.gtf import attr
+
+    ref_mod = load_ref("biocypher_metta.adapters.gencode_gene_adapter")
+    ref_ad = ref_mod.GencodeGeneAdapter.__new__(ref_mod.GencodeGeneAdapter)
+    line = f"chr1\tHAVANA\tgene\t100\t200\t.\t+\t.\t{attrs}"
+    expected = ref_ad.parse_info_metadata(line.strip().split()[8:])
+    df = spark.createDataFrame([(line,)], "value string")
+    keys = ["gene_id", "gene_type", "gene_name"]
+    row = df.select(*[attr(F.col("value"), k).alias(k) for k in keys]).head()
+    for k in keys:
+        assert row[k] == expected.get(k), (k, attrs)

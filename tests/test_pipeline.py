@@ -88,3 +88,34 @@ def test_reference_config_translation():
     assert names <= set(pipeline.PIPELINE_REGISTRY)
     topld = [c for c in cfg if c["adapter"] == "topld"][0]
     assert topld["args"]["chr"] == "chr16" and topld["args"]["ancestry"] == "EUR"
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """Stateful streaming: dropDuplicatesWithinWatermark removes
+    cross-microbatch duplicate doc_ids arriving within the watermark
+    (the streaming arm of the exact-dedup operator)."""
+    inp = str(tmp_path / "dup_in")
+    out = str(tmp_path / "dup_out")
+    ckpt = str(tmp_path / "dup_ckpt")
+
+    base = synth_gtf_documents(spark, 40).withColumn(
+        "event_time", F.timestamp_seconds(F.lit(1_700_000_000)))
+    dup = base.limit(15)  # duplicates of the first 15 docs
+    base.unionByName(dup).write.mode("append").parquet(inp)
+
+    from biocypher_metta_spark.sources.documents import DOCUMENTS_SCHEMA
+    from pyspark.sql.types import StructType, StructField, TimestampType
+
+    schema = StructType(list(DOCUMENTS_SCHEMA.fields)
+                        + [StructField("event_time", TimestampType())])
+    stream = spark.readStream.schema(schema).parquet(inp)
+
+    def transform(docs):
+        return (docs.withWatermark("event_time", "1 hour")
+                .dropDuplicatesWithinWatermark(["doc_id"])
+                .select("doc_id"))
+
+    run_incremental(stream, transform, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 40
+    assert got.select("doc_id").distinct().count() == 40
