@@ -352,3 +352,34 @@ def test_similarity_topk(spark):
     ann = [r.vec_id for r in sim.lsh_bucketed_topk(emb, q, k=5).collect()]
     # ANN must recover most of the brute-force top-5
     assert len(set(ann[:5]) & set(brute[:5])) >= 3
+
+
+def test_ntriples_to_ontology_pipeline(spark):
+    """N-Triples spans -> triples DF -> ontology nodes/edges (the
+    distributed ingestion path for large RDF dumps)."""
+    from biocypher_metta_spark.sources.rdf import parse_ntriples
+
+    nt = [
+        f'<{OBO}/GO_0000001> <{onto.LABEL}> "term one" .',
+        f'<{OBO}/GO_0000002> <{onto.LABEL}> "term \\"two\\"" .',
+        f'<{OBO}/GO_0000002> <{onto.SUBCLASS}> <{OBO}/GO_0000001> .',
+        f'_:b1 <{onto.TYPE}> <{onto.RESTRICTION}> .',
+        f'_:b1 <{onto.ON_PROPERTY}> <{onto.PART_OF}> .',
+        f'_:b1 <{onto.SOME_VALUES_FROM}> <{OBO}/GO_0000001> .',
+        f'<{OBO}/GO_0000003> <{onto.SUBCLASS}> _:b1 .',
+        "# comment line",
+        "malformed junk",
+        f'<{OBO}/GO_0000001> <{onto.DESCRIPTION}> "has lang"@en .',
+    ]
+    lines = spark.createDataFrame([(l,) for l in nt], "value string")
+    triples = parse_ntriples(lines)
+    rows = {(r.subject, r.predicate, r.object) for r in triples.collect()}
+    assert (f"{OBO}/GO_0000002", onto.SUBCLASS, f"{OBO}/GO_0000001") in rows
+    assert (f"{OBO}/GO_0000001", onto.DESCRIPTION, "has lang") in rows
+    assert (f"{OBO}/GO_0000002", onto.LABEL, 'term "two"') in rows
+    assert len(rows) == 8  # comment + malformed dropped
+    _, atoms = onto.ontology_edges(triples, "go_subtype_of", REGISTRY, "go")
+    got = spark_atoms(atoms)
+    assert "(subtype_of (go GO:0000002) (go GO:0000001))" in got
+    # restriction block resolved: GO:3 part_of GO:1
+    assert any("GO:0000003" in a and "part_of" in a for a in got)
