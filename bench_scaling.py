@@ -121,7 +121,14 @@ deliberately modest 8g heap (32g was 3x slower — young-gen blowout).
 Reproduce: `python bench_scaling.py {n_docs}`; per-round operator
 timings: `python bench.py` (BENCH_r{{N}}.json).
 """
-    (REPO / "BENCH.md").write_text(md)
+    bench_path = REPO / "BENCH.md"
+    extra = ""
+    if bench_path.exists():
+        old = bench_path.read_text()
+        i = old.find("\n## Head-to-head")
+        if i != -1:
+            extra = old[i:]
+    bench_path.write_text(md + extra)
 
 
 if __name__ == "__main__":

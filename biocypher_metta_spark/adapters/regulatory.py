@@ -241,8 +241,9 @@ def dbsuper_nodes(lines: DataFrame, liftover, label: str = "super_enhancer",
                   chr: str | None = None, start: int | None = None,
                   end: int | None = None,
                   write_properties: bool = True, add_provenance: bool = True,
+                  base: DataFrame | None = None,
                   ) -> tuple[DataFrame, DataFrame]:
-    d = _dbsuper_base(lines, liftover, chr, start, end)
+    d = base if base is not None else _dbsuper_base(lines, liftover, chr, start, end)
     typed = d.select(F.col("_id").alias("id"), F.lit(label).alias("label"),
                      "chr", F.col("_s").alias("start"), F.col("_e").alias("end"),
                      F.col("se_id"))
@@ -264,6 +265,7 @@ def dbsuper_edges(lines: DataFrame, liftover, hgnc2ensembl: DataFrame,
                   chr: str | None = None, start: int | None = None,
                   end: int | None = None,
                   write_properties: bool = True, add_provenance: bool = True,
+                  base: DataFrame | None = None,
                   ) -> tuple[DataFrame, DataFrame]:
     """super_enhancer -> gene (dbsuper_adapter.py:68-94). Note the
     reference KeyErrors (crashes) on a tissue-map miss at :81 — sample

@@ -178,12 +178,17 @@ def _dbsuper(fn_name, is_edge):
         from biocypher_metta_spark.adapters import regulatory as reg
 
         lift = ctx.dims["liftover"]  # a liftover(chr,pos) callable
+        window = (args.get("chr"), args.get("start"), args.get("end"))
+        # the lifted base scan is shared between the node and edge outputs
+        # (one Arrow liftover pass instead of two)
+        base = ctx.cached(("dbsuper_base", window), lambda: reg._dbsuper_base(
+            ctx.lines("dbsuper"), lift, *window))
         if fn_name == "dbsuper_nodes":
-            typed, atoms = reg.dbsuper_nodes(ctx.lines("dbsuper"), lift, **args)
+            typed, atoms = reg.dbsuper_nodes(None, lift, base=base, **args)
         else:
             typed, atoms = reg.dbsuper_edges(
-                ctx.lines("dbsuper"), lift, ctx.dims["hgnc_to_ensembl"],
-                ctx.dims["dbsuper_tissues"], ctx.registry, **args)
+                None, lift, ctx.dims["hgnc_to_ensembl"],
+                ctx.dims["dbsuper_tissues"], ctx.registry, base=base, **args)
         return typed, atoms, is_edge
 
     return run
