@@ -270,7 +270,7 @@ def dbsuper_edges(lines: DataFrame, liftover, hgnc2ensembl: DataFrame,
     """super_enhancer -> gene (dbsuper_adapter.py:68-94). Note the
     reference KeyErrors (crashes) on a tissue-map miss at :81 — sample
     data always hits, so an inner join is behavior-equivalent."""
-    d = _dbsuper_base(lines, liftover, chr, start, end)
+    d = base if base is not None else _dbsuper_base(lines, liftover, chr, start, end)
     g = hgnc2ensembl.select(F.col("key").alias("_g"), F.col("value").alias("tgt"))
     d = d.join(F.broadcast(g), F.col("gene_id") == g["_g"])
     m = tissue_map.select(F.col("key").alias("_k"), F.col("value").alias("_ctx"))
