@@ -977,3 +977,50 @@ WHERE {_DUCK['chrom']} = 'chr16'
 """
 
 QUERIES["kg_pattern_match"] = (kg_pattern_match, KG_PATTERN_MATCH_SQL)
+
+
+def kg_nested_annotation_atoms(spark, sf_dir):
+    """Nested-dict property rendering in the gate (the FAVOR annotation
+    shape, metta_writer.py:158-160 + favor coercion): dict head atom +
+    per-field atoms with '.'->0 / numeric / escaped-string coercion."""
+    from biocypher_metta_spark.serializer import (
+        Prop, atoms_df, dict_prop_atoms, node_def_out)
+
+    ids = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("i"))
+    d = ids.select(
+        F.concat(F.lit("v"), F.col("i").cast("string")).alias("vid"),
+        # single-digit decimals round-trip Python float repr exactly
+        F.concat(F.lit("0."), (F.col("i") % 9 + 1).cast("string")).alias("af"),
+        F.when(F.col("i") % 3 == 0, F.lit(".")).otherwise(F.lit("PASS")).alias("fs"),
+        F.when(F.col("i") % 2 == 0, F.lit("benign risk"))
+        .otherwise(F.lit("")).alias("cl"),
+    )
+    def_out = node_def_out("sequence_variant", F.col("vid"))
+    fields = [Prop("af_total", F.col("af"), "num_or_str"),
+              Prop("filter_status", F.col("fs"), "num_or_str"),
+              Prop("clnsig", F.col("cl"), "num_or_str")]
+    extra = dict_prop_atoms(def_out, "annotation", fields)
+    return atoms_df(d, def_out, [], extra_atoms=extra)
+
+
+KG_NESTED_ANNOTATION_SQL = """
+WITH v AS (
+  SELECT 'v' || CAST(doc_id AS VARCHAR) AS vid,
+         '0.' || CAST(doc_id % 9 + 1 AS VARCHAR) AS af,
+         CASE WHEN doc_id % 3 = 0 THEN '0' ELSE 'PASS' END AS fs,
+         CASE WHEN doc_id % 2 = 0 THEN 'benign_risk' ELSE NULL END AS cl
+  FROM documents
+)
+SELECT atom FROM (
+  SELECT '(sequence_variant ' || vid || ')' AS atom FROM v
+  UNION ALL SELECT '(annotation (sequence_variant ' || vid || '))' FROM v
+  UNION ALL SELECT '(af_total (annotation (sequence_variant ' || vid || ')) ' || af || ')' FROM v
+  UNION ALL SELECT '(filter_status (annotation (sequence_variant ' || vid || ')) ' || fs || ')' FROM v
+  UNION ALL SELECT '(clnsig (annotation (sequence_variant ' || vid || ')) ' || cl || ')' FROM v
+  WHERE cl IS NOT NULL
+)
+"""
+
+QUERIES["kg_nested_annotation_atoms"] = (kg_nested_annotation_atoms,
+                                         KG_NESTED_ANNOTATION_SQL)
