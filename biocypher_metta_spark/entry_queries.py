@@ -147,7 +147,7 @@ def rel_shuffle_join_agg(spark, sf_dir):
 
 REL_SHUFFLE_JOIN_AGG_SQL = """
 SELECT o_orderpriority, count(*) AS n_rows,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
@@ -229,9 +229,9 @@ def rel_pricing_summary(spark, sf_dir):
 
 REL_PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -630,7 +630,7 @@ def rel_events_hourly(spark, sf_dir):
 REL_EVENTS_HOURLY_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type, count(*) AS n_events,
-       sum(CAST(floor(value * 100) AS BIGINT)) AS sum_value_c
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM events GROUP BY date_trunc('hour', ts), event_type
 """
 
