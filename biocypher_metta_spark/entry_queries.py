@@ -692,9 +692,24 @@ FROM banded a JOIN banded b
 
 
 def doc_simhash(spark, sf_dir):
-    """SimHash signatures — xxhash64-based, Spark-only (rows-only check)."""
+    """SimHash signatures — 60-bit portable-hash based, DuckDB-oracled."""
     d = _t(spark, sf_dir, "documents")
     return dedup_ops.simhash(d)
+
+
+DOC_SIMHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(trim(text), '\s+'),
+                        t -> (('0x' || substr(md5(t),1,15))::BIGINT)) AS th
+  FROM documents
+)
+SELECT doc_id,
+  CAST(list_sum(list_transform(range(0,60), i ->
+    CASE WHEN 2 * len(list_filter(th, h -> (h >> i) & 1 = 1)) > len(th)
+         THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS simhash
+FROM toks
+"""
 
 
 def kg_hgvs_variant_ids(spark, sf_dir):
@@ -846,15 +861,33 @@ SELECT fact FROM (
 
 
 def multimodal_decode(spark, sf_dir):
-    """Image-decode plumbing over the synthetic media store (deterministic
-    fake decoder — rows-only driver check; the decode itself is stubbed
-    per environment constraints)."""
+    """Image-decode plumbing over the synthetic media store. The real
+    decode kernel is stubbed per environment constraints (no PIL/cv2),
+    but the deterministic fake's (width, height) are integer arithmetic
+    over the payload bytes, which the DuckDB oracle re-derives — so the
+    mapInPandas plumbing (filter, Arrow batches, schema) is value-checked
+    end-to-end, not just row-counted."""
     from biocypher_metta_spark.operators import multimodal as mm
 
     n = _t(spark, sf_dir, "documents").count()
     media = mm.synth_media_table(spark, min(int(n), 2000))
     return mm.decode_images(media, decoder=mm.fake_image_decode) \
         .select("media_ref", "width", "height", "channels")
+
+
+MULTIMODAL_DECODE_SQL = """
+WITH ids AS (
+  SELECT unnest(range(0, least((SELECT count(*) FROM documents), 2000))) AS id
+), m AS (
+  SELECT id, 'payload-' || sha256(CAST(id AS VARCHAR)) AS payload
+  FROM ids WHERE id % 3 != 2
+)
+SELECT 'media://img/' || CAST(id AS VARCHAR) AS media_ref,
+       CAST(16 + (length(payload) + ascii(substr(payload, length(payload)//2 + 1, 1))) % 64 AS INTEGER) AS width,
+       CAST(16 + (length(payload) * 7 + ascii(substr(payload, length(payload)//2 + 1, 1)) * 3) % 64 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels
+FROM m
+"""
 
 
 def doc_lang_dist(spark, sf_dir):
@@ -891,13 +924,13 @@ QUERIES.update({
     "rel_events_hourly": (rel_events_hourly, REL_EVENTS_HOURLY_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "doc_lsh_pairs": (doc_lsh_pairs, DOC_LSH_PAIRS_SQL),
-    "doc_simhash": (doc_simhash, None),
+    "doc_simhash": (doc_simhash, DOC_SIMHASH_SQL),
     "doc_lang_dist": (doc_lang_dist, DOC_LANG_DIST_SQL),
     "kg_hgvs_variant_ids": (kg_hgvs_variant_ids, KG_HGVS_SQL),
     "kg_connected_components": (kg_connected_components, KG_COMPONENTS_SQL),
     "kg_span_fingerprints": (kg_span_fingerprints, KG_SPAN_FP_SQL),
     "kg_prolog_facts": (kg_prolog_facts, KG_PROLOG_SQL),
-    "multimodal_decode": (multimodal_decode, None),
+    "multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_SQL),
 })
 
 

@@ -121,18 +121,23 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
 
 
 def simhash(df: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash over whitespace tokens: sign-sum of per-token hash
-    bits. Pure expression work (aggregate over bit positions)."""
+            id_col: str = "doc_id", bits: int = 60) -> DataFrame:
+    """SimHash over whitespace tokens: majority-vote of per-token hash
+    bits. Pure expression work (aggregate over bit positions).
+
+    Default 60 bits: the token hash is the engine-portable 60-bit md5
+    prefix (operators.text.portable_hash), so a DuckDB oracle reproduces
+    the signature exactly, and 60 splits evenly into the 4 blocks that
+    hamming_near_pairs bands on (pigeonhole guarantee for dist<=3)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+    th = F.transform(toks, portable_hash)
     # for each bit position, count tokens with that bit set vs total
     def _bit_set(mask):
         return lambda h: h.bitwiseAND(F.lit(mask)) != 0
 
     bit_exprs = []
     for i in range(bits):
-        mask = 1 << i if i < 63 else -(1 << 63)
+        mask = 1 << i
         ones = F.size(F.filter(th, _bit_set(mask)))
         bit = F.when(ones * 2 > F.size(th), F.lit(1)).otherwise(F.lit(0))
         bit_exprs.append(bit.cast("long") * F.lit(mask))
@@ -143,19 +148,43 @@ def simhash(df: DataFrame, text_col: str = "text",
 
 
 def hamming_near_pairs(sims: DataFrame, id_col: str = "doc_id",
-                       max_dist: int = 3, prefix_bits: int = 16) -> DataFrame:
-    """Near-dup pairs by SimHash: block on the high prefix (LSH-style) to
-    avoid the quadratic join, then exact popcount filter."""
-    pref = F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits).alias("block")
-    blocked = sims.select(F.col(id_col), F.col("simhash"), pref)
+                       max_dist: int = 3, bits: int = 60) -> DataFrame:
+    """Near-dup pairs by SimHash: multi-block banding + exact popcount.
+
+    The signature is cut into (max_dist + 1) disjoint blocks; a pair at
+    hamming distance <= max_dist differs in at most max_dist blocks, so
+    by pigeonhole it shares at least one block verbatim — blocking on
+    EVERY block (explode + bucket self-join on (block_idx, block_val))
+    therefore has recall 1.0, unlike a single-prefix block which misses
+    pairs whose differing bits fall inside the prefix. The join keys are
+    uniform token-hash material (no hub keys) and the candidate set is
+    LSH-sized, never all-pairs — scale-safe."""
+    n_blocks = max_dist + 1
+    width = bits // n_blocks
+    if width * n_blocks != bits:
+        raise ValueError(f"bits={bits} not divisible into {n_blocks} blocks")
+    block_mask = (1 << width) - 1
+    blocks = F.array(*[
+        F.struct(
+            F.lit(k).alias("blk"),
+            F.shiftrightunsigned(F.col("simhash"), k * width)
+             .bitwiseAND(F.lit(block_mask)).alias("bv"),
+        )
+        for k in range(n_blocks)
+    ])
+    blocked = (sims.select(F.col(id_col), F.col("simhash"),
+                           F.explode(blocks).alias("bb"))
+               .select(id_col, "simhash", "bb.blk", "bb.bv"))
     a, b = blocked.alias("a"), blocked.alias("b")
     xor = F.expr("a.simhash ^ b.simhash")
     dist = F.bit_count(xor)
     return (
-        a.join(b, (F.col("a.block") == F.col("b.block"))
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.bv") == F.col("b.bv"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .filter(dist <= max_dist)
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
                 dist.alias("hamming"))
+        .filter(F.col("hamming") <= max_dist)
+        .distinct()
     )

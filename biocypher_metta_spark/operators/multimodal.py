@@ -66,10 +66,14 @@ def real_image_decode(content: bytes) -> tuple[int, int, int, list[float]]:
 
 def fake_image_decode(content: bytes) -> tuple[int, int, int, list[float]]:
     """Deterministic fake: dimensions + embedding derived from the bytes
-    themselves — exercises the full plumbing without media libs."""
+    themselves — exercises the full plumbing without media libs. The
+    (width, height) arithmetic is intentionally simple integer math over
+    the payload length and middle byte so an external SQL oracle can
+    re-derive it row-by-row (see MULTIMODAL_DECODE_SQL)."""
     n = len(content)
-    w = 16 + n % 64
-    h = 16 + (n * 7) % 64
+    mid = content[n // 2] if n else 0
+    w = 16 + (n + mid) % 64
+    h = 16 + (n * 7 + mid * 3) % 64
     emb = [((content[i % max(n, 1)] if n else 0) + i) % 255 / 255.0
            for i in range(8)]
     return w, h, 3, emb

@@ -331,9 +331,38 @@ def test_simhash_hamming(near_dup_docs):
     sims = dd.simhash(near_dup_docs)
     vals = {r.doc_id: r.simhash for r in sims.collect()}
     assert vals[1] == vals[2]
-    pairs = dd.hamming_near_pairs(sims, max_dist=10, prefix_bits=8)
+    assert all(0 <= v < (1 << 60) for v in vals.values())
+    pairs = dd.hamming_near_pairs(sims, max_dist=3)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (1, 2) in got
+
+
+def test_hamming_near_pairs_recall(spark):
+    """Multi-block banding must find EVERY pair at hamming <= max_dist,
+    including pairs whose differing bits straddle block boundaries (the
+    failure mode of single-prefix blocking)."""
+    base = 0x0123456789ABCDE  # 60-bit value
+    rows = [(0, base)]
+    # plant a <=3-bit flip in every block combination, incl. boundaries
+    flips = [
+        (1, [0]), (2, [59]), (3, [14, 15]),          # boundary 0|1
+        (4, [29, 30]), (5, [44, 45]),                # boundaries 1|2, 2|3
+        (6, [0, 29, 59]), (7, [14, 15, 16]),         # spread + straddle
+        (8, [13, 14, 15]), (9, [15, 30, 45]),        # one flip per block
+    ]
+    expected = set()
+    for i, bits in flips:
+        v = base
+        for b in bits:
+            v ^= (1 << b)
+        rows.append((i, v))
+        expected.add((0, i))
+    # a far-away doc that must NOT pair with doc 0
+    rows.append((99, base ^ ((1 << 50) - 1)))
+    sims = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {(r.id_a, r.id_b) for r in dd.hamming_near_pairs(sims, max_dist=3).collect()}
+    assert expected <= got, f"missed pairs: {expected - got}"
+    assert (0, 99) not in got
 
 
 def test_similarity_topk(spark):
