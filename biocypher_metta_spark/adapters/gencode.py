@@ -52,6 +52,16 @@ def parse_gene_alias(spark, path: str) -> DataFrame:
     df = (
         spark.read.csv(str(path), sep="\t", header=False)
         .toDF(*GENE_INFO_COLS)
+    )
+    return gene_alias_dim(df)
+
+
+def gene_alias_dim(df: DataFrame) -> DataFrame:
+    """The dimension build itself over a GENE_INFO_COLS-shaped frame —
+    split out of parse_gene_alias so synthesized inputs (the driver gate's
+    kg_alias_dimension twin) exercise the exact production logic."""
+    df = (
+        df
         # the reference skips the header with next(input)
         .filter(F.col("tax_id") != "#tax_id")
         .filter(~F.col("tax_id").startswith("#"))

@@ -1057,3 +1057,302 @@ SELECT atom FROM (
 
 QUERIES["kg_nested_annotation_atoms"] = (kg_nested_annotation_atoms,
                                          KG_NESTED_ANNOTATION_SQL)
+
+
+# ===========================================================================
+# batch 4: gate twins for the previously parity-only SURVEY §2 operators
+# (S3 alias dimension, S4 SwissProt records, S9 keyed fan-in, J8 PEREGRINE
+# multi-file joins, A2 keyed dimension, A4 predicate cache, K7 dedup-on-
+# write). Inputs are synthesized arithmetically from the testdata doc_ids
+# so the DuckDB oracle re-derives the expected output independently while
+# the Spark side runs the REAL adapter/sink code paths.
+# ===========================================================================
+
+
+def _ids(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("i"))
+
+
+def kg_alias_dimension(spark, sf_dir):
+    """S3 twin: the gencode gene-alias dimension build
+    (gencode_gene_adapter.py:45-82 semantics) over a synthesized
+    gene_info-shaped frame — exercises dbxref prefix extraction with
+    last-match-wins, synonym set assembly, '-' removal, sorted-distinct
+    canonical order, and key explode."""
+    ids = _ids(spark, sf_dir)
+    s = F.col("i").cast("string")
+    raw = ids.select(
+        F.lit("9606").alias("tax_id"),
+        s.alias("gene_id"),
+        F.concat(F.lit("SYM"), s).alias("symbol"),
+        F.lit("-").alias("locus_tag"),
+        F.concat(F.lit("ALT"), s, F.lit("a|ALT"), s, F.lit("b")).alias("synonyms"),
+        F.expr(
+            "CASE WHEN i % 3 = 0 THEN concat('MIM:60', i, '|HGNC:HGNC:', i, '|Ensembl:ENSG', i) "
+            "WHEN i % 3 = 1 THEN concat('MIM:60', i, '|Ensembl:ENSG', i) "
+            "ELSE concat('HGNC:HGNC:9', i, '|HGNC:HGNC:', i) END").alias("dbxrefs"),
+        F.lit("1").alias("chromosome"),
+        F.lit("-").alias("map_location"),
+        F.concat(F.lit("desc "), s).alias("description"),
+        F.lit("protein-coding").alias("type_of_gene"),
+        F.expr("CASE WHEN i % 5 = 0 THEN '-' ELSE concat('NSYM', i) END")
+        .alias("symbol_from_nomenclature_authority"),
+        F.concat(F.lit("full name "), s).alias("full_name_from_nomenclature_authority"),
+        F.lit("O").alias("nomenclature_status"),
+        F.concat(F.lit("designation "), s, F.lit("|other "), s).alias("other_designations"),
+        F.lit("20240101").alias("modification_date"),
+        F.lit("-").alias("feature_type"),
+    )
+    dim = gencode.gene_alias_dim(raw)
+    return dim.select("alias_key", F.concat_ws(";", "synonyms").alias("syn_str"))
+
+
+KG_ALIAS_DIMENSION_SQL = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+base AS (
+  SELECT i,
+    list_sort(list_filter(list_distinct(
+      ['SYM' || i, 'ALT' || i || 'a', 'ALT' || i || 'b']
+      || (CASE WHEN i % 3 IN (0, 2) THEN ['HGNC:' || i]
+               ELSE CAST([] AS VARCHAR[]) END)
+      || ['designation ' || i, 'other ' || i]
+      || [CASE WHEN i % 5 = 0 THEN '-' ELSE 'NSYM' || i END]
+      || ['full name ' || i]
+    ), x -> x != '-')) AS syn
+  FROM ids
+)
+SELECT unnest(CASE WHEN i % 3 = 0 THEN ['ENSG' || i, 'HGNC:' || i]
+                   WHEN i % 3 = 1 THEN ['ENSG' || i]
+                   ELSE ['HGNC:' || i] END) AS alias_key,
+       array_to_string(syn, ';') AS syn_str
+FROM base
+"""
+
+
+def kg_swiss_records(spark, sf_dir):
+    """S4 twin: SwissProt flat-record assembly (uniprot adapters'
+    ID/AC/DR field set) through the real mapInPandas record parser over
+    synthesized record text."""
+    from biocypher_metta_spark.sources.swiss import parse_swiss_spans
+
+    ids = _ids(spark, sf_dir)
+    rec = F.concat_ws(
+        "\n",
+        F.expr("concat('ID   P', i, '_HUMAN   Reviewed;   100 AA.')"),
+        F.expr("concat('AC   Q', i, '; A', i, ';')"),
+        F.expr("concat('DR   GO; GO:', i, '; C:membrane; IEA.')"),
+        F.expr("concat('DR   Ensembl; ENST', i, '; ENSP', i, '; ENSG', i, '.')"),
+    )
+    parsed = parse_swiss_spans(ids.select(rec.alias("value")))
+    return parsed.select(
+        "entry_name",
+        F.concat_ws(";", "accessions").alias("acc_str"),
+        F.concat_ws("|", F.transform("cross_references",
+                                     lambda xs: F.concat_ws(",", xs))).alias("xref_str"),
+    )
+
+
+KG_SWISS_RECORDS_SQL = """
+SELECT 'P' || CAST(doc_id AS BIGINT) || '_HUMAN' AS entry_name,
+       'Q' || CAST(doc_id AS BIGINT) || ';A' || CAST(doc_id AS BIGINT) AS acc_str,
+       'GO,GO:' || CAST(doc_id AS BIGINT) || ',C:membrane,IEA|Ensembl,ENST'
+         || CAST(doc_id AS BIGINT) || ',ENSP' || CAST(doc_id AS BIGINT)
+         || ',ENSG' || CAST(doc_id AS BIGINT) AS xref_str
+FROM documents
+"""
+
+
+def kg_keyed_fanin(spark, sf_dir):
+    """S9 twin: filename-keyed directory fan-in via span kinds
+    ('pwm:<key>' spans -> lines carrying the key column), aggregated per
+    key — the production lines_keyed path incl. media-span filtering."""
+    from biocypher_metta_spark.pipeline import PipelineContext
+
+    ids = _ids(spark, sf_dir)
+    docs = ids.select(
+        F.concat(F.lit("doc-"), F.col("i").cast("string")).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.expr("concat('pwm:M', i % 7)").alias("kind"),
+                F.expr("concat('> row ', i)").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset")),
+            F.struct(
+                F.lit("img").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.expr("concat('media://x/', i)").alias("media_ref"),
+                F.lit(1).cast("int").alias("offset")),
+            F.struct(
+                F.expr("concat('pwm:M', (i + 2) % 7)").alias("kind"),
+                F.expr("concat('w ', i % 13, ' ', i % 17)").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(2).cast("int").alias("offset")),
+        ).alias("spans"),
+    )
+    ctx = PipelineContext(spark, docs)
+    lines = ctx.lines_keyed("pwm", "model_key")
+    return (lines.groupBy("model_key")
+            .agg(F.count("*").alias("n_lines"),
+                 F.min("value").alias("min_line"),
+                 F.max("value").alias("max_line")))
+
+
+KG_KEYED_FANIN_SQL = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+lines AS (
+  SELECT 'M' || (i % 7) AS model_key, '> row ' || i AS value FROM ids
+  UNION ALL
+  SELECT 'M' || ((i + 2) % 7), 'w ' || (i % 13) || ' ' || (i % 17) FROM ids
+)
+SELECT model_key, count(*) AS n_lines,
+       min(value) AS min_line, max(value) AS max_line
+FROM lines GROUP BY model_key
+"""
+
+
+def kg_peregrine_enhancers(spark, sf_dir):
+    """A2 + J8 (nodes path) twin: PEREGRINE enhancer dict build with
+    last-row-wins dedup (keyed dimension, peregrine_adapter.py:65-74) +
+    inner join against the datasource file + region-id construction, via
+    the real adapters.regulatory.peregrine_nodes."""
+    from biocypher_metta_spark.adapters import regulatory
+
+    ids = _ids(spark, sf_dir)
+    e_lines = ids.select(
+        F.col("i").alias("offset"),
+        F.expr("concat('chr', 1 + i % 5, '\t', 1000 + (i % 130) * 7, '\t', "
+               "1000 + (i % 130) * 7 + 50 + i % 23, '\t', 'pereg', i % 300)")
+        .alias("value"))
+    s_lines = ids.select(
+        F.col("i").alias("offset"),
+        F.expr("concat('pereg', i % 300, '\tDS', (i % 300) % 3)").alias("value"))
+    typed, _atoms = regulatory.peregrine_nodes(e_lines, s_lines)
+    return typed.select("id", "chr", F.col("start").cast("long").alias("start"),
+                        F.col("end").cast("long").alias("end"),
+                        "enh_id", "data_source")
+
+
+KG_PEREGRINE_ENHANCERS_SQL = """
+WITH n AS (SELECT count(*) AS n FROM documents),
+keys AS (
+  SELECT unnest(range(0, least((SELECT n FROM n), 300))) AS k
+), win AS (
+  -- last-row-wins: the surviving row per enhancer id is the max i with
+  -- i % 300 = k (the reference dict build keeps the last line)
+  SELECT k, k + 300 * (((SELECT n FROM n) - 1 - k) // 300) AS i FROM keys
+)
+SELECT 'chr' || (1 + i % 5) || '_' || (1000 + (i % 130) * 7) || '_'
+         || (1000 + (i % 130) * 7 + 50 + i % 23) || '_GRCh38' AS id,
+       'chr' || (1 + i % 5) AS chr,
+       CAST(1000 + (i % 130) * 7 AS BIGINT) AS start,
+       CAST(1000 + (i % 130) * 7 + 50 + i % 23 AS BIGINT) AS "end",
+       'pereg' || k AS enh_id,
+       'DS' || (k % 3) AS data_source
+FROM win
+"""
+
+
+def kg_peregrine_edges(spark, sf_dir):
+    """J8 twin: the PEREGRINE 3-file enhancer->gene link join
+    (peregrine_adapter.py:103-146): enhancer-id -> region dimension,
+    'HUMAN|HGNC=..' gene munging, hgnc->ensembl skip-on-miss, tissue->
+    ontology skip-on-miss, optional score column."""
+    from biocypher_metta_spark.adapters import regulatory
+
+    ids = _ids(spark, sf_dir)
+    e_lines = ids.select(
+        F.col("i").alias("offset"),
+        F.expr("concat('chr', 1 + i % 5, '\t', 2000 + i * 3, '\t', "
+               "2000 + i * 3 + 99, '\t', 'E', i)").alias("value"))
+    l_lines = ids.select(
+        F.col("i").alias("offset"),
+        F.expr("concat('E', i, '\t', 'HUMAN|HGNC=H', i % 50, '|X', '\t', "
+               "'L', i, '\tCHIA\ttissue', i % 4, '\t0.01\teqtl\t', "
+               "CASE WHEN i % 6 = 0 THEN '' ELSE cast(i % 97 as string) END)")
+        .alias("value"))
+    hmap = (spark.range(50).filter("id % 5 != 0")
+            .select(F.concat(F.lit("HGNC:H"), F.col("id").cast("string")).alias("key"),
+                    F.concat(F.lit("ENSG"), F.col("id").cast("string")).alias("value")))
+    tmap = (spark.range(3)
+            .select(F.concat(F.lit("tissue"), F.col("id").cast("string")).alias("key"),
+                    F.concat(F.lit("UBERON:000"), F.col("id").cast("string")).alias("value")))
+    typed, _atoms = regulatory.peregrine_edges(e_lines, l_lines, hmap, tmap, REGISTRY)
+    return typed.select("src", "tgt", "biological_context", "score")
+
+
+KG_PEREGRINE_EDGES_SQL = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+SELECT 'chr' || (1 + i % 5) || '_' || (2000 + i * 3) || '_'
+         || (2000 + i * 3 + 99) || '_GRCh38' AS src,
+       'ENSG' || (i % 50) AS tgt,
+       'UBERON:000' || (i % 4) AS biological_context,
+       CASE WHEN i % 6 = 0 THEN NULL ELSE CAST(i % 97 AS VARCHAR) END AS score
+FROM ids
+WHERE (i % 50) % 5 != 0 AND i % 4 != 3
+"""
+
+
+def kg_predicate_cache(spark, sf_dir):
+    """A4 twin: the ontology predicate cache (group objects per subject
+    for one predicate) via adapters.ontology._collect_prop; canonical
+    order applied at the gate boundary (collect_list order is plan-
+    dependent, the set is not)."""
+    from biocypher_metta_spark.adapters.ontology import _collect_prop
+
+    ids = _ids(spark, sf_dir)
+    triples = ids.select(
+        F.expr("concat('S', i % 50)").alias("subject"),
+        F.expr("element_at(array('synonym','label','comment'), cast(i % 3 as int) + 1)")
+        .alias("predicate"),
+        F.expr("concat('O', i)").alias("object"))
+    syn = _collect_prop(triples, "synonym", "synonyms")
+    return syn.select("subject",
+                      F.concat_ws(";", F.array_sort("synonyms")).alias("syn_str"))
+
+
+KG_PREDICATE_CACHE_SQL = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+syn AS (SELECT 'S' || (i % 50) AS subject, 'O' || i AS object
+        FROM ids WHERE i % 3 = 0)
+SELECT subject, array_to_string(list_sort(list(object)), ';') AS syn_str
+FROM syn GROUP BY subject
+"""
+
+
+def kg_neo4j_dedup(spark, sf_dir):
+    """K7 twin: the Neo4j CSV writer's skip_duplicate_nodes + '|'-joined
+    array-property semantics (sinks.neo4j_rows) — duplicate (label, id)
+    rows are synthesized identical so the keep-any is deterministic."""
+    from biocypher_metta_spark import sinks
+
+    ids = _ids(spark, sf_dir)
+    nodes = ids.select(
+        F.expr("concat('N', i % 100)").alias("id"),
+        F.expr("element_at(array('gene','protein'), cast((i % 100) % 2 as int) + 1)")
+        .alias("label"),
+        F.expr("array(concat('a', i % 100), concat('b', i % 100))").alias("synonyms"))
+    out = sinks.neo4j_rows(nodes, array_cols=["synonyms"])
+    return out.select("label", "id", F.col("synonyms").alias("syn_str"))
+
+
+KG_NEO4J_DEDUP_SQL = """
+WITH keys AS (
+  SELECT unnest(range(0, least((SELECT count(*) FROM documents), 100))) AS k
+)
+SELECT CASE WHEN k % 2 = 0 THEN 'gene' ELSE 'protein' END AS label,
+       'N' || k AS id,
+       'a' || k || '|b' || k AS syn_str
+FROM keys
+"""
+
+
+QUERIES.update({
+    "kg_alias_dimension": (kg_alias_dimension, KG_ALIAS_DIMENSION_SQL),
+    "kg_swiss_records": (kg_swiss_records, KG_SWISS_RECORDS_SQL),
+    "kg_keyed_fanin": (kg_keyed_fanin, KG_KEYED_FANIN_SQL),
+    "kg_peregrine_enhancers": (kg_peregrine_enhancers, KG_PEREGRINE_ENHANCERS_SQL),
+    "kg_peregrine_edges": (kg_peregrine_edges, KG_PEREGRINE_EDGES_SQL),
+    "kg_predicate_cache": (kg_predicate_cache, KG_PREDICATE_CACHE_SQL),
+    "kg_neo4j_dedup": (kg_neo4j_dedup, KG_NEO4J_DEDUP_SQL),
+})

@@ -88,11 +88,21 @@ def prolog_edge_facts(edges: DataFrame, registry: SchemaRegistry,
 # ---------------------------------------------------------------------------
 
 
-def write_neo4j_csv(nodes: DataFrame, path: str,
-                    array_cols: list[str] | None = None,
-                    mode: str = "overwrite") -> None:
+def neo4j_rows(nodes: DataFrame,
+               array_cols: list[str] | None = None) -> DataFrame:
+    """The transformation write_neo4j_csv applies before writing:
+    skip_duplicate_nodes semantics (dropDuplicates on label+id) and
+    '|'-joined array columns. Exposed so the driver gate can value-check
+    the dedup-on-write path without a filesystem round-trip."""
     df = nodes.dropDuplicates(["label", "id"])
     for c in (array_cols or []):
         if c in df.columns:
             df = df.withColumn(c, F.array_join(F.col(c), "|"))
+    return df
+
+
+def write_neo4j_csv(nodes: DataFrame, path: str,
+                    array_cols: list[str] | None = None,
+                    mode: str = "overwrite") -> None:
+    df = neo4j_rows(nodes, array_cols)
     df.write.mode(mode).option("sep", "\t").option("header", True).csv(path)
