@@ -6,10 +6,13 @@ library (reference: biocypher_metta/metta_writer.py:47-88
 
 * ``edge_node_types``: input_label -> {source, target, output_label} —
   consulted for every emitted edge (metta_writer.py:137-141).
-* type hierarchy from ``is_a`` chains -> ``type_defs.metta`` text
-  (metta_writer.py:28-45; we derive parents from the YAML's is_a rather
-  than the networked Biolink ontology — same ``(: X Type)`` / ``(<: X Y)``
-  shape, documented divergence: Biolink-only ancestor types are absent).
+* type hierarchy from ``is_a`` chains MERGED with the public Biolink
+  ancestor edges (BIOLINK_PARENTS) -> ``type_defs.metta`` text matching
+  the reference's emitted shape per node, including its
+  grandparent-not-parent dfs quirk (metta_writer.py:28-45,185-189).
+  Remaining documented divergence: the reference also dumps one line for
+  every OTHER class of the full Biolink model (nodes its constructors
+  never reference), and iterates in graph insertion order vs sorted here.
 * per-label property type map (str/int/float/str[]/float[]/obj) driving
   Spark column types.
 
@@ -39,6 +42,24 @@ PROP_SPARK_TYPES = {
 def _norm(label: str) -> str:
     """convert_input_labels: spaces -> underscores (metta_writer.py:176-183)."""
     return label.replace(" ", "_")
+
+
+# Biolink-model class chains ABOVE the classes the schema YAML roots at —
+# public knowledge from the biolink-model releases bundled with BioCypher
+# 0.5.x (the reference's pin). The reference gets these by walking
+# BioCypher's Biolink-merged ontology graph (metta_writer.py:22,28-45);
+# this container has no biocypher/biolink package, so the (small, stable)
+# parent edges for the five Biolink classes the YAML references are
+# embedded statically. Keys normalized like every other type key.
+# Roots (no entry here): entity, ontology_class, related_to.
+BIOLINK_PARENTS: dict[str, str] = {
+    "biological_entity": "named_thing",
+    "named_thing": "entity",
+    "biological_process": "biological_process_or_activity",
+    "biological_process_or_activity": "biological_entity",
+    "related_to_at_instance_level": "related_to",
+    "related_to_at_concept_level": "related_to",
+}
 
 
 @dataclass
@@ -101,6 +122,10 @@ class SchemaRegistry:
                 for l in labels:
                     reg.node_labels[_norm(l)] = type_key
                     reg.properties[_norm(l)] = {k: str(t) for k, t in props.items()}
+        # graft the public Biolink ancestor edges above the YAML's roots
+        # (YAML-declared parents win on conflict)
+        for child, parent in BIOLINK_PARENTS.items():
+            reg.parents.setdefault(child, parent)
         return reg
 
     # ------------------------------------------------------------------
@@ -123,31 +148,42 @@ class SchemaRegistry:
             cur = self.parents[cur]
         return cur
 
+    def ref_ancestor(self, type_key: str) -> str:
+        """The ancestor the reference emits per type: metta_writer.py:34
+        takes ``list(nx.dfs_preorder_nodes(G, node, depth_limit=2))[-1]``
+        over the child->parent ontology graph — i.e. the GRANDPARENT when
+        the is_a chain is >= 2 deep, else the parent, else the node itself
+        (the docstring there says "immediate parent"; the code walks two
+        levels — reproduced faithfully)."""
+        p = self.parents.get(type_key)
+        if p is None or p == type_key:
+            return type_key
+        gp = self.parents.get(p)
+        return gp if gp is not None and gp != p else p
+
     def type_defs_text(self) -> str:
         lines: list[str] = []
-        emitted: set[str] = set()
 
-        def emit_type(tk: str) -> None:
-            chain = []
-            cur = tk
-            while cur not in emitted:
-                chain.append(cur)
-                emitted.add(cur)
-                nxt = self.parents.get(cur)
-                if nxt is None or nxt == cur:
-                    break
-                cur = nxt
-            for t in reversed(chain):
-                parent = self.parents.get(t)
-                if parent is None or parent == t:
-                    lines.append(f"(: {t.upper()} Type)")
-                else:
-                    lines.append(f"(<: {t.upper()} {parent.upper()})")
-
-        for tk in sorted(set(self.node_labels.values())
-                         | {i.edge_type for i in self.edge_node_types.values()}
-                         | set(self.parents)):
-            emit_type(tk)
+        # hierarchy walk (metta_writer.py:28-45): one line per ontology
+        # node, '(: N Type)' for roots else '(<: N <ref_ancestor>)'.
+        # Scope divergence (documented): the reference iterates EVERY node
+        # of the Biolink-merged graph (the full Biolink model dump, in
+        # graph insertion order); here the walk covers the subgraph
+        # reachable from the schema's own classes — the set every emitted
+        # constructor/type actually references — in sorted order. Nodes
+        # with 'mixin' in the name are skipped like the reference (none
+        # occur in this subgraph).
+        universe = (set(self.node_labels.values())
+                    | {i.edge_type for i in self.edge_node_types.values()}
+                    | set(self.parents) | set(self.parents.values()))
+        for tk in sorted(universe):
+            if "mixin" in tk:
+                continue
+            anc = self.ref_ancestor(tk)
+            if anc == tk:
+                lines.append(f"(: {tk.upper()} Type)")
+            else:
+                lines.append(f"(<: {tk.upper()} {anc.upper()})")
 
         # data constructors (metta_writer.py:50-88)
         for in_label, type_key in sorted(self.node_labels.items()):
