@@ -89,10 +89,11 @@ def main() -> None:
     # ---- operator suite on the driver testdata -------------------------
     for name in ["rel_pricing_summary", "rel_shuffle_join_agg",
                  "rel_collect_ordered", "rel_window_rank", "doc_quality",
-                 "doc_minhash", "doc_lsh_pairs", "doc_token_stats",
-                 "emb_dot_topk", "kg_gtf_gene_nodes", "kg_vcf_snp_nodes",
-                 "kg_mention_link_counts", "kg_pattern_match",
-                 "kg_connected_components"]:
+                 "doc_minhash", "doc_lsh_pairs", "doc_simhash",
+                 "doc_token_stats", "emb_dot_topk", "kg_gtf_gene_nodes",
+                 "kg_vcf_snp_nodes", "kg_mention_link_counts",
+                 "kg_pattern_match", "kg_connected_components",
+                 "kg_alias_dimension", "kg_peregrine_edges"]:
         fn, _sql = QUERIES[name]
         t0 = time.time()
         fn(spark, sf_dir).count()

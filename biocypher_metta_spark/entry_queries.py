@@ -658,7 +658,11 @@ FROM sh
 
 def doc_lsh_pairs(spark, sf_dir):
     """MinHash banding -> candidate near-dup pairs (the LSH bucket join)."""
-    d = _t(spark, sf_dir, "documents")
+    # the testdata corpus is one small parquet file = ONE scan partition;
+    # spread the signature map-stage across cores (a production corpus
+    # arrives in thousands of partitions and skips this)
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     sigs = dedup_ops.minhash_signatures(d, num_perm=4)
     return dedup_ops.lsh_candidate_pairs(sigs, bands=2, rows_per_band=2)
 
@@ -948,9 +952,11 @@ LINK_DICT = {
 
 def kg_mention_link_counts(spark, sf_dir):
     """Broadcast-dictionary mention detection + entity-link scoring over
-    the documents text (linking.py pandas UDF), aggregated per entity
-    with salted partial aggregation. The oracle reproduces the 1-gram
-    exact-match subset in pure SQL (the UDF's scoring for unigrams is
+    the documents text via the fully-JVM join path (linking.
+    build_mention_join — n-gram explode + broadcast dictionary join; the
+    pandas-UDF path is parity-tested against it in tests), aggregated per
+    entity with salted partial aggregation. The oracle reproduces the
+    1-gram exact-match subset in pure SQL (scoring for unigrams is
     deterministic: distinct mentions per doc, so counts == docs whose
     token set contains the surface form)."""
     from biocypher_metta_spark import linking
@@ -958,8 +964,8 @@ def kg_mention_link_counts(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.col("text").alias("value"))
-    detect = linking.build_mention_udf(spark, LINK_DICT, max_ngram=1)
-    linked = linking.link_documents(d, detect, min_score=0.0)
+    link = linking.build_mention_join(spark, LINK_DICT, max_ngram=1)
+    linked = link(d)
     counts = linking.entity_mention_counts(linked, salt_buckets=8)
     return counts.select("entity", "n_mentions")
 

@@ -31,6 +31,19 @@ MINHASH_AS = [32749, 28657, 24593, 17977, 16411, 15373, 14221, 13007]
 MINHASH_BS = [12345, 54321, 98765, 13579, 24680, 111111, 222222, 333333]
 
 
+def _compute_once(df: DataFrame, expr, name: str) -> DataFrame:
+    """Materialize an expression as a column behind a Generate barrier.
+
+    Catalyst's CollapseProject re-inlines a projected expression into
+    every downstream reference — e.g. the shingle-md5 array would be
+    recomputed once PER permutation (4-8x) in minhash and once per bit
+    position (~120x) in simhash. explode(array(e)) is row-preserving but
+    sits in a Generate node, which projection collapse does not cross, so
+    `expr` is evaluated exactly once per row (measured 4x+ on signature
+    stages). No caching/checkpoint — still a pure streaming plan."""
+    return df.select("*", F.explode(F.array(expr)).alias(name))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per identical text; digest-only
@@ -52,46 +65,54 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     H = 48-bit md5 prefix. Map-only; no shuffle; pure long codegen.
     """
     sh = shingles(F.col(text_col), shingle_n)
-    # 48-bit md5 prefix: small enough for overflow-free long permutations
+    # 48-bit md5 prefix: small enough for overflow-free long permutations.
+    # Computed ONCE per row behind a Generate barrier — the md5 pass is
+    # the expensive part and must not be re-inlined per permutation.
     hs = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"))
+    hashed = _compute_once(df, hs, "_hs")
     def _perm(a, b):
         return lambda h: (h * a + b) % F.lit(MERSENNE_P)
 
     sig_cols = []
     for i in range(num_perm):
         a, b = MINHASH_AS[i % len(MINHASH_AS)], MINHASH_BS[i % len(MINHASH_BS)]
-        sig_cols.append(F.array_min(F.transform(hs, _perm(a, b)))
+        sig_cols.append(F.array_min(F.transform(F.col("_hs"), _perm(a, b)))
                         .cast("long").alias(f"mh_{i}"))
-    return df.select(F.col(id_col), *sig_cols)
+    return hashed.select(F.col(id_col), *sig_cols)
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                         bands: int = 4, rows_per_band: int = 2,
                         persist: bool = True) -> DataFrame:
-    """Band the signature, bucket-join on (band, band-hash): docs sharing
-    any band become candidate pairs. The self-join shuffles on uniform
-    band hashes (no hub keys); output is (id_a < id_b) pairs.
+    """Band the signature, bucket-join on (band, band-values): docs
+    sharing any band become candidate pairs. The self-join shuffles on
+    uniform minhash-value keys (no hub keys); output is (id_a < id_b)
+    pairs, distinct because a pair can collide in several bands.
 
     `persist` materializes the signatures once before the self-join —
     without it each join side recomputes the full shingle+minhash
-    pipeline (measured 3-4x wall-clock on the bench corpus). At 100TB the
-    signatures would live in their own table anyway."""
+    pipeline (measured 3-4x wall-clock on the bench corpus); eager so the
+    materialization isn't re-entered concurrently by both join sides. At
+    100TB the signatures would live in their own table anyway. The band
+    key is the raw value array (array<long> joins hash natively) — no
+    md5-over-concat per band per doc, and 16-byte keys instead of 32-char
+    hash strings in the shuffle."""
     if persist:
-        sigs = sigs.localCheckpoint(eager=False)
+        sigs = sigs.localCheckpoint(eager=True)
     band_cols = []
     for b in range(bands):
-        parts = [F.col(f"mh_{b * rows_per_band + r}").cast("string")
-                 for r in range(rows_per_band)]
+        vals = F.array(*[F.col(f"mh_{b * rows_per_band + r}")
+                         for r in range(rows_per_band)])
         band_cols.append(F.struct(F.lit(b).alias("band"),
-                                  F.md5(F.concat_ws("_", *parts)).alias("bh")))
+                                  vals.alias("bv")))
     banded = sigs.select(F.col(id_col),
                          F.explode(F.array(*band_cols)).alias("bb")) \
-                 .select(id_col, "bb.band", "bb.bh")
+                 .select(id_col, "bb.band", "bb.bv")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.bv") == F.col("b.bv"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"))
@@ -130,7 +151,12 @@ def simhash(df: DataFrame, text_col: str = "text",
     the signature exactly, and 60 splits evenly into the 4 blocks that
     hamming_near_pairs bands on (pigeonhole guarantee for dist<=3)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    th = F.transform(toks, portable_hash)
+    # hash tokens ONCE behind a Generate barrier — without it projection
+    # collapse re-inlines the md5 token-hash array into every one of the
+    # ~2*bits references below (measured: the whole signature stage is
+    # md5-bound when inlined)
+    hashed = _compute_once(df, F.transform(toks, portable_hash), "_th")
+    th = F.col("_th")
     # for each bit position, count tokens with that bit set vs total
     def _bit_set(mask):
         return lambda h: h.bitwiseAND(F.lit(mask)) != 0
@@ -144,7 +170,7 @@ def simhash(df: DataFrame, text_col: str = "text",
     sig = bit_exprs[0]
     for e in bit_exprs[1:]:
         sig = sig + e
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    return hashed.select(F.col(id_col), sig.alias("simhash"))
 
 
 def hamming_near_pairs(sims: DataFrame, id_col: str = "doc_id",

@@ -88,24 +88,60 @@ def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
     return bucket.cast("int")
 
 
-def lsh_bucketed_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
-                      id_col: str = "vec_id", vec_col: str = "embedding",
-                      n_planes: int = 6, probe_adjacent: bool = True) -> DataFrame:
-    """ANN: score only vectors whose sign-sketch matches the query's
-    bucket (optionally 1-bit-flip neighbors). At 100 TB this turns a full
-    scan per query into a pruned bucket read when the table is written
-    partitioned by bucket."""
+def query_buckets(query_vec: list[float], n_planes: int = 6,
+                  probe_adjacent: bool = True) -> list[int]:
+    """The sign-sketch bucket of a query vector plus (optionally) its
+    1-bit-flip neighbors — tiny driver-side arithmetic, no Spark."""
     dim = len(query_vec)
-    qb_bits = []
+    qb = 0
     for p in range(n_planes):
         plane = _hyperplane(dim, p + 1)
         proj = sum(float(v) * w for v, w in zip(query_vec, plane))
-        qb_bits.append(1 << p if proj >= 0 else 0)
-    qb = sum(qb_bits)
+        qb += 1 << p if proj >= 0 else 0
     buckets = {qb}
     if probe_adjacent:
         for p in range(n_planes):
             buckets.add(qb ^ (1 << p))
+    return sorted(buckets)
+
+
+def lsh_bucketed_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_planes: int = 6, probe_adjacent: bool = True) -> DataFrame:
+    """ANN: score only vectors whose sign-sketch matches the query's
+    bucket (optionally 1-bit-flip neighbors). Computes buckets on the fly
+    — one full scan per query; see write_embeddings_bucketed +
+    lsh_bucketed_topk_from_table for the pruned-read layout at scale."""
+    dim = len(query_vec)
+    buckets = query_buckets(query_vec, n_planes, probe_adjacent)
     cand = emb.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes)) \
-              .filter(F.col("_bucket").isin(sorted(buckets)))
+              .filter(F.col("_bucket").isin(buckets))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def write_embeddings_bucketed(emb: DataFrame, path: str, dim: int,
+                              n_planes: int = 6,
+                              vec_col: str = "embedding",
+                              mode: str = "overwrite") -> None:
+    """Materialize the embeddings table partitioned by the LSH sign-sketch
+    bucket — the scale layout lsh_bucketed_topk assumes: each query then
+    reads only its (1 + n_planes) probe buckets out of 2^n_planes via
+    partition pruning instead of scanning the corpus. The bucket is a
+    deterministic function of the vector (no RNG), so incremental appends
+    land in the same partitions and the layout survives resume."""
+    out = emb.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes))
+    out.write.mode(mode).partitionBy("_bucket").parquet(path)
+
+
+def lsh_bucketed_topk_from_table(spark, path: str, query_vec: list[float],
+                                 k: int = 10, id_col: str = "vec_id",
+                                 vec_col: str = "embedding",
+                                 n_planes: int = 6,
+                                 probe_adjacent: bool = True) -> DataFrame:
+    """ANN over a write_embeddings_bucketed layout: the `_bucket IN (...)`
+    predicate hits the partition column, so the scan reads only the probe
+    buckets (plan-tested: PartitionFilters carries _bucket)."""
+    emb = spark.read.parquet(path)
+    buckets = query_buckets(query_vec, n_planes, probe_adjacent)
+    cand = emb.filter(F.col("_bucket").isin(buckets))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)

@@ -241,6 +241,30 @@ def test_mention_linking(spark):
     assert counts["ENSG00000101349"] == 2
 
 
+def test_mention_join_path_parity(spark):
+    """The fully-JVM join path must emit exactly the pandas-UDF path's
+    (doc_id, mention, entity, score) rows — same dictionary, texts with
+    multi-word mentions, casefold hits, repeats, and empty strings."""
+    dictionary = {"PAK5": "ENSG1", "p21 activated kinase 5": "ENSG1",
+                  "SNAP25": "ENSG2", "kinase": "FAM1"}
+    docs = spark.createDataFrame(
+        [("d1", "the PAK5 kinase aka p21 activated kinase 5"),
+         ("d2", "snap25 lowercase mention snap25 repeated"),
+         ("d3", "nothing here"),
+         ("d4", ""),
+         ("d5", "Kinase KINASE kinase")],
+        "doc_id string, value string")
+    detect = linking.build_mention_udf(spark, dictionary, max_ngram=5)
+    udf_rows = sorted((r.doc_id, r.mention, r.entity, r.score)
+                      for r in linking.link_documents(
+                          docs, detect, min_score=0.0).collect())
+    link = linking.build_mention_join(spark, dictionary, max_ngram=5)
+    join_rows = sorted((r.doc_id, r.mention, r.entity, r.score)
+                       for r in link(docs).collect())
+    assert join_rows == udf_rows
+    assert any(m == "p21 activated kinase 5" for _, m, _, _ in join_rows)
+
+
 # --------------------------------------------------------------------------
 # sinks
 # --------------------------------------------------------------------------

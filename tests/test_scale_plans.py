@@ -94,3 +94,28 @@ def test_salted_agg_equals_plain(spark):
              linked.groupBy("entity").agg(F.count("*").alias("n"),
                                           F.sum("score").alias("s")).collect()}
     assert salted == plain
+
+
+def test_ann_bucket_layout_prunes_partitions(spark, tmp_path):
+    """write_embeddings_bucketed + lsh_bucketed_topk_from_table: the probe
+    query's _bucket predicate must reach the scan as a partition filter,
+    and the pruned read must return the same top-k as the full-scan path."""
+    import math
+
+    from biocypher_metta_spark.operators import similarity as sim
+
+    rows = [(i, [math.cos(i / 37.0), math.sin(i / 37.0),
+                 math.cos(i / 11.0), math.sin(i / 11.0)])
+            for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "emb_bucketed")
+    sim.write_embeddings_bucketed(emb, path, dim=4, n_planes=4)
+
+    q = [1.0, 0.05, 0.9, 0.1]
+    pruned = sim.lsh_bucketed_topk_from_table(spark, path, q, k=5, n_planes=4)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_bucket" in plan.split("PartitionFilters")[1][:300]
+
+    full = sim.lsh_bucketed_topk(emb, q, k=5, n_planes=4)
+    assert [r.vec_id for r in pruned.collect()] == [r.vec_id for r in full.collect()]
