@@ -378,12 +378,18 @@ def materialize(result: PipelineResult, out_dir: str, registry: SchemaRegistry,
             if "chr" in result.nodes.columns else \
             result.nodes.withColumn("chr_part", F.lit("none"))
         lineage.write_partitioned(ndf, str(out / "nodes"), ["label", "chr_part"])
-        manifests["nodes"] = lineage.partition_manifest(ndf, ["label", "chr_part"])
+        # fingerprint what actually LANDED, not the logical plan: verifies
+        # the write itself and avoids re-deriving the full adapter union a
+        # second time (the manifest scan is a cheap columnar read-back)
+        spark = result.nodes.sparkSession
+        manifests["nodes"] = lineage.partition_manifest(
+            spark.read.parquet(str(out / "nodes")), ["label", "chr_part"])
     if result.edges is not None:
         lineage.write_partitioned(result.edges.withColumn("label_part", F.col("label")),
                                   str(out / "edges"), ["label_part"])
+        spark = result.edges.sparkSession
         manifests["edges"] = lineage.partition_manifest(
-            result.edges.withColumn("label_part", F.col("label")), ["label_part"])
+            spark.read.parquet(str(out / "edges")), ["label_part"])
     sinks.write_metta_text(result.atoms, str(out / "metta"))
     (out / "type_defs.metta").parent.mkdir(parents=True, exist_ok=True)
     (out / "type_defs.metta").write_text(registry.type_defs_text())

@@ -30,9 +30,16 @@ DEFAULT_CONFS: dict[str, str] = {
     # ParallelGC beats G1 by ~35% on this allocation-heavy rendering
     # workload (measured: 2M-doc KG build 19.9s G1 -> 14.6s ParallelGC at
     # local[32]); a modest heap also wins — 32g was 3x SLOWER than 8g
-    # (GC young-gen blowout defeats cache locality).
-    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
-    "spark.executor.extraJavaOptions": "-XX:+UseParallelGC",
+    # (GC young-gen blowout defeats cache locality). AlwaysPreTouch
+    # pre-faults the heap at JVM start (one-time ~1s/8g): without it,
+    # concurrent executor JVMs on one host collapse to ~0.3x each on
+    # first-touch page-fault storms (measured: 4 concurrent 8-thread JVMs
+    # 54s -> 25s per JVM on the same job). Cluster submissions should also
+    # set -XX:ActiveProcessorCount=<executor cores> when the JVM can't see
+    # a cgroup CPU limit — 4 JVMs each sizing ParallelGC to all 32 host
+    # cores (128 GC threads) measured 25s -> 18s per JVM when capped.
+    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC -XX:+AlwaysPreTouch",
+    "spark.executor.extraJavaOptions": "-XX:+UseParallelGC -XX:+AlwaysPreTouch",
     "spark.ui.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
 }

@@ -194,16 +194,20 @@ EXPECTED_EDGE_LABELS = {
 
 def test_full_pipeline_all_adapters(full_ctx, tmp_path):
     result = pipeline.build(full_ctx, FULL_CONFIG)
+    # materialize FIRST, assert on the written store: each adapter-union
+    # evaluation costs the whole 40-adapter plan, so every assertion reads
+    # the cheap parquet/text back instead of re-deriving the union
+    manifests = pipeline.materialize(result, str(tmp_path / "kg"), REGISTRY)
+    assert manifests["nodes"] and manifests["edges"]
+    nodes = full_ctx.spark.read.parquet(str(tmp_path / "kg/nodes"))
+    edges = full_ctx.spark.read.parquet(str(tmp_path / "kg/edges"))
     node_counts = {r["label"]: r["count"] for r in
-                   result.nodes.groupBy("label").count().collect()}
+                   nodes.groupBy("label").count().collect()}
     edge_counts = {r["label"]: r["count"] for r in
-                   result.edges.groupBy("label").count().collect()}
+                   edges.groupBy("label").count().collect()}
     missing_nodes = {l for l in EXPECTED_NODE_LABELS if not node_counts.get(l)}
     missing_edges = {l for l in EXPECTED_EDGE_LABELS if not edge_counts.get(l)}
     assert not missing_nodes, f"empty node labels: {missing_nodes} ({node_counts})"
     assert not missing_edges, f"empty edge labels: {missing_edges} ({edge_counts})"
-    # materialize everything + lineage
-    manifests = pipeline.materialize(result, str(tmp_path / "kg"), REGISTRY)
-    assert manifests["nodes"] and manifests["edges"]
     atoms = full_ctx.spark.read.text(str(tmp_path / "kg/metta"))
-    assert atoms.count() > result.nodes.count() + result.edges.count()
+    assert atoms.count() > sum(node_counts.values()) + sum(edge_counts.values())
