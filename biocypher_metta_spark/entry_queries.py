@@ -1362,3 +1362,68 @@ QUERIES.update({
     "kg_predicate_cache": (kg_predicate_cache, KG_PREDICATE_CACHE_SQL),
     "kg_neo4j_dedup": (kg_neo4j_dedup, KG_NEO4J_DEDUP_SQL),
 })
+
+
+# ===========================================================================
+# embedding-cosine near-dup (dedup family): planted near-duplicate vectors
+# synthesized arithmetically (the testdata embeddings table has no pairs
+# above 0.52 cosine), LSH sign-sketch blocking + exact integer-quantized
+# verify — the full pair set and cos_millis values reproduce in DuckDB.
+# ===========================================================================
+
+from biocypher_metta_spark.operators.similarity import _hyperplane as _nd_hyperplane
+
+_ND_DIM, _ND_PLANES_N = 8, 8
+_ND_PLANES = [_nd_hyperplane(_ND_DIM, p + 1) for p in range(_ND_PLANES_N)]
+
+_ND_VEC_SPARK = (
+    "transform(sequence(0, 7), j -> CAST("
+    "CAST(conv(substring(md5(concat(cast(i % 50 as string), '_', "
+    "cast(j as string))), 1, 2), 16, 10) AS INT) - 128 "
+    "+ (CASE WHEN j = CAST(i % 8 AS INT) THEN (i div 50) % 3 ELSE 0 END) AS DOUBLE))")
+
+
+def emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over planted duplicates: 50 groups
+    of 10 vectors each differing by a small single-coordinate bump —
+    dedup_ops.embedding_near_dup_pairs (sign-sketch blocking + exact
+    quantized-cosine verify) must emit exactly the same-direction pairs."""
+    ids = _ids(spark, sf_dir)
+    emb = ids.select(F.col("i").alias("vec_id"),
+                     F.expr(_ND_VEC_SPARK).alias("embedding"))
+    return dedup_ops.embedding_near_dup_pairs(
+        emb, dim=_ND_DIM, threshold_millis=950, n_planes=_ND_PLANES_N,
+        quant_scale=100)
+
+
+def _nd_duck_bucket(qname: str) -> str:
+    parts = []
+    for p, plane in enumerate(_ND_PLANES):
+        proj = " + ".join(f"{qname}[{j + 1}]*({w})" for j, w in enumerate(plane))
+        parts.append(f"CASE WHEN ({proj}) >= 0 THEN {1 << p} ELSE 0 END")
+    return " + ".join(parts)
+
+
+EMB_NEAR_DUP_SQL = f"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+v AS (
+  SELECT i AS vec_id,
+         list_transform(range(0, 8), j -> ((('0x' || substr(md5((i % 50) || '_' || j), 1, 2))::BIGINT - 128)
+             + CASE WHEN j = i % 8 THEN (i // 50) % 3 ELSE 0 END) * 100) AS q
+  FROM ids
+), b AS (
+  SELECT vec_id, q,
+         ({_nd_duck_bucket('q')}) AS bkt,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n
+  FROM v WHERE CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) > 0
+)
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         CAST(floor(1000.0 * CAST(list_sum(list_transform(list_zip(a.q, b2.q),
+                    p -> p[1] * p[2])) AS BIGINT)
+              / sqrt(CAST(a.n * b2.n AS DOUBLE))) AS BIGINT) AS cos_millis
+  FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
+) WHERE cos_millis >= 950
+"""
+
+QUERIES["emb_near_dup"] = (emb_near_dup, EMB_NEAR_DUP_SQL)

@@ -141,6 +141,57 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
     )
 
 
+def embedding_near_dup_pairs(emb: DataFrame, dim: int,
+                             threshold_millis: int = 950,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             n_planes: int = 8,
+                             quant_scale: int = 100) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: deterministic sign-sketch
+    LSH blocking + exact cosine verification of bucket-mates only.
+
+    Scale shape: the sketch is map-only; the self-join shuffles on the
+    bucket id (2^n_planes uniform-ish keys), candidate volume is
+    per-bucket quadratic — the LSH contract — never corpus-quadratic.
+    Engine-portable arithmetic throughout: vectors quantize to longs
+    (round(x*scale)), hyperplanes are +-1 integers from the seeded LCG
+    (similarity._hyperplane), and the emitted cos_millis is
+    floor(1000*dot/sqrt(na*nb)) — integer dot/norms with one
+    correctly-rounded IEEE sqrt, so a DuckDB oracle reproduces the exact
+    pair set and values. Returns (id_a, id_b, cos_millis >= threshold).
+    """
+    from biocypher_metta_spark.operators.similarity import _hyperplane
+
+    q = F.transform(F.col(vec_col),
+                    lambda x: F.round(x.cast("double") * quant_scale).cast("long"))
+    qdf = _compute_once(emb, q, "_q")
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(w).cast("long") for w in _hyperplane(dim, p + 1)])
+        proj = F.aggregate(F.zip_with(F.col("_q"), plane, lambda x, w: x * w),
+                           F.lit(0).cast("long"), lambda acc, v: acc + v)
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    norm = F.aggregate(F.col("_q"), F.lit(0).cast("long"),
+                       lambda acc, v: acc + v * v)
+    blocked = (qdf.select(F.col(id_col), F.col("_q"),
+                          bucket.alias("_bkt"), norm.alias("_n"))
+               .filter(F.col("_n") > 0))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a._q"), F.col("b._q"),
+                                 lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, v: acc + v)
+    cos_millis = F.floor(F.lit(1000.0) * dot /
+                         F.sqrt((F.col("a._n") * F.col("b._n")).cast("double")))
+    return (
+        a.join(b, (F.col("a._bkt") == F.col("b._bkt"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                cos_millis.cast("long").alias("cos_millis"))
+        .filter(F.col("cos_millis") >= threshold_millis)
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", bits: int = 60) -> DataFrame:
     """SimHash over whitespace tokens: majority-vote of per-token hash

@@ -436,3 +436,21 @@ def test_ntriples_to_ontology_pipeline(spark):
     assert "(subtype_of (go GO:0000002) (go GO:0000001))" in got
     # restriction block resolved: GO:3 part_of GO:1
     assert any("GO:0000003" in a and "part_of" in a for a in got)
+
+
+def test_embedding_near_dup_pairs(spark):
+    """Planted near-identical vectors must pair (blocking + verify); far
+    vectors must not, even when bucket-mates."""
+    base = [10.0, -20.0, 15.0, -5.0, 30.0, -12.0, 8.0, -25.0]
+    rows = [(0, base),
+            (1, [x + (0.5 if j == 2 else 0.0) for j, x in enumerate(base)]),
+            (2, [x + (0.4 if j == 5 else 0.0) for j, x in enumerate(base)]),
+            (3, [-x for x in base]),                     # anti-parallel
+            (4, [1.0, 2.0, -3.0, 4.0, -5.0, 6.0, -7.0, 8.0])]  # unrelated
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b): r.cos_millis
+           for r in dd.embedding_near_dup_pairs(emb, dim=8,
+                                                threshold_millis=990).collect()}
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert all(v >= 990 for v in got.values())
+    assert not any(3 in p or 4 in p for p in got)
