@@ -119,3 +119,39 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 40
     assert got.select("doc_id").distinct().count() == 40
+
+
+def test_streaming_stateful_entity_counts(spark, tmp_path):
+    """applyInPandasWithState custom operator: per-entity totals must
+    accumulate ACROSS micro-batches through the state store (two input
+    files x maxFilesPerTrigger=1 = two micro-batches)."""
+    from biocypher_metta_spark.streaming import stateful
+
+    inp = str(tmp_path / "linked_in")
+    rows1 = [("d1", "spark", "TOOL:spark", 1.0),
+             ("d2", "spark", "TOOL:spark", 0.8),
+             ("d2", "join", "OP:join", 1.0)]
+    rows2 = [("d3", "spark", "TOOL:spark", 1.0),
+             ("d4", "table", "OBJ:table", 0.6)]
+    schema = "doc_id string, mention string, entity string, score double"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(inp)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(inp)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(inp))
+    out = stateful.running_entity_counts(stream)
+    q = (out.writeStream.format("memory").queryName("ent_totals")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # the LAST update per entity carries the cross-batch running total
+    import pyspark.sql.functions as SF
+    rows = (spark.table("ent_totals")
+            .groupBy("entity").agg(SF.max("n_mentions").alias("n"),
+                                   SF.max("score_sum").alias("s"))
+            .collect())
+    got = {r.entity: (r.n, round(r.s, 3)) for r in rows}
+    assert got["TOOL:spark"] == (3, 2.8)
+    assert got["OP:join"] == (1, 1.0)
+    assert got["OBJ:table"] == (1, 0.6)
