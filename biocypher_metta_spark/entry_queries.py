@@ -37,6 +37,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents spread across cores: the testdata corpus is ONE small
+    parquet file = one scan partition, which would serialize the
+    compute-heavy per-doc stages (signatures, linking). A production
+    corpus arrives in thousands of partitions and skips this."""
+    return _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+
+
 # ===========================================================================
 # Relational operator twins (SURVEY.md §2.3-2.5) over the TPC-H-ish tables
 # ===========================================================================
@@ -517,7 +526,7 @@ FROM documents GROUP BY md5(text)
 
 
 def doc_minhash(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_par(spark, sf_dir)
     return dedup_ops.minhash_signatures(d, num_perm=4)
 
 
@@ -658,11 +667,7 @@ FROM sh
 
 def doc_lsh_pairs(spark, sf_dir):
     """MinHash banding -> candidate near-dup pairs (the LSH bucket join)."""
-    # the testdata corpus is one small parquet file = ONE scan partition;
-    # spread the signature map-stage across cores (a production corpus
-    # arrives in thousands of partitions and skips this)
-    d = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism)
+    d = _docs_par(spark, sf_dir)
     sigs = dedup_ops.minhash_signatures(d, num_perm=4)
     return dedup_ops.lsh_candidate_pairs(sigs, bands=2, rows_per_band=2)
 
@@ -697,7 +702,7 @@ FROM banded a JOIN banded b
 
 def doc_simhash(spark, sf_dir):
     """SimHash signatures — 60-bit portable-hash based, DuckDB-oracled."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_par(spark, sf_dir)
     return dedup_ops.simhash(d)
 
 
@@ -961,7 +966,7 @@ def kg_mention_link_counts(spark, sf_dir):
     token set contains the surface form)."""
     from biocypher_metta_spark import linking
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _docs_par(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.col("text").alias("value"))
     link = linking.build_mention_join(spark, LINK_DICT, max_ngram=1)
