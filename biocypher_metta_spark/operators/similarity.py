@@ -133,6 +133,72 @@ def write_embeddings_bucketed(emb: DataFrame, path: str, dim: int,
     out.write.mode(mode).partitionBy("_bucket").parquet(path)
 
 
+def build_ivf_centroids(emb: DataFrame, dim: int, n_planes: int = 4,
+                        lloyd_iters: int = 2,
+                        vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic IVF centroid build: initial cells are the LSH
+    sign-sketch buckets (no RNG — resumable/reproducible), refined with a
+    bounded number of Lloyd iterations. Every step is a groupBy-mean over
+    the corpus (map-side partial agg); centroids (<= 2^n_planes) come back
+    to the driver — they are the index, a few KB.
+
+    At 100 TB this is the standard ANN index path: one full scan per
+    Lloyd iteration, then assignment is a broadcast argmin and queries
+    probe n_probe cells instead of the corpus."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cur = emb.select(v.alias("_v"),
+                     lsh_bucket(F.col(vec_col), dim, n_planes).alias("_cell"))
+    mean_vec = F.array(*[F.avg(F.element_at("_v", j + 1)).alias(f"c{j}")
+                         for j in range(dim)])
+    cents = [list(r.c) for r in
+             cur.groupBy("_cell").agg(mean_vec.alias("c")).collect()]
+    for _ in range(lloyd_iters):
+        assigned = emb.select(v.alias("_v")).withColumn(
+            "_cell", _nearest_centroid(F.col("_v"), cents))
+        cents = [list(r.c) for r in
+                 assigned.groupBy("_cell").agg(mean_vec.alias("c")).collect()]
+    return sorted(cents)
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin_k squared-distance(vec, centroid_k) as a pure expression
+    (centroids are plan literals — broadcast by construction)."""
+    best_idx, best_d = F.lit(0), None
+    for k, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(F.zip_with(vec, carr, lambda x, w: (x - w) * (x - w)),
+                        F.lit(0.0), lambda acc, val: acc + val)
+        if best_d is None:
+            best_d = d
+        else:
+            best_idx = F.when(d < best_d, F.lit(k)).otherwise(best_idx)
+            best_d = F.least(d, best_d)
+    return best_idx
+
+
+def ivf_assign(emb: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """Tag each vector with its IVF cell (broadcast argmin — map-only)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return emb.withColumn("_cell", _nearest_centroid(v, centroids))
+
+
+def ivf_topk(emb: DataFrame, centroids: list[list[float]],
+             query_vec: list[float], k: int = 10, n_probe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF probe: rank cells by centroid distance to the query (driver
+    arithmetic — the index is tiny), exact-score only the n_probe nearest
+    cells. Written `partitionBy(_cell)` (same pattern as
+    write_embeddings_bucketed) the probe becomes a pruned partition read."""
+    def d2(c):
+        return sum((float(a) - float(b)) ** 2 for a, b in zip(c, query_vec))
+
+    order = sorted(range(len(centroids)), key=lambda i: d2(centroids[i]))
+    probe = order[:n_probe]
+    cand = ivf_assign(emb, centroids, vec_col).filter(F.col("_cell").isin(probe))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def lsh_bucketed_topk_from_table(spark, path: str, query_vec: list[float],
                                  k: int = 10, id_col: str = "vec_id",
                                  vec_col: str = "embedding",

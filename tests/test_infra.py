@@ -454,3 +454,26 @@ def test_embedding_near_dup_pairs(spark):
     assert (0, 1) in got and (0, 2) in got and (1, 2) in got
     assert all(v >= 990 for v in got.values())
     assert not any(3 in p or 4 in p for p in got)
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with deterministic centroids: probing 2 of the cells must
+    recover most of the brute-force top-10 on clustered data."""
+    import math
+
+    rows = []
+    for i in range(300):
+        c = i % 3  # three well-separated clusters
+        base = [5.0 * (c == 0), 5.0 * (c == 1), 5.0 * (c == 2), 1.0]
+        rows.append((i, [x + 0.05 * ((i * 7 + j * 13) % 11 - 5)
+                         for j, x in enumerate(base)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [5.0, 0.2, 0.0, 1.0]
+    cents = sim.build_ivf_centroids(emb, dim=4, n_planes=3, lloyd_iters=2)
+    assert 1 < len(cents) <= 8
+    # deterministic: same corpus -> identical centroids
+    assert cents == sim.build_ivf_centroids(emb, dim=4, n_planes=3, lloyd_iters=2)
+    brute = [r.vec_id for r in sim.cosine_topk(emb, q, k=10).collect()]
+    got = [r.vec_id for r in sim.ivf_topk(emb, cents, q, k=10, n_probe=2).collect()]
+    recall = len(set(brute) & set(got)) / 10
+    assert recall >= 0.8, f"recall {recall} (brute={brute}, ivf={got})"
