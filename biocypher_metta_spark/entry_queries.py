@@ -1432,3 +1432,74 @@ SELECT * FROM (
 """
 
 QUERIES["emb_near_dup"] = (emb_near_dup, EMB_NEAR_DUP_SQL)
+
+
+# ===========================================================================
+# training-data cleaning pipeline COMPOSITION: the operators above chained
+# the way a production corpus-cleaning job runs them, value-checked
+# end-to-end (each stage is individually oracled; this query checks the
+# composition semantics — join keys, filter thresholds, aggregate types).
+# ===========================================================================
+
+
+def doc_corpus_clean(spark, sf_dir):
+    """exact-dedup keep-list -> quality filter (score >= 500) -> language
+    ID -> per-language doc + token totals. The per-doc joins co-partition
+    on doc_id (one shuffle reused); dedup/quality/lang are the oracled
+    operators above."""
+    d = _docs_par(spark, sf_dir)
+    keep = dedup_ops.exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
+    kept = d.join(keep, "doc_id")
+    q = (text_ops.quality_score(kept)
+         .filter(F.col("quality_score") >= 500).select("doc_id"))
+    good = kept.join(q, "doc_id")
+    lang = text_ops.lang_id(good).select("doc_id", "lang_pred")
+    toks = text_ops.token_stats(good).select("doc_id", "n_tokens")
+    return (lang.join(toks, "doc_id")
+            .groupBy("lang_pred")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("total_tokens")))
+
+
+DOC_CORPUS_CLEAN_SQL = r"""
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), kept AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+), t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[\.,;:!\?''"\(\)-]')) AS punct
+  FROM kept
+), m AS (
+  SELECT doc_id, toks,
+         CAST(floor(punct * 1000.0 / greatest(n_chars, 1)) AS BIGINT) AS punct_permille,
+         CAST(floor(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) * 1000.0 / greatest(len(toks), 1)) AS BIGINT) AS stop_permille,
+         CAST(floor(len(list_distinct(toks)) * 1000.0 / greatest(len(toks), 1)) AS BIGINT) AS rep_permille,
+         len(toks) AS n_tok
+  FROM t
+), good AS (
+  SELECT doc_id, toks, n_tok FROM m
+  WHERE (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 250 ELSE 0 END)
+      + (CASE WHEN stop_permille >= 20 THEN 250 ELSE 0 END)
+      + (CASE WHEN rep_permille >= 300 THEN 250 ELSE 0 END)
+      + (CASE WHEN punct_permille <= 200 THEN 250 ELSE 0 END) >= 500
+), lang AS (
+  SELECT doc_id, n_tok,
+         len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS en,
+         len(list_filter(toks, x -> x IN ('und','der','die','das'))) AS de,
+         len(list_filter(toks, x -> x IN ('le','la','les','et'))) AS fr,
+         len(list_filter(toks, x -> x IN ('el','los','las','y'))) AS es
+  FROM good
+)
+SELECT CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unk'
+            WHEN en = greatest(en, de, fr, es) THEN 'en'
+            WHEN de = greatest(en, de, fr, es) THEN 'de'
+            WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+            ELSE 'es' END AS lang_pred,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM lang GROUP BY 1
+"""
+
+QUERIES["doc_corpus_clean"] = (doc_corpus_clean, DOC_CORPUS_CLEAN_SQL)
