@@ -93,7 +93,8 @@ def main() -> None:
                  "doc_token_stats", "emb_dot_topk", "kg_gtf_gene_nodes",
                  "kg_vcf_snp_nodes", "kg_mention_link_counts",
                  "kg_pattern_match", "kg_connected_components",
-                 "kg_alias_dimension", "kg_peregrine_edges"]:
+                 "kg_alias_dimension", "kg_peregrine_edges",
+                 "emb_near_dup", "doc_corpus_clean"]:
         fn, _sql = QUERIES[name]
         t0 = time.time()
         fn(spark, sf_dir).count()
