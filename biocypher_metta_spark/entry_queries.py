@@ -46,6 +46,23 @@ def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism)
 
 
+# DuckDB twins of operators.text.lang_id, GENERATED from the same
+# LANG_MARKERS dict the Spark plan uses — one source of truth, no drift.
+def _duck_lang_scores(toks: str = "toks") -> str:
+    return ",\n         ".join(
+        f"len(list_filter({toks}, x -> x IN "
+        f"({', '.join(repr(w) for w in m)}))) AS {lang}"
+        for lang, m in text_ops.LANG_MARKERS.items())
+
+
+def _duck_lang_case() -> str:
+    langs = list(text_ops.LANG_MARKERS)
+    g = f"greatest({', '.join(langs)})"
+    whens = "\n            ".join(f"WHEN {l} = {g} THEN '{l}'" for l in langs)
+    return (f"CASE WHEN {g} = 0 THEN 'unk'\n            {whens}"
+            f"\n            ELSE 'unk' END")
+
+
 # ===========================================================================
 # Relational operator twins (SURVEY.md §2.3-2.5) over the TPC-H-ish tables
 # ===========================================================================
@@ -493,23 +510,16 @@ def doc_lang_id(spark, sf_dir):
     return text_ops.lang_id(d)
 
 
-DOC_LANG_ID_SQL = r"""
+DOC_LANG_ID_SQL = rf"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
 ), s AS (
   SELECT doc_id,
-         len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS en,
-         len(list_filter(toks, x -> x IN ('und','der','die','das'))) AS de,
-         len(list_filter(toks, x -> x IN ('le','la','les','et'))) AS fr,
-         len(list_filter(toks, x -> x IN ('el','los','las','y'))) AS es
+         {_duck_lang_scores()}
   FROM t
 )
 SELECT doc_id, CAST(en AS BIGINT) AS en_score,
-       CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unk'
-            WHEN en = greatest(en, de, fr, es) THEN 'en'
-            WHEN de = greatest(en, de, fr, es) THEN 'de'
-            WHEN fr = greatest(en, de, fr, es) THEN 'fr'
-            ELSE 'es' END AS lang_pred
+       {_duck_lang_case()} AS lang_pred
 FROM s
 """
 
@@ -906,22 +916,15 @@ def doc_lang_dist(spark, sf_dir):
             .agg(F.count("*").alias("n_docs")))
 
 
-DOC_LANG_DIST_SQL = r"""
+DOC_LANG_DIST_SQL = rf"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
 ), s AS (
   SELECT doc_id,
-         len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS en,
-         len(list_filter(toks, x -> x IN ('und','der','die','das'))) AS de,
-         len(list_filter(toks, x -> x IN ('le','la','les','et'))) AS fr,
-         len(list_filter(toks, x -> x IN ('el','los','las','y'))) AS es
+         {_duck_lang_scores()}
   FROM t
 ), p AS (
-  SELECT CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unk'
-              WHEN en = greatest(en, de, fr, es) THEN 'en'
-              WHEN de = greatest(en, de, fr, es) THEN 'de'
-              WHEN fr = greatest(en, de, fr, es) THEN 'fr'
-              ELSE 'es' END AS lang_pred
+  SELECT {_duck_lang_case()} AS lang_pred
   FROM s
 )
 SELECT lang_pred, count(*) AS n_docs FROM p GROUP BY lang_pred
@@ -1461,7 +1464,7 @@ def doc_corpus_clean(spark, sf_dir):
                  F.sum("n_tokens").cast("long").alias("total_tokens")))
 
 
-DOC_CORPUS_CLEAN_SQL = r"""
+DOC_CORPUS_CLEAN_SQL = rf"""
 WITH keep AS (
   SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 ), kept AS (
@@ -1486,17 +1489,10 @@ WITH keep AS (
       + (CASE WHEN punct_permille <= 200 THEN 250 ELSE 0 END) >= 500
 ), lang AS (
   SELECT doc_id, n_tok,
-         len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS en,
-         len(list_filter(toks, x -> x IN ('und','der','die','das'))) AS de,
-         len(list_filter(toks, x -> x IN ('le','la','les','et'))) AS fr,
-         len(list_filter(toks, x -> x IN ('el','los','las','y'))) AS es
+         {_duck_lang_scores()}
   FROM good
 )
-SELECT CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unk'
-            WHEN en = greatest(en, de, fr, es) THEN 'en'
-            WHEN de = greatest(en, de, fr, es) THEN 'de'
-            WHEN fr = greatest(en, de, fr, es) THEN 'fr'
-            ELSE 'es' END AS lang_pred,
+SELECT {_duck_lang_case()} AS lang_pred,
        count(*) AS n_docs,
        CAST(sum(n_tok) AS BIGINT) AS total_tokens
 FROM lang GROUP BY 1

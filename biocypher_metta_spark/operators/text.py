@@ -25,12 +25,21 @@ def tokens(text: Column) -> Column:
 PUNCT_RE = r"[\.,;:!\?'\"\(\)-]"
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
-# tiny marker sets for the n-gram/stopword language-ID heuristic
+# marker-word sets for the stopword language-ID heuristic. Dict order is
+# the deterministic tie-break (first listed wins on equal scores).
+# ASCII-only markers on purpose: the token column is raw UTF-8 and keeping
+# the dictionary ASCII removes any normalization divergence between the
+# Spark plan and the DuckDB oracle (whose SQL is GENERATED from this dict
+# — entry_queries._duck_lang_scores — so the two can never drift).
 LANG_MARKERS = {
-    "en": ["the", "and", "of", "is"],
-    "de": ["und", "der", "die", "das"],
-    "fr": ["le", "la", "les", "et"],
-    "es": ["el", "los", "las", "y"],
+    "en": ["the", "and", "of", "is", "to", "in", "that", "it"],
+    "de": ["und", "der", "die", "das", "nicht", "mit", "ein", "ist"],
+    "fr": ["le", "la", "les", "et", "des", "une", "est", "dans"],
+    "es": ["el", "los", "las", "y", "que", "por", "con", "para"],
+    "pt": ["os", "uma", "ele", "isso", "mais", "muito", "sem", "como"],
+    "it": ["il", "lo", "gli", "che", "per", "una", "sono", "di"],
+    "nl": ["het", "een", "niet", "van", "voor", "naar", "zijn", "ook"],
+    "sv": ["och", "att", "det", "som", "den", "inte", "har", "jag"],
 }
 
 
@@ -82,25 +91,23 @@ def quality_score(df: DataFrame, text_col: str = "text",
 
 def lang_id(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
-    """Marker-word language ID with deterministic tie-break (declaration
-    order en > de > fr > es > unk)."""
+    """Marker-word language ID over LANG_MARKERS with deterministic
+    tie-break (dict declaration order, then 'unk' when no marker hits).
+    Pure expressions — one filter/size per language, no Python."""
     toks = tokens(F.col(text_col))
     def _in(markers):
         # closure factory: a default-arg lambda would be read by Spark as
         # the 2-arg (element, index) higher-order form
         return lambda x: x.isin(markers)
 
-    scores = {lang: F.size(F.filter(toks, _in(markers)))
-              for lang, markers in LANG_MARKERS.items()}
-    en, de, fr, es = scores["en"], scores["de"], scores["fr"], scores["es"]
-    best = F.greatest(en, de, fr, es)
-    lang = (
-        F.when(best == 0, F.lit("unk"))
-        .when(en == best, F.lit("en"))
-        .when(de == best, F.lit("de"))
-        .when(fr == best, F.lit("fr"))
-        .otherwise(F.lit("es"))
-    )
+    scores = [(lang, F.size(F.filter(toks, _in(markers))))
+              for lang, markers in LANG_MARKERS.items()]
+    best = F.greatest(*[s for _, s in scores])
+    lang = F.when(best == 0, F.lit("unk"))
+    for l, s in scores:
+        lang = lang.when(s == best, F.lit(l))
+    lang = lang.otherwise(F.lit("unk"))
+    en = dict(scores)["en"]
     return df.select(F.col(id_col), en.cast("long").alias("en_score"),
                      lang.alias("lang_pred"))
 

@@ -477,3 +477,22 @@ def test_ivf_topk_recall(spark):
     got = [r.vec_id for r in sim.ivf_topk(emb, cents, q, k=10, n_probe=2).collect()]
     recall = len(set(brute) & set(got)) / 10
     assert recall >= 0.8, f"recall {recall} (brute={brute}, ivf={got})"
+
+
+def test_lang_id_eight_languages(spark):
+    from biocypher_metta_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog of the house is here"),
+         (2, "der hund und die katze mit dem ball nicht da ist"),
+         (3, "le chat et la maison des gens dans une rue est la"),
+         (4, "el perro y los gatos con las casas que hay por aqui para ti"),
+         (5, "ele gosta muito disso sem mais nada como os outros e isso"),
+         (6, "il gatto che corre per la strada con una palla sono io di qua"),
+         (7, "het huis is niet van een hond voor ook zijn naar hier"),
+         (8, "och det som att den inte har jag sett"),
+         (9, "zzz qqq xxx")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.lang_pred for r in tx.lang_id(docs).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "pt",
+                   6: "it", 7: "nl", 8: "sv", 9: "unk"}
