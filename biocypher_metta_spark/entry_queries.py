@@ -1499,3 +1499,65 @@ FROM lang GROUP BY 1
 """
 
 QUERIES["doc_corpus_clean"] = (doc_corpus_clean, DOC_CORPUS_CLEAN_SQL)
+
+
+# ===========================================================================
+# expression-matrix analytics (notebooks/gtex_tissue_gene_exp_corr.ipynb
+# twin): target-gene Pearson correlation against the whole matrix — the
+# computation whose OUTPUT the coxpresdb adapter ingests.
+# ===========================================================================
+
+_EXPR_VEC_SPARK = (
+    "transform(sequence(0, 19), j -> "
+    "CAST(conv(substring(md5(concat(cast(i % 25 as string), '_', cast(j as string))), 1, 2), 16, 10) AS BIGINT) % 200"
+    " + CAST(conv(substring(md5(concat(cast(i as string), '#', cast(j as string))), 1, 2), 16, 10) AS BIGINT) % 7)")
+
+
+def expr_gene_corr(spark, sf_dir):
+    """gene_corr_topk over a synthesized integer TPM-like matrix: genes
+    sharing i%25 have correlated base patterns plus per-gene noise, so
+    the top-k for gene G0 must surface its 19 group-mates — the exact
+    integer moments + one sqrt per side reproduce in DuckDB."""
+    from biocypher_metta_spark.operators.expression import gene_corr_topk
+
+    ids = _ids(spark, sf_dir)
+    expr = ids.select(F.concat(F.lit("G"), F.col("i").cast("string")).alias("gene_id"),
+                      F.expr(_EXPR_VEC_SPARK).alias("values"))
+    return gene_corr_topk(expr, "G0", k=10)
+
+
+EXPR_GENE_CORR_SQL = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+v AS (
+  SELECT 'G' || i AS gene_id,
+         list_transform(range(0, 20), j ->
+             (('0x' || substr(md5((i % 25) || '_' || j), 1, 2))::BIGINT) % 200
+           + (('0x' || substr(md5(i || '#' || j), 1, 2))::BIGINT) % 7) AS vals
+  FROM ids
+), t AS (
+  SELECT vals AS tv,
+         CAST(list_sum(tv_l) AS BIGINT) AS sum_t,
+         CAST(list_sum(list_transform(tv_l, x -> x * x)) AS BIGINT) AS sum_t2
+  FROM (SELECT vals, vals AS tv_l FROM v WHERE gene_id = 'G0')
+), m AS (
+  SELECT gene_id,
+         CAST(list_sum(vals) AS BIGINT) AS sum_x,
+         CAST(list_sum(list_transform(vals, x -> x * x)) AS BIGINT) AS sum_x2,
+         CAST(list_sum(list_transform(list_zip(vals, t.tv), p -> p[1] * p[2])) AS BIGINT) AS sum_xt,
+         t.sum_t, t.sum_t2
+  FROM v, t
+), c AS (
+  SELECT gene_id,
+         20 * sum_x2 - sum_x * sum_x AS den_x,
+         20 * sum_t2 - sum_t * sum_t AS den_t,
+         20 * sum_xt - sum_x * sum_t AS num
+  FROM m
+)
+SELECT gene_id,
+       CAST(floor(1000.0 * num / (sqrt(CAST(den_x AS DOUBLE)) * sqrt(CAST(den_t AS DOUBLE)))) AS BIGINT) AS corr_milli
+FROM c WHERE den_x > 0 AND den_t > 0
+ORDER BY corr_milli DESC, gene_id
+LIMIT 10
+"""
+
+QUERIES["expr_gene_corr"] = (expr_gene_corr, EXPR_GENE_CORR_SQL)

@@ -496,3 +496,21 @@ def test_lang_id_eight_languages(spark):
     got = {r.doc_id: r.lang_pred for r in tx.lang_id(docs).collect()}
     assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "pt",
                    6: "it", 7: "nl", 8: "sv", 9: "unk"}
+
+
+def test_gene_corr_topk(spark):
+    from biocypher_metta_spark.operators.expression import gene_corr_topk
+
+    base = [3, 7, 1, 9, 4, 8, 2, 6, 5, 10]
+    rows = [("target", base),
+            ("twin", [2 * v + 1 for v in base]),        # corr exactly 1
+            ("anti", [-v for v in base]),               # corr exactly -1
+            ("flat", [5] * 10),                         # zero variance -> dropped
+            ("noise", [4, 4, 9, 1, 8, 2, 7, 3, 6, 5])]
+    expr = spark.createDataFrame(rows, "gene_id string, values array<long>")
+    got = {r.gene_id: r.corr_milli
+           for r in gene_corr_topk(expr, "target", k=5).collect()}
+    assert got["target"] == 1000 and got["twin"] == 1000
+    assert got["anti"] == -1000
+    assert "flat" not in got
+    assert -1000 <= got["noise"] < 1000
