@@ -1561,3 +1561,57 @@ LIMIT 10
 """
 
 QUERIES["expr_gene_corr"] = (expr_gene_corr, EXPR_GENE_CORR_SQL)
+
+
+# ===========================================================================
+# GWAS lead-variant extraction (notebooks/finemapping_susie.ipynb twin:
+# gwaslab get_lead) over synthesized summary stats.
+# ===========================================================================
+
+
+def kg_gwas_leads(spark, sf_dir):
+    """operators.gwas.lead_snps over arithmetic summary stats: sig filter
+    -> bucket winners -> adjacent-bucket suppression. Integer milli
+    -log10(p) keeps the DuckDB twin exact."""
+    from biocypher_metta_spark.operators.gwas import lead_snps
+
+    ids = _ids(spark, sf_dir)
+    assoc = ids.select(
+        F.concat(F.lit("rs"), F.col("i").cast("string")).alias("snp_id"),
+        (1 + F.col("i") % 5).alias("chr"),
+        ((F.col("i") * 37777) % 10000000).alias("pos"),
+        F.expr("CAST(conv(substring(md5(concat('p', cast(i as string))), 1, 4), 16, 10) AS BIGINT) % 12000")
+        .alias("nlp_milli"))
+    return lead_snps(assoc, sig_milli=7301, window=500000)
+
+
+KG_GWAS_LEADS_SQL = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+assoc AS (
+  SELECT 'rs' || i AS snp_id, 1 + i % 5 AS chr,
+         (i * 37777) % 10000000 AS pos,
+         (('0x' || substr(md5('p' || i), 1, 4))::BIGINT) % 12000 AS nlp_milli
+  FROM ids
+), sig AS (
+  SELECT *, pos // 500000 AS b FROM assoc WHERE nlp_milli >= 7301
+), cand AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY chr, b
+               ORDER BY nlp_milli DESC, pos, snp_id) AS rn
+    FROM sig
+  ) WHERE rn = 1
+)
+SELECT c.snp_id, c.chr, c.pos, c.nlp_milli
+FROM cand c
+WHERE NOT EXISTS (
+  SELECT 1 FROM cand n
+  WHERE n.chr = c.chr AND abs(n.b - c.b) = 1
+    AND abs(n.pos - c.pos) <= 500000
+    AND (n.nlp_milli > c.nlp_milli
+         OR (n.nlp_milli = c.nlp_milli
+             AND (n.pos < c.pos
+                  OR (n.pos = c.pos AND n.snp_id < c.snp_id))))
+)
+"""
+
+QUERIES["kg_gwas_leads"] = (kg_gwas_leads, KG_GWAS_LEADS_SQL)

@@ -514,3 +514,21 @@ def test_gene_corr_topk(spark):
     assert got["anti"] == -1000
     assert "flat" not in got
     assert -1000 <= got["noise"] < 1000
+
+
+def test_gwas_lead_snps(spark):
+    from biocypher_metta_spark.operators.gwas import lead_snps
+
+    rows = [
+        ("rs1", 1, 100_000, 9000),    # peak in bucket 0
+        ("rs2", 1, 150_000, 8000),    # same bucket, weaker -> not a candidate
+        ("rs3", 1, 550_000, 8500),    # adjacent bucket, within 500kb of rs1,
+                                      # weaker -> suppressed
+        ("rs4", 1, 2_000_000, 7500),  # far away -> independent lead
+        ("rs5", 2, 100_000, 9000),    # other chromosome -> independent lead
+        ("rs6", 1, 300_000, 5000),    # not significant
+    ]
+    assoc = spark.createDataFrame(
+        rows, "snp_id string, chr long, pos long, nlp_milli long")
+    got = {r.snp_id for r in lead_snps(assoc).collect()}
+    assert got == {"rs1", "rs4", "rs5"}
