@@ -1079,7 +1079,11 @@ QUERIES["kg_nested_annotation_atoms"] = (kg_nested_annotation_atoms,
 # multi-file joins, A2 keyed dimension, A4 predicate cache, K7 dedup-on-
 # write). Inputs are synthesized arithmetically from the testdata doc_ids
 # so the DuckDB oracle re-derives the expected output independently while
-# the Spark side runs the REAL adapter/sink code paths.
+# the Spark side runs the REAL adapter/sink code paths. NOTE: like every
+# synth twin in this file, some oracles (peregrine last-row-wins winner,
+# neo4j key range) additionally assume the fixture's doc_ids are the
+# contiguous 0..n-1 the driver generates — they are gate fixtures, not
+# corpus-generic queries.
 # ===========================================================================
 
 

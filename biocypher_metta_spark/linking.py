@@ -89,7 +89,7 @@ def build_mention_udf(spark: SparkSession, dictionary: dict[str, str],
 
 
 def build_mention_join(spark: SparkSession, dictionary: dict[str, str],
-                       max_ngram: int = 3):
+                       max_ngram: int = 3, min_score: float = 0.5):
     """Fully-JVM mention linking fast path: token n-grams exploded with
     built-in expressions + broadcast joins against the dictionary as two
     small DataFrames (exact + casefolded surfaces) — no Python in the hot
@@ -101,10 +101,12 @@ def build_mention_join(spark: SparkSession, dictionary: dict[str, str],
     weight, x min(1, 0.5 + 0.25n) length weight, round 4. One documented
     divergence: casefold here is lower() — identical for the ASCII
     dictionaries this engine ships; keep the pandas-UDF path for unicode-
-    casefold dictionaries or custom scoring.
+    casefold dictionaries or custom scoring. `min_score` mirrors
+    link_documents' threshold (same 0.5 default) so migrating callers
+    keep their score filtering.
 
     Returns link(lines_df, text_col='value') -> DataFrame
-    (doc_id, mention, entity, score).
+    (doc_id, mention, entity, score >= min_score).
     """
     exact = dict(dictionary)
     folded: dict[str, str] = {}
@@ -152,6 +154,7 @@ def build_mention_join(spark: SparkSession, dictionary: dict[str, str],
                     * F.least(F.lit(1.0), F.lit(0.5) + F.lit(0.25) * n_toks),
                     4))
             .select("doc_id", "mention", "entity", "score")
+            .filter(F.col("score") >= min_score)
         )
         return scored
 

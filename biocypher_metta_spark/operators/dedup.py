@@ -91,14 +91,16 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
 
     `persist` materializes the signatures once before the self-join —
     without it each join side recomputes the full shingle+minhash
-    pipeline (measured 3-4x wall-clock on the bench corpus); eager so the
-    materialization isn't re-entered concurrently by both join sides. At
-    100TB the signatures would live in their own table anyway. The band
+    pipeline (measured 3-4x wall-clock on the bench corpus). Lazy
+    checkpoint (eager=False): both join sides share ONE checkpointed RDD,
+    so signatures still compute once per action, and merely constructing
+    the plan doesn't fire a Spark job. At 100TB the signatures would live
+    in their own table anyway. The band
     key is the raw value array (array<long> joins hash natively) — no
     md5-over-concat per band per doc, and 16-byte keys instead of 32-char
     hash strings in the shuffle."""
     if persist:
-        sigs = sigs.localCheckpoint(eager=True)
+        sigs = sigs.localCheckpoint(eager=False)
     band_cols = []
     for b in range(bands):
         vals = F.array(*[F.col(f"mh_{b * rows_per_band + r}")
@@ -201,6 +203,10 @@ def simhash(df: DataFrame, text_col: str = "text",
     prefix (operators.text.portable_hash), so a DuckDB oracle reproduces
     the signature exactly, and 60 splits evenly into the 4 blocks that
     hamming_near_pairs bands on (pigeonhole guarantee for dist<=3)."""
+    if bits > 62:
+        # 1 << 63 overflows a positive long literal (the sign bit); keep
+        # the error actionable instead of a plan-build assertion
+        raise ValueError(f"bits={bits} > 62 not supported (long sign bit)")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     # hash tokens ONCE behind a Generate barrier — without it projection
     # collapse re-inlines the md5 token-hash array into every one of the

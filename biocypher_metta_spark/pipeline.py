@@ -367,6 +367,24 @@ def build(ctx: PipelineContext, config: list[dict]) -> PipelineResult:
     return PipelineResult(nodes, edges, atoms)
 
 
+def _written_manifest(spark, path: str, partition_by: list[str]) -> list[dict]:
+    """Fingerprint what actually LANDED, not the logical plan: verifies
+    the write itself and avoids re-deriving the full adapter union a
+    second time (the manifest scan is a cheap columnar read-back).
+    Partition columns are re-cast to string — read-back partition-value
+    inference would otherwise retype purely-numeric values (and corrupt
+    zero-padded ones) relative to the pre-write frame. An empty result
+    writes only _SUCCESS, where read.parquet cannot infer a schema —
+    that's an empty manifest, not an error."""
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        return []
+    for p in partition_by:
+        df = df.withColumn(p, F.col(p).cast("string"))
+    return lineage.partition_manifest(df, partition_by)
+
+
 def materialize(result: PipelineResult, out_dir: str, registry: SchemaRegistry,
                 run_id: str = "run") -> dict:
     """Write all outputs + lineage manifests; returns the manifest dict."""
@@ -378,18 +396,13 @@ def materialize(result: PipelineResult, out_dir: str, registry: SchemaRegistry,
             if "chr" in result.nodes.columns else \
             result.nodes.withColumn("chr_part", F.lit("none"))
         lineage.write_partitioned(ndf, str(out / "nodes"), ["label", "chr_part"])
-        # fingerprint what actually LANDED, not the logical plan: verifies
-        # the write itself and avoids re-deriving the full adapter union a
-        # second time (the manifest scan is a cheap columnar read-back)
-        spark = result.nodes.sparkSession
-        manifests["nodes"] = lineage.partition_manifest(
-            spark.read.parquet(str(out / "nodes")), ["label", "chr_part"])
+        manifests["nodes"] = _written_manifest(
+            result.nodes.sparkSession, str(out / "nodes"), ["label", "chr_part"])
     if result.edges is not None:
         lineage.write_partitioned(result.edges.withColumn("label_part", F.col("label")),
                                   str(out / "edges"), ["label_part"])
-        spark = result.edges.sparkSession
-        manifests["edges"] = lineage.partition_manifest(
-            spark.read.parquet(str(out / "edges")), ["label_part"])
+        manifests["edges"] = _written_manifest(
+            result.edges.sparkSession, str(out / "edges"), ["label_part"])
     sinks.write_metta_text(result.atoms, str(out / "metta"))
     (out / "type_defs.metta").parent.mkdir(parents=True, exist_ok=True)
     (out / "type_defs.metta").write_text(registry.type_defs_text())

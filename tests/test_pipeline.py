@@ -155,3 +155,18 @@ def test_streaming_stateful_entity_counts(spark, tmp_path):
     assert got["TOOL:spark"] == (3, 2.8)
     assert got["OP:join"] == (1, 1.0)
     assert got["OBJ:table"] == (1, 0.6)
+
+
+def test_materialize_empty_result(spark, tmp_path):
+    """A window matching nothing must materialize cleanly with empty
+    manifests, not crash on schema inference over a _SUCCESS-only dir."""
+    from biocypher_metta_spark import pipeline
+    from biocypher_metta_spark.schema import load_default_registry
+    from biocypher_metta_spark.sources.synth import synth_gtf_documents
+
+    docs = synth_gtf_documents(spark, 50)
+    ctx = pipeline.PipelineContext(spark, docs)
+    res = pipeline.build(ctx, [{"adapter": "gencode_gene",
+                                "args": {"chr": "chrNOPE"}}])
+    m = pipeline.materialize(res, str(tmp_path / "kg"), load_default_registry())
+    assert m["nodes"] == []
