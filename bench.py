@@ -50,6 +50,13 @@ def main() -> None:
     t_all = time.time()
 
     # ---- headline: KG construction throughput --------------------------
+    # JVM/codegen warmup pass (excluded, same protocol as bench_scaling):
+    # the headline measures steady-state throughput, not JIT ramp
+    wdocs = synth_gtf_documents(spark, max(n_docs // 20, 1000))
+    wgtf = parse_gtf(span_lines(wdocs, "gtf"), keys=GENE_KEYS)
+    _, w_atoms = gencode.gene_nodes(wgtf)
+    w_atoms.count()
+
     t0 = time.time()
     docs = synth_gtf_documents(spark, n_docs)
     # one shared scan+parse feeds all outputs (vs the reference re-reading
