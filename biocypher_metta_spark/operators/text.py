@@ -113,10 +113,16 @@ def lang_id(df: DataFrame, text_col: str = "text",
 
 
 def shingles(text: Column, n: int = 5) -> Column:
-    """Word n-gram shingles as strings (token windows joined by ' ')."""
+    """Word n-gram shingles as strings (token windows joined by ' ').
+    Texts with fewer than n tokens yield an EMPTY list — Spark's
+    `sequence` is end-INCLUSIVE (sequence(1, 0) = [1, 0], descending!),
+    so the guard must gate on k >= 1 rather than clamp the end to 0;
+    found by the randomized cross-engine sweep, where a <n-token doc
+    crashed the stage with slice(start=0)."""
     toks = tokens(text)
     k = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)) \
+        .otherwise(F.array().cast("array<int>"))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
 
 
