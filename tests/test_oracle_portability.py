@@ -82,3 +82,30 @@ def test_portable_hash_matches_duckdb(engines):
         "SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT "
         "FROM documents").fetchall())
     assert got == want
+
+
+def test_quality_portability(engines):
+    from biocypher_metta_spark.entry_queries import DOC_QUALITY_SQL
+
+    sdf, con = engines
+    got = {tuple(r) for r in tx.quality_score(sdf).collect()}
+    want = {tuple(r) for r in con.execute(DOC_QUALITY_SQL).fetchall()}
+    assert got == want
+
+
+def test_token_stats_portability(engines):
+    from biocypher_metta_spark.entry_queries import DOC_TOKEN_STATS_SQL
+
+    sdf, con = engines
+    got = {tuple(r) for r in tx.token_stats(sdf).collect()}
+    want = {tuple(r) for r in con.execute(DOC_TOKEN_STATS_SQL).fetchall()}
+    assert got == want
+
+
+def test_lang_id_portability(engines):
+    from biocypher_metta_spark.entry_queries import DOC_LANG_ID_SQL
+
+    sdf, con = engines
+    got = {tuple(r) for r in tx.lang_id(sdf).collect()}
+    want = {tuple(r) for r in con.execute(DOC_LANG_ID_SQL).fetchall()}
+    assert got == want
