@@ -155,6 +155,11 @@ def embedding_near_dup_pairs(emb: DataFrame, dim: int,
     Scale shape: the sketch is map-only; the self-join shuffles on the
     bucket id (2^n_planes uniform-ish keys), candidate volume is
     per-bucket quadratic — the LSH contract — never corpus-quadratic.
+    SIZE n_planes TO THE CORPUS: expected bucket size is ~N/2^n_planes,
+    and per-bucket work is its square — at 10^9+ rows use 24-32 planes
+    (with multi-probe on the query side) or band several independent
+    sketches like lsh_candidate_pairs; the default 8 is for
+    million-row-scale inputs and tests.
     Engine-portable arithmetic throughout: vectors quantize to longs
     (round(x*scale)), hyperplanes are +-1 integers from the seeded LCG
     (similarity._hyperplane), and the emitted cos_millis is
@@ -241,7 +246,12 @@ def hamming_near_pairs(sims: DataFrame, id_col: str = "doc_id",
     therefore has recall 1.0, unlike a single-prefix block which misses
     pairs whose differing bits fall inside the prefix. The join keys are
     uniform token-hash material (no hub keys) and the candidate set is
-    LSH-sized, never all-pairs — scale-safe."""
+    LSH-sized, never all-pairs. At extreme corpus sizes the block width
+    (bits/(max_dist+1), 15 here) caps the key space at 2^15 per table —
+    per-block population grows linearly with N and per-block work with
+    its square, so beyond ~10^9 rows first collapse EXACT duplicates
+    (group by full simhash) and/or widen bits via a longer signature;
+    the pigeonhole guarantee holds for any width >= max_dist+1 split."""
     n_blocks = max_dist + 1
     width = bits // n_blocks
     if width * n_blocks != bits:
