@@ -1619,3 +1619,80 @@ WHERE NOT EXISTS (
 """
 
 QUERIES["kg_gwas_leads"] = (kg_gwas_leads, KG_GWAS_LEADS_SQL)
+
+# ===========================================================================
+# P11 liftover, REAL chain-file kernel (round 3): the UCSC-chain interval
+# lifter (functions/chainfile.py) queried through the same pandas-UDF seam
+# production uses (functions/liftover.py), over a deterministic gate chain
+# exercising multi-block gaps, a negative-strand destination, and
+# overlapping chains with score tiebreak. The DuckDB twin re-derives every
+# lift with an independent range join over the chain's aligned-block table
+# (generated from ChainLifter.blocks_table() — blocks are one source of
+# truth; the LIFT ARITHMETIC and best-chain selection are independent:
+# bisect kernel vs SQL join + window). Reference semantics:
+# helpers.py:145-175 (failed lifts -> None -> dropped, dbsuper_adapter.py:51).
+# ===========================================================================
+
+from biocypher_metta_spark.functions.chainfile import ChainLifter, compose_chain
+from biocypher_metta_spark.functions.liftover import make_liftover_udf
+
+_GATE_CHAIN_TEXT = (
+    compose_chain(1000, "chr1", 10_000, 100, "chr1", 20_000, "+", 500,
+                  [(50, 10, 5), (40, 7, 12), (30,)], chain_id=1)
+    + compose_chain(800, "chr2", 10_000, 200, "chr9", 30_000, "-", 1_000,
+                    [(60, 5, 5), (25,)], chain_id=2)
+    + compose_chain(900, "chr3", 10_000, 300, "chr4", 40_000, "+", 3_300,
+                    [(120,)], chain_id=3)
+    + compose_chain(500, "chr3", 10_000, 350, "chr5", 40_000, "+", 7_350,
+                    [(200,)], chain_id=4)
+)
+_GATE_LIFTER = ChainLifter.from_text(_GATE_CHAIN_TEXT)
+
+
+def kg_liftover(spark, sf_dir):
+    """P11 gate: real chain-kernel liftover of doc-id-derived coordinates;
+    unmapped positions (chain gaps / out of range) drop, like the
+    reference's None-return path."""
+    ids = _ids(spark, sf_dir)
+    src = ids.select(
+        "i",
+        F.concat(F.lit("chr"), ((F.col("i") % 3) + 1).cast("string"))
+        .alias("chrom"),
+        (F.lit(80) + (F.col("i") * 7) % 300).cast("long").alias("pos"))
+    lift = make_liftover_udf(_GATE_LIFTER.query)
+    return (src.withColumn("lifted", lift(F.col("chrom"), F.col("pos")))
+            .filter(F.col("lifted").isNotNull())
+            .select("i", "chrom", "pos", "lifted"))
+
+
+def _liftover_blocks_values() -> str:
+    rows = []
+    for (chrom, s, e, _dst, anchor, sign, _strand, score, ordn) in (
+            _GATE_LIFTER.blocks_table()):
+        rows.append(f"('{chrom}', {s}, {e}, {anchor}, {sign}, {score}, {ordn})")
+    return ",\n         ".join(rows)
+
+
+KG_LIFTOVER_SQL = f"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+src AS (
+  SELECT i, (1 + i % 3) AS cno, 80 + (i * 7) % 300 AS pos FROM ids
+),
+blocks(src_chrom, src_start, src_end, dst_anchor, sign, score, ordn) AS (
+  VALUES {_liftover_blocks_values()}
+),
+hit AS (
+  SELECT s.i, s.cno, s.pos,
+         b.dst_anchor + b.sign * (s.pos - b.src_start) AS lifted,
+         row_number() OVER (PARTITION BY s.i
+                            ORDER BY b.score DESC, b.ordn) AS rn
+  FROM src s JOIN blocks b
+    ON CAST(s.cno AS VARCHAR) = b.src_chrom
+   AND s.pos >= b.src_start AND s.pos < b.src_end
+)
+SELECT i, 'chr' || cno AS chrom, CAST(pos AS BIGINT) AS pos,
+       CAST(lifted AS BIGINT) AS lifted
+FROM hit WHERE rn = 1
+"""
+
+QUERIES["kg_liftover"] = (kg_liftover, KG_LIFTOVER_SQL)

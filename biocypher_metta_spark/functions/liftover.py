@@ -4,14 +4,19 @@ Reference: helpers.py:145-175 convert_genome_reference — a cached
 chainfile lifter queried per row; rows that fail to lift are dropped
 (dbsuper_adapter.py:51-52,83).
 
-The chainfile library isn't available in this container, so the lifter
-implementation is PLUGGABLE: `make_liftover_udf(lifter_fn)` wraps any
-``(chr_no: str, pos: int) -> list[tuple]`` query function (the
-`liftover.get_lifter(...)[chr]` protocol). Production wiring would pass
-a module-level lazy-initialized chainfile lifter (one init per executor,
-SURVEY.md §7 risk 3); tests pass the same deterministic fake the golden
-run uses. No chainfile in the environment => default raises
-NotImplementedError at call time, never at import.
+The lifter implementation is PLUGGABLE: `make_liftover_udf(lifter_fn)`
+wraps any ``(chr_no: str, pos: int) -> list[tuple]`` query function (the
+`liftover.get_lifter(...)[chr]` protocol). The REAL kernel ships in
+functions/chainfile.py — a pure-stdlib UCSC ``.over.chain`` parser +
+interval index whose ``.query`` drops straight in:
+
+    lift = make_liftover_udf(ChainLifter.from_path("hg19ToHg38.over.chain").query)
+
+The ChainLifter pickles into the UDF closure once per executor (the
+Spark analogue of the reference's process-global ``_lifters`` cache,
+helpers.py:160-163; SURVEY.md §7 risk 3). Tests run both the chain
+kernel (test_chainfile.py, incl. dbsuper parity) and injected fakes;
+the no-argument default raises at call time, never at import.
 """
 
 from __future__ import annotations
