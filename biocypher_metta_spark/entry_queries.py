@@ -1696,3 +1696,71 @@ FROM hit WHERE rn = 1
 """
 
 QUERIES["kg_liftover"] = (kg_liftover, KG_LIFTOVER_SQL)
+
+# ===========================================================================
+# REAL image decode gate (round 3): deterministic pixel arrays (a pure
+# integer formula) are PNG-ENCODED driver-side — one variant per scanline
+# filter type 0-4 — then decoded back on executors by the stdlib PNG
+# kernel (operators/png.py) via the image_stats operator. The DuckDB twin
+# never sees PNG bytes: it recomputes width/height/channels/pixel-sum
+# straight from the pixel FORMULA, so hash equality proves the
+# encode->zlib->unfilter->decode loop reproduces the source pixels for
+# every filter type. (The container-independent successor of the round-2
+# fake-decoder gate, which remains for the pluggable-seam plumbing.)
+# ===========================================================================
+
+from biocypher_metta_spark.operators.png import png_encode as _png_encode
+
+
+def _png_formula_pixels(w: int, h: int, c: int, v: int) -> bytes:
+    return bytes(((x * 7 + y * 13 + ch * 29 + v * 101) % 256)
+                 for y in range(h) for x in range(w) for ch in range(c))
+
+
+_PNG_W, _PNG_H, _PNG_C = 8, 6, 3
+_PNG_VARIANTS = [
+    _png_encode(_PNG_W + v, _PNG_H, _PNG_C,
+                _png_formula_pixels(_PNG_W + v, _PNG_H, _PNG_C, v),
+                filter_type=v)
+    for v in range(5)
+]
+
+
+def multimodal_png_decode(spark, sf_dir):
+    """Stdlib PNG codec through the image_stats mapInPandas operator;
+    one encoded variant per PNG filter type, cycled over the doc ids."""
+    from biocypher_metta_spark.operators import multimodal as mm
+
+    ids = _ids(spark, sf_dir)
+    variants = F.array(*[F.lit(bytearray(b)) for b in _PNG_VARIANTS])
+    media = ids.select(
+        F.concat(F.lit("png://"), F.col("i").cast("string")).alias("media_ref"),
+        F.lit("image").alias("kind"),
+        F.element_at(variants, (F.col("i") % 5 + 1).cast("int")).alias("content"),
+    )
+    stats = mm.image_stats(media)
+    return stats.select(
+        "media_ref", "width", "height", "channels", "pix_sum")
+
+
+MULTIMODAL_PNG_SQL = f"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+expected AS (
+  SELECT v,
+         {_PNG_W} + v AS width, {_PNG_H} AS height, {_PNG_C} AS channels,
+         CAST(list_sum(flatten(list_transform(range(0, {_PNG_H}), y ->
+           flatten(list_transform(range(0, {_PNG_W} + v), x ->
+             list_transform(range(0, {_PNG_C}), ch ->
+               (x * 7 + y * 13 + ch * 29 + v * 101) % 256)))))) AS BIGINT)
+           AS pix_sum
+  FROM (SELECT unnest(range(0, 5)) AS v)
+)
+SELECT 'png://' || i AS media_ref,
+       CAST(e.width AS INTEGER) AS width,
+       CAST(e.height AS INTEGER) AS height,
+       CAST(e.channels AS INTEGER) AS channels,
+       e.pix_sum
+FROM ids JOIN expected e ON e.v = i % 5
+"""
+
+QUERIES["multimodal_png_decode"] = (multimodal_png_decode, MULTIMODAL_PNG_SQL)

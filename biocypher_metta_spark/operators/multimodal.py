@@ -1,11 +1,12 @@
 """Multimodal (image/audio/video) column operators.
 
 Media payloads are opaque `binary` columns with typed metadata structs —
-the span model's `media_ref` resolves to these via a content store. The
-image/audio decode libraries are NOT in this container, so the decode
-kernels are stubbed behind `NotImplementedError` or a deterministic fake
-— but the Spark-side plumbing (schema, partitioning, Arrow batch shape,
-UDF signatures) is real and tested.
+the span model's `media_ref` resolves to these via a content store.
+Image decode is REAL for PNG (pure-stdlib codec, operators/png.py);
+other formats need PIL/cv2 (absent here) and flow through the same
+pluggable `decoder=` seam — a deterministic fake keeps those paths
+tested. The Spark-side plumbing (schema, partitioning, Arrow batch
+shape, UDF signatures) is shared and real either way.
 
 Scale notes: decode/feature-extract are mapInPandas (one Arrow batch per
 ~10k rows, library initialized once per executor via module-level lazy
@@ -56,12 +57,26 @@ FRAME_SCHEMA = StructType([
 
 
 def real_image_decode(content: bytes) -> tuple[int, int, int, list[float]]:
-    """Decode kernel placeholder: the image libs (PIL/cv2) are not baked
-    into this container. Production wiring swaps this symbol."""
-    raise NotImplementedError(
-        "image decode requires PIL/cv2 — not available in this container; "
-        "inject a decoder (tests use fake_image_decode)"
-    )
+    """REAL decode kernel (round 3): PNG via the pure-stdlib codec in
+    operators/png.py — no PIL/cv2 needed. Non-PNG payloads raise
+    ValueError, which decode_images nulls out per its error contract
+    (production would chain format sniffers here; PNG is the one format
+    decodable from the spec with nothing but stdlib zlib).
+
+    The 8-float embedding is a deterministic luminance profile: the
+    pixel buffer split into 8 equal spans, mean byte value per span,
+    scaled to [0, 1] — a stand-in for a real vision embedding with the
+    same schema and batch shape."""
+    from biocypher_metta_spark.operators.png import png_decode
+
+    w, h, c, pix = png_decode(content)
+    n = len(pix)
+    span = max(n // 8, 1)
+    emb = []
+    for i in range(8):
+        seg = pix[i * span:(i + 1) * span] if i < 7 else pix[7 * span:]
+        emb.append((sum(seg) / len(seg) if seg else 0.0) / 255.0)
+    return w, h, c, emb
 
 
 def fake_image_decode(content: bytes) -> tuple[int, int, int, list[float]]:
@@ -101,6 +116,42 @@ def decode_images(media: DataFrame,
     return (media.filter(F.col("kind") == "image")
             .select("media_ref", "content")
             .mapInPandas(batches, IMAGE_FEATURES_SCHEMA))
+
+
+IMAGE_STATS_SCHEMA = StructType([
+    StructField("media_ref", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("pix_sum", LongType()),
+])
+
+
+def image_stats(media: DataFrame, decode: Callable | None = None) -> DataFrame:
+    """Corpus-QA decode statistics: dimensions + the exact pixel-byte sum
+    per image. The sum is an integer over the decoded buffer, so an
+    external oracle that knows the source pixels can value-check the
+    whole decode path. Default codec is the stdlib PNG kernel
+    (operators/png.py); undecodable rows null out."""
+    from biocypher_metta_spark.operators.png import png_decode
+
+    dec = decode or png_decode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                try:
+                    w, h, c, pix = dec(bytes(content) if content is not None else b"")
+                    rows.append((ref, w, h, c, sum(pix)))
+                except ValueError:
+                    rows.append((ref, None, None, None, None))
+            yield pd.DataFrame(rows, columns=["media_ref", "width", "height",
+                                              "channels", "pix_sum"])
+
+    return (media.filter(F.col("kind") == "image")
+            .select("media_ref", "content")
+            .mapInPandas(batches, IMAGE_STATS_SCHEMA))
 
 
 def resize_images(media: DataFrame, width: int, height: int,

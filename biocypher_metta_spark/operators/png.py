@@ -1,0 +1,197 @@
+"""Pure-stdlib PNG codec for the multimodal decode kernel.
+
+The container has no PIL/cv2, but PNG is a public spec (RFC 2083 /
+https://www.w3.org/TR/png-3/) whose only compression primitive is zlib —
+stdlib. This implements the subset that covers real-world 8-bit PNGs:
+
+* decode: bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette),
+  4 (gray+alpha), 6 (RGBA); all five scanline filters (None/Sub/Up/
+  Average/Paeth); multi-IDAT streams; per-chunk CRC verification.
+  Adam7 interlacing is rejected explicitly (rare in ML corpora, and a
+  silent wrong answer would be worse than a loud one).
+* encode: bit depth 8; gray/RGB/RGBA; one chosen filter type applied to
+  every scanline (enough to exercise each decoder filter path and to
+  write thumbnails).
+
+This is the real kernel behind operators/multimodal.real_image_decode —
+the round-2 stub this replaces kept only the mapInPandas plumbing.
+Reference parity target: the reference repo never decodes images (its
+spans carry text only), so this kernel extends the engine for the
+training-data pipeline tier rather than mirroring a reference operator.
+
+Scale notes: decode runs inside mapInPandas batches (operators/
+multimodal.py) — pure-Python unfiltering is ~10 MB/s/core, fine for
+thumbnail-sized corpus images; production swaps in PIL via the same
+decoder seam when the lib exists. Nothing here touches the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+# color type -> samples per pixel (after palette expansion for type 3)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _chunks(data: bytes):
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG: bad signature")
+    off = 8
+    while off < len(data):
+        if off + 8 > len(data):
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack(">I", data[off:off + 4])
+        ctype = data[off + 4:off + 8]
+        body = data[off + 8:off + 8 + length]
+        if len(body) != length or off + 12 + length > len(data):
+            raise ValueError("truncated chunk body")
+        (crc,) = struct.unpack(">I", data[off + 8 + length:off + 12 + length])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r}")
+        yield ctype, body
+        off += 12 + length
+        if ctype == b"IEND":
+            return
+    raise ValueError("missing IEND")
+
+
+def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """PNG bytes -> (width, height, channels, row-major pixel bytes).
+
+    Palette images expand to RGB; gray stays 1 channel, gray+alpha 2,
+    RGB 3, RGBA 4. 8-bit only; interlaced files are rejected.
+    """
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    for ctype, body in _chunks(data):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.extend(body)
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    width, height, bit_depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("unknown compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7 interlacing not supported")
+    if bit_depth != 8:
+        raise ValueError(f"bit depth {bit_depth} not supported (8 only)")
+    if color_type not in _CHANNELS:
+        raise ValueError(f"color type {color_type} not supported")
+    if width == 0 or height == 0:
+        raise ValueError("zero-dimension image")
+
+    bpp = _CHANNELS[color_type]          # bytes per pixel pre-palette
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("decompressed size does not match dimensions")
+
+    out = bytearray(stride * height)
+    prev_start = None
+    for y in range(height):
+        fb = raw[y * (stride + 1)]
+        line_in = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
+        start = y * stride
+        if fb == 0:
+            out[start:start + stride] = line_in
+        elif fb == 1:                     # Sub
+            for x in range(stride):
+                a = out[start + x - bpp] if x >= bpp else 0
+                out[start + x] = (line_in[x] + a) & 0xFF
+        elif fb == 2:                     # Up
+            for x in range(stride):
+                b = out[prev_start + x] if prev_start is not None else 0
+                out[start + x] = (line_in[x] + b) & 0xFF
+        elif fb == 3:                     # Average
+            for x in range(stride):
+                a = out[start + x - bpp] if x >= bpp else 0
+                b = out[prev_start + x] if prev_start is not None else 0
+                out[start + x] = (line_in[x] + (a + b) // 2) & 0xFF
+        elif fb == 4:                     # Paeth
+            for x in range(stride):
+                a = out[start + x - bpp] if x >= bpp else 0
+                b = out[prev_start + x] if prev_start is not None else 0
+                c = (out[prev_start + x - bpp]
+                     if (prev_start is not None and x >= bpp) else 0)
+                out[start + x] = (line_in[x] + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"unknown filter type {fb} on row {y}")
+        prev_start = start
+
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        rgb = bytearray(width * height * 3)
+        for i, idx in enumerate(out):
+            if idx * 3 + 3 > len(plte):
+                raise ValueError("palette index out of range")
+            rgb[i * 3:i * 3 + 3] = plte[idx * 3:idx * 3 + 3]
+        return width, height, 3, bytes(rgb)
+    return width, height, bpp, bytes(out)
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+
+_COLOR_TYPE_FOR = {1: 0, 3: 2, 4: 6}
+
+
+def png_encode(width: int, height: int, channels: int, pixels: bytes,
+               filter_type: int = 0) -> bytes:
+    """(w, h, channels, row-major bytes) -> PNG bytes, applying one
+    scanline filter type (0-4) to every row. 8-bit gray/RGB/RGBA."""
+    if channels not in _COLOR_TYPE_FOR:
+        raise ValueError("channels must be 1 (gray), 3 (RGB) or 4 (RGBA)")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError("filter_type must be 0-4")
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError("pixel buffer does not match dimensions")
+
+    raw = bytearray()
+    bpp = channels
+    for y in range(height):
+        row = pixels[y * stride:(y + 1) * stride]
+        prev = pixels[(y - 1) * stride:y * stride] if y else bytes(stride)
+        raw.append(filter_type)
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if filter_type == 0:
+                v = row[x]
+            elif filter_type == 1:
+                v = row[x] - a
+            elif filter_type == 2:
+                v = row[x] - b
+            elif filter_type == 3:
+                v = row[x] - (a + b) // 2
+            else:
+                v = row[x] - _paeth(a, b, c)
+            raw.append(v & 0xFF)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8,
+                       _COLOR_TYPE_FOR[channels], 0, 0, 0)
+    return (_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _chunk(b"IEND", b""))
