@@ -1764,3 +1764,57 @@ FROM ids JOIN expected e ON e.v = i % 5
 """
 
 QUERIES["multimodal_png_decode"] = (multimodal_png_decode, MULTIMODAL_PNG_SQL)
+
+# ===========================================================================
+# char-trigram language ID gate (round 3): the rank-tier-weighted trigram
+# scorer (operators/text.lang_id_trigram) vs a DuckDB twin whose score
+# expressions are GENERATED from the same LANG_TRIGRAMS profiles and
+# LANG_TRIGRAM_TIERS weights — the one-source pattern the marker-word gate
+# established. Accuracy vs the marker baseline is pytest-checked on
+# held-out multilingual text (tests/test_lang_trigram.py).
+# ===========================================================================
+
+
+def _duck_tri_scores() -> str:
+    parts = []
+    for lang, prof in text_ops.LANG_TRIGRAMS.items():
+        tiers = text_ops.lang_tier_slices(prof)
+        expr = " + ".join(
+            f"{w} * len(list_filter(tris, t -> t IN "
+            f"({', '.join(repr(x) for x in sl)})))"
+            for sl, w in tiers)
+        parts.append(f"{expr} AS {lang}")
+    return ",\n         ".join(parts)
+
+
+def doc_lang_trigram(spark, sf_dir):
+    """Per-doc trigram language prediction + weighted best score."""
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.lang_id_trigram(d).select(
+        "doc_id", "best_score", "lang_pred")
+
+
+DOC_LANG_TRIGRAM_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         ' ' || trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) || ' '
+           AS s
+  FROM documents
+), tr AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(s) - 1, 1)),
+                        i -> substr(s, CAST(i AS INT), 3)) AS tris
+  FROM t
+), sc AS (
+  SELECT doc_id,
+         {_duck_tri_scores()}
+  FROM tr
+)
+SELECT doc_id,
+       CAST(greatest({', '.join(text_ops.LANG_TRIGRAMS)}) AS BIGINT)
+         AS best_score,
+       {_duck_lang_case()} AS lang_pred
+FROM sc
+"""
+
+QUERIES["doc_lang_trigram"] = (doc_lang_trigram, DOC_LANG_TRIGRAM_SQL)

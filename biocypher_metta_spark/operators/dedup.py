@@ -207,7 +207,16 @@ def simhash(df: DataFrame, text_col: str = "text",
     Default 60 bits: the token hash is the engine-portable 60-bit md5
     prefix (operators.text.portable_hash), so a DuckDB oracle reproduces
     the signature exactly, and 60 splits evenly into the 4 blocks that
-    hamming_near_pairs bands on (pigeonhole guarantee for dist<=3)."""
+    hamming_near_pairs bands on (pigeonhole guarantee for dist<=3).
+
+    Plan shape, measured (round 3, 500k x 80-token docs, local[32],
+    identical signatures all variants): this 60x size(filter(...)) form
+    7.2-9.7s; a single F.aggregate pass accumulating a 60-wide count
+    array 17-19s (two 60-elem array allocations PER TOKEN in
+    transform+zip_with dominate); 60 allocation-free per-bit
+    F.aggregate sums 8.7-10.4s. The filter form stays — Catalyst keeps
+    the whole loop in whole-stage codegen and the per-bit filtered
+    array is cheaper than per-token accumulator churn."""
     if bits > 62:
         # 1 << 63 overflows a positive long literal (the sign bit); keep
         # the error actionable instead of a plan-build assertion

@@ -112,6 +112,172 @@ def lang_id(df: DataFrame, text_col: str = "text",
                      lang.alias("lang_pred"))
 
 
+# --------------------------------------------------------------------------
+# char-trigram language ID (round 3): profiles DERIVED AT IMPORT from the
+# per-language training snippets below — the Spark plan, the DuckDB twin
+# (entry_queries generates its SQL from LANG_TRIGRAMS), and the accuracy
+# test all consume the same dict, so nothing can drift. Unlike the
+# marker-word heuristic above, trigram sets score every substring of the
+# doc, so coverage doesn't depend on a handful of exact function words.
+# --------------------------------------------------------------------------
+
+LANG_TRIGRAM_SNIPPETS = {
+    "en": ("the quick brown fox jumps over the lazy dog and then it runs "
+           "through the fields where the children are playing with their "
+           "friends because this is what happens when the weather is good "
+           "and everyone wants to be outside in the sunshine together "
+           "my brother said that he would bring the letters to the house "
+           "of our neighbour in the evening after the shops had closed "
+           "people often think that reading many books makes a person "
+           "wise but understanding what you read matters much more"),
+    "de": ("der schnelle braune fuchs springt ueber den faulen hund und "
+           "laeuft dann durch die felder wo die kinder mit ihren freunden "
+           "spielen weil das eben passiert wenn das wetter gut ist und "
+           "alle zusammen draussen in der sonne sein wollen "
+           "mein bruder sagte dass er die briefe am abend zum haus "
+           "unseres nachbarn bringen wuerde nachdem die geschaefte "
+           "geschlossen hatten viele leute denken dass das lesen vieler "
+           "buecher einen menschen klug macht aber das verstehen zaehlt"),
+    "fr": ("le rapide renard brun saute par dessus le chien paresseux et "
+           "court ensuite dans les champs ou les enfants jouent avec "
+           "leurs amis parce que cela arrive quand le temps est beau et "
+           "que tout le monde veut etre dehors ensemble au soleil "
+           "mon frere a dit qu'il apporterait les lettres a la maison de "
+           "notre voisin le soir apres la fermeture des magasins les gens "
+           "pensent souvent que lire beaucoup de livres rend une personne "
+           "sage mais comprendre ce qu'on lit compte bien davantage"),
+    "es": ("el rapido zorro marron salta sobre el perro perezoso y luego "
+           "corre por los campos donde los ninos juegan con sus amigos "
+           "porque esto es lo que pasa cuando hace buen tiempo y todos "
+           "quieren estar fuera juntos bajo el sol "
+           "mi hermano dijo que llevaria las cartas a la casa de nuestro "
+           "vecino por la noche despues de que cerraran las tiendas la "
+           "gente piensa a menudo que leer muchos libros hace sabia a una "
+           "persona pero entender lo que se lee importa mucho mas"),
+    "pt": ("a rapida raposa marrom pula sobre o cachorro preguicoso e "
+           "depois corre pelos campos onde as criancas brincam com os "
+           "seus amigos porque e isso que acontece quando o tempo esta "
+           "bom e todos querem ficar fora juntos ao sol "
+           "o meu irmao disse que levaria as cartas para a casa do nosso "
+           "vizinho a noite depois de as lojas fecharem as pessoas pensam "
+           "muitas vezes que ler muitos livros torna uma pessoa sabia mas "
+           "entender o que se le importa muito mais"),
+    "it": ("la veloce volpe marrone salta sopra il cane pigro e poi corre "
+           "attraverso i campi dove i bambini giocano con i loro amici "
+           "perche questo e quello che succede quando il tempo e bello e "
+           "tutti vogliono stare fuori insieme al sole "
+           "mio fratello ha detto che avrebbe portato le lettere alla "
+           "casa del nostro vicino la sera dopo la chiusura dei negozi la "
+           "gente pensa spesso che leggere molti libri renda saggia una "
+           "persona ma capire cio che si legge conta molto di piu"),
+    "nl": ("de snelle bruine vos springt over de luie hond en rent daarna "
+           "door de velden waar de kinderen met hun vrienden spelen omdat "
+           "dit is wat er gebeurt als het weer goed is en iedereen samen "
+           "buiten in de zon wil zijn "
+           "mijn broer zei dat hij de brieven in de avond naar het huis "
+           "van onze buurman zou brengen nadat de winkels gesloten waren "
+           "mensen denken vaak dat het lezen van veel boeken iemand wijs "
+           "maakt maar begrijpen wat je leest is veel belangrijker"),
+    "sv": ("den snabba bruna raeven hoppar oever den lata hunden och "
+           "springer sedan genom faelten daer barnen leker med sina "
+           "vaenner eftersom det aer vad som haender naer vaedret aer "
+           "bra och alla vill vara ute tillsammans i solen "
+           "min bror sa att han skulle ta med breven till vaar grannes "
+           "hus paa kvaellen efter att butikerna hade staengt maanga "
+           "maenniskor tror ofta att den som laeser maanga boecker blir "
+           "klok men att foersta det man laeser betyder mycket mer"),
+}
+
+LANG_TRIGRAM_K = 96
+# rank-tier weights: the top slice of a language's frequency profile is
+# far more discriminative than the tail (close Romance languages share
+# most of the tail) — three InSet passes per language instead of a
+# 96-branch per-element CASE keeps scoring in whole-stage codegen.
+LANG_TRIGRAM_TIERS = ((24, 3), (24, 2), (48, 1))
+
+
+def _norm_text_py(s: str) -> str:
+    """Python twin of the normalization the Spark plan / DuckDB oracle
+    apply: lowercase, non-[a-z] runs -> single space, trim, pad with one
+    space each side (so word-boundary trigrams exist)."""
+    import re
+
+    return " " + re.sub(r"[^a-z]+", " ", s.lower()).strip() + " "
+
+
+def _trigram_profile(snippet: str, k: int = LANG_TRIGRAM_K) -> list[str]:
+    s = _norm_text_py(snippet)
+    counts: dict[str, int] = {}
+    for i in range(len(s) - 2):
+        t = s[i:i + 3]
+        counts[t] = counts.get(t, 0) + 1
+    return [t for t, _ in sorted(counts.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))[:k]]
+
+
+LANG_TRIGRAMS = {lang: _trigram_profile(sn)
+                 for lang, sn in LANG_TRIGRAM_SNIPPETS.items()}
+
+
+def char_trigrams(text: Column) -> Column:
+    """Normalized character trigrams of a text column, pure expressions.
+    Same guard pattern as shingles(): Spark sequence() is end-INCLUSIVE,
+    so gate on k >= 1 instead of clamping."""
+    s = F.concat(F.lit(" "),
+                 F.trim(F.regexp_replace(F.lower(text), r"[^a-z]+", " ")),
+                 F.lit(" "))
+    k = F.length(s) - 2
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)) \
+        .otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.substring(s, i, 3))
+
+
+def lang_tier_slices(profile: list[str]):
+    """(trigram slice, weight) pairs per LANG_TRIGRAM_TIERS — shared by
+    the Spark scorer and the generated DuckDB twin."""
+    out = []
+    lo = 0
+    for width, weight in LANG_TRIGRAM_TIERS:
+        sl = profile[lo:lo + width]
+        if sl:
+            out.append((sl, weight))
+        lo += width
+    return out
+
+
+def lang_id_trigram(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Char-trigram language ID: per language, a rank-tier-weighted count
+    of the doc's trigrams that fall in that language's frequency profile
+    (InSet lookups, whole-stage codegen); argmax with dict-order
+    tie-break, 'unk' when nothing hits. The trigram array is computed
+    ONCE behind a Generate barrier — 8 language scores reference it, and
+    projection collapse would otherwise re-extract it per language."""
+    hashed = df.select(
+        "*", F.explode(F.array(char_trigrams(F.col(text_col)))).alias("_tri"))
+    tri = F.col("_tri")
+
+    def _in(profile):
+        return lambda x: x.isin(profile)
+
+    def _score(prof):
+        parts = [F.size(F.filter(tri, _in(sl))) * F.lit(w)
+                 for sl, w in lang_tier_slices(prof)]
+        s = parts[0]
+        for p in parts[1:]:
+            s = s + p
+        return s
+
+    scores = [(lang, _score(prof)) for lang, prof in LANG_TRIGRAMS.items()]
+    best = F.greatest(*[s for _, s in scores])
+    lang = F.when(best == 0, F.lit("unk"))
+    for l, s in scores:
+        lang = lang.when(s == best, F.lit(l))
+    lang = lang.otherwise(F.lit("unk"))
+    return hashed.select(F.col(id_col), best.cast("long").alias("best_score"),
+                         lang.alias("lang_pred"))
+
+
 def shingles(text: Column, n: int = 5) -> Column:
     """Word n-gram shingles as strings (token windows joined by ' ').
     Texts with fewer than n tokens yield an EMPTY list — Spark's
