@@ -37,7 +37,8 @@ def pathway_nodes(lines: DataFrame, pubmed_lines: DataFrame,
     pm = split_cols(pubmed_lines, {"pm_id": 0}, "\t").select("pm_id").distinct()
     p = p.join(F.broadcast(pm), p["id"] == pm["pm_id"], "left")
     typed = p.select(F.col("id"), F.lit("pathway").alias("label"),
-                     F.col("name").alias("pathway_name"))
+                     F.col("name").alias("pathway_name"),
+                     F.col("pm_id").alias("pubmed_id"))
     props: list[Prop] = []
     if write_properties:
         evidence_raw = F.when(

@@ -1818,3 +1818,253 @@ FROM sc
 """
 
 QUERIES["doc_lang_trigram"] = (doc_lang_trigram, DOC_LANG_TRIGRAM_SQL)
+
+# ===========================================================================
+# round-3 composite gate twins for the previously parity-only sub-variants
+# (VERDICT r2 item 5). Each leg runs the REAL adapter function over
+# arithmetically synthesized lines, so the DuckDB twin re-derives the
+# expected output from the same doc-id formulas:
+#   kg_gaf_bed_scan   — S5 GAF scan (+'!' header skip), S8 BED scan,
+#                       P12 0->1-based rebase, P3 species filter
+#   kg_join_chains    — J3 protein->uniprot x2, J6 pos->rsid x2,
+#                       J10 pathway->pubmed LEFT, P13 munging (taxon-prefix
+#                       strip, score/1000, signed corr||r2 concat)
+#   kg_motif_munge    — J11 model->tf->ensembl left->inner chain (+A1
+#                       ordered collect), A3 synonym set dedup, A6 dbxref
+#                       drop through the restriction-resolution join
+# (J7 tissue->ontology is gate-covered by kg_peregrine_edges' tissue map.)
+# ===========================================================================
+
+
+def kg_gaf_bed_scan(spark, sf_dir):
+    import biocypher_metta_spark.adapters.annotations as ann
+
+    ids = _ids(spark, sf_dir)
+    gaf_line = F.expr(
+        "CASE WHEN i % 10 = 0 THEN '!gaf-version: 2.2' ELSE "
+        "concat('UniProtKB\tOBJ', i, '\tSYM', i, '\t', "
+        "CASE WHEN i % 4 = 0 THEN 'enables|part_of' ELSE 'enables' END, "
+        "'\tGO:', i % 97, '\tPMID:', i, '|GO_REF:0000120\tIEA') END")
+    typed_gaf, _ = ann.gaf_edges(
+        ids.select(F.col("i").alias("offset"), gaf_line.alias("value")),
+        REGISTRY)
+    gaf = typed_gaf.select(
+        F.lit("gaf").alias("part"), F.col("src").alias("k1"),
+        F.col("tgt").alias("k2"),
+        F.concat_ws("|", "qualifier").alias("v1"),
+        F.col("evidence").alias("v2"))
+
+    bed_line = F.expr(
+        "concat('chr', 1 + i % 3, '\t', i * 10, '\t', i * 10 + 50 + i % 7, "
+        "'\tURS', i, '_9606\t0\t+\t\t\t\t\t\t\t\t', "
+        "element_at(array('lncRNA', 'rRNA', 'tRNA'), cast(i % 3 as int) + 1))")
+    typed_rna, _ = ann.rna_central_nodes(
+        ids.select(F.col("i").alias("offset"), bed_line.alias("value")))
+    bed = typed_rna.select(
+        F.lit("bed").alias("part"), F.col("id").alias("k1"),
+        F.col("chr").alias("k2"), F.col("start").cast("string").alias("v1"),
+        F.col("rna_type").alias("v2"))
+
+    rfam_line = F.expr(
+        "concat('URS', i, '_', CASE WHEN i % 3 = 1 THEN '10090' ELSE '9606' "
+        "END, '\tGO:000', i % 5, '\tRF000', i % 9)")
+    typed_rfam, _ = ann.rna_central_go_edges(
+        ids.select(F.col("i").alias("offset"), rfam_line.alias("value")),
+        REGISTRY)
+    rfam = typed_rfam.select(
+        F.lit("rfam").alias("part"), F.col("src").alias("k1"),
+        F.col("tgt").alias("k2"), F.lit("").alias("v1"), F.lit("").alias("v2"))
+    return gaf.unionByName(bed).unionByName(rfam)
+
+
+KG_GAF_BED_SQL = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+gaf AS (
+  SELECT 'gaf' AS part, 'GO:' || (i % 97) AS k1, 'OBJ' || i AS k2,
+         CASE WHEN i % 4 = 0 THEN 'enables|part_of' ELSE 'enables' END AS v1,
+         'IEA' AS v2
+  FROM ids WHERE i % 10 != 0
+), bed AS (
+  SELECT 'bed', 'URS' || i, 'chr' || (1 + i % 3),
+         CAST(i * 10 + 1 AS VARCHAR),
+         ['lncRNA', 'rRNA', 'tRNA'][CAST(i % 3 AS INT) + 1]
+  FROM ids
+), rfam AS (
+  SELECT 'rfam', 'URS' || i, 'GO:000' || (i % 5), '', ''
+  FROM ids WHERE i % 3 != 1
+)
+SELECT * FROM gaf UNION ALL SELECT * FROM bed UNION ALL SELECT * FROM rfam
+"""
+
+
+def kg_join_chains(spark, sf_dir):
+    from biocypher_metta_spark.adapters import forgedb, interactions, pathways
+
+    ids = _ids(spark, sf_dir)
+
+    ppi_line = F.expr(
+        "CASE WHEN i = 0 THEN 'protein1 protein2 combined_score' ELSE "
+        "concat('9606.ENSP', i % 80, ' 9606.ENSP', (i * 7) % 80, ' ', "
+        "i % 1000) END")
+    e2u = (spark.range(80).filter("id % 4 != 3")
+           .select(F.concat(F.lit("ENSP"), F.col("id").cast("string")).alias("key"),
+                   F.concat(F.lit("P"), F.col("id").cast("string")).alias("value")))
+    typed_ppi, _ = interactions.string_ppi_edges(
+        ids.select(F.col("i").alias("offset"), ppi_line.alias("value")),
+        e2u, REGISTRY)
+    ppi = typed_ppi.select(
+        F.lit("ppi").alias("part"), F.col("src").alias("k1"),
+        F.col("tgt").alias("k2"),
+        F.floor(F.col("score") * 1000 + 0.5).cast("string").alias("v1"),
+        F.lit("").alias("v2"))
+
+    ld_line = F.expr(
+        "CASE WHEN i = 0 THEN 'SNP1,SNP2,U1,U2,R2,Dprime,Sign' ELSE "
+        "concat(1000 + i % 500, ',', 1000 + (i * 3) % 500, ',x,y,0.', "
+        "lpad(cast(i % 100 as string), 2, '0'), ',0.', i % 10, ',', "
+        "CASE WHEN i % 2 = 0 THEN '+' ELSE '-' END) END")
+    pos_rsid = (spark.range(500).filter("id % 6 != 5")
+                .select(F.concat(F.lit("chr21_"), (F.col("id") + 1000).cast("string")).alias("key"),
+                        F.concat(F.lit("rs"), F.col("id").cast("string")).alias("value")))
+    typed_ld, _ = forgedb.topld_edges(
+        ids.select(F.col("i").alias("offset"), ld_line.alias("value")),
+        pos_rsid, "chr21", "EUR", REGISTRY)
+    ld = typed_ld.select(
+        F.lit("ld").alias("part"), F.col("src").alias("k1"),
+        F.col("tgt").alias("k2"),
+        (F.signum("r2").cast("long")
+         * F.floor(F.abs(F.col("r2")) * 100 + 0.5).cast("long"))
+        .cast("string").alias("v1"),
+        F.col("ancestry").alias("v2"))
+
+    path_line = F.expr(
+        "concat('R-HSA-', i, '\tPathway ', i, '\t', "
+        "CASE WHEN i % 7 = 3 THEN 'Mus musculus' ELSE 'Homo sapiens' END)")
+    pm_line = F.expr("concat('R-HSA-', i, '\t', i)")
+    typed_path, _ = pathways.pathway_nodes(
+        ids.select(F.col("i").alias("offset"), path_line.alias("value")),
+        ids.filter("i % 5 = 0").select(F.col("i").alias("offset"),
+                                       pm_line.alias("value")))
+    path = typed_path.select(
+        F.lit("path").alias("part"), F.col("id").alias("k1"),
+        F.col("pathway_name").alias("k2"),
+        F.coalesce(F.col("pubmed_id"), F.lit("none")).alias("v1"),
+        F.lit("").alias("v2"))
+    return ppi.unionByName(ld).unionByName(path)
+
+
+KG_JOIN_CHAINS_SQL = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+ppi AS (
+  SELECT 'ppi' AS part, 'P' || (i % 80) AS k1, 'P' || ((i * 7) % 80) AS k2,
+         CAST(i % 1000 AS VARCHAR) AS v1, '' AS v2
+  FROM ids
+  WHERE i != 0 AND (i % 80) % 4 != 3 AND ((i * 7) % 80) % 4 != 3
+), ld AS (
+  SELECT 'ld', 'rs' || (i % 500), 'rs' || ((i * 3) % 500),
+         CAST(CASE WHEN i % 2 = 0 THEN i % 100 ELSE -(i % 100) END
+              AS VARCHAR),
+         'EUR'
+  FROM ids
+  WHERE i != 0 AND (i % 500) % 6 != 5 AND ((i * 3) % 500) % 6 != 5
+    AND i % 100 >= 50
+), path AS (
+  SELECT 'path', 'R-HSA-' || i, 'Pathway ' || i,
+         CASE WHEN i % 5 = 0 THEN 'R-HSA-' || i ELSE 'none' END, ''
+  FROM ids WHERE i % 7 != 3
+)
+SELECT * FROM ppi UNION ALL SELECT * FROM ld UNION ALL SELECT * FROM path
+"""
+
+
+def kg_motif_munge(spark, sf_dir):
+    import biocypher_metta_spark.adapters.annotations as ann
+    from biocypher_metta_spark.adapters import gencode as gc
+    from biocypher_metta_spark.adapters import ontology as ont
+
+    ids = _ids(spark, sf_dir)
+
+    pwm = ids.select(
+        F.expr("concat('M', i % 20)").alias("model"),
+        (F.col("i") / 20).cast("long").alias("row_order"),
+        F.expr(
+            "CASE WHEN i % 41 = 0 THEN concat('>M', i % 20, ' header') ELSE "
+            "concat((i % 8) / 8.0, '\t', (i % 5) / 8.0, '\t', "
+            "(i % 3) / 8.0, '\t', (i % 7) / 8.0) END").alias("value"))
+    model_tf = (spark.range(20).filter("id % 5 != 4")
+                .select(F.concat(F.lit("M"), F.col("id").cast("string")).alias("key"),
+                        F.concat(F.lit("TF"), F.col("id").cast("string")).alias("value")))
+    hgnc = (spark.range(20).filter("id % 3 != 2")
+            .select(F.concat(F.lit("TF"), F.col("id").cast("string")).alias("key"),
+                    F.concat(F.lit("ENSG"), F.col("id").cast("string")).alias("value")))
+    typed_motif, _ = ann.hocomoco_motif_nodes(pwm, model_tf, hgnc)
+    motif = typed_motif.select(
+        F.lit("motif").alias("part"), F.col("id").alias("k1"),
+        F.col("tf_name").alias("k2"), F.col("length").cast("string").alias("v1"),
+        F.floor(F.aggregate("pwm_A", F.lit(0.0), lambda a, b: a + b) * 1000)
+        .cast("string").alias("v2"))
+
+    s = F.col("i").cast("string")
+    gi = ids.select(
+        F.lit("9606").alias("tax_id"), s.alias("gene_id"),
+        F.concat(F.lit("SYM"), s).alias("symbol"),
+        F.expr("concat('DUP', i % 50, '|DUP', i % 50, '|ALT', i, '|-')")
+        .alias("synonyms"),
+        F.concat(F.lit("Ensembl:ENSG"), s).alias("dbxrefs"),
+        F.lit("-").alias("other_designations"),
+        F.lit("-").alias("symbol_from_nomenclature_authority"),
+        F.lit("-").alias("full_name_from_nomenclature_authority"))
+    dim = gc.gene_alias_dim(gi)
+    syn = dim.select(
+        F.lit("syn").alias("part"), F.col("alias_key").alias("k1"),
+        F.concat_ws(";", "synonyms").alias("k2"),
+        F.lit("").alias("v1"), F.lit("").alias("v2"))
+
+    obo = "http://purl.obolibrary.org/obo/"
+    sub = ids.select(
+        F.concat(F.lit(obo + "GO_"), s).alias("subject"),
+        F.lit(ont.SUBCLASS).alias("predicate"),
+        F.expr(f"concat('{obo}GO_', i % 50)").alias("object"),
+        F.lit(False).alias("subj_blank"), F.lit(False).alias("obj_blank"))
+    xref = ids.filter("i % 3 = 0").select(
+        F.concat(F.lit(obo + "GO_"), s).alias("subject"),
+        F.lit(ont.DB_XREF).alias("predicate"),
+        F.concat(F.lit("XREF:"), s).alias("object"),
+        F.lit(False).alias("subj_blank"), F.lit(False).alias("obj_blank"))
+    typed_ont, _ = ont.ontology_edges(sub.unionByName(xref), "ontology_subclass_of",
+                                      REGISTRY)
+    oe = typed_ont.select(
+        F.lit("ont").alias("part"), F.col("src").alias("k1"),
+        F.col("tgt").alias("k2"), F.col("rel_type").alias("v1"),
+        F.lit("").alias("v2"))
+    return motif.unionByName(syn).unionByName(oe)
+
+
+KG_MOTIF_MUNGE_SQL = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+rows_ AS (SELECT i, i % 20 AS k FROM ids WHERE i % 41 != 0),
+motif AS (
+  SELECT 'motif' AS part, 'ENSG' || k AS k1, 'TF' || k AS k2,
+         CAST(count(*) AS VARCHAR) AS v1,
+         CAST(CAST(floor(sum((i % 8) / 8.0) * 1000) AS BIGINT) AS VARCHAR)
+           AS v2
+  FROM rows_ WHERE k % 5 != 4 AND k % 3 != 2
+  GROUP BY k
+), syn AS (
+  SELECT 'syn', 'ENSG' || i,
+         array_to_string(list_sort(list_distinct(
+           ['SYM' || i, 'DUP' || (i % 50), 'ALT' || i])), ';'),
+         '', ''
+  FROM ids
+), ont AS (
+  SELECT 'ont', 'GO:' || i, 'GO:' || (i % 50), 'subclass', ''
+  FROM ids
+)
+SELECT * FROM motif UNION ALL SELECT * FROM syn UNION ALL SELECT * FROM ont
+"""
+
+QUERIES.update({
+    "kg_gaf_bed_scan": (kg_gaf_bed_scan, KG_GAF_BED_SQL),
+    "kg_join_chains": (kg_join_chains, KG_JOIN_CHAINS_SQL),
+    "kg_motif_munge": (kg_motif_munge, KG_MOTIF_MUNGE_SQL),
+})

@@ -18,8 +18,8 @@ AUX = Path("/root/reference/aux_files")
 def spark():
     from biocypher_metta_spark.session import get_spark
 
-    s = get_spark("bcm-spark-tests", master="local[4]",
-                  extra_confs={"spark.sql.shuffle.partitions": "4"})
+    s = get_spark("bcm-spark-tests", master="local[8]",
+                  extra_confs={"spark.sql.shuffle.partitions": "8"})
     yield s
 
 

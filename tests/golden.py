@@ -26,8 +26,13 @@ UNORDERED_LIST_PROPS = {"synonyms"}
 _LIST_ATOM = re.compile(r"^\((\w+) (\(.*?\)) \((.*)\)\)$")
 
 
+_UNORDERED_PREFIXES = tuple(f"({p} " for p in UNORDERED_LIST_PROPS)
+
+
 def canonicalize(atom: str) -> str:
     """Sort elements of unordered list-valued property atoms."""
+    if not atom.startswith(_UNORDERED_PREFIXES):
+        return atom
     m = _LIST_ATOM.match(atom)
     if m and m.group(1) in UNORDERED_LIST_PROPS:
         items = " ".join(sorted(m.group(3).split(" ")))
@@ -64,7 +69,10 @@ def golden_edge_atoms(edges_iter) -> set[str]:
 
 
 def spark_atoms(atoms_df) -> set[str]:
-    return {canonicalize(r.atom) for r in atoms_df.collect()}
+    """Arrow-batched fetch: Row-object collect() dominated the large
+    parity tests (705k atoms for peregrine nodes); toPandas with Arrow
+    moves the same strings in columnar batches."""
+    return {canonicalize(a) for a in atoms_df.toPandas()["atom"]}
 
 
 def precision_recall(ours: set[str], golden: set[str]) -> tuple[float, float]:

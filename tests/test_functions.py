@@ -88,10 +88,14 @@ def test_image_decode_plumbing(spark):
     assert {r.media_ref: list(r.embedding) for r in rows} == again
 
 
-def test_image_decode_stub_raises(spark):
+def test_image_decode_real_kernel_nulls_non_png(spark):
+    # the synth media payloads are not PNGs: the real kernel (stdlib PNG
+    # codec since round 3) raises ValueError per row, which decode_images
+    # nulls out instead of failing the stage
     media = mm.synth_media_table(spark, 3).filter("kind = 'image'")
-    with pytest.raises(Exception):
-        mm.decode_images(media).collect()  # real decoder not available here
+    rows = mm.decode_images(media).collect()
+    assert len(rows) > 0
+    assert all(r.width is None and r.embedding is None for r in rows)
 
 
 def test_resize_and_frames(spark):
@@ -142,20 +146,47 @@ def gtf_attr_strings(draw):
     return " ".join(parts)
 
 
-@example(attrs='gene_id "ENSG1.2"; gene_type "lncRNA"; gene_name "DDX11L2";')
-@given(attrs=gtf_attr_strings())
-@settings(max_examples=40, deadline=None)
-def test_gtf_attr_parse_fuzz(spark, attrs):
+def _random_attr_string(rng) -> str:
+    """Random GTF-ish attribute tail: shuffled keys, quoted/unquoted
+    values, optional omissions — the same space the old hypothesis
+    strategy drew from, seeded so the 300-case batch is deterministic
+    and runs as ONE Spark job (the per-example @given form cost a
+    job per case, 40x the wall time for less coverage)."""
+    keys = ["gene_id", "gene_type", "gene_name", "level", "tag"]
+    rng.shuffle(keys)
+    parts = []
+    alphabet = "ABCdef123_.-"
+    for k in keys:
+        if rng.random() < 0.4:
+            continue
+        v = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        parts.append(f'{k} "{v}";' if rng.random() < 0.5 else f"{k} {v};")
+    return " ".join(parts)
+
+
+def test_gtf_attr_parse_fuzz(spark):
     """Column parser == reference parse_info_metadata on arbitrary
-    attribute tails (token-after-key, '\";' stripped)."""
+    attribute tails (token-after-key, '\";' stripped); 300 seeded
+    random cases + the regression example, one Spark job."""
+    import random
+
     from biocypher_metta_spark.sources.gtf import attr
+
+    rng = random.Random(42)
+    cases = ['gene_id "ENSG1.2"; gene_type "lncRNA"; gene_name "DDX11L2";']
+    cases += [_random_attr_string(rng) for _ in range(300)]
+    lines = [f"chr1\tHAVANA\tgene\t100\t200\t.\t+\t.\t{a}" for a in cases]
 
     ref_mod = load_ref("biocypher_metta.adapters.gencode_gene_adapter")
     ref_ad = ref_mod.GencodeGeneAdapter.__new__(ref_mod.GencodeGeneAdapter)
-    line = f"chr1\tHAVANA\tgene\t100\t200\t.\t+\t.\t{attrs}"
-    expected = ref_ad.parse_info_metadata(line.strip().split()[8:])
-    df = spark.createDataFrame([(line,)], "value string")
     keys = ["gene_id", "gene_type", "gene_name"]
-    row = df.select(*[attr(F.col("value"), k).alias(k) for k in keys]).head()
-    for k in keys:
-        assert row[k] == expected.get(k), (k, attrs)
+    expected = [ref_ad.parse_info_metadata(l.strip().split()[8:]) for l in lines]
+
+    df = spark.createDataFrame([(i, l) for i, l in enumerate(lines)],
+                               "i long, value string")
+    rows = {r.i: r for r in
+            df.select("i", *[attr(F.col("value"), k).alias(k) for k in keys])
+            .collect()}
+    for i, (case, exp) in enumerate(zip(cases, expected)):
+        for k in keys:
+            assert rows[i][k] == exp.get(k), (k, case)
