@@ -1788,8 +1788,10 @@ def _duck_tri_scores() -> str:
 
 
 def doc_lang_trigram(spark, sf_dir):
-    """Per-doc trigram language prediction + weighted best score."""
-    d = _t(spark, sf_dir, "documents")
+    """Per-doc trigram language prediction + weighted best score.
+    _docs_par: the single-file test corpus is one scan partition, which
+    serializes the per-char scoring onto one core (measured 16s -> ~1s)."""
+    d = _docs_par(spark, sf_dir)
     return text_ops.lang_id_trigram(d).select(
         "doc_id", "best_score", "lang_pred")
 

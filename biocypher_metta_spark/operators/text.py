@@ -268,6 +268,15 @@ def lang_id_trigram(df: DataFrame, text_col: str = "text",
             s = s + p
         return s
 
+    # Plan-shape note (measured, 5k-doc corpus, local[32]): the argmax
+    # below references each score expression several times (greatest +
+    # one tie-break branch per language), but whole-stage codegen's
+    # subexpression elimination keeps them single-eval — this raw form
+    # measures 0.80s vs 0.97s for an explicit score-array Generate
+    # barrier, so no barrier here (unlike dedup._compute_once, where the
+    # reuse crosses PROJECTION boundaries that CSE doesn't span). A slow
+    # caller symptom is almost always a one-partition scan upstream —
+    # repartition the corpus, not the expression.
     scores = [(lang, _score(prof)) for lang, prof in LANG_TRIGRAMS.items()]
     best = F.greatest(*[s for _, s in scores])
     lang = F.when(best == 0, F.lit("unk"))

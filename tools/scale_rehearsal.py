@@ -46,8 +46,8 @@ def synth_text_corpus(spark, n: int):
     cyclic token sequence — 50%+ of random doc pairs shared 5-gram runs
     and the near-dup stages blew up quadratically on structure a real
     corpus doesn't have."""
-    base = F.when(F.col("id") % 97 == 0, (F.col("id") / 97).cast("long") * 97) \
-        .otherwise(F.col("id"))
+    base = F.when((F.col("id") % 97 == 0) & (F.col("id") > 0),
+                  F.col("id") - 1).otherwise(F.col("id"))
     toks = F.transform(
         F.sequence(F.lit(0), F.lit(49)),
         lambda j: F.concat(
