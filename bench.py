@@ -108,7 +108,9 @@ def main() -> None:
              "kg_pattern_match", "kg_connected_components",
              "kg_alias_dimension", "kg_peregrine_edges",
              "emb_near_dup", "doc_corpus_clean", "doc_lang_trigram",
-             "kg_liftover", "multimodal_png_decode", "kg_join_chains"]
+             "kg_liftover", "multimodal_png_decode", "kg_join_chains",
+             "doc_line_dedup", "doc_tfidf_topk", "doc_dup_clusters",
+             "multimodal_wav_decode"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):

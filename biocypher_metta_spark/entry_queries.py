@@ -2070,3 +2070,282 @@ QUERIES.update({
     "kg_join_chains": (kg_join_chains, KG_JOIN_CHAINS_SQL),
     "kg_motif_munge": (kg_motif_munge, KG_MOTIF_MUNGE_SQL),
 })
+
+# ===========================================================================
+# round-3b training-data operators: cross-corpus line dedup (the C4
+# recipe), tf-idf keyword extraction, Gopher-style repetition filters,
+# deterministic train/val/test hash split, LSH near-dup clustering
+# (recursive-CTE oracle), and REAL stdlib WAV audio decode.
+# ===========================================================================
+
+
+def doc_line_dedup(spark, sf_dir):
+    """C4-style line dedup: the corpus is re-lined deterministically
+    (one shared-ish boilerplate header per source + 6-token content
+    windows), then every line keeps only its first (doc_id, line_no)
+    occurrence and docs are reassembled from survivors."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    header = F.concat(F.lit("header boilerplate from "), F.col("source"))
+    windows = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / 6).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 6 + 1, 6)))
+    lined = d.select(
+        F.col("doc_id"),
+        F.array_join(F.concat(F.array(header), windows), "\n").alias("text"))
+    return dedup_ops.line_dedup(lined)
+
+
+DOC_LINE_DEDUP_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks, source
+  FROM documents
+), built AS (
+  SELECT doc_id,
+         list_prepend('header boilerplate from ' || source,
+           list_transform(
+             range(0, CAST(floor((len(toks) - 1) / 6.0) AS BIGINT) + 1),
+             i -> array_to_string(toks[i*6+1:i*6+6], ' '))) AS lns
+  FROM t
+), flt AS (
+  SELECT doc_id, list_filter(lns, x -> len(trim(x)) > 0) AS lns FROM built
+), lines AS (
+  SELECT doc_id, len(lns) AS n_lines,
+         unnest(list_transform(range(1, len(lns) + 1),
+                i -> {'line_no': i - 1, 'line': lns[i]})) AS u
+  FROM flt
+), ranked AS (
+  SELECT doc_id, n_lines, u.line_no AS line_no, u.line AS line,
+         row_number() OVER (PARTITION BY md5(u.line)
+                            ORDER BY doc_id, u.line_no) AS rn
+  FROM lines
+)
+SELECT doc_id, n_lines, count(*) AS n_kept,
+       string_agg(line, chr(10) ORDER BY line_no) AS text
+FROM ranked WHERE rn = 1
+GROUP BY doc_id, n_lines
+"""
+
+
+def doc_tfidf_topk(spark, sf_dir):
+    """Top-3 tf-idf keywords per doc (integer-portable idf)."""
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.tfidf_topk(d, k=3)
+
+
+DOC_TFIDF_TOPK_SQL = r"""
+WITH tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+'))
+          AS token FROM documents)
+  WHERE len(token) > 0
+  GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, count(*) AS doc_freq FROM tf GROUP BY token
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.doc_freq,
+         CAST(tf.tf * floor(1000000 / dfreq.doc_freq) AS BIGINT) AS score
+  FROM tf JOIN dfreq USING (token)
+)
+SELECT doc_id, token, tf, doc_freq, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, token) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
+
+def doc_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (dup n-gram + top-token permille)."""
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.repetition_stats(d)
+
+
+DOC_REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+    CAST(floor((g2.total - g2.uniq) * 1000.0 / greatest(g2.total, 1))
+         AS BIGINT) AS dup2_permille,
+    CAST(floor((g3.total - g3.uniq) * 1000.0 / greatest(g3.total, 1))
+         AS BIGINT) AS dup3_permille
+  FROM t,
+  LATERAL (SELECT len(sh) AS total, len(list_distinct(sh)) AS uniq FROM (
+     SELECT list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+            i -> array_to_string(toks[i:i+1], ' ')) AS sh) ) g2,
+  LATERAL (SELECT len(sh) AS total, len(list_distinct(sh)) AS uniq FROM (
+     SELECT list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+            i -> array_to_string(toks[i:i+2], ' ')) AS sh) ) g3
+), tf AS (
+  SELECT doc_id, token, count(*) AS c
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+'))
+          AS token FROM documents)
+  GROUP BY doc_id, token
+), top AS (
+  SELECT doc_id, max(c) AS top_tf FROM tf GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.dup2_permille, b.dup3_permille,
+       CAST(floor(top.top_tf * 1000.0 / greatest(b.n_tokens, 1)) AS BIGINT)
+         AS top_tok_permille
+FROM base b JOIN top USING (doc_id)
+"""
+
+
+def doc_split(spark, sf_dir):
+    """Deterministic salted train/val/test hash split (90/5/5)."""
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.hash_split(d)
+
+
+DOC_SPLIT_SQL = r"""
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT % 1000 AS split_bucket
+  FROM documents
+)
+SELECT doc_id, split_bucket,
+       CASE WHEN split_bucket < 900 THEN 'train'
+            WHEN split_bucket < 950 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def doc_dup_clusters(spark, sf_dir):
+    """Near-dup clustering: MinHash -> LSH candidate pairs -> connected
+    components -> per-cluster size + max member. The DuckDB twin closes
+    the same pair set transitively with a recursive CTE, so the whole
+    chain (signatures, banding, label propagation, canonical min-id
+    cluster key) is value-checked end-to-end."""
+    from biocypher_metta_spark.canonicalize import connected_components
+
+    d = _docs_par(spark, sf_dir)
+    sigs = dedup_ops.minhash_signatures(d, num_perm=4)
+    pairs = dedup_ops.lsh_candidate_pairs(sigs, bands=2, rows_per_band=2)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return (cc.groupBy(F.col("component").alias("cluster_id"))
+            .agg(F.count("*").alias("cluster_size"),
+                 F.max("id").alias("max_member")))
+
+
+DOC_DUP_CLUSTERS_SQL = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), hs AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                          i -> array_to_string(toks[i:i+4], ' ')),
+           s -> CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT)) AS hv
+  FROM t
+), sig AS (
+  SELECT doc_id,
+    CAST(list_min(list_transform(hv, h -> (h * 32749 + 12345) % 2305843009213693951)) AS VARCHAR) AS mh_0,
+    CAST(list_min(list_transform(hv, h -> (h * 28657 + 54321) % 2305843009213693951)) AS VARCHAR) AS mh_1,
+    CAST(list_min(list_transform(hv, h -> (h * 24593 + 98765) % 2305843009213693951)) AS VARCHAR) AS mh_2,
+    CAST(list_min(list_transform(hv, h -> (h * 17977 + 13579) % 2305843009213693951)) AS VARCHAR) AS mh_3
+  FROM hs
+), banded AS (
+  SELECT doc_id, 0 AS band, md5(mh_0 || '_' || mh_1) AS bh FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh_2 || '_' || mh_3) AS bh FROM sig
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, re.r FROM edges e JOIN reach re ON re.id = e.b
+), comp AS (
+  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT cluster_id, count(*) AS cluster_size, max(id) AS max_member
+FROM comp GROUP BY cluster_id
+"""
+
+
+# REAL audio decode gate: deterministic formula samples are WAV-ENCODED
+# driver-side — four variants covering 8/16-bit x mono/stereo — then
+# decoded back on executors by the stdlib RIFF kernel (operators/wav.py)
+# through the audio_stats mapInPandas operator. The DuckDB twin never
+# sees WAV bytes: it recomputes every stat from the sample FORMULA, so
+# hash equality proves the encode->RIFF->decode loop reproduces the
+# exact PCM samples for every width/channel combination.
+
+from biocypher_metta_spark.operators.wav import wav_encode as _wav_encode
+
+
+def _wav_variant_samples(v: int) -> list[int]:
+    ch = 1 + (v % 2)
+    m = (40 + 8 * v) * ch
+    if v < 2:
+        return [((i * 37 + v * 101) % 256) - 128 for i in range(m)]
+    return [((i * 523 + v * 40503) % 65536) - 32768 for i in range(m)]
+
+
+_WAV_VARIANTS = [
+    _wav_encode(_wav_variant_samples(v), sample_rate=8000 + 100 * v,
+                n_channels=1 + (v % 2), bits=8 if v < 2 else 16)
+    for v in range(4)
+]
+
+
+def multimodal_wav_decode(spark, sf_dir):
+    """Stdlib WAV codec through the audio_stats mapInPandas operator;
+    one encoded variant per (bit width x channel count), cycled over the
+    doc ids."""
+    from biocypher_metta_spark.operators import multimodal as mm
+
+    ids = _ids(spark, sf_dir)
+    variants = F.array(*[F.lit(bytearray(b)) for b in _WAV_VARIANTS])
+    media = ids.select(
+        F.concat(F.lit("wav://"), F.col("i").cast("string")).alias("media_ref"),
+        F.lit("audio").alias("kind"),
+        F.element_at(variants, (F.col("i") % 4 + 1).cast("int")).alias("content"),
+    )
+    return mm.audio_stats(media)
+
+
+MULTIMODAL_WAV_SQL = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+expected AS (
+  SELECT v, 1 + (v % 2) AS n_channels, 8000 + 100 * v AS sample_rate,
+         CASE WHEN v < 2 THEN 8 ELSE 16 END AS bits,
+         (40 + 8 * v) * (1 + (v % 2)) AS m
+  FROM (SELECT unnest(range(0, 4)) AS v)
+), samples AS (
+  SELECT v, n_channels, sample_rate, bits, m,
+         list_transform(range(0, m), i ->
+           CASE WHEN bits = 8 THEN ((i * 37 + v * 101) % 256) - 128
+                ELSE ((i * 523 + v * 40503) % 65536) - 32768 END) AS s
+  FROM expected
+), stats AS (
+  SELECT v, n_channels, sample_rate, bits, m,
+         CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak_abs,
+         CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS sum_sq
+  FROM samples
+)
+SELECT 'wav://' || i AS media_ref,
+       CAST(e.n_channels AS INTEGER) AS n_channels,
+       CAST(e.sample_rate AS INTEGER) AS sample_rate,
+       CAST(e.bits AS INTEGER) AS bits,
+       CAST(e.m AS BIGINT) AS n_samples,
+       e.peak_abs, e.sum_sq
+FROM ids JOIN stats e ON e.v = i % 4
+"""
+
+QUERIES.update({
+    "doc_line_dedup": (doc_line_dedup, DOC_LINE_DEDUP_SQL),
+    "doc_tfidf_topk": (doc_tfidf_topk, DOC_TFIDF_TOPK_SQL),
+    "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
+    "doc_split": (doc_split, DOC_SPLIT_SQL),
+    "doc_dup_clusters": (doc_dup_clusters, DOC_DUP_CLUSTERS_SQL),
+    "multimodal_wav_decode": (multimodal_wav_decode, MULTIMODAL_WAV_SQL),
+})

@@ -56,6 +56,45 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     )
 
 
+def line_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
+    """Cross-corpus line-level dedup (the C4 recipe): every line keeps
+    only its FIRST occurrence ordered by (doc_id, line_no); docs are
+    reassembled from their surviving lines, and docs whose every line was
+    seen earlier drop out entirely.
+
+    Returns (doc_id, n_lines, n_kept, text) where n_lines counts the
+    doc's original non-blank lines and text is the surviving lines
+    re-joined by `sep` in original order.
+
+    Scale shape: first-occurrence is a groupBy-min on md5(line) — NOT a
+    window. Boilerplate lines ("all rights reserved") are mega-hot keys
+    at corpus scale; a row_number window puts an entire hot key on one
+    reducer with no combiner, while min(struct) gets map-side partial
+    aggregation for free. The join back (exploded lines x one row per
+    distinct line) is skewed on the same hot keys on the probe side —
+    AQE skew-join splits those partitions; the reassembly groupBy keys on
+    doc_id, which is uniform."""
+    parts = F.split(F.col(text_col), sep)
+    nonblank = F.filter(parts, lambda x: F.length(F.trim(x)) > 0)
+    lines = df.select(
+        F.col(id_col), F.size(nonblank).alias("n_lines"),
+        F.posexplode(nonblank).alias("line_no", "line"),
+    ).withColumn("lh", F.md5(F.col("line")))
+    firsts = lines.groupBy("lh").agg(
+        F.min(F.struct(F.col(id_col).alias("d"),
+                       F.col("line_no").alias("p"))).alias("first"))
+    kept = (lines.join(firsts, "lh")
+            .filter((F.col(id_col) == F.col("first.d"))
+                    & (F.col("line_no") == F.col("first.p"))))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+        lambda s: s["line"])
+    return (kept.groupBy(id_col, "n_lines")
+            .agg(F.count("*").alias("n_kept"),
+                 F.array_join(ordered, sep).alias("text")))
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_perm: int = 8,
                        shingle_n: int = 5) -> DataFrame:
@@ -101,6 +140,12 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     hash strings in the shuffle."""
     if persist:
         sigs = sigs.localCheckpoint(eager=False)
+    # docs shorter than the shingle width have NULL signatures (array_min
+    # of an empty shingle set) — they cannot be near-dup candidates, and
+    # keeping them would bucket-join them together: Spark's array
+    # equality compares [null, null] = [null, null] as TRUE (ordering
+    # semantics), unlike SQL NULL join keys.
+    sigs = sigs.filter(F.col("mh_0").isNotNull())
     band_cols = []
     for b in range(bands):
         vals = F.array(*[F.col(f"mh_{b * rows_per_band + r}")

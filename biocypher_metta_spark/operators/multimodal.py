@@ -154,6 +154,50 @@ def image_stats(media: DataFrame, decode: Callable | None = None) -> DataFrame:
             .mapInPandas(batches, IMAGE_STATS_SCHEMA))
 
 
+AUDIO_STATS_SCHEMA = StructType([
+    StructField("media_ref", StringType()),
+    StructField("n_channels", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("bits", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("peak_abs", LongType()),
+    StructField("sum_sq", LongType()),
+])
+
+
+def audio_stats(media: DataFrame, decode: Callable | None = None) -> DataFrame:
+    """Audio decode statistics via the REAL stdlib WAV kernel
+    (operators/wav.py): header fields plus the exact integer peak
+    amplitude and sum of squared samples over the decoded PCM stream —
+    both value-checkable by an oracle that knows the source samples
+    (entry_queries.multimodal_wav_decode derives them from the sample
+    formula, proving the encode->RIFF->decode loop is lossless).
+    Undecodable rows null out per the modality error contract."""
+    from biocypher_metta_spark.operators.wav import wav_decode
+
+    dec = decode or wav_decode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                try:
+                    ch, rate, bits, samples = dec(
+                        bytes(content) if content is not None else b"")
+                    peak = max((abs(s) for s in samples), default=0)
+                    ssq = sum(s * s for s in samples)
+                    rows.append((ref, ch, rate, bits, len(samples), peak, ssq))
+                except ValueError:
+                    rows.append((ref, None, None, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_ref", "n_channels", "sample_rate", "bits",
+                "n_samples", "peak_abs", "sum_sq"])
+
+    return (media.filter(F.col("kind") == "audio")
+            .select("media_ref", "content")
+            .mapInPandas(batches, AUDIO_STATS_SCHEMA))
+
+
 def resize_images(media: DataFrame, width: int, height: int,
                   resizer: Callable | None = None) -> DataFrame:
     """Resize kernel plumbing: binary in -> binary out. Default stub is a

@@ -287,6 +287,94 @@ def lang_id_trigram(df: DataFrame, text_col: str = "text",
                          lang.alias("lang_pred"))
 
 
+def tfidf_topk(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", k: int = 5,
+               idf_scale: int = 1_000_000) -> DataFrame:
+    """Per-doc top-k keyword extraction by tf*idf.
+
+    idf is the engine-portable integer floor(idf_scale / doc_freq) —
+    monotone in 1/df, so the ranking is the classic one without needing
+    the corpus row count or a float log. Returns one row per kept
+    (doc_id, token): (doc_id, token, tf, doc_freq, score, rank), rank
+    deterministic via (score DESC, token ASC).
+
+    Scale shape: tf is a groupBy on (doc_id, token) — uniform composite
+    keys, map-side combine. doc_freq is vocabulary-sized (one row per
+    distinct token); the tf-side join on token is skewed on stopwords but
+    the build side has exactly one row per key — AQE skew-split territory,
+    or broadcast doc_freq outright when the vocabulary fits. The top-k
+    window partitions on doc_id, which is uniform."""
+    from pyspark.sql.window import Window
+
+    tf = (df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+          .filter(F.length("token") > 0)
+          .groupBy(id_col, "token").agg(F.count("*").alias("tf")))
+    doc_freq = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    scored = tf.join(doc_freq, "token").select(
+        F.col(id_col), F.col("token"), F.col("tf"), F.col("doc_freq"),
+        (F.col("tf") * F.floor(F.lit(idf_scale) / F.col("doc_freq")))
+        .cast("long").alias("score"))
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("token"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition filters: per doc, the n-gram duplicate
+    fractions (share of 2-/3-gram occurrences that are repeats of an
+    earlier identical n-gram) and the top-token fraction (occurrences of
+    the single most frequent token over all tokens), as exact permille.
+
+    The n-gram fractions are pure expressions (map-only). The top-token
+    count is an explode + two groupBys keyed on (doc_id, token) then
+    doc_id — both uniform — because a per-row expression scanning
+    distinct x all tokens would be O(n_tokens^2) on 100k-token docs."""
+    t = F.col(text_col)
+    toks = tokens(t)
+
+    def dup_permille(n):
+        sh = shingles(t, n)
+        total = F.size(sh)
+        rep = total - F.size(F.array_distinct(sh))
+        return F.floor(rep * 1000.0 / F.greatest(total, F.lit(1))).cast("long")
+
+    base = df.select(
+        F.col(id_col), F.size(toks).alias("n_tokens"),
+        dup_permille(2).alias("dup2_permille"),
+        dup_permille(3).alias("dup3_permille"))
+    top = (df.select(F.col(id_col), F.explode(toks).alias("token"))
+           .groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+           .groupBy(id_col).agg(F.max("tf").alias("top_tf")))
+    return base.join(top, id_col).select(
+        id_col, "n_tokens", "dup2_permille", "dup3_permille",
+        F.floor(F.col("top_tf") * 1000.0 /
+                F.greatest(F.col("n_tokens"), F.lit(1)))
+        .cast("long").alias("top_tok_permille"))
+
+
+SPLIT_BUCKETS = (("train", 900), ("val", 950), ("test", 1000))
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id", salt: str = "split",
+               buckets=SPLIT_BUCKETS) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = portable 60-bit
+    md5 hash of salt:id mod 1000, split by cumulative thresholds
+    (default 90/5/5). Map-only, reshuffle-free, stable across runs and
+    engines — the property a training pipeline needs so that re-running
+    ingestion never migrates a document across the eval boundary.
+    Salting the hash keys the assignment to the experiment, not the raw
+    id (two experiments can draw independent splits)."""
+    b = portable_hash(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % 1000
+    expr = None
+    for name, hi in buckets:
+        expr = F.when(b < hi, F.lit(name)) if expr is None \
+            else expr.when(b < hi, F.lit(name))
+    return df.select(F.col(id_col), b.cast("long").alias("split_bucket"),
+                     expr.otherwise(F.lit(buckets[-1][0])).alias("split"))
+
+
 def shingles(text: Column, n: int = 5) -> Column:
     """Word n-gram shingles as strings (token windows joined by ' ').
     Texts with fewer than n tokens yield an EMPTY list — Spark's

@@ -1,0 +1,93 @@
+"""Pure-stdlib WAV (RIFF/WAVE) codec for the audio modality.
+
+Like operators/png.py for images, this closes the "audio decode is a
+stub" gap without any media library: canonical PCM WAV is a public spec
+(RIFF container, 'fmt ' + 'data' chunks) parseable with struct alone.
+Supported: PCM (format tag 1) at 8-bit unsigned and 16-bit signed
+little-endian, any channel count/sample rate, extra chunks (LIST, fact,
+...) skipped per the RIFF rules (chunks are word-aligned; odd-sized
+chunks carry a pad byte). Anything else raises ValueError, which the
+mapInPandas operators null out row-by-row.
+
+The encoder exists for fixtures and round-trip tests: encode -> decode
+must reproduce the exact sample values, which the oracle gate verifies
+from the sample FORMULA (entry_queries.multimodal_wav_decode).
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def wav_encode(samples: list[int], sample_rate: int = 8000,
+               n_channels: int = 1, bits: int = 16) -> bytes:
+    """Interleaved integer samples -> canonical PCM WAV bytes.
+
+    16-bit: signed values in [-32768, 32767]; 8-bit: signed values in
+    [-128, 127], stored unsigned (+128) per the WAV convention.
+    len(samples) must be a multiple of n_channels.
+    """
+    if bits not in (8, 16):
+        raise ValueError(f"bits={bits} unsupported (PCM 8/16 only)")
+    if n_channels < 1 or len(samples) % n_channels:
+        raise ValueError("samples not a whole number of frames")
+    bytes_per_sample = bits // 8
+    block_align = n_channels * bytes_per_sample
+    byte_rate = sample_rate * block_align
+    if bits == 8:
+        data = bytes((s + 128) & 0xFF for s in samples)
+    else:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate,
+                      block_align, bits)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    if len(data) % 2:
+        body += b"\x00"  # RIFF chunks are word-aligned
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(data: bytes) -> tuple[int, int, int, list[int]]:
+    """WAV bytes -> (n_channels, sample_rate, bits, interleaved samples).
+
+    Samples are signed ints regardless of storage width (8-bit unsigned
+    storage is re-centered to [-128, 127]), so downstream stats are
+    width-independent. Raises ValueError on anything that is not a
+    PCM 8/16-bit RIFF/WAVE stream.
+    """
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    riff_size = struct.unpack_from("<I", data, 4)[0]
+    end = min(8 + riff_size, len(data))
+    pos = 12
+    fmt = None
+    pcm = None
+    while pos + 8 <= end:
+        cid = data[pos:pos + 4]
+        csize = struct.unpack_from("<I", data, pos + 4)[0]
+        cstart = pos + 8
+        if cstart + csize > len(data):
+            raise ValueError(f"truncated chunk {cid!r}")
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("fmt chunk too short")
+            fmt = struct.unpack_from("<HHIIHH", data, cstart)
+        elif cid == b"data":
+            pcm = data[cstart:cstart + csize]
+        pos = cstart + csize + (csize & 1)  # odd chunks carry a pad byte
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt or data chunk")
+    tag, n_channels, sample_rate, _byte_rate, _block_align, bits = fmt
+    if tag != 1:
+        raise ValueError(f"format tag {tag} unsupported (PCM only)")
+    if bits == 8:
+        samples = [b - 128 for b in pcm]
+    elif bits == 16:
+        n = len(pcm) // 2
+        samples = list(struct.unpack_from(f"<{n}h", pcm))
+    else:
+        raise ValueError(f"bits={bits} unsupported (PCM 8/16 only)")
+    if n_channels < 1 or len(samples) % n_channels:
+        raise ValueError("data chunk not a whole number of frames")
+    return n_channels, sample_rate, bits, samples

@@ -140,24 +140,86 @@ def run_at(spark, n: int) -> dict:
     return out
 
 
+def synth_lined_corpus(spark, n: int):
+    """synth_text_corpus re-shaped into 5 lines x 10 tokens per doc (for
+    the line-dedup rehearsal); same xor-folded tokens, same planted
+    whole-doc duplicates every 97th doc (whose lines all dedup away)."""
+    base = F.when((F.col("id") % 97 == 0) & (F.col("id") > 0),
+                  F.col("id") - 1).otherwise(F.col("id"))
+    line = lambda r: F.concat_ws(" ", F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(9)),
+        lambda j: F.concat(
+            F.lit("w"),
+            ((base * 2654435761).bitwiseXOR(
+                (j.cast("long") + r * 10) * 40503 + 7)
+             % 999983).cast("string"))))
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws("\n", *[line(r) for r in range(5)]).alias("text"))
+
+
+def run_text2_at(spark, n: int) -> dict:
+    """Round-3b shuffle-heavy text operators: cross-corpus line dedup,
+    tf-idf top-k, repetition stats, near-dup clustering. These shuffle on
+    md5(line), (doc_id, token), token and doc_id — all uniform keys — so
+    the 10x check is about shuffle volume, not key skew."""
+    from biocypher_metta_spark.canonicalize import connected_components
+    from biocypher_metta_spark.operators import dedup as dd
+    from biocypher_metta_spark.operators import text as tx
+
+    out: dict = {"n_docs": n}
+
+    t0 = time.time()
+    lined = synth_lined_corpus(spark, n)
+    out["line_dedup_docs"] = dd.line_dedup(lined).count()
+    out["line_dedup_sec"] = round(time.time() - t0, 2)
+
+    corpus = synth_text_corpus(spark, n)
+
+    t0 = time.time()
+    out["tfidf_rows"] = tx.tfidf_topk(corpus, k=3).count()
+    out["tfidf_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    out["repetition_rows"] = tx.repetition_stats(corpus).count()
+    out["repetition_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    sigs = dd.minhash_signatures(corpus)
+    pairs = dd.lsh_candidate_pairs(sigs)
+    cc = connected_components(pairs, "id_a", "id_b")
+    out["dup_clusters"] = cc.select("component").distinct().count()
+    out["dup_clusters_sec"] = round(time.time() - t0, 2)
+    return out
+
+
+OP_SETS = {
+    "core": (run_at, ["kg_construct_sec", "exact_dedup_sec", "lsh_pairs_sec",
+                      "simhash_sec", "emb_near_dup_sec", "corpus_clean_sec"]),
+    "text2": (run_text2_at, ["line_dedup_sec", "tfidf_sec",
+                             "repetition_sec", "dup_clusters_sec"]),
+}
+
+
 def main() -> None:
     ns = [int(x) for x in os.environ.get(
         "SPARK_REHEARSAL_NS", "2000000,20000000").split(",")]
+    runner, ratio_keys = OP_SETS[os.environ.get("SPARK_REHEARSAL_OPS", "core")]
     spark = get_spark("bcm-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
-    run_at(spark, 50_000)  # JVM/codegen warmup, not reported
+    runner(spark, 50_000)  # JVM/codegen warmup, not reported
     runs = {}
     for n in ns:
-        runs[str(n)] = run_at(spark, n)
+        runs[str(n)] = runner(spark, n)
     ratios = {}
     if len(ns) == 2 and all(str(n) in runs for n in ns):
         a, b = runs[str(ns[0])], runs[str(ns[1])]
-        for k in ["kg_construct_sec", "exact_dedup_sec", "lsh_pairs_sec",
-                  "simhash_sec", "emb_near_dup_sec", "corpus_clean_sec"]:
+        for k in ratio_keys:
             if isinstance(a.get(k), (int, float)) and isinstance(b.get(k), (int, float)):
                 ratios[k] = round(b[k] / max(a[k], 1e-9), 2)
-        ratios["triples_per_sec_ratio"] = round(
-            b["triples_per_sec"] / a["triples_per_sec"], 3)
+        if "triples_per_sec" in a:
+            ratios["triples_per_sec_ratio"] = round(
+                b["triples_per_sec"] / a["triples_per_sec"], 3)
     print(json.dumps({"runs": runs, "ratios": ratios,
                       "scale_factor": ns[-1] / ns[0] if len(ns) > 1 else 1}))
 
