@@ -2341,7 +2341,35 @@ SELECT 'wav://' || i AS media_ref,
 FROM ids JOIN stats e ON e.v = i % 4
 """
 
+def doc_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing at a 512-token budget (two-level
+    prefix sum; the oracle is the naive global window the Spark plan
+    deliberately avoids)."""
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.pack_sequential(d, budget=512, bucket_rows=100)
+
+
+DOC_PACK_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(floor(start_offset / 512.0) AS BIGINT) AS pack_id
+FROM c
+"""
+
+
 QUERIES.update({
+    "doc_pack": (doc_pack, DOC_PACK_SQL),
     "doc_line_dedup": (doc_line_dedup, DOC_LINE_DEDUP_SQL),
     "doc_tfidf_topk": (doc_tfidf_topk, DOC_TFIDF_TOPK_SQL),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),

@@ -353,6 +353,44 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         .cast("long").alias("top_tok_permille"))
 
 
+def pack_sequential(df: DataFrame, budget: int, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    bucket_rows: int = 100_000) -> DataFrame:
+    """Concat-and-chunk sequence packing (the standard LLM training
+    batch layout): docs in id order are laid head-to-tail in one token
+    stream and each doc is assigned the pack its FIRST token falls in
+    (pack_id = start_offset // budget). Returns (doc_id, n_tokens,
+    start_offset, pack_id).
+
+    Scale shape: the offsets are a corpus-wide prefix sum, and the naive
+    `Window.orderBy(id)` form moves the ENTIRE corpus onto one reducer.
+    This uses the classic two-level decomposition instead: bucket =
+    id // bucket_rows, (1) per-bucket token totals (corpus_rows /
+    bucket_rows rows — tiny), (2) cumulative bucket offsets via a window
+    over just those totals (the only single-partition step, ~10^6 rows
+    even at 10^11 docs), broadcast back, (3) within-bucket running sum
+    windowed on the uniform bucket key. Requires nothing of the ids but
+    a total order; contiguity only affects bucket balance."""
+    from pyspark.sql.window import Window
+
+    n_tok = F.size(tokens(F.col(text_col))).cast("long")
+    base = df.select(F.col(id_col), n_tok.alias("n_tokens"),
+                     F.floor(F.col(id_col) / bucket_rows).alias("_b"))
+    bucket_totals = base.groupBy("_b").agg(F.sum("n_tokens").alias("_bt"))
+    w_b = (Window.orderBy("_b")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    bucket_offsets = bucket_totals.select(
+        "_b", F.coalesce(F.sum("_bt").over(w_b), F.lit(0)).alias("_boff"))
+    w_in = (Window.partitionBy("_b").orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, -1))
+    start = (F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+             + F.col("_boff"))
+    return (base.join(F.broadcast(bucket_offsets), "_b")
+            .select(F.col(id_col), F.col("n_tokens"),
+                    start.alias("start_offset"),
+                    F.floor(start / budget).cast("long").alias("pack_id")))
+
+
 SPLIT_BUCKETS = (("train", 900), ("val", 950), ("test", 1000))
 
 

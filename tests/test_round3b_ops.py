@@ -140,6 +140,41 @@ def test_repetition_stats_values(spark):
     assert out[1].dup2_permille == 0 and out[1].top_tok_permille == 250
 
 
+def test_pack_sequential_matches_naive_cumsum(spark):
+    rng = random.Random(11)
+    docs = [(i, " ".join("w" for _ in range(rng.randint(1, 40))))
+            for i in range(0, 700, 3)]  # non-contiguous ids
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           tx.pack_sequential(df, budget=64, bucket_rows=37).collect()}
+    run = 0
+    for i, text in docs:  # naive single-stream reference
+        n = len(text.split())
+        assert out[i].n_tokens == n
+        assert out[i].start_offset == run
+        assert out[i].pack_id == run // 64
+        run += n
+    assert len({r.pack_id for r in out.values()}) > 3
+
+
+def test_pack_sequential_plan_has_no_global_window(spark):
+    """The corpus-wide prefix sum must NOT collapse the corpus onto one
+    reducer: the only SinglePartition exchange allowed in the plan is the
+    one feeding the window over the per-bucket TOTALS (post-aggregate,
+    corpus_rows/bucket_rows rows), i.e. every SinglePartition exchange
+    must sit above a HashAggregate."""
+    df = spark.range(50_000).select(
+        F.col("id").alias("doc_id"), F.lit("a b c d").alias("text"))
+    out = tx.pack_sequential(df, budget=64, bucket_rows=1000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange SinglePartition", plan):
+        below = plan[m.start():m.start() + 2000]
+        assert "HashAggregate" in below, plan[:3000]
+    assert "BroadcastHashJoin" in plan  # offsets join back broadcast
+
+
 def test_hash_split_deterministic_and_proportional(spark):
     df = spark.range(4000).withColumnRenamed("id", "doc_id")
     out = tx.hash_split(df)
@@ -198,7 +233,7 @@ def gate_corpus(spark, tmp_path_factory):
 
 @pytest.mark.parametrize("name", [
     "doc_line_dedup", "doc_tfidf_topk", "doc_repetition", "doc_split",
-    "doc_dup_clusters", "multimodal_wav_decode",
+    "doc_dup_clusters", "multimodal_wav_decode", "doc_pack",
 ])
 def test_gate_cross_engine_on_random_corpus(spark, gate_corpus, name):
     from biocypher_metta_spark import entry_queries as eq

@@ -185,6 +185,10 @@ def run_text2_at(spark, n: int) -> dict:
     out["repetition_sec"] = round(time.time() - t0, 2)
 
     t0 = time.time()
+    out["pack_rows"] = tx.pack_sequential(corpus, budget=4096).count()
+    out["pack_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
     sigs = dd.minhash_signatures(corpus)
     pairs = dd.lsh_candidate_pairs(sigs)
     cc = connected_components(pairs, "id_a", "id_b")
@@ -197,7 +201,8 @@ OP_SETS = {
     "core": (run_at, ["kg_construct_sec", "exact_dedup_sec", "lsh_pairs_sec",
                       "simhash_sec", "emb_near_dup_sec", "corpus_clean_sec"]),
     "text2": (run_text2_at, ["line_dedup_sec", "tfidf_sec",
-                             "repetition_sec", "dup_clusters_sec"]),
+                             "repetition_sec", "pack_sec",
+                             "dup_clusters_sec"]),
 }
 
 
