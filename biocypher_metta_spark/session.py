@@ -20,9 +20,16 @@ DEFAULT_CONFS: dict[str, str] = {
     # Arrow for pandas UDFs / toPandas — the A+B axes contract.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
-    # Broadcast threshold generous: dimension tables (alias maps, tissue
-    # maps) are << 256MB; big sides never qualify so joins stay correct.
-    "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024 * 1024),
+    # Broadcast threshold: generous enough for every real dimension
+    # (alias maps, tissue maps — single-digit MB), but NOT so high that
+    # AQE promotes corpus-sized intermediates. 256MB here was measured to
+    # wedge the driver: at 2M docs line-dedup's first-occurrence side
+    # (~10M rows) estimated under 256MB of shuffle bytes, AQE promoted
+    # it, and the in-heap hash relation (5-10x the wire size) sent an 8g
+    # heap into a broadcast-build spill-retry loop (threads stuck
+    # recursing in TaskMemoryManager.allocatePage). 32MB keeps dimension
+    # joins broadcast and bounds any relation build to a few hundred MB.
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
     # Sane local default; cluster runs override via spark-submit --conf.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
