@@ -303,7 +303,12 @@ def tfidf_topk(df: DataFrame, text_col: str = "text",
     distinct token); the tf-side join on token is skewed on stopwords but
     the build side has exactly one row per key — AQE skew-split territory,
     or broadcast doc_freq outright when the vocabulary fits. The top-k
-    window partitions on doc_id, which is uniform."""
+    window partitions on doc_id, which is uniform. SIZE
+    spark.sql.shuffle.partitions to the EXPLODED row count (~tokens, not
+    docs): a 1G-token corpus through 32 partitions puts ~31M rows in each
+    per-task window sort — measured GC-overhead OOM on an 8g heap; ~5M
+    exploded rows per partition is comfortable (tools/scale_rehearsal.py
+    sizes it as docs/100k)."""
     from pyspark.sql.window import Window
 
     tf = (df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))

@@ -167,6 +167,15 @@ def run_text2_at(spark, n: int) -> dict:
     from biocypher_metta_spark.operators import dedup as dd
     from biocypher_metta_spark.operators import text as tx
 
+    # SIZE SHUFFLE PARTITIONS TO THE DATA: tf-idf explodes ~50 tokens/doc
+    # (1G rows at 20M docs) and then windows per doc_id. At the local
+    # default of 32 partitions that is ~31M rows per partition sort —
+    # measured GC-overhead OOM on an 8g heap. ~100k docs (≈5M exploded
+    # rows) per partition keeps every per-task buffer modest; AQE
+    # coalesces whatever ends up small. This is the deployment rule the
+    # 100TB notes call for, exercised rather than just stated.
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(32, n // 100_000)))
+
     out: dict = {"n_docs": n}
 
     t0 = time.time()
