@@ -2368,7 +2368,71 @@ FROM c
 """
 
 
+def _knn_duck_bucket(qname: str, dim: int, n_planes: int) -> str:
+    """Sign-sketch bucket SQL GENERATED from the same _hyperplane rows
+    the Spark plan uses — one source, no drift (the _nd_duck_bucket
+    pattern, parameterized)."""
+    from biocypher_metta_spark.operators.similarity import _hyperplane
+
+    parts = []
+    for p in range(n_planes):
+        plane = _hyperplane(dim, p + 1)
+        proj = " + ".join(f"{qname}[{j + 1}]*({w})"
+                          for j, w in enumerate(plane))
+        parts.append(f"CASE WHEN ({proj}) >= 0 THEN {1 << p} ELSE 0 END")
+    return " + ".join(parts)
+
+
+_KNN_PLANES_N = 5
+
+
+def emb_knn_join(spark, sf_dir):
+    """Batch k-NN join over the embeddings table: every 10th vector is a
+    query, the rest are the corpus; multi-probe sign-sketch blocking +
+    exact integer dot, top-3 per query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    return sim_ops.knn_join(queries, corpus, dim=64, k=3,
+                            n_planes=_KNN_PLANES_N)
+
+
+EMB_KNN_JOIN_SQL = f"""
+WITH q0 AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS q
+  FROM embeddings
+), b AS (
+  SELECT vec_id, q, ({_knn_duck_bucket('q', 64, _KNN_PLANES_N)}) AS bkt
+  FROM q0
+), corp AS (
+  SELECT vec_id, q, bkt FROM b WHERE vec_id % 10 != 0
+), qry AS (
+  SELECT vec_id AS q_id, q, bkt FROM b WHERE vec_id % 10 = 0
+), probes AS (
+  SELECT q_id, q,
+         unnest(list_prepend(bkt,
+           list_transform(range(0, {_KNN_PLANES_N}),
+                          p -> xor(bkt, CAST(1 << p AS INTEGER))))) AS bkt
+  FROM qry
+), joined AS (
+  SELECT p.q_id, c.vec_id,
+         CAST(list_sum(list_transform(list_zip(p.q, c.q),
+              z -> z[1] * z[2])) AS BIGINT) AS dot
+  FROM probes p JOIN corp c ON p.bkt = c.bkt
+)
+SELECT q_id, vec_id, dot, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY dot DESC, vec_id) AS rank
+  FROM joined)
+WHERE rank <= 3
+"""
+
+
 QUERIES.update({
+    "emb_knn_join": (emb_knn_join, EMB_KNN_JOIN_SQL),
     "doc_pack": (doc_pack, DOC_PACK_SQL),
     "doc_line_dedup": (doc_line_dedup, DOC_LINE_DEDUP_SQL),
     "doc_tfidf_topk": (doc_tfidf_topk, DOC_TFIDF_TOPK_SQL),

@@ -119,6 +119,60 @@ def lsh_bucketed_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def knn_join(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
+             n_planes: int = 6, quant_scale: int = 100,
+             q_id: str = "q_id", c_id: str = "vec_id",
+             vec_col: str = "embedding",
+             probe_adjacent: bool = True) -> DataFrame:
+    """Distributed batch k-NN join — an operator Spark has no native
+    form of: for EVERY query row, the top-k corpus rows by exact integer
+    dot product, candidates limited to the query's sign-sketch bucket
+    plus (multi-probe) its 1-bit-flip neighbors. Returns
+    (q_id, vec_id, dot, rank), rank deterministic via (dot DESC, id).
+
+    Scale shape: both sides sketch map-side with the same quantized
+    integer arithmetic as embedding_near_dup_pairs (a SQL oracle can
+    reproduce the exact candidate set); queries explode into
+    (1 + n_planes) probe rows; the join shuffles on the bucket key —
+    2^n_planes roughly-uniform cells, NEVER a cross join; the per-query
+    top-k windows on q_id, which is uniform. SIZE n_planes to the
+    corpus: expected candidates per query are
+    (1 + n_planes) * N / 2^n_planes — at 10^9 rows use 24+ planes (and
+    probe more flips to recover recall). Recall is approximate by
+    construction; the brute-force twin is quantized_dot_topk per query.
+    """
+    def sketch(df, id_name):
+        qv = F.transform(F.col(vec_col),
+                         lambda x: F.round(x.cast("double") * quant_scale)
+                         .cast("long"))
+        out = df.select(F.col(id_name), qv.alias("_q"))
+        bucket = F.lit(0)
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(w).cast("long")
+                              for w in _hyperplane(dim, p + 1)])
+            proj = F.aggregate(
+                F.zip_with(F.col("_q"), plane, lambda x, w: x * w),
+                F.lit(0).cast("long"), lambda acc, v: acc + v)
+            bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return out.withColumn("_bkt", bucket.cast("int"))
+
+    cand_c = sketch(corpus, c_id)
+    qb = sketch(queries, q_id)
+    if probe_adjacent:
+        probes = F.array(F.col("_bkt"),
+                         *[F.col("_bkt").bitwiseXOR(F.lit(1 << p))
+                           for p in range(n_planes)])
+        qb = (qb.select(q_id, "_q", F.explode(probes).alias("_bkt")))
+    joined = qb.alias("q").join(cand_c.alias("c"), "_bkt").select(
+        F.col(f"q.{q_id}"), F.col(f"c.{c_id}"),
+        int_dot(F.col("q._q"), F.col("c._q")).alias("dot"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(q_id).orderBy(F.col("dot").desc(), F.col(c_id))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def write_embeddings_bucketed(emb: DataFrame, path: str, dim: int,
                               n_planes: int = 6,
                               vec_col: str = "embedding",

@@ -190,6 +190,52 @@ def test_hash_split_deterministic_and_proportional(spark):
     assert any(other[i] != base[i] for i in other)  # salt re-draws
 
 
+# ------------------------------------------------------------- knn join
+
+
+def test_knn_join_exact_dots_and_twin_rank1(spark):
+    """Planted exact twins: an identical vector always shares the
+    query's sketch bucket, so it MUST come back at rank 1 with the
+    maximal dot; and every returned dot must equal the Python integer
+    dot (the scoring is exact — only candidate coverage is approximate)."""
+    from biocypher_metta_spark.operators import similarity as sim
+
+    rng = random.Random(42)
+    dim = 16
+
+    def vec():
+        return [rng.uniform(-1, 1) for _ in range(dim)]
+
+    qs = [(100 + i, vec()) for i in range(6)]
+    corpus_rows = [(i, vec()) for i in range(60)] + \
+        [(1000 + qid, v) for qid, v in qs]          # exact twins
+    queries = spark.createDataFrame(
+        [(q, v) for q, v in qs], "q_id long, embedding array<float>")
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<float>")
+    out = sim.knn_join(queries, corpus, dim=dim, k=4, n_planes=4).collect()
+
+    # expected dots via the same quantize/int_dot kernels over the full
+    # cross product (tiny here) — validates the JOIN path (blocking,
+    # probe dedup, ranking); the arithmetic itself is oracle-validated
+    # cross-engine by the emb_knn_join gate
+    qd = queries.select("q_id", sim.quantize(F.col("embedding"), 100).alias("qq"))
+    cd = corpus.select("vec_id", sim.quantize(F.col("embedding"), 100).alias("cq"))
+    exp = {(r.q_id, r.vec_id): r.dot for r in qd.crossJoin(cd).select(
+        "q_id", "vec_id",
+        sim.int_dot(F.col("qq"), F.col("cq")).alias("dot")).collect()}
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+        assert r.dot == exp[(r.q_id, r.vec_id)]
+    for qid, _ in qs:
+        rows = sorted(by_q[qid], key=lambda r: r.rank)
+        assert rows[0].vec_id == 1000 + qid          # twin wins
+        dots = [r.dot for r in rows]
+        assert dots == sorted(dots, reverse=True)
+        assert len({r.vec_id for r in rows}) == len(rows)  # no dup pairs
+
+
 # ------------------------------------- adversarial cross-engine gate sweep
 
 
