@@ -142,10 +142,17 @@ def knn_join(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     construction; the brute-force twin is quantized_dot_topk per query.
     """
     def sketch(df, id_name):
+        from biocypher_metta_spark.operators.dedup import _compute_once
+
         qv = F.transform(F.col(vec_col),
                          lambda x: F.round(x.cast("double") * quant_scale)
                          .cast("long"))
-        out = df.select(F.col(id_name), qv.alias("_q"))
+        # Generate barrier: the n_planes projection aggregates below each
+        # reference _q, and CollapseProject would otherwise re-inline the
+        # 64-element quantize transform into every one of them
+        out = (_compute_once(df.select(F.col(id_name), F.col(vec_col)),
+                             qv, "_q")
+               .select(F.col(id_name), F.col("_q")))
         bucket = F.lit(0)
         for p in range(n_planes):
             plane = F.array(*[F.lit(w).cast("long")
