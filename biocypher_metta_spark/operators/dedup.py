@@ -77,9 +77,13 @@ def line_dedup(df: DataFrame, text_col: str = "text",
     doc_id, which is uniform."""
     parts = F.split(F.col(text_col), sep)
     nonblank = F.filter(parts, lambda x: F.length(F.trim(x)) > 0)
-    lines = df.select(
-        F.col(id_col), F.size(nonblank).alias("n_lines"),
-        F.posexplode(nonblank).alias("line_no", "line"),
+    # split+filter once per row behind a Generate barrier — the projection
+    # below references it twice (size + posexplode) and would otherwise
+    # re-split the document for each
+    src = _compute_once(df, nonblank, "_lines")
+    lines = src.select(
+        F.col(id_col), F.size("_lines").alias("n_lines"),
+        F.posexplode("_lines").alias("line_no", "line"),
     ).withColumn("lh", F.md5(F.col("line")))
     firsts = lines.groupBy("lh").agg(
         F.min(F.struct(F.col(id_col).alias("d"),
