@@ -1765,6 +1765,52 @@ FROM ids JOIN expected e ON e.v = i % 5
 
 QUERIES["multimodal_png_decode"] = (multimodal_png_decode, MULTIMODAL_PNG_SQL)
 
+_RZ_W, _RZ_H = 5, 4
+
+
+def multimodal_resize(spark, sf_dir):
+    """REAL resize loop: formula PNGs -> stdlib decode -> nearest-
+    neighbor resample -> re-encode -> decode again for stats. The twin
+    recomputes the resized pixel sum straight from the source FORMULA
+    sampled at (x*w//5, y*6//4), so hash equality proves the whole
+    resize round-trip byte-exact."""
+    from biocypher_metta_spark.operators import multimodal as mm
+
+    ids = _ids(spark, sf_dir)
+    variants = F.array(*[F.lit(bytearray(b)) for b in _PNG_VARIANTS])
+    media = ids.select(
+        F.concat(F.lit("png://"), F.col("i").cast("string")).alias("media_ref"),
+        F.lit("image").alias("kind"),
+        F.element_at(variants, (F.col("i") % 5 + 1).cast("int")).alias("content"),
+        F.lit(0).cast("long").alias("n_bytes"),
+    )
+    resized = mm.resize_images(media, _RZ_W, _RZ_H)
+    return mm.image_stats(resized).select(
+        "media_ref", "width", "height", "channels", "pix_sum")
+
+
+MULTIMODAL_RESIZE_SQL = f"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+expected AS (
+  SELECT v,
+         CAST(list_sum(flatten(list_transform(range(0, {_RZ_H}), y ->
+           flatten(list_transform(range(0, {_RZ_W}), x ->
+             list_transform(range(0, {_PNG_C}), ch ->
+               (((x * ({_PNG_W} + v)) // {_RZ_W}) * 7
+                + ((y * {_PNG_H}) // {_RZ_H}) * 13
+                + ch * 29 + v * 101) % 256)))))) AS BIGINT) AS pix_sum
+  FROM (SELECT unnest(range(0, 5)) AS v)
+)
+SELECT 'png://' || i AS media_ref,
+       CAST({_RZ_W} AS INTEGER) AS width,
+       CAST({_RZ_H} AS INTEGER) AS height,
+       CAST({_PNG_C} AS INTEGER) AS channels,
+       e.pix_sum
+FROM ids JOIN expected e ON e.v = i % 5
+"""
+
+QUERIES["multimodal_resize"] = (multimodal_resize, MULTIMODAL_RESIZE_SQL)
+
 # ===========================================================================
 # char-trigram language ID gate (round 3): the rank-tier-weighted trigram
 # scorer (operators/text.lang_id_trigram) vs a DuckDB twin whose score

@@ -198,14 +198,28 @@ def audio_stats(media: DataFrame, decode: Callable | None = None) -> DataFrame:
             .mapInPandas(batches, AUDIO_STATS_SCHEMA))
 
 
+def fake_resize(content: bytes, w: int, h: int) -> bytes:
+    """Deterministic truncate/pad fake for NON-PNG formats (no PIL/cv2
+    in this environment) — keeps the plumbing testable for payloads the
+    real kernel can't parse."""
+    target = max(w * h // 8, 1)
+    return (content * (target // max(len(content), 1) + 1))[:target]
+
+
 def resize_images(media: DataFrame, width: int, height: int,
                   resizer: Callable | None = None) -> DataFrame:
-    """Resize kernel plumbing: binary in -> binary out. Default stub is a
-    deterministic truncate/pad fake (real impl: PIL thumbnail)."""
+    """Resize: binary in -> binary out. The default kernel is REAL for
+    PNG (round 3: stdlib decode -> nearest-neighbor -> re-encode,
+    operators/png.png_resize); non-PNG payloads fall back to the
+    deterministic fake so the batch shape stays exercised end-to-end."""
 
     def default_resize(content: bytes, w: int, h: int) -> bytes:
-        target = max(w * h // 8, 1)
-        return (content * (target // max(len(content), 1) + 1))[:target]
+        from biocypher_metta_spark.operators.png import png_resize
+
+        try:
+            return png_resize(content, w, h)
+        except ValueError:
+            return fake_resize(content, w, h)
 
     rz = resizer or default_resize
 
@@ -218,6 +232,34 @@ def resize_images(media: DataFrame, width: int, height: int,
             yield out
 
     return media.mapInPandas(batches, media.schema)
+
+
+def resample_audio(media: DataFrame, target_rate: int,
+                   resampler: Callable | None = None) -> DataFrame:
+    """Audio resample: binary in -> binary out at target_rate via the
+    REAL stdlib zero-order-hold kernel (operators/wav.wav_resample);
+    undecodable payloads pass through unchanged (the error contract for
+    a lossy-tolerant media pipeline stage)."""
+    from biocypher_metta_spark.operators.wav import wav_resample
+
+    rs = resampler or wav_resample
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            new = []
+            for c in pdf["content"]:
+                raw = bytes(c) if c is not None else b""
+                try:
+                    new.append(rs(raw, target_rate))
+                except ValueError:
+                    new.append(raw)
+            out["content"] = new
+            out["n_bytes"] = [len(c) for c in new]
+            yield out
+
+    return (media.filter(F.col("kind") == "audio")
+            .mapInPandas(batches, media.schema))
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 1024,

@@ -195,3 +195,28 @@ def png_encode(width: int, height: int, channels: int, pixels: bytes,
     return (_SIG + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
             + _chunk(b"IEND", b""))
+
+
+def png_resize(data: bytes, width: int, height: int) -> bytes:
+    """REAL resize kernel: decode -> nearest-neighbor sample -> re-encode.
+
+    Gray (1), RGB (3) and RGBA (4) round-trip; gray+alpha (2 channels)
+    is rejected because the encoder covers color types 0/2/6 — callers
+    null the row out per the modality error contract. Nearest-neighbor
+    keeps every output byte equal to SOME source pixel byte, so an
+    oracle that knows the source pixel formula can value-check resized
+    output exactly (no filtering arithmetic to reproduce)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("target dimensions must be positive")
+    w, h, c, pix = png_decode(data)
+    if c not in (1, 3, 4):
+        raise ValueError(f"cannot re-encode {c}-channel image")
+    out = bytearray(width * height * c)
+    for y in range(height):
+        srow = (y * h // height) * w * c
+        drow = y * width * c
+        for x in range(width):
+            s = srow + (x * w // width) * c
+            d = drow + x * c
+            out[d:d + c] = pix[s:s + c]
+    return png_encode(width, height, c, bytes(out))

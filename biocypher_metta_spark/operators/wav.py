@@ -91,3 +91,21 @@ def wav_decode(data: bytes) -> tuple[int, int, int, list[int]]:
     if n_channels < 1 or len(samples) % n_channels:
         raise ValueError("data chunk not a whole number of frames")
     return n_channels, sample_rate, bits, samples
+
+
+def wav_resample(data: bytes, target_rate: int) -> bytes:
+    """REAL resample kernel: decode -> zero-order-hold (nearest frame)
+    -> re-encode at target_rate. Output frame count is
+    floor(n_frames * target_rate / rate); frame i samples source frame
+    i * rate // target_rate — every output sample equals some input
+    sample, so formula oracles verify resampled streams exactly."""
+    if target_rate <= 0:
+        raise ValueError("target_rate must be positive")
+    ch, rate, bits, samples = wav_decode(data)
+    n_frames = len(samples) // ch
+    out_frames = (n_frames * target_rate) // rate
+    out: list[int] = []
+    for i in range(out_frames):
+        si = min(i * rate // target_rate, n_frames - 1)
+        out.extend(samples[si * ch:(si + 1) * ch])
+    return wav_encode(out, target_rate, ch, bits)

@@ -87,6 +87,51 @@ def test_audio_stats_nulls_undecodable_rows(spark):
     assert rows["b"].n_samples is None and rows["b"].sum_sq is None
 
 
+def test_png_resize_and_wav_resample_kernels():
+    from biocypher_metta_spark.operators.png import (png_decode, png_encode,
+                                                     png_resize)
+    from biocypher_metta_spark.operators.wav import wav_resample
+
+    pix = bytes(((x * 7 + y * 13 + ch * 29) % 256)
+                for y in range(6) for x in range(8) for ch in range(3))
+    w, h, c, p = png_decode(png_resize(png_encode(8, 6, 3, pix), 5, 4))
+    assert (w, h, c) == (5, 4, 3)
+    for y in range(4):
+        for x in range(5):
+            for ch in range(3):
+                sx, sy = (x * 8) // 5, (y * 6) // 4
+                assert p[(y * 5 + x) * 3 + ch] == (sx * 7 + sy * 13 + ch * 29) % 256
+    with pytest.raises(ValueError):
+        png_resize(png_encode(2, 2, 1, bytes(4)), 0, 1)
+    # zero-order hold down/up + stereo frame integrity
+    data = wav_encode([10, 20, 30, 40, 50, 60, 70, 80], 8000, 1, 16)
+    assert wav_decode(wav_resample(data, 4000))[3] == [10, 30, 50, 70]
+    assert wav_decode(wav_resample(data, 16000))[1] == 16000
+    st = wav_encode([1, -1, 2, -2, 3, -3, 4, -4], 8000, 2, 16)
+    assert wav_decode(wav_resample(st, 4000))[3] == [1, -1, 3, -3]
+    with pytest.raises(ValueError):
+        wav_resample(data, 0)
+
+
+def test_resize_and_resample_operators(spark):
+    from biocypher_metta_spark.operators import multimodal as mm
+    from biocypher_metta_spark.operators.png import png_decode, png_encode
+
+    png = png_encode(8, 6, 3, bytes(range(144)))
+    wav = wav_encode(list(range(0, 80, 10)), 8000, 1, 16)
+    media = spark.createDataFrame(
+        [("p", "image", bytearray(png), 0), ("junk", "image", bytearray(b"xx"), 0),
+         ("a", "audio", bytearray(wav), 0)],
+        "media_ref string, kind string, content binary, n_bytes long")
+    rz = {r.media_ref: r for r in mm.resize_images(
+        media.filter(F.col("kind") == "image"), 4, 3).collect()}
+    assert png_decode(bytes(rz["p"].content))[:3] == (4, 3, 3)  # REAL path
+    assert rz["junk"].n_bytes == max(4 * 3 // 8, 1)             # fake fallback
+    rs = {r.media_ref: r for r in mm.resample_audio(media, 4000).collect()}
+    assert set(rs) == {"a"}
+    assert wav_decode(bytes(rs["a"].content))[3] == [0, 20, 40, 60]
+
+
 # ----------------------------------------------------------- line dedup
 
 
