@@ -2477,7 +2477,46 @@ WHERE rank <= 3
 """
 
 
+def doc_scrub(spark, sf_dir):
+    """PII scrubbing over synthesized PII-bearing text (emails, IPv4,
+    international phone runs derived from the doc ids), redacted by the
+    pure-expression scrub_pii pass; counts + redacted text oracled."""
+    ids = _ids(spark, sf_dir)
+    pii = ids.select(
+        F.col("i").alias("doc_id"),
+        F.concat(
+            F.lit("contact user"), F.col("i").cast("string"),
+            F.lit("@example.com or +1 555 000 "),
+            (F.col("i") % 10000).cast("string"),
+            F.lit(" ip 10.0."), (F.col("i") % 256).cast("string"),
+            F.lit(".7 end")).alias("text"))
+    return text_ops.scrub_pii(pii)
+
+
+DOC_SCRUB_SQL = r"""
+WITH pii AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         'contact user' || doc_id || '@example.com or +1 555 000 '
+           || (doc_id % 10000) || ' ip 10.0.' || (doc_id % 256) || '.7 end'
+           AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '\+\d[\d -]{7,}\d')) AS BIGINT) AS n_phone,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<ipv4>', 'g'),
+    '\+\d[\d -]{7,}\d', '<phone>', 'g') AS text
+FROM pii
+"""
+
+
 QUERIES.update({
+    "doc_scrub": (doc_scrub, DOC_SCRUB_SQL),
     "emb_knn_join": (emb_knn_join, EMB_KNN_JOIN_SQL),
     "doc_pack": (doc_pack, DOC_PACK_SQL),
     "doc_line_dedup": (doc_line_dedup, DOC_LINE_DEDUP_SQL),

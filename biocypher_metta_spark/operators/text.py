@@ -358,6 +358,32 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         .cast("long").alias("top_tok_permille"))
 
 
+# Redaction patterns restricted to the common RE2/Java-regex subset (no
+# lookaround/backrefs) so the Spark plan and SQL oracles behave
+# identically. Order matters for redaction (applied sequentially);
+# counts are taken on the ORIGINAL text, so they are order-independent.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+\d[\d -]{7,}\d"),
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """PII scrubbing pass: per-doc match counts plus the text with each
+    pattern class replaced by its `<name>` placeholder. Map-only pure
+    expressions — at corpus scale this is a scan-speed transform with
+    zero shuffle."""
+    t = F.col(text_col)
+    counts = [F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
+              for name, pat in PII_PATTERNS]
+    red = t
+    for name, pat in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, f"<{name}>")
+    return df.select(F.col(id_col), *counts, red.alias("text"))
+
+
 def pack_sequential(df: DataFrame, budget: int, text_col: str = "text",
                     id_col: str = "doc_id",
                     bucket_rows: int = 100_000) -> DataFrame:

@@ -220,6 +220,20 @@ def test_pack_sequential_plan_has_no_global_window(spark):
     assert "BroadcastHashJoin" in plan  # offsets join back broadcast
 
 
+def test_scrub_pii_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "mail a.b+c@x-y.co.uk now +1 555 123 4567 at 192.168.0.1 ok"),
+         (1, "no pii here, just 1.2 numbers and @ signs"),
+         (2, "two mails a@b.io c@d.org")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in tx.scrub_pii(df).collect()}
+    assert (out[0].n_email, out[0].n_ipv4, out[0].n_phone) == (1, 1, 1)
+    assert out[0].text == "mail <email> now <phone> at <ipv4> ok"
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (0, 0, 0)
+    assert out[1].text == "no pii here, just 1.2 numbers and @ signs"
+    assert out[2].n_email == 2 and out[2].text == "two mails <email> <email>"
+
+
 def test_hash_split_deterministic_and_proportional(spark):
     df = spark.range(4000).withColumnRenamed("id", "doc_id")
     out = tx.hash_split(df)
@@ -324,7 +338,7 @@ def gate_corpus(spark, tmp_path_factory):
 
 @pytest.mark.parametrize("name", [
     "doc_line_dedup", "doc_tfidf_topk", "doc_repetition", "doc_split",
-    "doc_dup_clusters", "multimodal_wav_decode", "doc_pack",
+    "doc_dup_clusters", "multimodal_wav_decode", "doc_pack", "doc_scrub",
 ])
 def test_gate_cross_engine_on_random_corpus(spark, gate_corpus, name):
     from biocypher_metta_spark import entry_queries as eq
