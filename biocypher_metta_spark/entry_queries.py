@@ -2515,7 +2515,39 @@ FROM pii
 """
 
 
+def doc_contamination(spark, sf_dir):
+    """Eval-set decontamination: every 40th doc plays the eval
+    benchmark, the rest are training docs; per-doc distinct shared
+    3-gram counts (3-grams because the synthetic vocabulary is small —
+    production uses 8-13)."""
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 40 == 0)
+    tr = d.filter(F.col("doc_id") % 40 != 0)
+    return dedup_ops.contamination_hits(tr, ev, n=3)
+
+
+DOC_CONTAMINATION_SQL = r"""
+WITH evd AS (
+  SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                  i -> array_to_string(toks[i:i+2], ' '))) AS g
+    FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents WHERE doc_id % 40 = 0))
+), tr AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh FROM (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(toks) - 2, 0) + 1),
+             i -> array_to_string(toks[i:i+2], ' ')))) AS g
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents WHERE doc_id % 40 != 0))
+)
+SELECT doc_id, count(*) AS n_hits
+FROM tr JOIN evd USING (gh) GROUP BY doc_id
+"""
+
+
 QUERIES.update({
+    "doc_contamination": (doc_contamination, DOC_CONTAMINATION_SQL),
     "doc_scrub": (doc_scrub, DOC_SCRUB_SQL),
     "emb_knn_join": (emb_knn_join, EMB_KNN_JOIN_SQL),
     "doc_pack": (doc_pack, DOC_PACK_SQL),

@@ -104,6 +104,35 @@ def line_dedup(df: DataFrame, text_col: str = "text",
                  F.array_join(ordered, sep).alias("text")))
 
 
+def contamination_hits(train: DataFrame, eval_df: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       n: int = 8, broadcast_eval: bool = True) -> DataFrame:
+    """Eval-set decontamination (the pretraining hygiene step): per
+    training doc, the number of DISTINCT word n-grams it shares with
+    the eval corpus. Returns (doc_id, n_hits) for docs with >= 1 hit —
+    the docs a decontaminated training run must drop or scrub.
+
+    Scale shape: the eval side reduces to a distinct n-gram-hash set —
+    benchmarks are tiny relative to a training corpus, so it broadcasts
+    (set broadcast_eval=False for giant eval suites and AQE picks the
+    join). The training side explodes per-doc DISTINCT shingle hashes
+    map-side; the only shuffle is the per-doc count groupBy on uniform
+    doc ids. Hash = the portable 60-bit md5 prefix, so SQL oracles
+    reproduce the exact hit counts."""
+    ev = (eval_df
+          .select(F.explode(shingles(F.col(text_col), n)).alias("g"))
+          .select(portable_hash(F.col("g")).alias("gh"))
+          .distinct())
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = (train.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("g"))
+        .select(id_col, portable_hash(F.col("g")).alias("gh")))
+    return (tr.join(ev, "gh")
+            .groupBy(id_col).agg(F.count("*").alias("n_hits")))
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_perm: int = 8,
                        shingle_n: int = 5) -> DataFrame:

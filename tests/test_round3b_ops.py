@@ -220,6 +220,25 @@ def test_pack_sequential_plan_has_no_global_window(spark):
     assert "BroadcastHashJoin" in plan  # offsets join back broadcast
 
 
+def test_contamination_hits_counts_distinct_shared_ngrams(spark):
+    ev = spark.createDataFrame(
+        [(900, "the quick brown fox jumps"),
+         (901, "pack my box with five dozen")],
+        "doc_id long, text string")
+    tr = spark.createDataFrame(
+        [(0, "she saw the quick brown fox jumps high the quick brown fox"),
+         (1, "pack my box again and pack my box"),
+         (2, "completely unrelated text with no overlap at all")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.n_hits for r in
+           dd.contamination_hits(tr, ev, n=3).collect()}
+    # doc 0 shares 3-grams: "the quick brown","quick brown fox","brown fox jumps"
+    # (distinct — the repeated "the quick brown fox" does not double-count)
+    assert out[0] == 3
+    assert out[1] == 1                       # "pack my box", once
+    assert 2 not in out                      # clean docs are absent
+
+
 def test_scrub_pii_redacts_and_counts(spark):
     df = spark.createDataFrame(
         [(0, "mail a.b+c@x-y.co.uk now +1 555 123 4567 at 192.168.0.1 ok"),
@@ -339,6 +358,7 @@ def gate_corpus(spark, tmp_path_factory):
 @pytest.mark.parametrize("name", [
     "doc_line_dedup", "doc_tfidf_topk", "doc_repetition", "doc_split",
     "doc_dup_clusters", "multimodal_wav_decode", "doc_pack", "doc_scrub",
+    "doc_contamination",
 ])
 def test_gate_cross_engine_on_random_corpus(spark, gate_corpus, name):
     from biocypher_metta_spark import entry_queries as eq
