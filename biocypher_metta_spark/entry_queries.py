@@ -2520,9 +2520,10 @@ def doc_contamination(spark, sf_dir):
     benchmark, the rest are training docs; per-doc distinct shared
     3-gram counts (3-grams because the synthetic vocabulary is small —
     production uses 8-13)."""
-    d = _t(spark, sf_dir, "documents")
-    ev = d.filter(F.col("doc_id") % 40 == 0)
-    tr = d.filter(F.col("doc_id") % 40 != 0)
+    ev = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 40 == 0)
+    # train side is the CPU-heavy explode — spread the single-file test
+    # corpus across cores (_docs_par), as production inputs arrive
+    tr = _docs_par(spark, sf_dir).filter(F.col("doc_id") % 40 != 0)
     return dedup_ops.contamination_hits(tr, ev, n=3)
 
 
