@@ -381,6 +381,27 @@ def _rand_documents(n=120, seed=20260817):
     return rows
 
 
+def _rand_embeddings(n=90, dim=64, seed=20260818):
+    """Random float32 vectors with planted duplicates and near-zero /
+    axis-aligned edge vectors — rounding and hyperplane sign edges the
+    fixed testdata never exercises."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        kind = rng.random()
+        if kind < 0.1 and rows:
+            v = rows[rng.randrange(len(rows))][1]       # exact dup
+        elif kind < 0.15:
+            v = [0.0] * dim                              # zero vector
+        elif kind < 0.2:
+            v = [0.0] * dim
+            v[rng.randrange(dim)] = rng.choice([1.0, -1.0])
+        else:
+            v = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((i, v, i % 3))
+    return rows
+
+
 @pytest.fixture(scope="module")
 def gate_corpus(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("r3b_sfdir")
@@ -389,16 +410,21 @@ def gate_corpus(spark, tmp_path_factory):
         rows, "doc_id long, text string, lang string, source string, "
               "n_chars long"
     ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    spark.createDataFrame(
+        _rand_embeddings(),
+        "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
     con = duckdb.connect()
-    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
-                f"'{d}/documents.parquet/*.parquet'")
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{d}/{t}.parquet/*.parquet'")
     return str(d), con
 
 
 @pytest.mark.parametrize("name", [
     "doc_line_dedup", "doc_tfidf_topk", "doc_repetition", "doc_split",
     "doc_dup_clusters", "multimodal_wav_decode", "doc_pack", "doc_scrub",
-    "doc_contamination",
+    "doc_contamination", "emb_knn_join", "emb_dot_topk", "emb_near_dup",
 ])
 def test_gate_cross_engine_on_random_corpus(spark, gate_corpus, name):
     from biocypher_metta_spark import entry_queries as eq
