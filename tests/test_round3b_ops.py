@@ -71,6 +71,30 @@ def test_wav_rejects_malformed():
         wav_encode([0, 1, 2], 8000, 2, 16)       # ragged frames
 
 
+def test_wav_decode_fuzz_never_crashes():
+    """Seeded byte fuzz: mutated/truncated/garbage streams must either
+    decode or raise ValueError — no IndexError/struct.error leaks from
+    the chunk walker (the error contract audio_stats relies on)."""
+    rng = random.Random(20260818)
+    base = wav_encode([rng.randint(-3000, 3000) for _ in range(24)], 8000, 2, 16)
+    for _ in range(300):
+        mode = rng.random()
+        if mode < 0.3:
+            data = bytes(rng.randrange(256) for _ in range(rng.randrange(60)))
+        elif mode < 0.6:
+            data = base[:rng.randrange(len(base) + 1)]
+        else:
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            data = bytes(b)
+        try:
+            ch, rate, bits, samples = wav_decode(data)
+            assert ch >= 1 and bits in (8, 16)
+        except ValueError:
+            pass
+
+
 def test_audio_stats_nulls_undecodable_rows(spark):
     from biocypher_metta_spark.operators import multimodal as mm
 
