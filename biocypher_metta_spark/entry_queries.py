@@ -2547,7 +2547,93 @@ FROM tr JOIN evd USING (gh) GROUP BY doc_id
 """
 
 
+def doc_pipeline(spark, sf_dir):
+    """CAPSTONE composition: the full corpus-preparation chain a
+    pretraining pipeline runs — PII scrub -> exact dedup (keep min id)
+    -> quality filter (>= 500) -> language ID -> sequence packing at a
+    512-token budget -> per-pack stats. Every stage is individually
+    oracled elsewhere; this gate value-checks the composition: join
+    keys, filter order, and that packing runs over exactly the
+    surviving ordered set."""
+    d = _docs_par(spark, sf_dir)
+    scrubbed = text_ops.scrub_pii(d).select("doc_id", "text")
+    keep = dedup_ops.exact_dedup(scrubbed).select(
+        F.col("keep_id").alias("doc_id"))
+    kept = scrubbed.join(keep, "doc_id")
+    q = (text_ops.quality_score(kept)
+         .filter(F.col("quality_score") >= 500).select("doc_id"))
+    good = kept.join(q, "doc_id")
+    lang = text_ops.lang_id(good).select("doc_id", "lang_pred")
+    packed = text_ops.pack_sequential(good, budget=512, bucket_rows=100)
+    return (packed.join(lang, "doc_id")
+            .groupBy("pack_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("total_tokens"),
+                 F.countDistinct("lang_pred").alias("n_langs")))
+
+
+DOC_PIPELINE_SQL = rf"""
+WITH scrubbed AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<email>', 'g'),
+           '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<ipv4>', 'g'),
+           '\+\d[\d -]{{7,}}\d', '<phone>', 'g') AS text
+  FROM documents
+), keep AS (
+  SELECT min(doc_id) AS doc_id FROM scrubbed GROUP BY md5(text)
+), kept AS (
+  SELECT s.doc_id, s.text FROM scrubbed s JOIN keep USING (doc_id)
+), qm AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[\.,;:!\?''"\(\)-]')) AS punct
+  FROM kept
+), qs AS (
+  SELECT doc_id, len(toks) AS n_tok,
+         CAST(floor(punct * 1000.0 / greatest(n_chars, 1)) AS BIGINT) AS pp,
+         CAST(floor(len(list_filter(toks, x -> x IN
+           ('the','a','of','and','to','in','is','it'))) * 1000.0
+           / greatest(len(toks), 1)) AS BIGINT) AS sp,
+         CAST(floor(len(list_distinct(toks)) * 1000.0
+           / greatest(len(toks), 1)) AS BIGINT) AS rp
+  FROM qm
+), good AS (
+  SELECT k.doc_id, k.text FROM kept k JOIN qs USING (doc_id)
+  WHERE (CASE WHEN qs.n_tok >= 10 AND qs.n_tok <= 100000 THEN 250 ELSE 0 END)
+      + (CASE WHEN qs.sp >= 20 THEN 250 ELSE 0 END)
+      + (CASE WHEN qs.rp >= 300 THEN 250 ELSE 0 END)
+      + (CASE WHEN qs.pp <= 200 THEN 250 ELSE 0 END) >= 500
+), lt AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM good
+), ls AS (
+  SELECT doc_id,
+         {_duck_lang_scores()}
+  FROM lt
+), lang AS (
+  SELECT doc_id, {_duck_lang_case()} AS lang_pred FROM ls
+), packed AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens,
+         CAST(COALESCE(sum(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+             AS BIGINT)) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM good
+)
+SELECT CAST(floor(start_offset / 512.0) AS BIGINT) AS pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT lang_pred) AS BIGINT) AS n_langs
+FROM packed JOIN lang USING (doc_id)
+GROUP BY 1
+"""
+
+
 QUERIES.update({
+    "doc_pipeline": (doc_pipeline, DOC_PIPELINE_SQL),
     "doc_contamination": (doc_contamination, DOC_CONTAMINATION_SQL),
     "doc_scrub": (doc_scrub, DOC_SCRUB_SQL),
     "emb_knn_join": (emb_knn_join, EMB_KNN_JOIN_SQL),
