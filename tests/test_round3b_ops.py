@@ -449,6 +449,7 @@ def gate_corpus(spark, tmp_path_factory):
     "doc_line_dedup", "doc_tfidf_topk", "doc_repetition", "doc_split",
     "doc_dup_clusters", "multimodal_wav_decode", "doc_pack", "doc_scrub",
     "doc_contamination", "emb_knn_join", "emb_dot_topk", "emb_near_dup",
+    "doc_pipeline",
 ])
 def test_gate_cross_engine_on_random_corpus(spark, gate_corpus, name):
     from biocypher_metta_spark import entry_queries as eq
