@@ -95,6 +95,34 @@ def test_wav_decode_fuzz_never_crashes():
             pass
 
 
+def test_png_decode_fuzz_never_crashes():
+    """Same contract as the WAV fuzz: mutated/truncated/garbage PNG
+    streams must decode or raise ValueError — image_stats catches only
+    ValueError, so any other exception type would crash the stage."""
+    from biocypher_metta_spark.operators.png import png_decode, png_encode
+
+    rng = random.Random(20260819)
+    base = png_encode(8, 6, 3, bytes(((x * 3 + y * 5 + c) % 256)
+                                     for y in range(6) for x in range(8)
+                                     for c in range(3)), filter_type=2)
+    for _ in range(400):
+        mode = rng.random()
+        if mode < 0.3:
+            data = bytes(rng.randrange(256) for _ in range(rng.randrange(80)))
+        elif mode < 0.6:
+            data = base[:rng.randrange(len(base) + 1)]
+        else:
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            data = bytes(b)
+        try:
+            w, h, c, pix = png_decode(data)
+            assert len(pix) == w * h * c
+        except ValueError:
+            pass
+
+
 def test_audio_stats_nulls_undecodable_rows(spark):
     from biocypher_metta_spark.operators import multimodal as mm
 
