@@ -2632,7 +2632,45 @@ GROUP BY 1
 """
 
 
+def doc_cdc(spark, sf_dir):
+    """Content-defined chunking over the corpus: rolling-hash (8-char
+    window) boundaries at hash % 64 == 0, one row per chunk with its
+    portable hash — the sub-document unit for fuzzy dedup."""
+    d = _docs_par(spark, sf_dir)
+    return dedup_ops.cdc_chunks(d)
+
+
+DOC_CDC_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text AS s, length(text) AS n FROM documents
+), b AS (
+  SELECT doc_id, s,
+    list_sort(list_distinct(list_concat(list_concat([CAST(0 AS BIGINT)],
+      list_filter(range(8, n + 1),
+        i -> ('0x' || substr(md5(substr(s, CAST(i - 7 AS INT), 8)), 1, 15))
+             ::BIGINT % 64 = 0)),
+      CASE WHEN n > 0 THEN [CAST(n AS BIGINT)]
+           ELSE CAST([] AS BIGINT[]) END))) AS bounds
+  FROM t
+), ch AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(bounds)),
+      j -> {'chunk_no': j - 1,
+            'chunk_len': bounds[j + 1] - bounds[j],
+            'chunk': substr(s, CAST(bounds[j] + 1 AS INT),
+                            CAST(bounds[j + 1] - bounds[j] AS INT))})) AS c
+  FROM b
+)
+SELECT doc_id,
+       c.chunk_no AS chunk_no,
+       CAST(c.chunk_len AS BIGINT) AS chunk_len,
+       ('0x' || substr(md5(c.chunk), 1, 15))::BIGINT AS chunk_hash
+FROM ch
+"""
+
+
 QUERIES.update({
+    "doc_cdc": (doc_cdc, DOC_CDC_SQL),
     "doc_pipeline": (doc_pipeline, DOC_PIPELINE_SQL),
     "doc_contamination": (doc_contamination, DOC_CONTAMINATION_SQL),
     "doc_scrub": (doc_scrub, DOC_SCRUB_SQL),

@@ -104,6 +104,51 @@ def line_dedup(df: DataFrame, text_col: str = "text",
                  F.array_join(ordered, sep).alias("text")))
 
 
+def cdc_chunks(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", window: int = 8,
+               mask_bits: int = 6) -> DataFrame:
+    """Content-defined chunking (the sub-document granularity fuzzy
+    dedup uses): a boundary falls after position i wherever the portable
+    60-bit hash of the trailing `window` characters is 0 mod
+    2^mask_bits, so expected chunk length is 2^mask_bits chars and —
+    the CDC property — boundaries survive insertions/deletions
+    elsewhere in the document, unlike fixed-width chunks. Emits one row
+    per non-empty chunk: (doc_id, chunk_no, chunk_len, chunk_hash).
+
+    Pure expressions, map-only: per char position one substring + md5
+    over `window` chars (O(n*window) per doc; window is small). Chunk
+    hashes feed the exact_dedup/groupBy machinery for corpus-level
+    chunk dedup."""
+    s = F.col(text_col)
+    n = F.length(s)
+    pos = F.when(n >= window, F.sequence(F.lit(window), n)) \
+        .otherwise(F.array().cast("array<int>"))
+    bnds = F.filter(pos, lambda i: portable_hash(
+        F.substring(s, i - (window - 1), window))
+        % F.lit(1 << mask_bits) == 0)
+    # chunk edges: 0, each boundary, n — dedup'd (a boundary AT n would
+    # otherwise create an empty trailing chunk) and n>0 guarded
+    bounds = F.array_distinct(F.concat(
+        F.array(F.lit(0)), bnds, F.when(n > 0, F.array(n))
+        .otherwise(F.array().cast("array<int>"))))
+    chunks = F.transform(
+        F.when(F.size(bounds) >= 2, F.sequence(F.lit(1), F.size(bounds) - 1))
+        .otherwise(F.array().cast("array<int>")),
+        lambda j: F.struct(
+            (j - 1).alias("chunk_no"),
+            (F.element_at(bounds, j + 1) - F.element_at(bounds, j))
+            .alias("chunk_len"),
+            F.substring(s, F.element_at(bounds, j) + 1,
+                        F.element_at(bounds, j + 1) - F.element_at(bounds, j))
+            .alias("chunk")))
+    ex = _compute_once(df, chunks, "_ch") \
+        .select(F.col(id_col), F.explode("_ch").alias("c"))
+    return ex.select(
+        id_col, F.col("c.chunk_no").alias("chunk_no"),
+        F.col("c.chunk_len").cast("long").alias("chunk_len"),
+        portable_hash(F.col("c.chunk")).alias("chunk_hash"))
+
+
 def contamination_hits(train: DataFrame, eval_df: DataFrame,
                        text_col: str = "text", id_col: str = "doc_id",
                        n: int = 8, broadcast_eval: bool = True) -> DataFrame:

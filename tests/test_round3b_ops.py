@@ -272,6 +272,34 @@ def test_pack_sequential_plan_has_no_global_window(spark):
     assert "BroadcastHashJoin" in plan  # offsets join back broadcast
 
 
+def test_cdc_chunks_boundary_stability_under_prefix_edit(spark):
+    """The CDC property: chunk boundaries are content-defined, so
+    inserting a prefix changes only chunks up to the first surviving
+    boundary — all later chunk hashes are identical. (Fixed-width
+    chunking would shift every chunk.) Also: chunks must tile the doc
+    exactly."""
+    rng = random.Random(99)
+    text = " ".join("w%d" % rng.randrange(1000) for _ in range(300))
+    df = spark.createDataFrame(
+        [(0, text), (1, "EDITED PREFIX " + text), (2, ""), (3, "tiny")],
+        "doc_id long, text string")
+    rows = dd.cdc_chunks(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d in (0, 1):
+        ch = sorted(by_doc[d], key=lambda r: r.chunk_no)
+        assert sum(c.chunk_len for c in ch) == len(text) + (14 if d else 0)
+        assert all(c.chunk_len > 0 for c in ch)
+    h0 = [c.chunk_hash for c in sorted(by_doc[0], key=lambda r: r.chunk_no)]
+    h1 = [c.chunk_hash for c in sorted(by_doc[1], key=lambda r: r.chunk_no)]
+    assert len(h0) >= 3, "need several chunks for a meaningful test"
+    # every original chunk except (at most) the first reappears verbatim
+    assert set(h0[1:]) <= set(h1)
+    assert 2 not in by_doc                   # empty doc -> no chunks
+    assert by_doc[3][0].chunk_len == 4       # sub-window doc = one chunk
+
+
 def test_contamination_hits_counts_distinct_shared_ngrams(spark):
     ev = spark.createDataFrame(
         [(900, "the quick brown fox jumps"),
@@ -477,7 +505,7 @@ def gate_corpus(spark, tmp_path_factory):
     "doc_line_dedup", "doc_tfidf_topk", "doc_repetition", "doc_split",
     "doc_dup_clusters", "multimodal_wav_decode", "doc_pack", "doc_scrub",
     "doc_contamination", "emb_knn_join", "emb_dot_topk", "emb_near_dup",
-    "doc_pipeline",
+    "doc_pipeline", "doc_cdc",
 ])
 def test_gate_cross_engine_on_random_corpus(spark, gate_corpus, name):
     from biocypher_metta_spark import entry_queries as eq
