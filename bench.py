@@ -126,17 +126,19 @@ def main() -> None:
         timings[name] = median(ss)
 
     total = time.time() - t_all
+    # full per-sample spread on its own line; the FINAL line stays compact
+    # because the driver captures only a bounded tail of stdout (r3's
+    # capture truncated a single fat line to "parsed": null)
+    print(json.dumps({"query_samples": samples, "suite_rounds": rounds}))
     print(json.dumps({
         "metric": "kg_construct+operator_suite",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in timings.items()},
-        "query_samples": samples,
-        "suite_rounds": rounds,
         "sf": sf_num,
         "n_docs": n_docs,
         "n_atoms": n_atoms,
         "triples_per_sec": round(triples_per_sec, 1),
+        "queries": {k: round(v, 3) for k, v in timings.items()},
     }))
 
 

@@ -79,6 +79,8 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
     idat = bytearray()
     for ctype, body in _chunks(data):
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise ValueError(f"IHDR body is {len(body)} bytes, want 13")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"PLTE":
             plte = body
@@ -100,7 +102,13 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
 
     bpp = _CHANNELS[color_type]          # bytes per pixel pre-palette
     stride = width * bpp
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # keep the documented ValueError-only contract: a corrupt zlib
+        # stream inside CRC-valid IDAT chunks must null the row, not
+        # kill the stage
+        raise ValueError(f"bad IDAT zlib stream: {exc}") from exc
     if len(raw) != (stride + 1) * height:
         raise ValueError("decompressed size does not match dimensions")
 

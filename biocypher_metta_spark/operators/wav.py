@@ -81,6 +81,8 @@ def wav_decode(data: bytes) -> tuple[int, int, int, list[int]]:
     tag, n_channels, sample_rate, _byte_rate, _block_align, bits = fmt
     if tag != 1:
         raise ValueError(f"format tag {tag} unsupported (PCM only)")
+    if sample_rate < 1:
+        raise ValueError("sample_rate must be >= 1")
     if bits == 8:
         samples = [b - 128 for b in pcm]
     elif bits == 16:

@@ -127,25 +127,6 @@ def test_media_joins_spans(spark):
 # GTF attribute-parse fuzz vs the reference tokenizer
 # --------------------------------------------------------------------------
 
-from hypothesis import example
-
-
-@st.composite
-def gtf_attr_strings(draw):
-    """Random GTF-ish attribute tails: shuffled keys, quoted/unquoted
-    values, stray tokens."""
-    keys = draw(st.permutations(
-        ["gene_id", "gene_type", "gene_name", "level", "tag"]))
-    parts = []
-    for k in keys:
-        if not draw(st.booleans()):
-            continue
-        v = draw(st.from_regex(r"[A-Za-z0-9_.\-]{1,12}", fullmatch=True))
-        quoted = draw(st.booleans())
-        parts.append(f'{k} "{v}";' if quoted else f"{k} {v};")
-    return " ".join(parts)
-
-
 def _random_attr_string(rng) -> str:
     """Random GTF-ish attribute tail: shuffled keys, quoted/unquoted
     values, optional omissions — the same space the old hypothesis

@@ -152,3 +152,30 @@ def test_decode_images_real_kernel(spark):
         r = out[f"media://img/{i}"]
         assert (r.width, r.height, r.channels) == (4 + i, 3, 4)
     assert out["media://img/bad"].width is None
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+
+def test_crc_valid_but_malformed_raises_valueerror_only():
+    """Error contract (ADVICE r3): corrupt zlib inside CRC-valid IDAT and
+    wrong-size IHDR bodies must raise ValueError, not zlib.error /
+    struct.error — the operator handlers catch ValueError to null the
+    row instead of killing the stage. Byte-fuzz can't reach these paths
+    because single-byte mutations break chunk CRCs first."""
+    import struct
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    iend = _chunk(b"IEND", b"")
+    # CRC-valid chunks, but IDAT body is not a zlib stream
+    bad_zlib = sig + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", b"nope") + iend
+    with pytest.raises(ValueError, match="zlib"):
+        png_decode(bad_zlib)
+    # CRC-valid IHDR whose body is 12 bytes instead of 13
+    bad_ihdr = sig + _chunk(b"IHDR", ihdr[:-1]) + iend
+    with pytest.raises(ValueError, match="IHDR"):
+        png_decode(bad_ihdr)

@@ -69,6 +69,12 @@ def test_wav_rejects_malformed():
         wav_encode([0], 8000, 1, 24)             # 24-bit unsupported
     with pytest.raises(ValueError):
         wav_encode([0, 1, 2], 8000, 2, 16)       # ragged frames
+    # sample_rate=0 in a structurally-valid fmt chunk (ADVICE r3): must
+    # be ValueError here, not ZeroDivisionError later in wav_resample
+    zero_rate = bytearray(good)
+    struct.pack_into("<I", zero_rate, good.index(b"fmt ") + 8 + 4, 0)
+    with pytest.raises(ValueError, match="sample_rate"):
+        wav_decode(bytes(zero_rate))
 
 
 def test_wav_decode_fuzz_never_crashes():
