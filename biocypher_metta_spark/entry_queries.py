@@ -2647,8 +2647,7 @@ WITH t AS (
   SELECT doc_id, s,
     list_sort(list_distinct(list_concat(list_concat([CAST(0 AS BIGINT)],
       list_filter(range(8, n + 1),
-        i -> ('0x' || substr(md5(substr(s, CAST(i - 7 AS INT), 8)), 1, 15))
-             ::BIGINT % 64 = 0)),
+        i -> __CDC_BOUNDARY__)),
       CASE WHEN n > 0 THEN [CAST(n AS BIGINT)]
            ELSE CAST([] AS BIGINT[]) END))) AS bounds
   FROM t
@@ -2666,7 +2665,7 @@ SELECT doc_id,
        CAST(c.chunk_len AS BIGINT) AS chunk_len,
        ('0x' || substr(md5(c.chunk), 1, 15))::BIGINT AS chunk_hash
 FROM ch
-"""
+""".replace("__CDC_BOUNDARY__", dedup_ops.cdc_boundary_sql(8, 6, "s"))
 
 
 QUERIES.update({

@@ -104,33 +104,84 @@ def line_dedup(df: DataFrame, text_col: str = "text",
                  F.array_join(ordered, sep).alias("text")))
 
 
+# Karp-Rabin constants for the CDC boundary hash, shared (one-source)
+# with the DuckDB twin emitted by cdc_boundary_sql(). Base/modulus are
+# chosen so every intermediate stays inside signed-64 in BOTH engines
+# without wraparound: h < MOD (2^31-1), h*BASE ~ 2.1e15, + codepoint
+# (<= 0x10FFFF) — no overflow, no engine-specific wrap semantics.
+CDC_BASE = 1_000_003
+CDC_MOD = (1 << 31) - 1
+
+
+def _cdc_window_hash(codes: Column, i, window: int) -> Column:
+    """Polynomial hash of the `window` codepoints ending at 1-based
+    position i: h = ((c1*B + c2) % M)*B + c3 ... — `window` integer
+    multiply-adds per position, no string slicing, no md5."""
+    h = F.element_at(codes, i - (window - 1))
+    for k in range(1, window):
+        h = (h * F.lit(CDC_BASE)
+             + F.element_at(codes, i - (window - 1) + k)) % F.lit(CDC_MOD)
+    return h
+
+
+def cdc_boundary_sql(window: int = 8, mask_bits: int = 6,
+                     s: str = "s") -> str:
+    """DuckDB twin of the boundary predicate — generated from the SAME
+    recurrence and constants as _cdc_window_hash, so the oracle cannot
+    drift from the engine (`i` is the lambda variable of a
+    list_filter(range(window, n+1), ...) call site)."""
+    h = (f"CAST(ord(substr({s}, CAST(i - {window - 1} AS INT), 1))"
+         f" AS BIGINT)")
+    for k in range(1, window):
+        h = (f"(({h}) * {CDC_BASE} + "
+             f"ord(substr({s}, CAST(i - {window - 1 - k} AS INT), 1)))"
+             f" % {CDC_MOD}")
+    return f"({h}) % {1 << mask_bits} = 0"
+
+
 def cdc_chunks(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id", window: int = 8,
                mask_bits: int = 6) -> DataFrame:
     """Content-defined chunking (the sub-document granularity fuzzy
-    dedup uses): a boundary falls after position i wherever the portable
-    60-bit hash of the trailing `window` characters is 0 mod
-    2^mask_bits, so expected chunk length is 2^mask_bits chars and —
-    the CDC property — boundaries survive insertions/deletions
+    dedup uses): a boundary falls after position i wherever the
+    Karp-Rabin polynomial hash of the trailing `window` characters is
+    0 mod 2^mask_bits, so expected chunk length is 2^mask_bits chars
+    and — the CDC property — boundaries survive insertions/deletions
     elsewhere in the document, unlike fixed-width chunks. Emits one row
     per non-empty chunk: (doc_id, chunk_no, chunk_len, chunk_hash).
 
-    Pure expressions, map-only: per char position one substring + md5
-    over `window` chars (O(n*window) per doc; window is small). Chunk
-    hashes feed the exact_dedup/groupBy machinery for corpus-level
-    chunk dedup."""
+    Pure expressions, map-only. The codepoint array is materialized
+    once per row behind a Generate barrier (_compute_once — Catalyst
+    would otherwise re-split the string per element_at), then each
+    position costs `window` integer multiply-adds: ~an order of
+    magnitude cheaper per byte than the r3 md5-per-position form (md5
+    allocates + hashes a fresh substring per char). Chunk hashes feed
+    the exact_dedup/groupBy machinery for corpus-level chunk dedup.
+
+    Caveat (documented, shared with the oracle): Spark's split('')
+    yields UTF-16 code units, so non-BMP codepoints (outside the
+    corpus' charset) would diverge from DuckDB's codepoint ord()."""
     s = F.col(text_col)
     n = F.length(s)
+    pre = _compute_once(
+        df, F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("long")),
+        "_codes")
+    codes = F.col("_codes")
     pos = F.when(n >= window, F.sequence(F.lit(window), n)) \
         .otherwise(F.array().cast("array<int>"))
-    bnds = F.filter(pos, lambda i: portable_hash(
-        F.substring(s, i - (window - 1), window))
-        % F.lit(1 << mask_bits) == 0)
+    bnds = F.filter(pos, lambda i: _cdc_window_hash(codes, i, window)
+                    % F.lit(1 << mask_bits) == 0)
     # chunk edges: 0, each boundary, n — dedup'd (a boundary AT n would
-    # otherwise create an empty trailing chunk) and n>0 guarded
-    bounds = F.array_distinct(F.concat(
+    # otherwise create an empty trailing chunk) and n>0 guarded.
+    # Materialized behind its own Generate barrier: the chunk lambda
+    # below references bounds 3x per chunk via element_at, and codegen
+    # CSE does not dedupe across lambda invocations — without the
+    # barrier the whole boundary scan re-ran ~15x per doc (measured
+    # 2.1s -> this fix targets the chunk stage, not the hash).
+    pre = _compute_once(pre, F.array_distinct(F.concat(
         F.array(F.lit(0)), bnds, F.when(n > 0, F.array(n))
-        .otherwise(F.array().cast("array<int>"))))
+        .otherwise(F.array().cast("array<int>")))), "_bounds")
+    bounds = F.col("_bounds")
     chunks = F.transform(
         F.when(F.size(bounds) >= 2, F.sequence(F.lit(1), F.size(bounds) - 1))
         .otherwise(F.array().cast("array<int>")),
@@ -141,7 +192,7 @@ def cdc_chunks(df: DataFrame, text_col: str = "text",
             F.substring(s, F.element_at(bounds, j) + 1,
                         F.element_at(bounds, j + 1) - F.element_at(bounds, j))
             .alias("chunk")))
-    ex = _compute_once(df, chunks, "_ch") \
+    ex = _compute_once(pre, chunks, "_ch") \
         .select(F.col(id_col), F.explode("_ch").alias("c"))
     return ex.select(
         id_col, F.col("c.chunk_no").alias("chunk_no"),
