@@ -28,6 +28,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from biocypher_metta_spark.functions.chainfile import ChainLifter
+
 
 def default_lifter(chr_no: str, pos: int):
     raise NotImplementedError(
@@ -43,8 +45,19 @@ def make_liftover_udf(lifter_fn: Callable = default_lifter):
     (helpers.py:168). Failed lifts -> NULL (callers drop, P11).
     """
 
+    # ChainLifter bound methods get the vectorized batch path: one
+    # np.searchsorted per chrom group instead of a Python bisect per row
+    # (same semantics — query_best_many is the batch twin of query()[0];
+    # parity-tested against the row loop in test_chainfile.py).
+    batch_lifter = getattr(lifter_fn, "__self__", None)
+    if not isinstance(batch_lifter, ChainLifter) \
+            or lifter_fn.__name__ != "query":
+        batch_lifter = None
+
     @F.pandas_udf(LongType())
     def _lift(chrs: pd.Series, poss: pd.Series) -> pd.Series:
+        if batch_lifter is not None:
+            return batch_lifter.query_best_pos_many(chrs, poss)
         out = []
         for c, p in zip(chrs, poss):
             if c is None or p is None:

@@ -59,13 +59,18 @@ def _is_var(term: str) -> bool:
 
 
 def match_pattern(triples: DataFrame,
-                  patterns: list[tuple[str, str, str]]) -> DataFrame:
+                  patterns: list[tuple[str, str, str]],
+                  allow_cartesian: bool = False) -> DataFrame:
     """Conjunctive (subj, pred, obj) pattern match with '$var' variables.
 
     Each pattern becomes a filtered scan; shared variables become join
     keys; the result has one column per variable. Equivalent MeTTa:
     !(match &self (, (p1 s1 o1) (p2 s2 o2) ...) ($vars...)).
-    """
+
+    MeTTa conjunction semantics allow conjuncts with no shared variable,
+    which is a cross product — over a corpus-sized triple table that is
+    a corpus x corpus blowup, so it is REFUSED unless the caller opts in
+    with allow_cartesian=True (scale guard, round-3 verdict item)."""
     result: DataFrame | None = None
     bound: set[str] = set()
     for i, (s, p, o) in enumerate(patterns):
@@ -82,6 +87,12 @@ def match_pattern(triples: DataFrame,
             bound = {c for c in step.columns}
         else:
             common = sorted(bound & set(step.columns))
+            if not common and not allow_cartesian:
+                raise ValueError(
+                    f"pattern {i} {(s, p, o)!r} shares no variable with "
+                    f"the patterns before it ({sorted(bound)}); the "
+                    "conjunction is a cross product. Reorder patterns or "
+                    "pass allow_cartesian=True if the blowup is intended.")
             result = result.join(step, common) if common else result.crossJoin(step)
             bound |= set(step.columns)
     return result.distinct()

@@ -178,3 +178,67 @@ def test_dbsuper_nodes_real_chain_kernel(spark):
     _, atoms = reg.dbsuper_nodes(
         lines_of(spark, f"{S}/dbSUPER_SuperEnhancers_hg19.tsv.gz"), lift)
     assert_pr(spark_atoms(atoms), golden, 1.0, "dbsuper nodes (chain kernel)")
+
+
+def test_query_best_many_matches_row_loop(lifter):
+    """The vectorized batch path (np.searchsorted + whole-vector scan
+    rounds) must agree with query()[0] at EVERY position on all
+    chromosomes, including unmapped positions, unknown chroms, Nones,
+    and 'chr'/'ch' prefixed names."""
+    chroms, poss = [], []
+    for chrom in ("1", "2", "chr3", "ch2", "nope", None):
+        for pos in range(0, 700, 7):
+            chroms.append(chrom)
+            poss.append(pos)
+    chroms.append("1")
+    poss.append(None)
+    got = lifter.query_best_many(chroms, poss)
+    for c, p, g in zip(chroms, poss, got):
+        if c is None or p is None:
+            assert g is None
+            continue
+        rows = lifter.query(c, p)
+        assert g == (rows[0] if rows else None), (c, p)
+
+
+def test_query_best_many_random_chains_fuzz():
+    """Parity on randomized overlapping chain sets (seeded): deep
+    overlap stacks exercise multi-round vectorized scans."""
+    import random
+
+    rng = random.Random(7)
+    parts = []
+    for cid in range(25):
+        t_start = rng.randrange(0, 400)
+        blocks = [(rng.randrange(5, 60),
+                   rng.randrange(1, 30), rng.randrange(1, 30))
+                  for _ in range(rng.randrange(0, 3))]
+        blocks.append((rng.randrange(5, 60),))  # final block: size only
+        strand = rng.choice("+-")
+        parts.append(compose_chain(
+            rng.randrange(100, 5000), f"chr{rng.randrange(1, 4)}", 10_000,
+            t_start, f"chr{rng.randrange(1, 6)}", 20_000, strand,
+            rng.randrange(0, 1000), blocks, chain_id=cid + 1))
+    lf = ChainLifter.from_text("".join(parts))
+    chroms = [str(rng.randrange(1, 5)) for _ in range(2000)]
+    poss = [rng.randrange(0, 800) for _ in range(2000)]
+    got = lf.query_best_many(chroms, poss)
+    for c, p, g in zip(chroms, poss, got):
+        rows = lf.query(c, p)
+        assert g == (rows[0] if rows else None), (c, p)
+
+
+def test_query_best_pos_many_matches_tuple_path(lifter):
+    """The pandas-grouped hot path agrees with query_best_many on
+    position values and null handling."""
+    import pandas as pd
+
+    chroms = ["1", "chr1", "2", "ch3", "nope", None, "1"]
+    poss = [100, 120, 230, 310, 5, 10, None]
+    tup = lifter.query_best_many(chroms, poss)
+    vec = lifter.query_best_pos_many(pd.Series(chroms), pd.Series(poss))
+    for t, v in zip(tup, vec):
+        if t is None:
+            assert v is pd.NA
+        else:
+            assert v == t[1]

@@ -65,3 +65,18 @@ def test_match_pattern_with_object_var(gene_nodes):
     out = query.match_pattern(triples, [("$g", "gene_name", "$n")])
     m = {r.g: r.n for r in out.collect()}
     assert m["(gene ENSG00000101349)"] == "PAK5"
+
+
+def test_match_pattern_refuses_disjoint_cartesian(gene_nodes):
+    """Conjuncts sharing no variable are a corpus x corpus cross
+    product; refused by default, allowed only with allow_cartesian."""
+    import pytest
+
+    triples = query.node_prop_triples(gene_nodes)
+    disjoint = [("$g", "chr", "chr20"), ("$h", "gene_type", "protein_coding")]
+    with pytest.raises(ValueError, match="cross product"):
+        query.match_pattern(triples, disjoint)
+    out = query.match_pattern(triples, disjoint, allow_cartesian=True)
+    a = triples.filter("pred='chr' AND obj='chr20'").count()
+    b = triples.filter("pred='gene_type' AND obj='protein_coding'").count()
+    assert out.count() == a * b
