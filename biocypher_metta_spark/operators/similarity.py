@@ -123,7 +123,8 @@ def knn_join(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
              n_planes: int = 6, quant_scale: int = 100,
              q_id: str = "q_id", c_id: str = "vec_id",
              vec_col: str = "embedding",
-             probe_adjacent: bool = True) -> DataFrame:
+             probe_adjacent: bool = True,
+             probe_bits: int | None = None) -> DataFrame:
     """Distributed batch k-NN join — an operator Spark has no native
     form of: for EVERY query row, the top-k corpus rows by exact integer
     dot product, candidates limited to the query's sign-sketch bucket
@@ -140,7 +141,18 @@ def knn_join(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     (1 + n_planes) * N / 2^n_planes — at 10^9 rows use 24+ planes (and
     probe more flips to recover recall). Recall is approximate by
     construction; the brute-force twin is quantized_dot_topk per query.
+
+    probe_bits widens multi-probe: 0 = own bucket only, 1 = + all 1-bit
+    flips (the probe_adjacent=True default), 2 = + all 2-bit flips
+    (n_planes*(n_planes+1)/2 + 1 probe rows per query — recall recovery
+    for high n_planes; measured sweep in BENCH.md / tools/knn_recall.py).
+    probe_adjacent is the legacy boolean form and is only consulted when
+    probe_bits is None.
     """
+    if probe_bits is None:
+        probe_bits = 1 if probe_adjacent else 0
+    if not 0 <= probe_bits <= 2:
+        raise ValueError("probe_bits must be 0, 1, or 2")
     def sketch(df, id_name):
         from biocypher_metta_spark.operators.dedup import _compute_once
 
@@ -165,10 +177,14 @@ def knn_join(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
 
     cand_c = sketch(corpus, c_id)
     qb = sketch(queries, q_id)
-    if probe_adjacent:
+    if probe_bits >= 1:
+        masks = [1 << p for p in range(n_planes)]
+        if probe_bits >= 2:
+            masks += [(1 << p) | (1 << r) for p in range(n_planes)
+                      for r in range(p + 1, n_planes)]
         probes = F.array(F.col("_bkt"),
-                         *[F.col("_bkt").bitwiseXOR(F.lit(1 << p))
-                           for p in range(n_planes)])
+                         *[F.col("_bkt").bitwiseXOR(F.lit(m))
+                           for m in masks])
         qb = (qb.select(q_id, "_q", F.explode(probes).alias("_bkt")))
     joined = qb.alias("q").join(cand_c.alias("c"), "_bkt").select(
         F.col(f"q.{q_id}"), F.col(f"c.{c_id}"),

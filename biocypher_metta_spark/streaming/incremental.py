@@ -47,3 +47,31 @@ def run_incremental(docs_stream: DataFrame, transform,
     if available_now:
         q.awaitTermination()
     return q
+
+
+def doc_stat_triples(docs: DataFrame) -> DataFrame:
+    """Stateless per-document stat triples — the parity transform the
+    kg_streaming_parity gate streams: subj '(document <id>)', preds
+    n_chars / n_tokens / fingerprint (min 5-gram portable hash, same
+    recurrence as operators.text.fingerprint). Pure map/explode, so the
+    IDENTICAL plan runs batch and streaming; null objs (docs with < 5
+    tokens have no fingerprint) are dropped like node_prop_triples."""
+    from pyspark.sql import functions as F
+
+    from biocypher_metta_spark.operators.text import (
+        portable_hash, shingles, tokens)
+
+    fp = F.array_min(F.transform(shingles(F.col("text"), 5), portable_hash))
+    subj = F.concat(F.lit("(document "), F.col("doc_id").cast("string"),
+                    F.lit(")"))
+    props = F.array(
+        F.struct(F.lit("n_chars").alias("pred"),
+                 F.length("text").cast("string").alias("obj")),
+        F.struct(F.lit("n_tokens").alias("pred"),
+                 F.size(tokens(F.col("text"))).cast("string").alias("obj")),
+        F.struct(F.lit("fingerprint").alias("pred"),
+                 fp.cast("string").alias("obj")))
+    return (docs.select(subj.alias("subj"), F.explode(props).alias("p"))
+            .select("subj", F.col("p.pred").alias("pred"),
+                    F.col("p.obj").alias("obj"))
+            .filter(F.col("obj").isNotNull()))

@@ -440,6 +440,55 @@ def test_knn_join_exact_dots_and_twin_rank1(spark):
         assert len({r.vec_id for r in rows}) == len(rows)  # no dup pairs
 
 
+def test_knn_join_probe_bits_monotone_recall(spark):
+    """probe_bits widens candidate coverage monotonically: the result
+    set at 0 is a subset of 1 is a subset of 2 (per query, by pair,
+    before the top-k cut this holds for candidates; after the cut the
+    matched-truth count must be non-decreasing), and probe_bits=2
+    explores 1 + n + n(n-1)/2 buckets. Legacy probe_adjacent still maps
+    to 0/1."""
+    from biocypher_metta_spark.operators import similarity as sim
+
+    rng = random.Random(11)
+    dim = 8
+
+    def vec():
+        return [rng.uniform(-1, 1) for _ in range(dim)]
+
+    queries = spark.createDataFrame(
+        [(i, vec()) for i in range(8)], "q_id long, embedding array<float>")
+    corpus = spark.createDataFrame(
+        [(i, vec()) for i in range(200)], "vec_id long, embedding array<float>")
+    # ground truth: full quantized dot ranking
+    qd = queries.select("q_id", sim.quantize(F.col("embedding"), 100).alias("qq"))
+    cd = corpus.select("vec_id", sim.quantize(F.col("embedding"), 100).alias("cq"))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("vec_id"))
+    truth = {(r.q_id, r.vec_id) for r in qd.crossJoin(cd).select(
+        "q_id", "vec_id", sim.int_dot(F.col("qq"), F.col("cq")).alias("dot"))
+        .withColumn("rank", F.row_number().over(w)).filter("rank <= 5").collect()}
+    hits = {}
+    for pb in (0, 1, 2):
+        got = {(r.q_id, r.vec_id) for r in sim.knn_join(
+            queries, corpus, dim=dim, k=5, n_planes=5, probe_bits=pb).collect()}
+        hits[pb] = got & truth
+    assert hits[0] <= hits[1] <= hits[2]
+    assert len(hits[2]) > len(hits[0])  # wider probing must help here
+    # legacy boolean still routes to the same paths
+    legacy1 = {(r.q_id, r.vec_id) for r in sim.knn_join(
+        queries, corpus, dim=dim, k=5, n_planes=5, probe_adjacent=True).collect()}
+    legacy0 = {(r.q_id, r.vec_id) for r in sim.knn_join(
+        queries, corpus, dim=dim, k=5, n_planes=5, probe_adjacent=False).collect()}
+    pb1 = {(r.q_id, r.vec_id) for r in sim.knn_join(
+        queries, corpus, dim=dim, k=5, n_planes=5, probe_bits=1).collect()}
+    pb0 = {(r.q_id, r.vec_id) for r in sim.knn_join(
+        queries, corpus, dim=dim, k=5, n_planes=5, probe_bits=0).collect()}
+    assert legacy1 == pb1 and legacy0 == pb0
+    import pytest
+    with pytest.raises(ValueError, match="probe_bits"):
+        sim.knn_join(queries, corpus, dim=dim, probe_bits=3)
+
+
 # ------------------------------------- adversarial cross-engine gate sweep
 
 

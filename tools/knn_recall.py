@@ -1,0 +1,112 @@
+"""Honest recall@k measurement for knn_join's multi-probe LSH blocking
+(round-3 verdict item 5).
+
+Sweeps dim x probe_bits against an EXACT brute-force top-k computed
+with the SAME quantized integer dot product (so any miss is purely a
+candidate-coverage miss, never a scoring difference). Corpus and
+queries are deterministic hash-derived vectors — fully distributed
+generation, no driver data, reproducible across runs/engines.
+
+Usage: python tools/knn_recall.py [corpus_n] [n_queries]
+Prints one JSON line per (dim, n_planes, probe_bits) cell; paste the
+table into BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from biocypher_metta_spark import get_spark
+from biocypher_metta_spark.operators.similarity import int_dot, knn_join
+
+K = 10
+QUANT = 100
+
+
+def synth_vectors(spark, n: int, dim: int, id_name: str, salt: str):
+    """Deterministic pseudo-random vectors in [-1, 1]: component j of
+    row i is a function of xxhash64(salt, i, j) — distributed, seedless,
+    identical on every run."""
+    return spark.range(n).select(
+        F.col("id").alias(id_name),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: ((F.xxhash64(F.lit(salt), F.col("id"), j)
+                        % 1001) / 1000.0).cast("double"),
+        ).alias("embedding"))
+
+
+def synth_clustered(spark, n: int, dim: int, id_name: str, salt: str,
+                    n_clusters: int = 256, noise: float = 0.15):
+    """Clustered vectors (the realistic embedding-corpus shape): row i
+    belongs to cluster i % n_clusters; vector = unit-ish centroid
+    (hash of cluster id) + small hash noise. True neighbors are
+    overwhelmingly same-cluster, which is the regime LSH blocking is
+    designed for — report this alongside the uniform worst case."""
+    cl = F.col("id") % n_clusters
+    return spark.range(n).select(
+        F.col("id").alias(id_name),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (((F.xxhash64(F.lit("ctr"), cl, j) % 1001) / 1000.0)
+                       + noise * ((F.xxhash64(F.lit(salt), F.col("id"), j)
+                                   % 1001) / 1000.0)).cast("double"),
+        ).alias("embedding"))
+
+
+def brute_topk(queries, corpus, k: int):
+    """Exact top-k per query over the full corpus with knn_join's
+    quantized integer dot — the ground truth (a broadcast nested-loop
+    over the small query side; only viable because this is a
+    measurement harness, not the production path)."""
+    quant = F.transform(F.col("embedding"),
+                        lambda x: F.round(x * QUANT).cast("long"))
+    q = queries.select("q_id", quant.alias("_q"))
+    c = corpus.select("vec_id", quant.alias("_c"))
+    joined = q.crossJoin(c).select(
+        "q_id", "vec_id", int_dot(F.col("_q"), F.col("_c")).alias("dot"))
+    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("vec_id"))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def main():
+    corpus_n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    spark = get_spark("knn-recall", master="local[32]")
+    for dist in ("uniform", "clustered"):
+        gen = synth_vectors if dist == "uniform" else synth_clustered
+        for dim in (16, 32):
+            corpus = gen(spark, corpus_n, dim, "vec_id", "c").cache()
+            queries = gen(spark, n_queries, dim, "q_id", "q").cache()
+            truth = {(r.q_id, r.vec_id)
+                     for r in brute_topk(queries, corpus, K).collect()}
+            for n_planes in (6, 8):
+                for probe_bits in (0, 1, 2):
+                    t0 = time.time()
+                    got = {(r.q_id, r.vec_id) for r in
+                           knn_join(queries, corpus, dim=dim, k=K,
+                                    n_planes=n_planes, quant_scale=QUANT,
+                                    probe_bits=probe_bits).collect()}
+                    recall = len(got & truth) / len(truth)
+                    print(json.dumps({
+                        "dist": dist, "corpus": corpus_n,
+                        "queries": n_queries, "dim": dim,
+                        "n_planes": n_planes, "probe_bits": probe_bits,
+                        "k": K, "recall": round(recall, 4),
+                        "sec": round(time.time() - t0, 2)}), flush=True)
+            corpus.unpersist()
+            queries.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
