@@ -1894,13 +1894,24 @@ def _duck_tri_scores() -> str:
     return ",\n         ".join(parts)
 
 
+def _duck_tri_case() -> str:
+    """Argmax CASE over the TRIGRAM language set (LANG_TRIGRAMS keys in
+    dict order = the Spark tie-break order) — split from the marker-set
+    _duck_lang_case now the trigram set is wider than the marker set."""
+    langs = list(text_ops.LANG_TRIGRAMS)
+    g = f"greatest({', '.join(langs)})"
+    whens = "\n            ".join(f"WHEN {l} = {g} THEN '{l}'" for l in langs)
+    return (f"CASE WHEN {g} = 0 THEN 'unk'\n            {whens}"
+            f"\n            ELSE 'unk' END")
+
+
 def doc_lang_trigram(spark, sf_dir):
     """Per-doc trigram language prediction + weighted best score.
     _docs_par: the single-file test corpus is one scan partition, which
     serializes the per-char scoring onto one core (measured 16s -> ~1s)."""
     d = _docs_par(spark, sf_dir)
     return text_ops.lang_id_trigram(d).select(
-        "doc_id", "best_score", "lang_pred")
+        "doc_id", "best_score", "margin", "lang_pred")
 
 
 DOC_LANG_TRIGRAM_SQL = f"""
@@ -1922,7 +1933,10 @@ WITH t AS (
 SELECT doc_id,
        CAST(greatest({', '.join(text_ops.LANG_TRIGRAMS)}) AS BIGINT)
          AS best_score,
-       {_duck_lang_case()} AS lang_pred
+       CAST(list_sort([{', '.join(text_ops.LANG_TRIGRAMS)}], 'DESC')[1]
+            - list_sort([{', '.join(text_ops.LANG_TRIGRAMS)}], 'DESC')[2]
+            AS BIGINT) AS margin,
+       {_duck_tri_case()} AS lang_pred
 FROM sc
 """
 

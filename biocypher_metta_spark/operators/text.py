@@ -186,6 +186,59 @@ LANG_TRIGRAM_SNIPPETS = {
            "hus paa kvaellen efter att butikerna hade staengt maanga "
            "maenniskor tror ofta att den som laeser maanga boecker blir "
            "klok men att foersta det man laeser betyder mycket mer"),
+    # round 4 widening: six more languages, same parallel passage,
+    # ASCII-transliterated like de/sv above (the normalizer strips
+    # non-[a-z], so diacritics are dropped rather than transliterated
+    # for languages where that is the common informal web form).
+    "da": ("den hurtige brune raev springer over den dovne hund og "
+           "loeber derefter gennem markerne hvor boernene leger med "
+           "deres venner fordi det er hvad der sker naar vejret er godt "
+           "og alle gerne vil vaere udenfor sammen i solskinnet "
+           "min bror sagde at han ville bringe brevene hen til vores "
+           "nabos hus om aftenen efter at butikkerne var lukket mange "
+           "mennesker tror ofte at den der laeser mange boeger bliver "
+           "klog men at forstaa det man laeser betyder meget mere"),
+    "pl": ("szybki brazowy lis skacze nad leniwym psem a potem biegnie "
+           "przez pola gdzie dzieci bawia sie ze swoimi przyjaciolmi "
+           "poniewaz tak wlasnie dzieje sie kiedy pogoda jest dobra i "
+           "wszyscy chca byc razem na zewnatrz w sloncu "
+           "moj brat powiedzial ze przyniesie listy do domu naszego "
+           "sasiada wieczorem po zamknieciu sklepow ludzie czesto mysla "
+           "ze czytanie wielu ksiazek czyni czlowieka madrym ale "
+           "zrozumienie tego co sie czyta znaczy znacznie wiecej"),
+    "ro": ("vulpea maro si rapida sare peste cainele lenes si apoi "
+           "alearga prin campuri unde copiii se joaca cu prietenii lor "
+           "pentru ca asta se intampla cand vremea este buna si toata "
+           "lumea vrea sa fie afara impreuna la soare "
+           "fratele meu a spus ca va aduce scrisorile la casa vecinului "
+           "nostru seara dupa inchiderea magazinelor oamenii cred "
+           "adesea ca citirea multor carti face un om intelept dar "
+           "intelegerea a ceea ce citesti conteaza mult mai mult"),
+    "fi": ("nopea ruskea kettu hyppaa laiskan koiran yli ja juoksee "
+           "sitten peltojen halki missa lapset leikkivat ystaviensa "
+           "kanssa koska niin tapahtuu kun saa on hyva ja kaikki "
+           "haluavat olla yhdessa ulkona auringossa "
+           "veljeni sanoi etta han toisi kirjeet naapurimme taloon "
+           "illalla kauppojen suljettua ihmiset ajattelevat usein etta "
+           "monien kirjojen lukeminen tekee ihmisesta viisaan mutta sen "
+           "ymmartaminen mita lukee merkitsee paljon enemman"),
+    "tr": ("hizli kahverengi tilki tembel kopegin uzerinden atlar ve "
+           "sonra cocuklarin arkadaslariyla oynadigi tarlalarda kosar "
+           "cunku hava guzel oldugunda ve herkes gunes altinda birlikte "
+           "disarida olmak istediginde boyle olur "
+           "kardesim aksam dukkanlar kapandiktan sonra mektuplari "
+           "komsumuzun evine goturecegini soyledi insanlar cogu zaman "
+           "cok kitap okumanin insani bilge yaptigini dusunur ama "
+           "okudugunu anlamak cok daha onemlidir"),
+    "id": ("rubah coklat yang cepat melompati anjing malas lalu berlari "
+           "melewati ladang tempat anak anak bermain dengan teman teman "
+           "mereka karena itulah yang terjadi ketika cuaca bagus dan "
+           "semua orang ingin berada di luar bersama di bawah sinar "
+           "matahari saudara saya berkata bahwa dia akan membawa surat "
+           "surat itu ke rumah tetangga kami pada malam hari setelah "
+           "toko toko tutup orang sering berpikir bahwa membaca banyak "
+           "buku membuat seseorang bijaksana tetapi memahami apa yang "
+           "dibaca jauh lebih penting"),
 }
 
 LANG_TRIGRAM_K = 96
@@ -279,11 +332,17 @@ def lang_id_trigram(df: DataFrame, text_col: str = "text",
     # repartition the corpus, not the expression.
     scores = [(lang, _score(prof)) for lang, prof in LANG_TRIGRAMS.items()]
     best = F.greatest(*[s for _, s in scores])
+    # confidence margin = best - runner-up (0 on ties/no-hits): sort the
+    # score array desc once; downstream filters threshold on it to drop
+    # ambiguous docs (e.g. margin < 2 between close Romance languages)
+    ranked = F.sort_array(F.array(*[s for _, s in scores]), asc=False)
+    margin = ranked[0] - ranked[1]
     lang = F.when(best == 0, F.lit("unk"))
     for l, s in scores:
         lang = lang.when(s == best, F.lit(l))
     lang = lang.otherwise(F.lit("unk"))
     return hashed.select(F.col(id_col), best.cast("long").alias("best_score"),
+                         margin.cast("long").alias("margin"),
                          lang.alias("lang_pred"))
 
 

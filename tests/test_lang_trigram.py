@@ -42,11 +42,37 @@ HELD_OUT = [
            "liten bok om stadens historia som ingen hade oeppnat"),
     ("sv", "vi ses i morgon bitti vid stationen eftersom taget gar tidigt "
            "och det finns mycket arbete som maste bli klart fore slutet"),
+    ("da", "hun gik langsomt ind i det gamle bibliotek og fandt en lille "
+           "bog om byens historie som ingen havde aabnet i mange aar"),
+    ("da", "vi moedes i morgen tidlig ved stationen fordi toget koerer "
+           "tidligt og der er meget arbejde der skal goeres i denne uge"),
+    ("pl", "ona szla powoli do starej biblioteki i znalazla mala ksiazke "
+           "o historii miasta ktorej nikt nie otwieral od wielu lat"),
+    ("pl", "spotkamy sie jutro rano kolo dworca poniewaz pociag odjezdza "
+           "wczesnie a w tym tygodniu zostalo jeszcze duzo pracy"),
+    ("ro", "ea mergea incet in vechea biblioteca si a gasit o carte mica "
+           "despre istoria orasului pe care nimeni nu o deschisese de ani"),
+    ("ro", "ne vom intalni maine dimineata langa gara pentru ca trenul "
+           "pleaca devreme si mai este mult de lucru saptamana aceasta"),
+    ("fi", "han kaveli hitaasti vanhaan kirjastoon ja loysi pienen kirjan "
+           "kaupungin historiasta jota kukaan ei ollut avannut vuosiin"),
+    ("fi", "tapaamme huomenna aamulla aseman lahella koska juna lahtee "
+           "aikaisin ja talla viikolla on viela paljon tyota tehtavana"),
+    ("tr", "yavasca eski kutuphaneye girdi ve yillardir kimsenin acmadigi "
+           "sehrin tarihi hakkinda kucuk bir kitap buldu"),
+    ("tr", "yarin sabah istasyonun yaninda bulusacagiz cunku tren erken "
+           "kalkiyor ve bu hafta bitirilecek cok is var"),
+    ("id", "dia berjalan perlahan ke perpustakaan tua dan menemukan "
+           "sebuah buku kecil tentang sejarah kota yang tidak pernah "
+           "dibuka selama bertahun tahun"),
+    ("id", "kita akan bertemu besok pagi di dekat stasiun karena kereta "
+           "berangkat pagi sekali dan masih banyak pekerjaan minggu ini"),
 ]
 
 
 def test_profiles_shape():
-    assert set(LANG_TRIGRAMS) == {"en", "de", "fr", "es", "pt", "it", "nl", "sv"}
+    assert set(LANG_TRIGRAMS) == {"en", "de", "fr", "es", "pt", "it", "nl",
+                                  "sv", "da", "pl", "ro", "fi", "tr", "id"}
     for lang, prof in LANG_TRIGRAMS.items():
         assert 48 <= len(prof) <= 96, lang
         assert len(set(prof)) == len(prof)
@@ -77,14 +103,21 @@ def test_heldout_accuracy_beats_marker_baseline(spark):
     df = spark.createDataFrame(
         [(i, lang, text) for i, (lang, text) in enumerate(HELD_OUT)],
         "doc_id long, lang_true string, text string")
-    tri = {r.doc_id: r.lang_pred
-           for r in lang_id_trigram(df).collect()}
+    rows = {r.doc_id: r for r in lang_id_trigram(df).collect()}
     mark = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
-    tri_pairs = [(lang, tri[i]) for i, (lang, _) in enumerate(HELD_OUT)]
+    tri_pairs = [(lang, rows[i].lang_pred)
+                 for i, (lang, _) in enumerate(HELD_OUT)]
     mark_pairs = [(lang, mark[i]) for i, (lang, _) in enumerate(HELD_OUT)]
     tri_acc, mark_acc = _accuracy(tri_pairs), _accuracy(mark_pairs)
     assert tri_acc >= mark_acc, (tri_acc, mark_acc)
     assert tri_acc >= 0.9, tri_pairs
+    # margin contract: non-negative everywhere; strictly positive on
+    # every correctly-identified doc (a tie would have picked by dict
+    # order, which is not a confident prediction)
+    for i, (lang, _) in enumerate(HELD_OUT):
+        assert rows[i].margin >= 0
+        if rows[i].lang_pred == lang:
+            assert rows[i].margin > 0, (lang, rows[i])
 
 
 def test_empty_and_nonletter_text_is_unk(spark):
