@@ -1826,6 +1826,76 @@ FROM ids JOIN expected e ON e.v = i % 5
 
 QUERIES["multimodal_png_decode"] = (multimodal_png_decode, MULTIMODAL_PNG_SQL)
 
+# ===========================================================================
+# REAL JPEG decode gate (round 4): constant-per-8x8-block gray images are
+# the BIT-EXACT baseline-JPEG subset — only the DC coefficient survives
+# the FDCT, and with even offsets from 128 the Annex-K DC step (16)
+# divides it exactly — so the DuckDB twin recomputes width/height/
+# channels/pixel-sum straight from the block-value FORMULA without ever
+# seeing JPEG bytes. Hash equality proves the full marker-parse ->
+# Huffman -> dequant -> IDCT loop is exact on this subset (lossy-path
+# tolerances are pytest-checked in tests/test_jpeg.py). One variant per
+# restart-interval setting so DRI/RSTn parsing is driver-gated too.
+# ===========================================================================
+
+from biocypher_metta_spark.operators.jpeg import jpeg_encode as _jpeg_encode
+
+_JPG_W, _JPG_H = 24, 16
+
+
+def _jpeg_formula_pixels(w: int, h: int, v: int) -> bytes:
+    return bytes(128 + 2 * (((x // 8) * 7 + (y // 8) * 13 + v * 29)
+                            % 50 - 25)
+                 for y in range(h) for x in range(w))
+
+
+_JPG_VARIANTS = [
+    _jpeg_encode(_JPG_W + 8 * (v % 2), _JPG_H, 1,
+                 _jpeg_formula_pixels(_JPG_W + 8 * (v % 2), _JPG_H, v),
+                 restart_interval=v)      # v=0: no DRI; v>0: RSTn path
+    for v in range(4)
+]
+
+
+def multimodal_jpeg_decode(spark, sf_dir):
+    """Stdlib baseline-JPEG codec through the image_stats mapInPandas
+    operator (sniffing default decoder); four encoded variants cycled
+    over the doc ids, two widths x with/without restart markers."""
+    from biocypher_metta_spark.operators import multimodal as mm
+
+    ids = _ids(spark, sf_dir)
+    variants = F.array(*[F.lit(bytearray(b)) for b in _JPG_VARIANTS])
+    media = ids.select(
+        F.concat(F.lit("jpg://"), F.col("i").cast("string")).alias("media_ref"),
+        F.lit("image").alias("kind"),
+        F.element_at(variants, (F.col("i") % 4 + 1).cast("int")).alias("content"),
+    )
+    return mm.image_stats(media).select(
+        "media_ref", "width", "height", "channels", "pix_sum")
+
+
+MULTIMODAL_JPEG_SQL = f"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+expected AS (
+  SELECT v,
+         {_JPG_W} + 8 * (v % 2) AS width, {_JPG_H} AS height,
+         CAST(list_sum(flatten(list_transform(range(0, {_JPG_H}), y ->
+           list_transform(range(0, {_JPG_W} + 8 * (v % 2)), x ->
+             128 + 2 * (((x // 8) * 7 + (y // 8) * 13 + v * 29) % 50
+                        - 25))))) AS BIGINT) AS pix_sum
+  FROM (SELECT unnest(range(0, 4)) AS v)
+)
+SELECT 'jpg://' || i AS media_ref,
+       CAST(e.width AS INTEGER) AS width,
+       CAST(e.height AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       e.pix_sum
+FROM ids JOIN expected e ON e.v = i % 4
+"""
+
+QUERIES["multimodal_jpeg_decode"] = (multimodal_jpeg_decode,
+                                     MULTIMODAL_JPEG_SQL)
+
 _RZ_W, _RZ_H = 5, 4
 
 

@@ -56,20 +56,35 @@ FRAME_SCHEMA = StructType([
 ])
 
 
+def sniff_image_decode(content: bytes) -> tuple[int, int, int, bytes]:
+    """Format-sniffing decode chain (round 4): magic bytes route to the
+    pure-stdlib PNG codec (operators/png.py) or the baseline JPEG codec
+    (operators/jpeg.py); anything else raises ValueError — the shared
+    modality error contract (operator handlers null the row). This is
+    the production shape: one sniffer seam where new codecs chain in."""
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        from biocypher_metta_spark.operators.png import png_decode
+
+        return png_decode(content)
+    if content[:2] == b"\xFF\xD8":
+        from biocypher_metta_spark.operators.jpeg import jpeg_decode
+
+        return jpeg_decode(content)
+    raise ValueError("unrecognized image format (PNG and baseline JPEG "
+                     "are the stdlib-decodable formats)")
+
+
 def real_image_decode(content: bytes) -> tuple[int, int, int, list[float]]:
-    """REAL decode kernel (round 3): PNG via the pure-stdlib codec in
-    operators/png.py — no PIL/cv2 needed. Non-PNG payloads raise
-    ValueError, which decode_images nulls out per its error contract
-    (production would chain format sniffers here; PNG is the one format
-    decodable from the spec with nothing but stdlib zlib).
+    """REAL decode kernel (round 3, widened round 4): PNG or baseline
+    JPEG via the pure-stdlib codecs behind sniff_image_decode — no
+    PIL/cv2 needed. Unrecognized payloads raise ValueError, which
+    decode_images nulls out per its error contract.
 
     The 8-float embedding is a deterministic luminance profile: the
     pixel buffer split into 8 equal spans, mean byte value per span,
     scaled to [0, 1] — a stand-in for a real vision embedding with the
     same schema and batch shape."""
-    from biocypher_metta_spark.operators.png import png_decode
-
-    w, h, c, pix = png_decode(content)
+    w, h, c, pix = sniff_image_decode(content)
     n = len(pix)
     span = max(n // 8, 1)
     emb = []
@@ -131,11 +146,9 @@ def image_stats(media: DataFrame, decode: Callable | None = None) -> DataFrame:
     """Corpus-QA decode statistics: dimensions + the exact pixel-byte sum
     per image. The sum is an integer over the decoded buffer, so an
     external oracle that knows the source pixels can value-check the
-    whole decode path. Default codec is the stdlib PNG kernel
-    (operators/png.py); undecodable rows null out."""
-    from biocypher_metta_spark.operators.png import png_decode
-
-    dec = decode or png_decode
+    whole decode path. Default codec is the sniffing chain (stdlib PNG
+    or baseline JPEG); undecodable rows null out."""
+    dec = decode or sniff_image_decode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
