@@ -110,6 +110,33 @@ def _idct8x8(coef: list[float]) -> list[float]:
     return out
 
 
+# per-coefficient 2D IDCT basis (folded normalization), raster-indexed
+# like the separable kernels above: coef (v*8+u) -> 64 pixel weights
+_IDCT_BASIS = [
+    [(_CN[v] / 2 * _COS[v][y]) * (_CN[u] / 2 * _COS[u][x])
+     for y in range(8) for x in range(8)]
+    for v in range(8) for u in range(8)
+]
+
+
+def _idct8x8_sparse(coef: list[float]) -> list[float]:
+    """IDCT as a sum of per-nonzero-coefficient basis planes — the
+    classic sparse decode path: quantization zeroes most AC coefs, so
+    cost scales with the nonzero count (a DC-only block is one scaled
+    plane) instead of the full 2x(8x8x8) separable passes. Parity with
+    _idct8x8 is asserted to float precision in tests/test_jpeg.py."""
+    out = None
+    for k in range(64):
+        c = coef[k]
+        if c:
+            b = _IDCT_BASIS[k]
+            if out is None:
+                out = [c * bv for bv in b]
+            else:
+                out = [o + c * bv for o, bv in zip(out, b)]
+    return out if out is not None else [0.0] * 64
+
+
 def _category(v: int) -> int:
     return v.bit_length() if v >= 0 else (-v).bit_length()
 
@@ -599,7 +626,7 @@ def _decode_scan(data, pos, frame, scan, quant, huff, restart_interval):
                         coefs = [0.0] * 64
                         for i in range(64):
                             coefs[ZIGZAG[i]] = zz[i] * qtab[ZIGZAG[i]]
-                        blk = _idct8x8(coefs)
+                        blk = _idct8x8_sparse(coefs)
                         bx0 = (mx * comp["h"] + dx) * 8
                         by0 = (my * comp["v"] + dy) * 8
                         plane = planes[ci]

@@ -153,12 +153,21 @@ def image_stats(media: DataFrame, decode: Callable | None = None) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
+            # duplicate payloads decode once per Arrow batch (real
+            # corpora repeat logos/thumbnails heavily; decode is the
+            # costly step, the bytes key is a dict probe)
+            seen: dict[bytes, tuple] = {}
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
-                try:
-                    w, h, c, pix = dec(bytes(content) if content is not None else b"")
-                    rows.append((ref, w, h, c, sum(pix)))
-                except ValueError:
-                    rows.append((ref, None, None, None, None))
+                blob = bytes(content) if content is not None else b""
+                stat = seen.get(blob)
+                if stat is None:
+                    try:
+                        w, h, c, pix = dec(blob)
+                        stat = (w, h, c, sum(pix))
+                    except ValueError:
+                        stat = (None, None, None, None)
+                    seen[blob] = stat
+                rows.append((ref,) + stat)
             yield pd.DataFrame(rows, columns=["media_ref", "width", "height",
                                               "channels", "pix_sum"])
 

@@ -57,6 +57,15 @@ def test_dct_kernels_vs_direct_formula():
             assert abs(direct[u * 8 + v] - fast[v * 8 + u]) < 1e-9
     back = _idct8x8(fast)
     assert max(abs(a - b) for a, b in zip(back, f)) < 1e-9
+    # the sparse decode-path IDCT must agree with the separable one on
+    # dense, sparse, DC-only, and all-zero coefficient patterns
+    from biocypher_metta_spark.operators.jpeg import _idct8x8_sparse
+    for coefs in (fast,
+                  [fast[0]] + [0.0] * 63,
+                  [0.0] * 64,
+                  [v if i % 7 == 0 else 0.0 for i, v in enumerate(fast)]):
+        a, b = _idct8x8(coefs), _idct8x8_sparse(coefs)
+        assert max(abs(x - y) for x, y in zip(a, b)) < 1e-9
 
 
 def test_lossy_roundtrip_tolerance():
