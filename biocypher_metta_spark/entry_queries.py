@@ -1896,6 +1896,63 @@ FROM ids JOIN expected e ON e.v = i % 4
 QUERIES["multimodal_jpeg_decode"] = (multimodal_jpeg_decode,
                                      MULTIMODAL_JPEG_SQL)
 
+
+# fixed-width variants for the resize gate: the 2x-upscale exactness
+# argument needs every target 8x8 block to sample INSIDE one source
+# block (x//2 stride), which holds only when all sources share the
+# upscaled-from width — so these vary block values + restart interval
+# but not dimensions (unlike _JPG_VARIANTS).
+_JPG_RZ_VARIANTS = [
+    _jpeg_encode(_JPG_W, _JPG_H, 1, _jpeg_formula_pixels(_JPG_W, _JPG_H, v),
+                 restart_interval=v)
+    for v in range(4)
+]
+
+
+def multimodal_jpeg_resize(spark, sf_dir):
+    """JPEG resize chain driver-gated on the bit-exact subset: a 2x
+    nearest-neighbor upscale of a constant-block gray samples a 4x4
+    source region per target 8x8 block — never crossing a source block
+    boundary — so decode -> resize -> re-encode -> decode stays exact
+    and the twin derives the resized pixel sum from the source formula
+    sampled at (x//2, y//2)."""
+    from biocypher_metta_spark.operators import multimodal as mm
+
+    ids = _ids(spark, sf_dir)
+    variants = F.array(*[F.lit(bytearray(b)) for b in _JPG_RZ_VARIANTS])
+    media = ids.select(
+        F.concat(F.lit("jpg://"), F.col("i").cast("string")).alias("media_ref"),
+        F.lit("image").alias("kind"),
+        F.element_at(variants, (F.col("i") % 4 + 1).cast("int")).alias("content"),
+        F.lit(0).cast("long").alias("n_bytes"),
+    )
+    resized = mm.resize_images(media, 2 * _JPG_W, 2 * _JPG_H)
+    return mm.image_stats(resized).select(
+        "media_ref", "width", "height", "channels", "pix_sum")
+
+
+MULTIMODAL_JPEG_RESIZE_SQL = f"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+expected AS (
+  SELECT v,
+         CAST(list_sum(flatten(list_transform(range(0, {2 * _JPG_H}),
+           y -> list_transform(range(0, {2 * _JPG_W}), x ->
+             128 + 2 * ((((x // 2) // 8) * 7
+                  + ((y // 2) // 8) * 13 + v * 29) % 50 - 25)))))
+           AS BIGINT) AS pix_sum
+  FROM (SELECT unnest(range(0, 4)) AS v)
+)
+SELECT 'jpg://' || i AS media_ref,
+       CAST({2 * _JPG_W} AS INTEGER) AS width,
+       CAST({2 * _JPG_H} AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       e.pix_sum
+FROM ids JOIN expected e ON e.v = i % 4
+"""
+
+QUERIES["multimodal_jpeg_resize"] = (multimodal_jpeg_resize,
+                                     MULTIMODAL_JPEG_RESIZE_SQL)
+
 _RZ_W, _RZ_H = 5, 4
 
 

