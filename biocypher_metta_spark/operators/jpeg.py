@@ -491,8 +491,13 @@ def _jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
         if data[pos] != 0xFF:
             raise ValueError("expected marker")
         marker = data[pos + 1]
+        if marker == 0xFF:          # fill bytes before a marker (B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD9:
             raise ValueError("EOI before SOS")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            raise ValueError(f"standalone marker {marker:#x} outside scan")
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         seg = data[pos + 4:pos + 2 + seglen]
         if len(seg) != seglen - 2:

@@ -122,6 +122,16 @@ def test_malformed_inputs_rejected():
         jpeg_encode(8, 8, 2, bytes(128))   # 2-channel unsupported
 
 
+def test_fill_bytes_between_segments():
+    """Spec B.1.1.2: any number of 0xFF fill bytes may precede a marker;
+    real encoders emit them, so the parser must skip them."""
+    pix = block_gray(16, 8)
+    good = jpeg_encode(16, 8, 1, pix)
+    i = good.index(b"\xFF\xC0")         # pad before SOF0
+    padded = good[:i] + b"\xFF\xFF\xFF" + good[i:]
+    assert jpeg_decode(padded) == (16, 8, 1, pix)
+
+
 def test_decode_fuzz_never_crashes():
     """Same contract as the PNG/WAV fuzz: mutated/truncated/garbage
     streams decode or raise ValueError — never IndexError/struct.error
