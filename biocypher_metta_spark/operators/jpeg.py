@@ -21,7 +21,14 @@ Supported subset — the shapes that dominate real ML corpora:
 
 Error contract (shared with png_decode/wav_decode): every malformed
 input raises ValueError — the operator handlers in multimodal.py null
-the row instead of killing the stage. Exactness note for oracles: an
+the row instead of killing the stage.
+
+Throughput honesty: ~0.3 ms per thumbnail and ~2 s per megapixel-class
+photo (pure-Python sparse IDCT; real-world fixture measured in
+tests/test_jpeg.py). With per-batch duplicate memoization in
+image_stats this serves corpus-QA/thumbnail workloads; a 100 TB photo
+corpus would swap a native codec into the same sniffer seam
+(sniff_image_decode) without touching the Spark plumbing. Exactness note for oracles: an
 image whose pixels are CONSTANT inside each 8x8 block has only DC
 coefficients; with the Annex-K DC quant step (16) and even offsets
 from 128 the whole encode->decode loop is bit-exact, which is what the

@@ -216,3 +216,24 @@ def test_jpeg_resize_kernel_and_operator(spark):
     assert stats["x"].width is None      # fake bytes don't decode
     with pytest.raises(ValueError):
         jpeg_resize(blob, 0, 4)
+
+
+def test_real_world_jpegs_decode():
+    """JPEGs emitted by ordinary encoders (CPython test-suite assets,
+    checked in under fixtures/) must decode to their frame dimensions —
+    the tables, sampling factors and Huffman codes are all THEIRS, not
+    this encoder's, so this exercises the decoder against the wild.
+    The 16x16 Python-logo thumbnail is 4:2:0 YCbCr; the 2x2 is
+    grayscale. Content sanity: the logo's mean luma sits in the
+    mid-range (it's a blue/yellow logo on white, JFIF-standard tables),
+    not at either clip rail."""
+    from pathlib import Path
+
+    fx = Path(__file__).parent / "fixtures"
+    w, h, c, pix = jpeg_decode((fx / "real_python_logo.jpg").read_bytes())
+    assert (w, h, c) == (16, 16, 3)
+    mean = sum(pix) / len(pix)
+    assert 40 < mean < 200
+    w2, h2, c2, pix2 = jpeg_decode((fx / "real_2x2.jpg").read_bytes())
+    assert (w2, h2) == (2, 2) and c2 in (1, 3)
+    assert len(pix2) == w2 * h2 * c2

@@ -206,12 +206,37 @@ def run_text2_at(spark, n: int) -> dict:
     return out
 
 
+def run_r4_at(spark, n: int) -> dict:
+    """Round-4 rewritten/new operators: Karp-Rabin CDC chunking (the
+    r3->r4 md5-per-char -> polynomial-hash rewrite — map-only, so the
+    10x check is about the per-char constant, not shuffle), 14-language
+    trigram ID (42 InSet passes over the trigram array), and the
+    streaming-parity stat-triple melt (map+explode)."""
+    from biocypher_metta_spark.operators import dedup as dd
+    from biocypher_metta_spark.operators import text as tx
+    from biocypher_metta_spark.streaming.incremental import doc_stat_triples
+
+    corpus = synth_text_corpus(spark, n)
+    out: dict = {"n_docs": n}
+    t0 = time.time()
+    out["cdc_rows"] = dd.cdc_chunks(corpus).count()
+    out["cdc_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    out["lang_rows"] = tx.lang_id_trigram(corpus).count()
+    out["lang_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    out["stat_triples"] = doc_stat_triples(corpus).count()
+    out["stat_triples_sec"] = round(time.time() - t0, 2)
+    return out
+
+
 OP_SETS = {
     "core": (run_at, ["kg_construct_sec", "exact_dedup_sec", "lsh_pairs_sec",
                       "simhash_sec", "emb_near_dup_sec", "corpus_clean_sec"]),
     "text2": (run_text2_at, ["line_dedup_sec", "tfidf_sec",
                              "repetition_sec", "pack_sec",
                              "dup_clusters_sec"]),
+    "r4": (run_r4_at, ["cdc_sec", "lang_sec", "stat_triples_sec"]),
 }
 
 
