@@ -526,3 +526,80 @@ def fingerprint(df: DataFrame, text_col: str = "text",
         F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
     )
     return df.select(F.col(id_col), h.alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# char-bigram LM perplexity scoring (round 4): the classic pretraining
+# quality filter (KenLM-style fluency scoring, here a character bigram
+# model small enough to embed). The model TABLE is derived at import
+# from the English LANG_TRIGRAM_SNIPPETS passage with Laplace smoothing,
+# and every probability is stored as an INTEGER negative-log-likelihood
+# in milli-nats — floats never cross the engine boundary, so the Spark
+# plan, the generated DuckDB twin (entry_queries) and the tests all
+# agree bit-for-bit. Fluent English scores low; gibberish / other
+# languages / random bytes score high; filter on nll_per_bigram.
+# --------------------------------------------------------------------------
+
+LM_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+
+
+def _lm_bigram_table() -> dict[str, int]:
+    import math
+
+    src = _norm_text_py(LANG_TRIGRAM_SNIPPETS["en"])
+    counts: dict[str, int] = {}
+    ctx: dict[str, int] = {}
+    for i in range(len(src) - 1):
+        bg = src[i:i + 2]
+        counts[bg] = counts.get(bg, 0) + 1
+        ctx[src[i]] = ctx.get(src[i], 0) + 1
+    v = len(LM_ALPHABET)
+    table = {}
+    for a in LM_ALPHABET:
+        for b in LM_ALPHABET:
+            p = (counts.get(a + b, 0) + 1) / (ctx.get(a, 0) + v)
+            table[a + b] = round(-1000.0 * math.log(p))
+    return table
+
+
+LM_BIGRAM_NLL = _lm_bigram_table()
+# unseen-context fallback = the worst in-table cost (uniform smoothing
+# keeps every bigram present, so this only triggers on bigrams outside
+# the normalized alphabet, which normalization makes impossible)
+LM_MAX_NLL = max(LM_BIGRAM_NLL.values())
+
+
+def lm_perplexity(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-doc char-bigram LM score: (doc_id, n_bigrams, nll_sum,
+    nll_per_bigram), integers in milli-nats. nll_per_bigram is the
+    perplexity proxy downstream filters threshold on (exp(nll/1000) =
+    true perplexity; kept in log space to stay integer-portable).
+
+    Map-only pure expressions: normalize like the language-ID
+    (lowercase, non-letters -> single space, padded), one create_map
+    lookup per bigram position, aggregate sum. Docs with no bigrams
+    (empty after normalization: n_bigrams counts the padded string's
+    pairs, minimum 1 for '  ' -> always >= 1) never divide by zero."""
+    s = F.concat(F.lit(" "),
+                 F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                         r"[^a-z]+", " ")),
+                 F.lit(" "))
+    kv = []
+    for bg, nll in LM_BIGRAM_NLL.items():
+        kv.extend([F.lit(bg), F.lit(nll)])
+    table = F.create_map(*kv)
+    n = F.length(s) - 1
+    pre = df.select(
+        F.col(id_col), n.alias("n_bigrams"),
+        F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + F.coalesce(
+                table[F.substring(s, i, 2)], F.lit(LM_MAX_NLL))
+        ).alias("nll_sum"))
+    return pre.select(
+        id_col, F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        "nll_sum",
+        (F.col("nll_sum") / F.col("n_bigrams")).cast("long")
+        .alias("nll_per_bigram"))

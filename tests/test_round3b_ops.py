@@ -560,7 +560,7 @@ def gate_corpus(spark, tmp_path_factory):
     "doc_line_dedup", "doc_tfidf_topk", "doc_repetition", "doc_split",
     "doc_dup_clusters", "multimodal_wav_decode", "doc_pack", "doc_scrub",
     "doc_contamination", "emb_knn_join", "emb_dot_topk", "emb_near_dup",
-    "doc_pipeline", "doc_cdc",
+    "doc_pipeline", "doc_cdc", "doc_perplexity",
 ])
 def test_gate_cross_engine_on_random_corpus(spark, gate_corpus, name):
     from biocypher_metta_spark import entry_queries as eq
@@ -579,3 +579,24 @@ def test_gate_cross_engine_on_random_corpus(spark, gate_corpus, name):
     norm_s = sorted(tuple(str(r[i]) for i in order_s) for r in srows)
     norm_d = sorted(tuple(str(r[i]) for i in order_d) for r in drows)
     assert norm_s == norm_d
+
+
+def test_lm_perplexity_orders_fluency(spark):
+    """The bigram LM must rank fluent English below shuffled-alphabet
+    gibberish and below rare-bigram consonant strings, emit exact
+    integer milli-nats, and give the empty doc its padded-space
+    baseline instead of dividing by zero."""
+    rows = [
+        (0, "the children are playing in the fields with their friends"),
+        (1, "xq zvj qkx wvz jqz xqv zjx qzw vxj zqx"),
+        (2, "the the the the the the the the"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in tx.lm_perplexity(df).collect()}
+    assert out[0].nll_per_bigram < out[1].nll_per_bigram
+    assert out[2].nll_per_bigram < out[1].nll_per_bigram
+    assert out[3].n_bigrams == 1          # '  ' after padding
+    for r in out.values():
+        assert r.nll_sum >= r.n_bigrams   # all costs positive
+        assert r.nll_per_bigram == r.nll_sum // r.n_bigrams
