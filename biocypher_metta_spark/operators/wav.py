@@ -4,8 +4,9 @@ Like operators/png.py for images, this closes the "audio decode is a
 stub" gap without any media library: canonical PCM WAV is a public spec
 (RIFF container, 'fmt ' + 'data' chunks) parseable with struct alone.
 Supported: PCM (format tag 1) at 8-bit unsigned and 16-bit signed
-little-endian, any channel count/sample rate, extra chunks (LIST, fact,
-...) skipped per the RIFF rules (chunks are word-aligned; odd-sized
+little-endian, plus IEEE-float (format tag 3, 32-bit, round 4) scaled
+to the int16 range; any channel count/sample rate, extra chunks (LIST,
+fact, ...) skipped per the RIFF rules (chunks are word-aligned; odd-sized
 chunks carry a pad byte). Anything else raises ValueError, which the
 mapInPandas operators null out row-by-row.
 
@@ -27,8 +28,8 @@ def wav_encode(samples: list[int], sample_rate: int = 8000,
     [-128, 127], stored unsigned (+128) per the WAV convention.
     len(samples) must be a multiple of n_channels.
     """
-    if bits not in (8, 16):
-        raise ValueError(f"bits={bits} unsupported (PCM 8/16 only)")
+    if bits not in (8, 16, 32):
+        raise ValueError(f"bits={bits} unsupported (PCM 8/16, float 32)")
     if n_channels < 1 or len(samples) % n_channels:
         raise ValueError("samples not a whole number of frames")
     bytes_per_sample = bits // 8
@@ -36,9 +37,16 @@ def wav_encode(samples: list[int], sample_rate: int = 8000,
     byte_rate = sample_rate * block_align
     if bits == 8:
         data = bytes((s + 128) & 0xFF for s in samples)
-    else:
+    elif bits == 16:
         data = struct.pack(f"<{len(samples)}h", *samples)
-    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate,
+    else:
+        # IEEE-float storage (format tag 3): int16-range samples map to
+        # normalized [-1, 1] floats — the inverse of the decode scaling,
+        # so integer samples round-trip exactly through float32
+        data = struct.pack(f"<{len(samples)}f",
+                           *[s / 32767.0 for s in samples])
+    tag = 1 if bits != 32 else 3
+    fmt = struct.pack("<HHIIHH", tag, n_channels, sample_rate, byte_rate,
                       block_align, bits)
     body = (b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -52,9 +60,10 @@ def wav_decode(data: bytes) -> tuple[int, int, int, list[int]]:
     """WAV bytes -> (n_channels, sample_rate, bits, interleaved samples).
 
     Samples are signed ints regardless of storage width (8-bit unsigned
-    storage is re-centered to [-128, 127]), so downstream stats are
-    width-independent. Raises ValueError on anything that is not a
-    PCM 8/16-bit RIFF/WAVE stream.
+    storage re-centers to [-128, 127]; float32 storage scales to the
+    int16 range), so downstream stats are width-independent. Raises
+    ValueError on anything that is not a PCM 8/16-bit or IEEE-float32
+    RIFF/WAVE stream.
     """
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
@@ -79,11 +88,25 @@ def wav_decode(data: bytes) -> tuple[int, int, int, list[int]]:
     if fmt is None or pcm is None:
         raise ValueError("missing fmt or data chunk")
     tag, n_channels, sample_rate, _byte_rate, _block_align, bits = fmt
-    if tag != 1:
-        raise ValueError(f"format tag {tag} unsupported (PCM only)")
+    if tag not in (1, 3):
+        raise ValueError(f"format tag {tag} unsupported (PCM/float only)")
     if sample_rate < 1:
         raise ValueError("sample_rate must be >= 1")
-    if bits == 8:
+    if tag == 3:
+        # IEEE-float WAV (the other format real audio corpora contain):
+        # normalized [-1, 1] float32 samples scale to the int16 range so
+        # downstream stats stay width-independent like the 8-bit path
+        if bits != 32:
+            raise ValueError(f"float WAV must be 32-bit, got {bits}")
+        n = len(pcm) // 4
+        floats = struct.unpack_from(f"<{n}f", pcm)
+        samples = []
+        for f in floats:
+            if f != f or f in (float("inf"), float("-inf")):
+                raise ValueError("non-finite float sample")
+            v = int(round(f * 32767.0))
+            samples.append(max(-32768, min(32767, v)))
+    elif bits == 8:
         samples = [b - 128 for b in pcm]
     elif bits == 16:
         n = len(pcm) // 2

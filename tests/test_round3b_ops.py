@@ -600,3 +600,31 @@ def test_lm_perplexity_orders_fluency(spark):
     for r in out.values():
         assert r.nll_sum >= r.n_bigrams   # all costs positive
         assert r.nll_per_bigram == r.nll_sum // r.n_bigrams
+
+
+def test_wav_float32_roundtrip_and_rejects():
+    """IEEE-float WAV (format tag 3): int16-range samples round-trip
+    exactly through normalized float32 storage (rel error ~1e-7 times
+    32767 < 0.5, so the decode rounding recovers every integer);
+    non-finite samples and non-32-bit float streams raise ValueError."""
+    rng = random.Random(12)
+    for ch in (1, 2):
+        s = [rng.randint(-32768, 32767) for _ in range(12 * ch)]
+        assert wav_decode(wav_encode(s, 22050, ch, 32)) == (ch, 22050, 32, s)
+    # resample path works on float streams too (decode->hold->re-encode
+    # re-encodes at the decoded width: 32 stays 32)
+    from biocypher_metta_spark.operators.wav import wav_resample
+    data = wav_encode([100, 200, 300, 400], 8000, 1, 32)
+    ch, rate, bits, out = wav_decode(wav_resample(data, 4000))
+    assert (rate, out) == (4000, [100, 300])
+    # tag 3 with wrong width
+    bad = bytearray(wav_encode([0, 1], 8000, 1, 32))
+    struct.pack_into("<H", bad, bad.index(b"fmt ") + 8 + 14, 16)
+    with pytest.raises(ValueError, match="32-bit"):
+        wav_decode(bytes(bad))
+    # NaN sample
+    nan = bytearray(wav_encode([0, 1], 8000, 1, 32))
+    di = nan.index(b"data") + 8
+    struct.pack_into("<f", nan, di, float("nan"))
+    with pytest.raises(ValueError, match="non-finite"):
+        wav_decode(bytes(nan))
