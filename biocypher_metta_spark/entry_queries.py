@@ -2111,6 +2111,46 @@ GROUP BY doc_id, n_bigrams
 
 QUERIES["doc_perplexity"] = (doc_perplexity, DOC_PERPLEXITY_SQL)
 
+
+def doc_c4_filter(spark, sf_dir):
+    """C4-style boilerplate line filtering (the cleaning pass before
+    line dedup in the C4 recipe) — map-only, zero shuffles."""
+    d = _docs_par(spark, sf_dir)
+    return text_ops.c4_line_filter(d)
+
+
+DOC_C4_FILTER_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         NOT ({' OR '.join(
+             f"contains(lower(text), '{m}')"
+             for m in text_ops.C4_DOC_DROP_MARKERS)}) AS doc_kept,
+         list_filter(string_split(text, chr(10)),
+                     x -> length(trim(x)) > 0) AS lines
+  FROM documents
+), k AS (
+  SELECT doc_id, doc_kept, lines,
+         list_filter(lines, x ->
+           len(regexp_split_to_array(trim(x), '\s+'))
+             >= {text_ops.C4_MIN_WORDS}
+           AND regexp_matches(trim(x), '[.!?"]$')
+           AND NOT contains(lower(x),
+                            '{text_ops.C4_LINE_DROP_MARKER}')) AS kept
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(CASE WHEN doc_kept THEN len(kept) ELSE 0 END AS BIGINT)
+         AS n_kept,
+       doc_kept,
+       CASE WHEN doc_kept
+            THEN coalesce(array_to_string(kept, chr(10)), '')
+            ELSE '' END AS text
+FROM k
+"""
+
+QUERIES["doc_c4_filter"] = (doc_c4_filter, DOC_C4_FILTER_SQL)
+
 # ===========================================================================
 # round-3 composite gate twins for the previously parity-only sub-variants
 # (VERDICT r2 item 5). Each leg runs the REAL adapter function over

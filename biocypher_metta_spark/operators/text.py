@@ -603,3 +603,53 @@ def lm_perplexity(df: DataFrame, text_col: str = "text",
         "nll_sum",
         (F.col("nll_sum") / F.col("n_bigrams")).cast("long")
         .alias("nll_per_bigram"))
+
+
+# C4's document-level drop markers and line-keep rules (the public
+# recipe: Raffel et al. 2020 §2.2 "Colossal Clean Crawled Corpus"),
+# shared one-source with the DuckDB twin in entry_queries.
+C4_DOC_DROP_MARKERS = ["lorem ipsum", "{"]
+C4_LINE_DROP_MARKER = "javascript"
+C4_MIN_WORDS = 3
+
+
+def c4_line_filter(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
+    """C4-style boilerplate removal — the line-level cleaning pass that
+    runs BEFORE line_dedup in the C4 recipe: keep only lines that end in
+    terminal punctuation ('.', '!', '?', '"'), have >= 3 words, and do
+    not mention javascript; drop entire documents containing a curly
+    brace (code) or 'lorem ipsum' (placeholder).
+
+    Returns (doc_id, n_lines, n_kept, doc_kept, text): original
+    non-blank line count, surviving count, the document-level flag, and
+    the re-joined surviving text ('' when the doc is dropped). Fully
+    map-only — split, per-line predicate, array_join; the entire
+    cleaning pass costs zero shuffles at any corpus size (contrast
+    line_dedup, whose first-occurrence semantics force one)."""
+    t = F.col(text_col)
+    parts = F.split(t, sep)
+    nonblank = F.filter(parts, lambda x: F.length(F.trim(x)) > 0)
+
+    def keep(line):
+        trimmed = F.trim(line)
+        words = F.size(F.split(trimmed, r"\s+"))
+        terminal = trimmed.rlike(r'[.!?"]$')
+        js = F.lower(line).contains(C4_LINE_DROP_MARKER)
+        return (words >= C4_MIN_WORDS) & terminal & ~js
+
+    doc_drop = F.lit(False)
+    for m in C4_DOC_DROP_MARKERS:
+        doc_drop = doc_drop | F.lower(t).contains(m)
+    pre = df.select(
+        F.col(id_col), (~doc_drop).alias("doc_kept"),
+        F.size(nonblank).alias("n_lines"),
+        F.filter(nonblank, keep).alias("_kept"))
+    return pre.select(
+        id_col,
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.when(F.col("doc_kept"), F.size("_kept")).otherwise(F.lit(0))
+        .cast("long").alias("n_kept"),
+        "doc_kept",
+        F.when(F.col("doc_kept"), F.array_join("_kept", sep))
+        .otherwise(F.lit("")).alias("text"))

@@ -560,7 +560,7 @@ def gate_corpus(spark, tmp_path_factory):
     "doc_line_dedup", "doc_tfidf_topk", "doc_repetition", "doc_split",
     "doc_dup_clusters", "multimodal_wav_decode", "doc_pack", "doc_scrub",
     "doc_contamination", "emb_knn_join", "emb_dot_topk", "emb_near_dup",
-    "doc_pipeline", "doc_cdc", "doc_perplexity",
+    "doc_pipeline", "doc_cdc", "doc_perplexity", "doc_c4_filter",
 ])
 def test_gate_cross_engine_on_random_corpus(spark, gate_corpus, name):
     from biocypher_metta_spark import entry_queries as eq
@@ -628,3 +628,27 @@ def test_wav_float32_roundtrip_and_rejects():
     struct.pack_into("<f", nan, di, float("nan"))
     with pytest.raises(ValueError, match="non-finite"):
         wav_decode(bytes(nan))
+
+
+def test_c4_line_filter_rules(spark):
+    """Every C4 rule on a handcrafted doc set: terminal punctuation,
+    min words, javascript marker, doc-level lorem-ipsum / brace drops,
+    blank-line exclusion, and order preservation of survivors."""
+    rows = [
+        (0, 'Good sentence number one.\nshort.\n'
+            'Please enable javascript to continue.\n'
+            'no terminal punctuation here\n\n'
+            'Another good "quoted line"\nAnd a third good line!'),
+        (1, 'This doc mentions lorem ipsum somewhere.\nKeep me not.'),
+        (2, 'function f() {\nreturn 1;\n}'),
+        (3, ''),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in tx.c4_line_filter(df).collect()}
+    r0 = out[0]
+    assert (r0.n_lines, r0.n_kept, r0.doc_kept) == (6, 3, True)
+    assert r0.text == ('Good sentence number one.\n'
+                       'Another good "quoted line"\nAnd a third good line!')
+    assert out[1].doc_kept is False and out[1].text == ""
+    assert out[2].doc_kept is False      # brace = code
+    assert (out[3].n_lines, out[3].n_kept) == (0, 0)
