@@ -109,3 +109,45 @@ def canonicalize_nodes(nodes: DataFrame, id_map: DataFrame,
         stage1 = salted.dropDuplicates([label_col, id_col, "_salt"]).drop("_salt")
         return stage1.dropDuplicates([label_col, id_col])
     return dedup_nodes(out, id_col, label_col)
+
+
+def transitive_closure(edges: DataFrame, src: str = "src",
+                       dst: str = "dst",
+                       max_iter: int = 20) -> DataFrame:
+    """Directed reachability: edges -> distinct (src, dst) pairs where
+    dst is reachable from src — the distributed form of the KG ancestor
+    query (Biolink is_a chains, ontology subsumption; the reference
+    walks these driver-side per class, schema_config YAML semantics).
+
+    Path doubling, not single-step expansion: each round joins the
+    CURRENT closure with itself (paths of length <= 2^k after k rounds),
+    so a diameter-D graph converges in ceil(log2 D) shuffles instead of
+    D. Every round is one self-join on a node key + distinct — skew
+    follows in-degree of hub ancestors; AQE's skew split applies to the
+    join, and distinct gets map-side partial aggregation. Same
+    checkpoint discipline as connected_components: one materialization
+    per round, convergence read off the checkpointed count.
+
+    Scale caveat (documented, inherent to the OUTPUT): closure size is
+    O(sum of ancestor-set sizes); a deep linear chain is quadratic in
+    its length. Ontology DAGs are log-depth with small ancestor sets —
+    the intended domain."""
+    cur = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+           .filter(F.col("s") != F.col("d"))
+           .distinct())
+    cur = cur.localCheckpoint(eager=True)
+    n = cur.count()
+    for _ in range(max_iter):
+        hop = (cur.alias("a")
+               .join(cur.alias("b"), F.col("a.d") == F.col("b.s"))
+               .select(F.col("a.s").alias("s"), F.col("b.d").alias("d")))
+        nxt = (cur.unionByName(hop)
+               .filter(F.col("s") != F.col("d"))
+               .distinct())
+        nxt = nxt.localCheckpoint(eager=True)
+        m = nxt.count()
+        cur = nxt
+        if m == n:
+            break
+        n = m
+    return cur.select(F.col("s").alias(src), F.col("d").alias(dst))

@@ -80,3 +80,29 @@ def test_match_pattern_refuses_disjoint_cartesian(gene_nodes):
     a = triples.filter("pred='chr' AND obj='chr20'").count()
     b = triples.filter("pred='gene_type' AND obj='protein_coding'").count()
     assert out.count() == a * b
+
+
+def test_transitive_closure_paths_and_convergence(spark):
+    """Path doubling on a linear chain (worst diameter) and a diamond
+    DAG: exact reachability sets, no self-pairs, duplicate-edge inputs
+    collapse, and convergence inside ceil(log2(D)) + 1 rounds."""
+    from biocypher_metta_spark.canonicalize import transitive_closure
+
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(8)] + [("n0", "n1")],
+        "src string, dst string")
+    got = {(r.src, r.dst) for r in transitive_closure(chain).collect()}
+    want = {(f"n{i}", f"n{j}") for i in range(9) for j in range(i + 1, 9)}
+    assert got == want
+    diamond = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")],
+        "src string, dst string")
+    got = {(r.src, r.dst) for r in transitive_closure(diamond).collect()}
+    assert got == {("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"),
+                   ("b", "d"), ("b", "e"), ("c", "d"), ("c", "e"),
+                   ("d", "e")}
+    # max_iter=2 covers paths of length <= 4: enough for the diamond,
+    # not for the 8-chain — proves the doubling schedule is real
+    short = {(r.src, r.dst)
+             for r in transitive_closure(chain, max_iter=1).collect()}
+    assert ("n0", "n2") in short and ("n0", "n8") not in short
