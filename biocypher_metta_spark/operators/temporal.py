@@ -1,0 +1,68 @@
+"""Temporal operators Spark has no native form of: as-of join.
+
+The classic event-enrichment primitive (every fact row picks the most
+recent dimension snapshot at-or-before its timestamp — pandas
+merge_asof / DuckDB ASOF JOIN / kdb aj). Spark offers only equi- and
+range-joins, so this composes the standard union-and-carry plan:
+
+    tag both sides -> union -> window per key ordered by (ts, side) ->
+    last(payload, ignorenulls) carries the latest right row forward ->
+    keep left rows.
+
+One shuffle on the key, one ordered window — the same cost envelope as
+any per-key window. The right payload is packed into a single STRUCT
+before the carry so multi-column snapshots stay atomic (per-column
+last(ignorenulls) could mix rows when snapshots contain nulls).
+
+Skew note (100 TB): the window is per-key sequential; a mega-hot key
+(one user with 10^9 events) serializes on one task. As-of semantics
+need the full per-key ordering, so the standard mitigations are
+time-bucketing the key (carry the last snapshot per bucket in a cheap
+pre-pass, then window inside (key, bucket)) — worth building only when
+a profile shows a hot key, so this module ships the plain form and
+documents the escape hatch.
+
+The DuckDB oracle twin is the NATIVE `ASOF LEFT JOIN`
+(entry_queries.rel_asof_join) — an independent implementation of the
+same semantics, which is exactly what a correctness gate wants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              suffix: str = "_asof") -> DataFrame:
+    """Backward-inclusive as-of join: every left row gains the right
+    row with the greatest right_ts <= left_ts for the same key (ties:
+    the snapshot AT the event time counts). Right columns other than
+    key/timestamp come back suffixed; left rows with no earlier
+    snapshot keep nulls (left-join semantics)."""
+    payload_cols = [c for c in right.columns if c not in (key, right_ts)]
+    if not payload_cols:
+        raise ValueError("right side has no payload columns")
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_is_right"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_payload"))
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_is_right"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"))
+    u = l.unionByName(r, allowMissingColumns=True)
+    # right rows sort BEFORE left rows at equal ts -> inclusive match
+    w = (Window.partitionBy(key)
+         .orderBy(F.col("_ts").asc(), F.col("_is_right").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = u.withColumn(
+        "_carried", F.last("_payload", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_is_right") == 0)
+    for c in payload_cols:
+        out = out.withColumn(f"{c}{suffix}", F.col(f"_carried.{c}"))
+    return out.drop("_ts", "_is_right", "_payload", "_carried")

@@ -106,3 +106,38 @@ def test_transitive_closure_paths_and_convergence(spark):
     short = {(r.src, r.dst)
              for r in transitive_closure(chain, max_iter=1).collect()}
     assert ("n0", "n2") in short and ("n0", "n8") not in short
+
+
+def test_asof_join_semantics(spark):
+    """Backward-inclusive as-of: exact-timestamp snapshot counts, rows
+    before any snapshot stay null, multi-column payloads stay atomic
+    (both columns from the SAME snapshot even when one is null)."""
+    from datetime import datetime
+
+    from biocypher_metta_spark.operators.temporal import asof_join
+
+    ts = lambda s: datetime.fromisoformat(s)
+    snaps = spark.createDataFrame(
+        [("u1", ts("2024-01-01T01:00:00"), 10, "a"),
+         ("u1", ts("2024-01-01T03:00:00"), None, "b"),
+         ("u2", ts("2024-01-01T02:00:00"), 30, None)],
+        "user string, snap_ts timestamp, x int, y string")
+    events = spark.createDataFrame(
+        [(1, "u1", ts("2024-01-01T00:30:00")),   # before any snapshot
+         (2, "u1", ts("2024-01-01T01:00:00")),   # tie -> inclusive
+         (3, "u1", ts("2024-01-01T02:59:59")),   # still snapshot 1
+         (4, "u1", ts("2024-01-01T04:00:00")),   # snapshot 2 (x null!)
+         (5, "u2", ts("2024-01-01T05:00:00")),
+         (6, "u3", ts("2024-01-01T05:00:00"))],  # key with no snapshots
+        "event_id long, user string, ts timestamp")
+    out = {r.event_id: (r.x_asof, r.y_asof)
+           for r in asof_join(events, snaps, key="user",
+                              left_ts="ts", right_ts="snap_ts").collect()}
+    assert out[1] == (None, None)
+    assert out[2] == (10, "a")
+    assert out[3] == (10, "a")
+    # atomic carry: event 4 must see (None, 'b') — NOT (10, 'b'), which
+    # per-column last(ignorenulls) would produce
+    assert out[4] == (None, "b")
+    assert out[5] == (30, None)
+    assert out[6] == (None, None)
