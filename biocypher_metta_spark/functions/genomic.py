@@ -38,3 +38,65 @@ def rebase_0_to_1(col: Column) -> Column:
     """0-based -> 1-based coordinate re-basing (+1), the P12 pattern
     (enhancer_atlas_adapter.py:54-55, epd_adapter.py:39-40, etc.)."""
     return (col.cast("long") + 1)
+
+
+def interval_point_join(intervals, points, bucket: int = 10_000,
+                        chrom: str = "chrom", start: str = "start",
+                        end: str = "end", pos: str = "pos"):
+    """Range join Spark has no native form of: every (chrom, pos) point
+    paired with every half-open interval [start, end) containing it —
+    variants-in-enhancers, reads-in-genes, the genomic workhorse.
+
+    Scale shape (the standard binning strategy): intervals explode to
+    the fixed-width buckets they cover, points map to their single
+    bucket, the join is an EQUI-join on (chrom, bucket) — so Catalyst
+    shuffles on a uniform composite key instead of falling into a
+    broadcast-nested-loop over an inequality predicate — and the exact
+    containment filter runs post-join. Each matching pair appears
+    exactly once with NO distinct step, because a point owns exactly
+    one bucket. Size `bucket` to the typical interval length: buckets
+    per interval = len/bucket + 1, candidates per point = intervals
+    overlapping its bucket.
+
+    Returns intervals' columns + the point rows' columns (both sides'
+    names must not collide apart from `chrom`)."""
+    from pyspark.sql import functions as F
+
+    iv = intervals.withColumn(
+        "_bkt",
+        F.explode(F.sequence((F.col(start) / bucket).cast("long"),
+                             ((F.col(end) - 1) / bucket).cast("long"))))
+    pt = points.withColumn("_bkt", (F.col(pos) / bucket).cast("long"))
+    joined = iv.join(pt, [chrom, "_bkt"])
+    return (joined.filter((F.col(pos) >= F.col(start))
+                          & (F.col(pos) < F.col(end)))
+            .drop("_bkt"))
+
+
+def interval_overlap_join(left, right, bucket: int = 10_000,
+                          chrom: str = "chrom",
+                          l_start: str = "l_start", l_end: str = "l_end",
+                          r_start: str = "r_start", r_end: str = "r_end"):
+    """Interval-overlap range join: pairs where [l_start, l_end) and
+    [r_start, r_end) intersect on the same chrom. Both sides explode to
+    covered buckets and equi-join on (chrom, bucket); a pair spanning
+    k shared buckets would surface k times, so it is emitted ONLY from
+    its canonical bucket — the bucket of max(l_start, r_start) — which
+    every overlapping pair shares exactly once (no distinct step, no
+    duplicate shuffle volume)."""
+    from pyspark.sql import functions as F
+
+    lv = left.withColumn(
+        "_bkt",
+        F.explode(F.sequence((F.col(l_start) / bucket).cast("long"),
+                             ((F.col(l_end) - 1) / bucket).cast("long"))))
+    rv = right.withColumn(
+        "_bkt",
+        F.explode(F.sequence((F.col(r_start) / bucket).cast("long"),
+                             ((F.col(r_end) - 1) / bucket).cast("long"))))
+    joined = lv.join(rv, [chrom, "_bkt"])
+    overlap = (F.col(l_start) < F.col(r_end)) \
+        & (F.col(r_start) < F.col(l_end))
+    canonical = (F.greatest(F.col(l_start), F.col(r_start)) / bucket) \
+        .cast("long") == F.col("_bkt")
+    return joined.filter(overlap & canonical).drop("_bkt")

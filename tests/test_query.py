@@ -141,3 +141,46 @@ def test_asof_join_semantics(spark):
     assert out[4] == (None, "b")
     assert out[5] == (30, None)
     assert out[6] == (None, None)
+
+
+def test_range_joins_vs_bruteforce(spark):
+    """Bucketed range joins == brute-force nested-loop results on a
+    randomized interval/point set including bucket-boundary and
+    multi-bucket-spanning intervals; the canonical-bucket trick must
+    emit each overlapping pair exactly once (count equality catches
+    duplicates)."""
+    import random
+
+    from biocypher_metta_spark.functions.genomic import (
+        interval_overlap_join, interval_point_join)
+
+    rng = random.Random(17)
+    ivs = [(i, f"chr{rng.randrange(2)}", rng.randrange(0, 5000))
+           for i in range(120)]
+    ivs = [(i, c, s, s + rng.choice([1, 10, 999, 1000, 1001, 3500]))
+           for i, c, s in ivs]
+    pts = [(j, f"chr{rng.randrange(2)}", rng.randrange(0, 9000))
+           for j in range(150)]
+    iv = spark.createDataFrame(
+        ivs, "iid long, chrom string, start long, end long")
+    pt = spark.createDataFrame(pts, "pid long, chrom string, pos long")
+    got = [(r.iid, r.pid) for r in
+           interval_point_join(iv, pt, bucket=1000).collect()]
+    want = [(i, j) for i, c, s, e in ivs for j, c2, p in pts
+            if c == c2 and s <= p < e]
+    assert sorted(got) == sorted(want)      # sorted, not set: dup check
+
+    lhs = spark.createDataFrame(
+        [(i, c, s, e) for i, c, s, e in ivs],
+        "lid long, chrom string, l_start long, l_end long")
+    rhs = spark.createDataFrame(
+        [(200 + j, c, p, p + rng.choice([5, 500, 2000]))
+         for j, c, p in pts],
+        "rid long, chrom string, r_start long, r_end long")
+    rrows = [(r.rid, r.chrom, r.r_start, r.r_end) for r in rhs.collect()]
+    got = [(r.lid, r.rid) for r in
+           interval_overlap_join(lhs, rhs, bucket=1000).collect()]
+    want = [(i, rid) for i, c, s, e in ivs
+            for rid, c2, rs, re_ in rrows
+            if c == c2 and s < re_ and rs < e]
+    assert sorted(got) == sorted(want)
