@@ -2315,6 +2315,79 @@ FROM lhs JOIN rhs ON lhs.chrom = rhs.chrom
 QUERIES["rel_interval_overlap"] = (rel_interval_overlap,
                                    REL_INTERVAL_OVERLAP_SQL)
 
+
+def rel_hypertable_rollup(spark, sf_dir):
+    """Multi-resolution rollup chain over the events table. The Spark
+    side derives hour from the minute rollup and day from hour
+    (mergeable partial aggregates); the oracle computes EVERY level
+    directly from raw — equality proves reaggregation == direct
+    aggregation at each resolution."""
+    from biocypher_metta_spark.operators.temporal import hypertable_rollup
+
+    e = _t(spark, sf_dir, "events")
+    rolled = hypertable_rollup(e)
+    parts = []
+    for lv, df in rolled.items():
+        parts.append(df.select(
+            F.lit(lv).alias("level"),
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "n", "total", "vmin", "vmax"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+REL_HYPERTABLE_SQL = """
+SELECT lv AS level,
+       strftime(date_trunc(lv, ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total,
+       CAST(min(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS vmin,
+       CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS vmax
+FROM events
+CROSS JOIN (SELECT unnest(['minute', 'hour', 'day']) AS lv)
+GROUP BY lv, date_trunc(lv, ts)
+"""
+
+QUERIES["rel_hypertable_rollup"] = (rel_hypertable_rollup,
+                                    REL_HYPERTABLE_SQL)
+
+
+def doc_distinct_sketch(spark, sf_dir):
+    """KMV cardinality sketch (operators/sketch.py) over the corpus'
+    exploded tokens — the engine-portable approx-distinct (native HLLs
+    differ between engines and can never hash-match)."""
+    from biocypher_metta_spark.operators.sketch import kmv_distinct
+
+    d = _docs_par(spark, sf_dir)
+    toks = d.select(F.explode(text_ops.tokens(F.col("text"))).alias("tok"))
+    return kmv_distinct(toks, "tok", k=64)
+
+
+DOC_DISTINCT_SKETCH_SQL = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), kmin AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM toks
+  ORDER BY h
+  LIMIT 64
+)
+SELECT CAST(64 AS INTEGER) AS k,
+       count(*) AS n_sketch,
+       CAST(max(h) AS BIGINT) AS h_k,
+       CAST(CASE WHEN count(*) < 64 THEN count(*)
+                 ELSE floor(63 * (CAST(1152921504606846976 AS DOUBLE)
+                                  / CAST(max(h) AS DOUBLE))) END
+            AS BIGINT) AS estimate
+FROM kmin
+"""
+
+QUERIES["doc_distinct_sketch"] = (doc_distinct_sketch,
+                                  DOC_DISTINCT_SKETCH_SQL)
+
 # ===========================================================================
 # round-3 composite gate twins for the previously parity-only sub-variants
 # (VERDICT r2 item 5). Each leg runs the REAL adapter function over

@@ -66,3 +66,36 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     for c in payload_cols:
         out = out.withColumn(f"{c}{suffix}", F.col(f"_carried.{c}"))
     return out.drop("_ts", "_is_right", "_payload", "_carried")
+
+
+def hypertable_rollup(events: DataFrame, ts_col: str = "ts",
+                      value_col: str = "value",
+                      levels: tuple = ("minute", "hour", "day")) -> dict:
+    """Multi-resolution continuous aggregates (the TimescaleDB
+    hypertable-rollup pattern): per time bucket, (n, total, vmin, vmax)
+    at each level, where every COARSER level reaggregates the finer
+    rollup instead of the raw table — count/sum/min/max are mergeable,
+    so the day level reads 24 hourly rows per key, not 86400 seconds of
+    raw events. That reaggregation chain is the whole point at 100 TB:
+    the raw scan happens once, every further resolution is a
+    ~60x-smaller shuffle. avg is served as total/n downstream (avg
+    itself is not mergeable; its parts are).
+
+    Values aggregate as floor(value*100) longs (exact integer cents) so
+    cross-engine oracles hash-match. Returns {level: DataFrame} with
+    columns (bucket, n, total, vmin, vmax)."""
+    if not levels:
+        raise ValueError("need at least one rollup level")
+    v = F.floor(F.col(value_col) * 100).cast("long")
+    cur = (events
+           .groupBy(F.date_trunc(levels[0], F.col(ts_col)).alias("bucket"))
+           .agg(F.count("*").alias("n"), F.sum(v).alias("total"),
+                F.min(v).alias("vmin"), F.max(v).alias("vmax")))
+    out = {levels[0]: cur}
+    for lv in levels[1:]:
+        cur = (cur
+               .groupBy(F.date_trunc(lv, F.col("bucket")).alias("bucket"))
+               .agg(F.sum("n").alias("n"), F.sum("total").alias("total"),
+                    F.min("vmin").alias("vmin"), F.max("vmax").alias("vmax")))
+        out[lv] = cur
+    return out

@@ -184,3 +184,57 @@ def test_range_joins_vs_bruteforce(spark):
             for rid, c2, rs, re_ in rrows
             if c == c2 and s < re_ and rs < e]
     assert sorted(got) == sorted(want)
+
+
+def test_kmv_sketch_accuracy_and_exact_mode(spark):
+    """KMV: exact below k; within the sketch's expected relative error
+    (~1/sqrt(k) stddev; 4-sigma bound) above k; orderBy+limit plans as
+    TakeOrdered, not a global sort."""
+    from biocypher_metta_spark.operators.sketch import kmv_distinct
+
+    small = spark.range(40).select(F.concat(F.lit("v"), "id").alias("x"))
+    r = kmv_distinct(small, "x", k=64).collect()[0]
+    assert (r.n_sketch, r.estimate) == (40, 40)
+
+    n = 20_000
+    big = spark.range(n).select(F.concat(F.lit("tok"), "id").alias("x"))
+    # duplicates must not shift the estimate (distinct-hash semantics)
+    big = big.unionAll(big.limit(5000))
+    r = kmv_distinct(big, "x", k=64).collect()[0]
+    assert abs(r.estimate - n) / n < 0.5, r.estimate
+    plan = kmv_distinct(big, "x", k=64)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrdered" in plan
+    import pytest
+    with pytest.raises(ValueError):
+        kmv_distinct(big, "x", k=1)
+
+
+def test_hypertable_rollup_reaggregation(spark):
+    """Coarse levels derived from fine rollups must equal direct
+    aggregation from raw at every level (mergeability proof)."""
+    from datetime import datetime, timedelta
+
+    from biocypher_metta_spark.operators.temporal import hypertable_rollup
+
+    base = datetime(2024, 3, 1)
+    rows = [(base + timedelta(minutes=7 * i, hours=i % 50),
+             (i * 37 % 1000) / 10.0) for i in range(400)]
+    e = spark.createDataFrame(rows, "ts timestamp, value double")
+    rolled = hypertable_rollup(e)
+    for lv in ("minute", "hour", "day"):
+        direct = {r.bucket: (r.n, r.total, r.vmin, r.vmax) for r in
+                  e.groupBy(F.date_trunc(lv, "ts").alias("bucket"))
+                  .agg(F.count("*").alias("n"),
+                       F.sum(F.floor(F.col("value") * 100).cast("long"))
+                       .alias("total"),
+                       F.min(F.floor(F.col("value") * 100).cast("long"))
+                       .alias("vmin"),
+                       F.max(F.floor(F.col("value") * 100).cast("long"))
+                       .alias("vmax")).collect()}
+        got = {r.bucket: (r.n, r.total, r.vmin, r.vmax)
+               for r in rolled[lv].collect()}
+        assert got == direct, lv
+    # day buckets really do collapse hours (not a no-op chain)
+    assert len({r.bucket for r in rolled["day"].collect()}) \
+        < len({r.bucket for r in rolled["hour"].collect()})
