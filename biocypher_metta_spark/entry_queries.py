@@ -2196,8 +2196,11 @@ def rel_asof_join(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     users = ev.select("user_id").distinct()
-    snaps = (users.crossJoin(
-        spark.range(24).select(F.col("id").cast("int").alias("k")))
+    # 24 hourly snapshots per user via explode — map-only (a crossJoin
+    # against the 24-row literal would plan a BroadcastNestedLoopJoin)
+    snaps = (users.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(23))).alias("k"))
         .select(
             "user_id",
             F.expr("timestamp '2024-01-01 00:00:00' "
