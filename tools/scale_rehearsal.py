@@ -230,6 +230,69 @@ def run_r4_at(spark, n: int) -> dict:
     return out
 
 
+def run_r4b_at(spark, n: int) -> dict:
+    """Round-4b custom operators over synthetic event/interval tables:
+    as-of join (key shuffle + per-key ordered window), bucketed range
+    join (uniform composite-key equi-join), hypertable rollup
+    (reaggregation chain), KMV sketch (distinct + TakeOrdered). Key
+    cardinality scales with n, so per-key work stays constant — the
+    10x check verifies no hidden per-key blowup."""
+    from pyspark.sql import functions as F
+
+    from biocypher_metta_spark.operators.sketch import kmv_distinct
+    from biocypher_metta_spark.operators.temporal import (
+        asof_join, hypertable_rollup)
+    from biocypher_metta_spark.functions.genomic import interval_point_join
+
+    out: dict = {"n_rows": n}
+    events = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % (n // 100)).alias("user_id"),
+        (F.lit(1704067200) + (F.col("id") * 37) % 2_592_000)
+        .cast("timestamp").alias("ts"),
+        ((F.col("id") * 13) % 10_000 / 100.0).alias("value"))
+
+    t0 = time.time()
+    snaps = (events.select("user_id").distinct()
+             .select("user_id",
+                     F.explode(F.sequence(F.lit(0), F.lit(23))).alias("k"))
+             .select("user_id",
+                     (F.lit(1704067200) + F.col("k") * 86_400)
+                     .cast("timestamp").alias("snap_ts"),
+                     (F.col("user_id") * 100 + F.col("k")).alias("state")))
+    out["asof_rows"] = asof_join(events, snaps, key="user_id",
+                                 left_ts="ts",
+                                 right_ts="snap_ts").count()
+    out["asof_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    iv = spark.range(n // 10).select(
+        F.col("id").alias("iid"),
+        F.concat(F.lit("chr"), (F.col("id") % 23).cast("string"))
+        .alias("chrom"),
+        ((F.col("id") * 37) % 100_000_000).alias("start"))
+    iv = iv.withColumn("end", F.col("start") + 50 + (F.col("iid") * 13) % 5000)
+    pt = spark.range(n).select(
+        F.col("id").alias("pid"),
+        F.concat(F.lit("chr"), ((F.col("id") * 7) % 23).cast("string"))
+        .alias("chrom"),
+        ((F.col("id") * 91) % 100_000_000).alias("pos"))
+    out["range_rows"] = interval_point_join(iv, pt, bucket=10_000).count()
+    out["range_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    rolled = hypertable_rollup(events)
+    out["rollup_rows"] = sum(df.count() for df in rolled.values())
+    out["rollup_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    toks = events.select(F.concat(F.lit("u"), ((F.col("event_id") * 31)
+                         % (n // 3)).cast("string")).alias("tok"))
+    out["kmv_est"] = kmv_distinct(toks, "tok").collect()[0].estimate
+    out["kmv_sec"] = round(time.time() - t0, 2)
+    return out
+
+
 OP_SETS = {
     "core": (run_at, ["kg_construct_sec", "exact_dedup_sec", "lsh_pairs_sec",
                       "simhash_sec", "emb_near_dup_sec", "corpus_clean_sec"]),
@@ -237,6 +300,7 @@ OP_SETS = {
                              "repetition_sec", "pack_sec",
                              "dup_clusters_sec"]),
     "r4": (run_r4_at, ["cdc_sec", "lang_sec", "stat_triples_sec"]),
+    "r4b": (run_r4b_at, ["asof_sec", "range_sec", "rollup_sec", "kmv_sec"]),
 }
 
 
