@@ -62,11 +62,16 @@ def interval_point_join(intervals, points, bucket: int = 10_000,
     names must not collide apart from `chrom`)."""
     from pyspark.sql import functions as F
 
+    # floor division, not cast-truncation: trunc rounds toward zero, so
+    # negative coordinates (liftover deltas, relative offsets) would
+    # land in the wrong bucket
     iv = intervals.withColumn(
         "_bkt",
-        F.explode(F.sequence((F.col(start) / bucket).cast("long"),
-                             ((F.col(end) - 1) / bucket).cast("long"))))
-    pt = points.withColumn("_bkt", (F.col(pos) / bucket).cast("long"))
+        F.explode(F.sequence(F.floor(F.col(start) / bucket).cast("long"),
+                             F.floor((F.col(end) - 1) / bucket)
+                             .cast("long"))))
+    pt = points.withColumn(
+        "_bkt", F.floor(F.col(pos) / bucket).cast("long"))
     joined = iv.join(pt, [chrom, "_bkt"])
     return (joined.filter((F.col(pos) >= F.col(start))
                           & (F.col(pos) < F.col(end)))
@@ -88,15 +93,18 @@ def interval_overlap_join(left, right, bucket: int = 10_000,
 
     lv = left.withColumn(
         "_bkt",
-        F.explode(F.sequence((F.col(l_start) / bucket).cast("long"),
-                             ((F.col(l_end) - 1) / bucket).cast("long"))))
+        F.explode(F.sequence(F.floor(F.col(l_start) / bucket).cast("long"),
+                             F.floor((F.col(l_end) - 1) / bucket)
+                             .cast("long"))))
     rv = right.withColumn(
         "_bkt",
-        F.explode(F.sequence((F.col(r_start) / bucket).cast("long"),
-                             ((F.col(r_end) - 1) / bucket).cast("long"))))
+        F.explode(F.sequence(F.floor(F.col(r_start) / bucket).cast("long"),
+                             F.floor((F.col(r_end) - 1) / bucket)
+                             .cast("long"))))
     joined = lv.join(rv, [chrom, "_bkt"])
     overlap = (F.col(l_start) < F.col(r_end)) \
         & (F.col(r_start) < F.col(l_end))
-    canonical = (F.greatest(F.col(l_start), F.col(r_start)) / bucket) \
-        .cast("long") == F.col("_bkt")
+    canonical = F.floor(
+        F.greatest(F.col(l_start), F.col(r_start)) / bucket
+    ).cast("long") == F.col("_bkt")
     return joined.filter(overlap & canonical).drop("_bkt")
