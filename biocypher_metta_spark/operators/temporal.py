@@ -45,6 +45,10 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     payload_cols = [c for c in right.columns if c not in (key, right_ts)]
     if not payload_cols:
         raise ValueError("right side has no payload columns")
+    reserved = {"_ts", "_is_right", "_payload", "_carried"}
+    clash = reserved & set(left.columns) | reserved & set(right.columns)
+    if clash:
+        raise ValueError(f"reserved column names in use: {sorted(clash)}")
     r = right.select(
         F.col(key),
         F.col(right_ts).alias("_ts"),

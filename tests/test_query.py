@@ -141,6 +141,10 @@ def test_asof_join_semantics(spark):
     assert out[4] == (None, "b")
     assert out[5] == (30, None)
     assert out[6] == (None, None)
+    import pytest
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(events.withColumnRenamed("event_id", "_ts"), snaps,
+                  key="user", left_ts="ts", right_ts="snap_ts")
 
 
 def test_range_joins_vs_bruteforce(spark):
