@@ -137,6 +137,7 @@ def transitive_closure(edges: DataFrame, src: str = "src",
            .distinct())
     cur = cur.localCheckpoint(eager=True)
     n = cur.count()
+    converged = False
     for _ in range(max_iter):
         hop = (cur.alias("a")
                .join(cur.alias("b"), F.col("a.d") == F.col("b.s"))
@@ -148,6 +149,15 @@ def transitive_closure(edges: DataFrame, src: str = "src",
         m = nxt.count()
         cur = nxt
         if m == n:
+            converged = True
             break
         n = m
+    if not converged:
+        # a silent partial closure hands callers incomplete reachability;
+        # path doubling makes max_iter=20 cover diameter 2^20, so hitting
+        # this means either a pathological graph or a too-small override.
+        raise RuntimeError(
+            f"transitive_closure did not reach a fixed point within "
+            f"{max_iter} path-doubling rounds (covers diameter 2^{max_iter}); "
+            "raise max_iter")
     return cur.select(F.col("s").alias(src), F.col("d").alias(dst))

@@ -2375,6 +2375,7 @@ WITH toks AS (
 ), kmin AS (
   SELECT DISTINCT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
   FROM toks
+  WHERE tok IS NOT NULL
   ORDER BY h
   LIMIT 64
 )

@@ -628,6 +628,8 @@ def _decode_scan(data, pos, frame, scan, quant, huff, restart_interval):
                                 break
                             if sym == 0xF0:
                                 k += 16
+                                if k > 63:
+                                    raise ValueError("AC run past block end")
                                 continue
                             k += sym >> 4
                             size = sym & 0x0F

@@ -35,7 +35,12 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     arithmetic is bit-identical cross-engine."""
     if k < 2:
         raise ValueError("k must be >= 2")
+    # NULL values hash to NULL; Spark sorts NULLs FIRST ascending, so an
+    # unfiltered NULL would occupy a k-minima slot (inflating n_sketch
+    # while F.max ignores it) and diverge from engines that sort NULLs
+    # last — a sketch counts distinct VALUES, so drop NULL explicitly.
     kmin = (df.select(portable_hash(F.col(col)).alias("h"))
+            .filter(F.col("h").isNotNull())
             .distinct()
             .orderBy("h")
             .limit(k))

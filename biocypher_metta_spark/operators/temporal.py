@@ -49,6 +49,11 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     clash = reserved & set(left.columns) | reserved & set(right.columns)
     if clash:
         raise ValueError(f"reserved column names in use: {sorted(clash)}")
+    out_clash = {f"{c}{suffix}" for c in payload_cols} & set(left.columns)
+    if out_clash:
+        raise ValueError(
+            "suffixed right payload columns would overwrite left columns: "
+            f"{sorted(out_clash)} (pick a different suffix)")
     r = right.select(
         F.col(key),
         F.col(right_ts).alias("_ts"),
@@ -85,8 +90,10 @@ def hypertable_rollup(events: DataFrame, ts_col: str = "ts",
     ~60x-smaller shuffle. avg is served as total/n downstream (avg
     itself is not mergeable; its parts are).
 
-    Values aggregate as floor(value*100) longs (exact integer cents) so
-    cross-engine oracles hash-match. Returns {level: DataFrame} with
+    Values aggregate as floor(value*100) longs — a deterministic integer
+    quantization, not exact cents (double arithmetic can make e.g.
+    0.29*100 floor to 28); both engines apply the identical recurrence,
+    so cross-engine oracles hash-match. Returns {level: DataFrame} with
     columns (bucket, n, total, vmin, vmax)."""
     if not levels:
         raise ValueError("need at least one rollup level")

@@ -122,6 +122,47 @@ def test_malformed_inputs_rejected():
         jpeg_encode(8, 8, 2, bytes(128))   # 2-channel unsupported
 
 
+def test_zrl_run_past_block_end_rejected():
+    """A ZRL (0xF0) symbol advances k by 16 without writing a coef, so a
+    crafted stream of 4+ ZRLs pushes k past 63 WITHOUT tripping the
+    run<<4|size bounds check — the decoder must raise, not silently
+    un-EOB the block and desync the bit stream (ADVICE r4). Built by
+    hand with the module's own canonical-table + bit-writer helpers."""
+    import struct
+
+    from biocypher_metta_spark.operators.jpeg import (
+        _BitWriter, _canonical_table)
+
+    _, dc_vals, dc_codes = _canonical_table({0})
+    dc_bits, _, _ = _canonical_table({0})
+    ac_bits, ac_vals, ac_codes = _canonical_table({0x00, 0xF0})
+
+    def dht(tc, bits, vals):
+        body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        return b"\xFF\xC4" + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += (b"\xFF\xC0" + struct.pack(">H", 11)
+            + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    out += dht(0, dc_bits, dc_vals)
+    out += dht(1, ac_bits, ac_vals)
+    out += (b"\xFF\xDA" + struct.pack(">H", 8) + b"\x01"
+            + bytes([1, 0x00]) + b"\x00\x3F\x00")
+    bw = _BitWriter()
+    code, ln = dc_codes[0]
+    bw.write(code, ln)                   # DC: category 0, no diff bits
+    code, ln = ac_codes[0xF0]
+    for _ in range(5):                   # 5 ZRLs: k = 1+80 >> 63
+        bw.write(code, ln)
+    code, ln = ac_codes[0x00]
+    bw.write(code, ln)                   # EOB (never reached post-fix)
+    bw.flush()
+    out += bw.out + b"\xFF\xD9"
+    with pytest.raises(ValueError, match="AC run past block end"):
+        jpeg_decode(bytes(out))
+
+
 def test_fill_bytes_between_segments():
     """Spec B.1.1.2: any number of 0xFF fill bytes may precede a marker;
     real encoders emit them, so the parser must skip them."""

@@ -101,11 +101,13 @@ def test_transitive_closure_paths_and_convergence(spark):
     assert got == {("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"),
                    ("b", "d"), ("b", "e"), ("c", "d"), ("c", "e"),
                    ("d", "e")}
-    # max_iter=2 covers paths of length <= 4: enough for the diamond,
-    # not for the 8-chain — proves the doubling schedule is real
-    short = {(r.src, r.dst)
-             for r in transitive_closure(chain, max_iter=1).collect()}
-    assert ("n0", "n2") in short and ("n0", "n8") not in short
+    # max_iter=1 covers paths of length <= 2: enough for the diamond,
+    # not for the 8-chain — exhaustion without a fixed point must raise
+    # (a silent partial closure is incomplete reachability), and the
+    # raise itself proves the doubling schedule is real
+    import pytest
+    with pytest.raises(RuntimeError, match="fixed point"):
+        transitive_closure(chain, max_iter=1)
 
 
 def test_asof_join_semantics(spark):
@@ -144,6 +146,11 @@ def test_asof_join_semantics(spark):
     import pytest
     with pytest.raises(ValueError, match="reserved"):
         asof_join(events.withColumnRenamed("event_id", "_ts"), snaps,
+                  key="user", left_ts="ts", right_ts="snap_ts")
+    # a left column named like a suffixed right payload column would be
+    # silently overwritten by the carry projection -> explicit refusal
+    with pytest.raises(ValueError, match="suffix"):
+        asof_join(events.withColumn("x_asof", F.lit(0)), snaps,
                   key="user", left_ts="ts", right_ts="snap_ts")
 
 
@@ -199,6 +206,12 @@ def test_kmv_sketch_accuracy_and_exact_mode(spark):
 
     small = spark.range(40).select(F.concat(F.lit("v"), "id").alias("x"))
     r = kmv_distinct(small, "x", k=64).collect()[0]
+    assert (r.n_sketch, r.estimate) == (40, 40)
+    # NULLs hash to NULL and must not occupy k-minima slots (Spark sorts
+    # NULLs first ascending): sketch counts distinct VALUES only
+    with_null = small.unionByName(
+        spark.range(3).select(F.lit(None).cast("string").alias("x")))
+    r = kmv_distinct(with_null, "x", k=64).collect()[0]
     assert (r.n_sketch, r.estimate) == (40, 40)
 
     n = 20_000
