@@ -3072,43 +3072,96 @@ FROM tr JOIN evd USING (gh) GROUP BY doc_id
 """
 
 
+# perplexity gate for the capstone: milli-nat NLL/bigram ceiling chosen
+# around the corpus median (~3020) so the filter genuinely splits the
+# corpus instead of passing or dropping everything
+PIPELINE_NLL_MAX = 3050
+
+
 def doc_pipeline(spark, sf_dir):
     """CAPSTONE composition: the full corpus-preparation chain a
-    pretraining pipeline runs — PII scrub -> exact dedup (keep min id)
-    -> quality filter (>= 500) -> language ID -> sequence packing at a
-    512-token budget -> per-pack stats. Every stage is individually
-    oracled elsewhere; this gate value-checks the composition: join
-    keys, filter order, and that packing runs over exactly the
-    surviving ordered set."""
+    pretraining pipeline runs — PII scrub -> C4 boilerplate gate
+    (doc-level drop markers + per-doc line stats) -> char-bigram LM
+    perplexity threshold (<= PIPELINE_NLL_MAX milli-nats/bigram) ->
+    exact dedup (keep min id) -> quality filter (>= 500) -> language ID
+    -> sequence packing at a 512-token budget -> per-pack stats. Every
+    stage is individually oracled elsewhere; this gate value-checks the
+    composition: join keys, filter order, that packing runs over
+    exactly the surviving ordered set, and (via the pack-level
+    total_lines / sum_nll_pb sums) the per-doc C4 and perplexity values
+    themselves — one wrong doc shifts a pack sum."""
     d = _docs_par(spark, sf_dir)
     scrubbed = text_ops.scrub_pii(d).select("doc_id", "text")
-    keep = dedup_ops.exact_dedup(scrubbed).select(
+    c4 = text_ops.c4_line_filter(scrubbed).select(
+        "doc_id", "n_lines", "doc_kept")
+    px = text_ops.lm_perplexity(scrubbed).select(
+        "doc_id", "nll_per_bigram")
+    gated = (scrubbed.join(c4, "doc_id").join(px, "doc_id")
+             .filter(F.col("doc_kept")
+                     & (F.col("nll_per_bigram") <= PIPELINE_NLL_MAX)))
+    keep = dedup_ops.exact_dedup(gated.select("doc_id", "text")).select(
         F.col("keep_id").alias("doc_id"))
-    kept = scrubbed.join(keep, "doc_id")
-    q = (text_ops.quality_score(kept)
+    kept = gated.join(keep, "doc_id")
+    q = (text_ops.quality_score(kept.select("doc_id", "text"))
          .filter(F.col("quality_score") >= 500).select("doc_id"))
     good = kept.join(q, "doc_id")
-    lang = text_ops.lang_id(good).select("doc_id", "lang_pred")
-    packed = text_ops.pack_sequential(good, budget=512, bucket_rows=100)
-    return (packed.join(lang, "doc_id")
+    lang = text_ops.lang_id(good.select("doc_id", "text")).select(
+        "doc_id", "lang_pred")
+    packed = text_ops.pack_sequential(good.select("doc_id", "text"),
+                                      budget=512, bucket_rows=100)
+    stats = good.select("doc_id", "n_lines", "nll_per_bigram")
+    return (packed.join(lang, "doc_id").join(stats, "doc_id")
             .groupBy("pack_id")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").cast("long").alias("total_tokens"),
-                 F.countDistinct("lang_pred").alias("n_langs")))
+                 F.countDistinct("lang_pred").alias("n_langs"),
+                 F.sum("n_lines").cast("long").alias("total_lines"),
+                 F.sum("nll_per_bigram").cast("long").alias("sum_nll_pb")))
 
 
 DOC_PIPELINE_SQL = rf"""
-WITH scrubbed AS (
+WITH lm(bg, nll) AS (VALUES {_duck_lm_values()}),
+scrubbed AS (
   SELECT doc_id,
          regexp_replace(regexp_replace(regexp_replace(text,
            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<email>', 'g'),
            '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<ipv4>', 'g'),
            '\+\d[\d -]{{7,}}\d', '<phone>', 'g') AS text
   FROM documents
+), c4l AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, chr(10)),
+                              x -> length(trim(x)) > 0)) AS BIGINT)
+           AS n_lines,
+         NOT ({' OR '.join(f"contains(lower(text), '{m}')"
+                           for m in text_ops.C4_DOC_DROP_MARKERS)})
+           AS doc_kept
+  FROM scrubbed
+), pxt AS (
+  SELECT doc_id,
+         ' ' || trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'))
+           || ' ' AS s
+  FROM scrubbed
+), pxx AS (
+  SELECT doc_id, length(s) - 1 AS n_bigrams,
+         unnest(list_transform(range(1, CAST(length(s) AS BIGINT)),
+                               i -> substr(s, CAST(i AS INT), 2))) AS bg
+  FROM pxt
+), px AS (
+  SELECT doc_id,
+         CAST(floor(sum(coalesce(lm.nll, {text_ops.LM_MAX_NLL}))
+                    / n_bigrams) AS BIGINT) AS nll_per_bigram
+  FROM pxx LEFT JOIN lm USING (bg)
+  GROUP BY doc_id, n_bigrams
+), gated AS (
+  SELECT s.doc_id, s.text, c4l.n_lines, px.nll_per_bigram
+  FROM scrubbed s JOIN c4l USING (doc_id) JOIN px USING (doc_id)
+  WHERE c4l.doc_kept AND px.nll_per_bigram <= {PIPELINE_NLL_MAX}
 ), keep AS (
-  SELECT min(doc_id) AS doc_id FROM scrubbed GROUP BY md5(text)
+  SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)
 ), kept AS (
-  SELECT s.doc_id, s.text FROM scrubbed s JOIN keep USING (doc_id)
+  SELECT g.doc_id, g.text, g.n_lines, g.nll_per_bigram
+  FROM gated g JOIN keep USING (doc_id)
 ), qm AS (
   SELECT doc_id,
          regexp_split_to_array(trim(text), '\s+') AS toks,
@@ -3125,7 +3178,8 @@ WITH scrubbed AS (
            / greatest(len(toks), 1)) AS BIGINT) AS rp
   FROM qm
 ), good AS (
-  SELECT k.doc_id, k.text FROM kept k JOIN qs USING (doc_id)
+  SELECT k.doc_id, k.text, k.n_lines, k.nll_per_bigram
+  FROM kept k JOIN qs USING (doc_id)
   WHERE (CASE WHEN qs.n_tok >= 10 AND qs.n_tok <= 100000 THEN 250 ELSE 0 END)
       + (CASE WHEN qs.sp >= 20 THEN 250 ELSE 0 END)
       + (CASE WHEN qs.rp >= 300 THEN 250 ELSE 0 END)
@@ -3151,8 +3205,10 @@ WITH scrubbed AS (
 SELECT CAST(floor(start_offset / 512.0) AS BIGINT) AS pack_id,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-       CAST(count(DISTINCT lang_pred) AS BIGINT) AS n_langs
-FROM packed JOIN lang USING (doc_id)
+       CAST(count(DISTINCT lang_pred) AS BIGINT) AS n_langs,
+       CAST(sum(g.n_lines) AS BIGINT) AS total_lines,
+       CAST(sum(g.nll_per_bigram) AS BIGINT) AS sum_nll_pb
+FROM packed JOIN lang USING (doc_id) JOIN good g USING (doc_id)
 GROUP BY 1
 """
 
