@@ -3263,3 +3263,199 @@ QUERIES.update({
     "doc_dup_clusters": (doc_dup_clusters, DOC_DUP_CLUSTERS_SQL),
     "multimodal_wav_decode": (multimodal_wav_decode, MULTIMODAL_WAV_SQL),
 })
+
+
+# ===========================================================================
+# Checksum composites + the driver registry (50-row snapshot cap)
+# ===========================================================================
+# The driver adjudicates only the FIRST 50 entries of
+# __spark_entry__.queries() (registry-insertion order). With 76 fine
+# gates the newest operators never earned a driver-green row (r4 judge
+# item #1). Fix: narrow single-operator gates are folded into checksum
+# composites — each sub-operator contributes one (op, n_rows, checksum)
+# row, where checksum = sum over rows of
+#     portable_hash(concat_ws(US, sorted columns)) % 1000000007
+# so ANY wrong value in ANY row of ANY sub-op perturbs the compare.
+# Both sides derive mechanically from the fine gate's own (fn, sql), so
+# the composite cannot drift from the row-level gate; the fine gates
+# all stay in QUERIES and are checked row-by-row by
+# tools/check_oracles.py and the test suite. DRIVER_QUERIES lists the
+# 50 driver entries with the never-driver-adjudicated names FIRST.
+
+_CK_MOD = 1_000_000_007  # sum of 60-bit-hash mods stays far below 2^63
+_CK_NULL = "\x01NULL"    # NUL itself is not embeddable in DuckDB strings
+
+
+def _ck_spark(name: str, df: DataFrame) -> DataFrame:
+    cols = sorted(df.columns)
+    s = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(f"`{c}`").cast("string"),
+                             F.lit(_CK_NULL)) for c in cols])
+    h = text_ops.portable_hash(s) % F.lit(_CK_MOD)
+    return (df.select(h.alias("h"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.coalesce(F.sum("h"), F.lit(0)).cast("long")
+                 .alias("checksum"))
+            .select(F.lit(name).alias("op"), "n_rows", "checksum"))
+
+
+def _ck_sql(name: str, cols: list, sql: str) -> str:
+    concat = ", ".join(
+        f"coalesce(CAST(\"{c}\" AS VARCHAR), chr(1) || 'NULL')"
+        for c in sorted(cols))
+    body = sql.strip().rstrip(";")
+    return (
+        f"SELECT '{name}' AS op, count(*) AS n_rows,\n"
+        f"  CAST(coalesce(sum(('0x' || substr(md5(concat_ws(chr(31), "
+        f"{concat})), 1, 15))::BIGINT % {_CK_MOD}), 0) AS BIGINT)"
+        f" AS checksum\nFROM (\n{body}\n)"
+    )
+
+
+# sub-op -> its sorted output columns (asserted against the live
+# DataFrame schema in tests/test_driver_registry.py so the static SQL
+# wrapper can never drift from the Spark side)
+CK_COLUMNS = {
+    "rel_window_filter": ["l_linenumber", "l_orderkey", "qty"],
+    "rel_composite_id": ["composite_id", "o_orderkey"],
+    "rel_score_cutoff": ["event_id", "value_milli"],
+    "rel_broadcast_left_join": ["cust_name", "o_orderkey"],
+    "rel_double_inner_join": ["l_linenumber", "l_orderkey", "p_brand",
+                              "s_name"],
+    "rel_shuffle_join_agg": ["n_rows", "o_orderpriority",
+                             "sum_price_cents"],
+    "rel_collect_ordered": ["l_orderkey", "qty_seq"],
+    "rel_distinct_dedup": ["c_mktsegment", "c_nationkey"],
+    "rel_union_adapters": ["bal_floor", "name", "segment"],
+    "rel_pricing_summary": ["count_order", "l_linestatus", "l_returnflag",
+                            "sum_base_cents", "sum_disc_cents", "sum_qty"],
+    "rel_window_rank": ["o_custkey", "o_orderkey", "rnk"],
+    "rel_events_hourly": ["event_type", "hour", "n_events", "sum_value_c"],
+    "rel_range_join": ["iid", "pid"],
+    "rel_interval_overlap": ["lid", "rid"],
+    "kg_peregrine_enhancers": ["chr", "data_source", "end", "enh_id", "id",
+                               "start"],
+    "kg_peregrine_edges": ["biological_context", "score", "src", "tgt"],
+    "doc_token_stats": ["doc_id", "n_chars_obs", "n_subtokens", "n_tokens",
+                        "n_unique_tokens"],
+    "doc_tfidf_topk": ["doc_freq", "doc_id", "rank", "score", "tf",
+                       "token"],
+    "doc_repetition": ["doc_id", "dup2_permille", "dup3_permille",
+                       "n_tokens", "top_tok_permille"],
+    "doc_split": ["doc_id", "split", "split_bucket"],
+    "multimodal_decode": ["channels", "height", "media_ref", "width"],
+    "multimodal_png_decode": ["channels", "height", "media_ref",
+                              "pix_sum", "width"],
+    "multimodal_jpeg_decode": ["channels", "height", "media_ref",
+                               "pix_sum", "width"],
+    "multimodal_wav_decode": ["bits", "media_ref", "n_channels",
+                              "n_samples", "peak_abs", "sample_rate",
+                              "sum_sq"],
+    "multimodal_resize": ["channels", "height", "media_ref", "pix_sum",
+                          "width"],
+    "multimodal_jpeg_resize": ["channels", "height", "media_ref",
+                               "pix_sum", "width"],
+}
+
+# composite -> ordered sub-op names (each a fine gate in QUERIES)
+CK_COMPOSITES = {
+    "rel_scalar_checks": ["rel_window_filter", "rel_composite_id",
+                          "rel_score_cutoff"],
+    "rel_join_checks": ["rel_broadcast_left_join", "rel_double_inner_join",
+                        "rel_shuffle_join_agg"],
+    "rel_agg_checks": ["rel_collect_ordered", "rel_distinct_dedup",
+                       "rel_union_adapters", "rel_pricing_summary"],
+    "rel_window_checks": ["rel_window_rank", "rel_events_hourly"],
+    "rel_range_family": ["rel_range_join", "rel_interval_overlap"],
+    "kg_peregrine_checks": ["kg_peregrine_enhancers", "kg_peregrine_edges"],
+    "doc_text_metrics": ["doc_token_stats", "doc_tfidf_topk",
+                         "doc_repetition", "doc_split"],
+    "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
+                          "multimodal_jpeg_decode",
+                          "multimodal_wav_decode"],
+    "multimodal_resize_family": ["multimodal_resize",
+                                 "multimodal_jpeg_resize"],
+}
+
+
+def _make_composite(subnames):
+    def fn(spark, sf_dir, _subs=tuple(subnames)):
+        parts = [_ck_spark(n, QUERIES[n][0](spark, sf_dir)) for n in _subs]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    sql = "\nUNION ALL\n".join(
+        _ck_sql(n, CK_COLUMNS[n], QUERIES[n][1]) for n in subnames)
+    return fn, sql
+
+
+for _cname, _subs in CK_COMPOSITES.items():
+    QUERIES[_cname] = _make_composite(_subs)
+
+
+# The 50 driver rows. Order: everything never driver-adjudicated first
+# (r4 operators, r3 composites the snapshot rotated out, and the new
+# checksum composites), then the long-green standalones. Folded-away
+# fine gates are covered either by their composite above or by the
+# doc_pipeline capstone (scrub, exact_dedup, quality, lang_id, pack,
+# c4_filter, perplexity) / doc_dup_clusters + doc_corpus_clean
+# (minhash, lsh_pairs) / doc_lang_trigram (lang_dist); every fine gate
+# remains individually checkable via tools/check_oracles.py.
+DRIVER_ORDER = [
+    # -- never driver-adjudicated ----------------------------------------
+    "rel_scalar_checks",
+    "rel_join_checks",
+    "rel_agg_checks",
+    "rel_window_checks",
+    "rel_asof_join",
+    "rel_range_family",
+    "rel_hypertable_rollup",
+    "doc_distinct_sketch",
+    "kg_isa_closure",
+    "kg_gaf_bed_scan",
+    "kg_join_chains",
+    "kg_motif_munge",
+    "kg_peregrine_checks",
+    "doc_lang_trigram",
+    "doc_cdc",
+    "doc_pipeline",
+    "doc_contamination",
+    "doc_line_dedup",
+    "doc_text_metrics",
+    "doc_dup_clusters",
+    "emb_knn_join",
+    "multimodal_codecs",
+    "multimodal_resize_family",
+    # -- driver-green in CORRECTNESS_r04 ---------------------------------
+    "kg_gtf_gene_nodes",
+    "kg_gtf_gene_atoms",
+    "kg_vcf_snp_nodes",
+    "kg_transcribed_to_edges",
+    "kg_node_dedup",
+    "kg_hgvs_variant_ids",
+    "kg_connected_components",
+    "kg_span_fingerprints",
+    "kg_prolog_facts",
+    "kg_mention_link_counts",
+    "kg_pattern_match",
+    "kg_streaming_parity",
+    "kg_nested_annotation_atoms",
+    "kg_alias_dimension",
+    "kg_swiss_records",
+    "kg_keyed_fanin",
+    "kg_predicate_cache",
+    "kg_neo4j_dedup",
+    "kg_gwas_leads",
+    "kg_liftover",
+    "doc_simhash",
+    "doc_fingerprint",
+    "emb_dot_topk",
+    "emb_near_dup",
+    "expr_gene_corr",
+    "doc_corpus_clean",
+]
+
+assert len(DRIVER_ORDER) == len(set(DRIVER_ORDER)) <= 50, len(DRIVER_ORDER)
+DRIVER_QUERIES = {name: QUERIES[name] for name in DRIVER_ORDER}

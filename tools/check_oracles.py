@@ -50,7 +50,7 @@ def main():
     only = set(sys.argv[2:])
 
     from biocypher_metta_spark.session import get_spark
-    import __spark_entry__ as entrymod
+    from biocypher_metta_spark.entry_queries import QUERIES
 
     spark = get_spark("check-oracles", master="local[8]",
                       extra_confs={"spark.sql.shuffle.partitions": "8"})
@@ -59,8 +59,12 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # the FULL registry: every fine-grained gate plus the driver's
+    # checksum composites (__spark_entry__.queries() is the <=50-entry
+    # driver subset of this)
+    qs = {name: fn for name, (fn, _sql) in QUERIES.items()}
+    oracles = {name: sql for name, (_fn, sql) in QUERIES.items()
+               if sql is not None}
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

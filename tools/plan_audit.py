@@ -50,7 +50,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    import __spark_entry__ as entrymod
+    from biocypher_metta_spark.entry_queries import QUERIES
 
     from biocypher_metta_spark.session import get_spark
 
@@ -59,7 +59,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     clean, flagged = [], {}
-    for name, fn in entrymod.queries().items():
+    # audits the FULL registry (fine gates + driver composites)
+    for name, (fn, _sql) in QUERIES.items():
         if only and name not in only:
             continue
         try:
