@@ -2358,35 +2358,59 @@ QUERIES["rel_hypertable_rollup"] = (rel_hypertable_rollup,
 
 
 def doc_distinct_sketch(spark, sf_dir):
-    """KMV cardinality sketch (operators/sketch.py) over the corpus'
+    """KMV cardinality sketches (operators/sketch.py) over the corpus'
     exploded tokens — the engine-portable approx-distinct (native HLLs
-    differ between engines and can never hash-match)."""
-    from biocypher_metta_spark.operators.sketch import kmv_distinct
+    differ between engines and can never hash-match). One 'all' row
+    from the global sketch plus one row per doc_id%4 shard from the
+    per-group aggregator (kmv_distinct_by, two-stage salted top-k) —
+    the sketch form whose per-day/per-shard rows reaggregate like the
+    hypertable rollup."""
+    from biocypher_metta_spark.operators.sketch import (kmv_distinct,
+                                                        kmv_distinct_by)
 
     d = _docs_par(spark, sf_dir)
-    toks = d.select(F.explode(text_ops.tokens(F.col("text"))).alias("tok"))
-    return kmv_distinct(toks, "tok", k=64)
+    toks = d.select(
+        F.concat(F.lit("shard_"), F.pmod(F.col("doc_id"), F.lit(4))
+                 .cast("string")).alias("scope"),
+        F.explode(text_ops.tokens(F.col("text"))).alias("tok"))
+    glob = kmv_distinct(toks, "tok", k=64).select(
+        F.lit("all").alias("scope"), "k", "n_sketch", "h_k", "estimate")
+    per = kmv_distinct_by(toks, ["scope"], "tok", k=64).select(
+        "scope", "k", "n_sketch", "h_k", "estimate")
+    return glob.unionByName(per)
 
 
 DOC_DISTINCT_SKETCH_SQL = """
 WITH toks AS (
-  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  SELECT 'shard_' || CAST(doc_id % 4 AS VARCHAR) AS scope,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
   FROM documents
+), hashed AS (
+  SELECT scope, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM toks WHERE tok IS NOT NULL
 ), kmin AS (
-  SELECT DISTINCT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
-  FROM toks
-  WHERE tok IS NOT NULL
-  ORDER BY h
-  LIMIT 64
+  SELECT DISTINCT h FROM hashed ORDER BY h LIMIT 64
+), per_kmin AS (
+  SELECT scope, h FROM (
+    SELECT scope, h,
+           row_number() OVER (PARTITION BY scope ORDER BY h) AS rn
+    FROM (SELECT DISTINCT scope, h FROM hashed)
+  ) WHERE rn <= 64
+), est AS (
+  SELECT 'all' AS scope, count(*) AS n_sketch, max(h) AS h_k FROM kmin
+  UNION ALL
+  SELECT scope, count(*) AS n_sketch, max(h) AS h_k
+  FROM per_kmin GROUP BY scope
 )
-SELECT CAST(64 AS INTEGER) AS k,
-       count(*) AS n_sketch,
-       CAST(max(h) AS BIGINT) AS h_k,
-       CAST(CASE WHEN count(*) < 64 THEN count(*)
+SELECT scope,
+       CAST(64 AS INTEGER) AS k,
+       CAST(n_sketch AS BIGINT) AS n_sketch,
+       CAST(h_k AS BIGINT) AS h_k,
+       CAST(CASE WHEN n_sketch < 64 THEN n_sketch
                  ELSE floor(63 * (CAST(1152921504606846976 AS DOUBLE)
-                                  / CAST(max(h) AS DOUBLE))) END
+                                  / CAST(h_k AS DOUBLE))) END
             AS BIGINT) AS estimate
-FROM kmin
+FROM est
 """
 
 QUERIES["doc_distinct_sketch"] = (doc_distinct_sketch,

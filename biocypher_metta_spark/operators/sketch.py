@@ -54,3 +54,77 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
         .otherwise(F.floor((k - 1)
                            * (F.lit(HASH_SPACE) / F.col("h_k"))))
         .cast("long").alias("estimate"))
+
+
+def kmv_minima_by(df: DataFrame, group_cols: list, col: str,
+                  k: int = 64, salt_buckets: int = 8) -> DataFrame:
+    """Per-group KMV sketch STATE: (group..., h) rows holding each
+    group's k smallest distinct hashes — the mergeable representation
+    (union two groups' rows, keep the k smallest, and you have the
+    sketch of the union, same as hypertable_rollup reaggregates sums).
+
+    Scale shape: min-k per group cannot use collect_set (unbounded agg
+    state for a high-cardinality group) or a single per-group window
+    (one task sorts the whole group — the as-of hot-key problem). Two
+    stages instead: (1) distinct on (group, h) — one shuffle, uniform
+    keys; (2) top-k within (group, h % salt_buckets) — any single
+    task sorts ~1/salt_buckets of the group; (3) top-k over the
+    <= salt_buckets*k survivors per group — trivially small. Size
+    salt_buckets to the hottest group (n_distinct / buckets rows per
+    task)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if salt_buckets < 1:
+        raise ValueError("salt_buckets must be >= 1")
+    from pyspark.sql import Window
+
+    d = (df.select(*group_cols, portable_hash(F.col(col)).alias("h"))
+         .filter(F.col("h").isNotNull())
+         .distinct())
+    w1 = (Window.partitionBy(*group_cols, F.pmod(F.col("h"),
+                                                 F.lit(salt_buckets)))
+          .orderBy("h"))
+    cand = (d.withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+    w2 = Window.partitionBy(*group_cols).orderBy("h")
+    return (cand.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def _estimate_from_minima(minima: DataFrame, group_cols: list,
+                          k: int) -> DataFrame:
+    agg = minima.groupBy(*group_cols).agg(
+        F.count("*").alias("n_sketch"), F.max("h").alias("h_k"))
+    return agg.select(
+        *group_cols,
+        F.lit(k).alias("k"),
+        F.col("n_sketch").cast("long").alias("n_sketch"),
+        F.col("h_k").cast("long").alias("h_k"),
+        F.when(F.col("n_sketch") < k, F.col("n_sketch"))
+        .otherwise(F.floor((k - 1) * (F.lit(HASH_SPACE) / F.col("h_k"))))
+        .cast("long").alias("estimate"))
+
+
+def kmv_distinct_by(df: DataFrame, group_cols: list, col: str,
+                    k: int = 64, salt_buckets: int = 8) -> DataFrame:
+    """Per-group KMV estimates: one row (group..., k, n_sketch, h_k,
+    estimate) per group, exact below k distinct. Same estimator as the
+    global kmv_distinct; grouping via kmv_minima_by's two-stage top-k."""
+    return _estimate_from_minima(
+        kmv_minima_by(df, group_cols, col, k, salt_buckets),
+        group_cols, k)
+
+
+def kmv_merge_minima(minima: DataFrame, group_cols: list,
+                     k: int) -> DataFrame:
+    """Merge sketch-state rows (e.g. per-day sketches) down to coarser
+    groups: keep the k smallest hashes per surviving group. Input rows
+    are already <= k per finer group, so any single merge task handles
+    (finer_groups_per_coarse * k) rows — the reaggregation is always
+    cheaper than resketching raw data."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (minima.select(*group_cols, "h").distinct()
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))

@@ -228,6 +228,60 @@ def test_kmv_sketch_accuracy_and_exact_mode(spark):
         kmv_distinct(big, "x", k=1)
 
 
+def test_kmv_per_group_matches_global_per_partition(spark):
+    """kmv_distinct_by must produce, per group, exactly what the global
+    sketch produces when run on that group alone — and the estimates
+    stay accurate (exact below k, ~1/sqrt(k) error above)."""
+    from biocypher_metta_spark.operators.sketch import (kmv_distinct,
+                                                        kmv_distinct_by)
+
+    df = spark.range(30_000).select(
+        F.concat(F.lit("g"), F.pmod("id", F.lit(3)).cast("string"))
+        .alias("g"),
+        # group g0 gets 10k distinct, g1 5k (shared-mod collisions), g2 30
+        F.when(F.pmod("id", F.lit(3)) == 2,
+               F.concat(F.lit("v"), F.pmod("id", F.lit(90)).cast("string")))
+        .when(F.pmod("id", F.lit(3)) == 1,
+              F.concat(F.lit("v"), F.pmod("id", F.lit(15000)).cast("string")))
+        .otherwise(F.concat(F.lit("v"), F.col("id").cast("string")))
+        .alias("x"))
+    per = {r.g: r for r in
+           kmv_distinct_by(df, ["g"], "x", k=64, salt_buckets=4).collect()}
+    assert set(per) == {"g0", "g1", "g2"}
+    for g, row in per.items():
+        solo = kmv_distinct(df.filter(F.col("g") == g), "x",
+                            k=64).collect()[0]
+        assert (row.n_sketch, row.h_k, row.estimate) == \
+            (solo.n_sketch, solo.h_k, solo.estimate), g
+    assert (per["g2"].n_sketch, per["g2"].estimate) == (30, 30)  # exact
+    assert abs(per["g0"].estimate - 10_000) / 10_000 < 0.5
+
+
+def test_kmv_minima_merge_equals_resketch(spark):
+    """Mergeability (the rollup composition sketch.py claims): union
+    two halves' sketch-state rows, keep the k smallest per group, and
+    the estimate equals resketching the concatenated data."""
+    from biocypher_metta_spark.operators.sketch import (
+        _estimate_from_minima, kmv_merge_minima, kmv_minima_by)
+
+    k = 32
+    a = spark.range(0, 8_000).select(
+        F.lit("g").alias("g"),
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("x"))
+    b = spark.range(4_000, 12_000).select(  # overlapping halves
+        F.lit("g").alias("g"),
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("x"))
+    ma = kmv_minima_by(a, ["g"], "x", k=k)
+    mb = kmv_minima_by(b, ["g"], "x", k=k)
+    merged = kmv_merge_minima(ma.unionByName(mb), ["g"], k=k)
+    est_merged = _estimate_from_minima(merged, ["g"], k).collect()[0]
+    est_whole = _estimate_from_minima(
+        kmv_minima_by(a.unionByName(b), ["g"], "x", k=k), ["g"],
+        k).collect()[0]
+    assert (est_merged.n_sketch, est_merged.h_k, est_merged.estimate) == \
+        (est_whole.n_sketch, est_whole.h_k, est_whole.estimate)
+
+
 def test_hypertable_rollup_reaggregation(spark):
     """Coarse levels derived from fine rollups must equal direct
     aggregation from raw at every level (mergeability proof)."""
