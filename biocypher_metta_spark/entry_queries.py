@@ -2207,10 +2207,19 @@ def rel_asof_join(spark, sf_dir):
                    "+ make_interval(0, 0, 0, 0, k, 0, 0)").alias("snap_ts"),
             (F.col("user_id") * 1000 + F.col("k")).cast("long")
             .alias("state")))
-    out = asof_join(ev, snaps, key="user_id",
-                    left_ts="ts", right_ts="snap_ts")
-    return out.select("event_id", "user_id",
-                      F.col("state_asof").alias("state"))
+    plain = asof_join(ev, snaps, key="user_id",
+                      left_ts="ts", right_ts="snap_ts").select(
+        F.lit("plain").alias("variant"), "event_id", "user_id",
+        F.col("state_asof").alias("state"))
+    # the hot-key escape hatch must produce the identical join: 6-hour
+    # time buckets, monotone over the timestamp
+    bucketed = asof_join(ev, snaps, key="user_id",
+                         left_ts="ts", right_ts="snap_ts",
+                         bucket=lambda c: F.floor(
+                             F.unix_timestamp(c) / F.lit(21_600))).select(
+        F.lit("bucketed").alias("variant"), "event_id", "user_id",
+        F.col("state_asof").alias("state"))
+    return plain.unionByName(bucketed)
 
 
 REL_ASOF_JOIN_SQL = """
@@ -2220,11 +2229,15 @@ WITH snaps AS (
          CAST(u.user_id * 1000 + k.k AS BIGINT) AS state
   FROM (SELECT DISTINCT user_id FROM events) u
   CROSS JOIN (SELECT unnest(range(0, 24)) AS k) k
+), aj AS (
+  SELECT e.event_id, e.user_id, s.state
+  FROM events e
+  ASOF LEFT JOIN snaps s
+    ON e.user_id = s.user_id AND e.ts >= s.snap_ts
 )
-SELECT e.event_id, e.user_id, s.state
-FROM events e
-ASOF LEFT JOIN snaps s
-  ON e.user_id = s.user_id AND e.ts >= s.snap_ts
+SELECT 'plain' AS variant, event_id, user_id, state FROM aj
+UNION ALL
+SELECT 'bucketed' AS variant, event_id, user_id, state FROM aj
 """
 
 QUERIES["rel_asof_join"] = (rel_asof_join, REL_ASOF_JOIN_SQL)

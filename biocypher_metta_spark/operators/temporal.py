@@ -16,11 +16,12 @@ last(ignorenulls) could mix rows when snapshots contain nulls).
 
 Skew note (100 TB): the window is per-key sequential; a mega-hot key
 (one user with 10^9 events) serializes on one task. As-of semantics
-need the full per-key ordering, so the standard mitigations are
-time-bucketing the key (carry the last snapshot per bucket in a cheap
-pre-pass, then window inside (key, bucket)) — worth building only when
-a profile shows a hot key, so this module ships the plain form and
-documents the escape hatch.
+need the full per-key ordering, so the mitigation is time-bucketing
+the key: carry the last snapshot per bucket in a cheap pre-pass over
+BUCKET-level rows (10^9 events/key at hourly buckets = ~10^4 carry
+rows), then window inside (key, bucket) — parallel across buckets.
+That path ships behind the `bucket=` knob; the plain form stays the
+default because the extra shuffles only pay off when a key is hot.
 
 The DuckDB oracle twin is the NATIVE `ASOF LEFT JOIN`
 (entry_queries.rel_asof_join) — an independent implementation of the
@@ -36,16 +37,28 @@ from pyspark.sql.window import Window
 
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str = "ts", right_ts: str = "ts",
-              suffix: str = "_asof") -> DataFrame:
+              suffix: str = "_asof", bucket=None) -> DataFrame:
     """Backward-inclusive as-of join: every left row gains the right
     row with the greatest right_ts <= left_ts for the same key (ties:
     the snapshot AT the event time counts). Right columns other than
     key/timestamp come back suffixed; left rows with no earlier
-    snapshot keep nulls (left-join semantics)."""
+    snapshot keep nulls (left-join semantics).
+
+    `bucket` (hot-key escape hatch): a MONOTONE Column function of the
+    timestamp (e.g. ``lambda c: F.floor(c / 3600)`` for numeric ts, or
+    ``lambda c: F.floor(F.unix_timestamp(c) / 3600)`` for timestamps —
+    all ts in bucket b must sort >= all ts in buckets < b). With it,
+    the ordered window runs within (key, bucket) so a mega-hot key
+    parallelizes across its time buckets; a bucket-level carry pre-pass
+    (max_by per (key, bucket), then one per-key window over the tiny
+    bucket-row table) supplies the snapshot carried in from earlier
+    buckets. Same semantics as the plain form (property-tested); costs
+    two extra small shuffles, so keep the default for uniform keys."""
     payload_cols = [c for c in right.columns if c not in (key, right_ts)]
     if not payload_cols:
         raise ValueError("right side has no payload columns")
-    reserved = {"_ts", "_is_right", "_payload", "_carried"}
+    reserved = {"_ts", "_is_right", "_payload", "_carried",
+                "_bucket", "_bucket_last", "_carry_in"}
     clash = reserved & set(left.columns) | reserved & set(right.columns)
     if clash:
         raise ValueError(f"reserved column names in use: {sorted(clash)}")
@@ -65,13 +78,45 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         F.lit(0).alias("_is_right"),
         F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"))
     u = l.unionByName(r, allowMissingColumns=True)
-    # right rows sort BEFORE left rows at equal ts -> inclusive match
-    w = (Window.partitionBy(key)
-         .orderBy(F.col("_ts").asc(), F.col("_is_right").desc())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = u.withColumn(
-        "_carried", F.last("_payload", ignorenulls=True).over(w))
-    out = carried.filter(F.col("_is_right") == 0)
+
+    if bucket is None:
+        # right rows sort BEFORE left rows at equal ts -> inclusive match
+        w = (Window.partitionBy(key)
+             .orderBy(F.col("_ts").asc(), F.col("_is_right").desc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        carried = u.withColumn(
+            "_carried", F.last("_payload", ignorenulls=True).over(w))
+        out = carried.filter(F.col("_is_right") == 0)
+    else:
+        # --- bucket-level carry pre-pass (rows = distinct (key,bucket),
+        # NOT events; this is what breaks the hot-key serialization) ---
+        rb = (r.withColumn("_bucket", bucket(F.col("_ts")))
+              .groupBy(key, "_bucket")
+              .agg(F.max_by("_payload", "_ts").alias("_bucket_last")))
+        lb = l.select(key, bucket(F.col("_ts")).alias("_bucket")).distinct()
+        allb = lb.unionByName(rb.select(key, "_bucket")).distinct()
+        w_carry = (Window.partitionBy(key).orderBy("_bucket")
+                   .rowsBetween(Window.unboundedPreceding, -1))
+        carry = (allb.join(rb, [key, "_bucket"], "left")
+                 .withColumn("_carry_in",
+                             F.last("_bucket_last", ignorenulls=True)
+                             .over(w_carry))
+                 .select(key, "_bucket", "_carry_in"))
+        # --- main pass: the ordered window now parallelizes across
+        # (key, bucket); earlier-bucket matches come from the carry ---
+        ub = u.withColumn("_bucket", bucket(F.col("_ts")))
+        w = (Window.partitionBy(key, "_bucket")
+             .orderBy(F.col("_ts").asc(), F.col("_is_right").desc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        carried = (ub.withColumn(
+            "_carried", F.last("_payload", ignorenulls=True).over(w))
+            .filter(F.col("_is_right") == 0)
+            .join(carry, [key, "_bucket"], "left")
+            .withColumn("_carried",
+                        F.coalesce(F.col("_carried"), F.col("_carry_in")))
+            .drop("_bucket", "_carry_in"))
+        out = carried
+
     for c in payload_cols:
         out = out.withColumn(f"{c}{suffix}", F.col(f"_carried.{c}"))
     return out.drop("_ts", "_is_right", "_payload", "_carried")

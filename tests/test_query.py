@@ -154,6 +154,39 @@ def test_asof_join_semantics(spark):
                   key="user", left_ts="ts", right_ts="snap_ts")
 
 
+def test_asof_join_bucketed_matches_plain(spark):
+    """The bucket= hot-key path must be semantics-identical to the
+    plain per-key window on randomized numeric-ts data — including
+    empty buckets between snapshots, events before any snapshot, and
+    ties exactly on bucket boundaries."""
+    from biocypher_metta_spark.operators.temporal import asof_join
+
+    # deterministic pseudo-random: 3 keys, ts 0..9999, snapshots sparse
+    events = spark.range(2000).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("k"), F.pmod("id", F.lit(3)).cast("string"))
+        .alias("key"),
+        F.pmod(F.col("id") * 7919, F.lit(10_000)).alias("ts"))
+    snaps = spark.range(60).select(
+        F.concat(F.lit("k"), F.pmod("id", F.lit(3)).cast("string"))
+        .alias("key"),
+        # multiples of 100 -> some land exactly on a 1000-wide boundary
+        (F.pmod(F.col("id") * 37, F.lit(100)) * 100).alias("ts"),
+        (F.col("id") * 11).cast("long").alias("state"))
+    plain = asof_join(events, snaps, key="key").orderBy("event_id")
+    bucketed = asof_join(events, snaps, key="key",
+                         bucket=lambda c: F.floor(c / F.lit(1000))) \
+        .orderBy("event_id")
+    prows = [tuple(r) for r in plain.select(
+        "event_id", "key", "ts", "state_asof").collect()]
+    brows = [tuple(r) for r in bucketed.select(
+        "event_id", "key", "ts", "state_asof").collect()]
+    assert prows == brows
+    # sanity: the bucketed plan's big window partitions on (key, bucket)
+    plan = bucketed._jdf.queryExecution().optimizedPlan().toString()
+    assert "_bucket" in plan
+
+
 def test_range_joins_vs_bruteforce(spark):
     """Bucketed range joins == brute-force nested-loop results on a
     randomized interval/point set including bucket-boundary and
