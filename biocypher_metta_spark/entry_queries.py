@@ -3303,6 +3303,95 @@ QUERIES.update({
 
 
 # ===========================================================================
+# kg_finemap — SuSiE fine-mapping twin (reference
+# notebooks/finemapping_susie.ipynb; operators/finemap.py)
+# ===========================================================================
+
+def kg_finemap(spark, sf_dir):
+    """Single-effect-regression fine-mapping gate (the closed-form L=1
+    member of the SuSiE family; the full iterative susie_rss is
+    applyInPandas per locus and pytest-verified against planted
+    causals + the L=1/SER identity). Synthetic per-locus z-scores are
+    derived arithmetically from doc_ids; lbf/alpha come from the REAL
+    ser_abf operator; the credible-set rule is recomputed on the
+    1e-6-quantized alphas so the cumulative-sum window is integer
+    arithmetic in both engines (double running sums would differ in
+    the last ulp between Spark's sequential frame and DuckDB's
+    segment tree)."""
+    from pyspark.sql import Window
+
+    from biocypher_metta_spark.operators.finemap import ser_abf
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("L"), F.pmod("doc_id", F.lit(5)).cast("string"))
+        .alias("locus"),
+        F.col("doc_id").alias("snp"),
+        (F.pmod(F.col("doc_id") * 13, F.lit(113)).cast("double")
+         / F.lit(12.0) - F.lit(4.7)).alias("z"))
+    r = ser_abf(d)
+    q = r.select(
+        "locus", "snp",
+        F.floor(F.col("lbf") * 1000).cast("long").alias("lbf_milli"),
+        F.floor(F.col("alpha") * 1_000_000).cast("long").alias("alpha_u6"))
+    wl = Window.partitionBy("locus")
+    wcum = (Window.partitionBy("locus")
+            .orderBy(F.col("alpha_u6").desc(), "snp")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    q = (q.withColumn("_tot", F.sum("alpha_u6").over(wl))
+         .withColumn("_cum", F.sum("alpha_u6").over(wcum)))
+    return (q.withColumn(
+        "in_cs", (F.col("_cum") - F.col("alpha_u6")) * 100
+        < F.col("_tot") * 95)
+        .select("locus", "snp", "lbf_milli", "alpha_u6", "in_cs"))
+
+
+def _finemap_sql() -> str:
+    from biocypher_metta_spark.operators.finemap import PRIOR_W
+
+    s2 = 1.0 + PRIOR_W
+    c1 = repr(0.5 * __import__("math").log(1.0 / s2))
+    k = repr(PRIOR_W / s2)
+    return f"""
+WITH t AS (
+  SELECT 'L' || CAST(doc_id % 5 AS VARCHAR) AS locus,
+         doc_id AS snp,
+         CAST((doc_id * 13) % 113 AS DOUBLE) / 12.0 - 4.7 AS z
+  FROM documents
+), l AS (
+  SELECT locus, snp, {c1} + (z * z) / 2.0 * {k} AS lbf FROM t
+), e AS (
+  SELECT locus, snp, lbf,
+         exp(lbf - max(lbf) OVER (PARTITION BY locus)) AS ev
+  FROM l
+), a AS (
+  SELECT locus, snp, lbf,
+         ev / sum(ev) OVER (PARTITION BY locus) AS alpha
+  FROM e
+), q AS (
+  SELECT locus, snp,
+         CAST(floor(lbf * 1000) AS BIGINT) AS lbf_milli,
+         CAST(floor(alpha * 1000000) AS BIGINT) AS alpha_u6
+  FROM a
+), c AS (
+  SELECT locus, snp, lbf_milli, alpha_u6,
+         sum(alpha_u6) OVER (PARTITION BY locus) AS tot,
+         sum(alpha_u6) OVER (PARTITION BY locus
+                             ORDER BY alpha_u6 DESC, snp
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+  FROM q
+)
+SELECT locus, snp, lbf_milli, alpha_u6,
+       (cum - alpha_u6) * 100 < tot * 95 AS in_cs
+FROM c
+"""
+
+
+KG_FINEMAP_SQL = _finemap_sql()
+QUERIES["kg_finemap"] = (kg_finemap, KG_FINEMAP_SQL)
+
+
+# ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
 # The driver adjudicates only the FIRST 50 entries of
@@ -3455,6 +3544,7 @@ DRIVER_ORDER = [
     "kg_join_chains",
     "kg_motif_munge",
     "kg_peregrine_checks",
+    "kg_finemap",
     "doc_lang_trigram",
     "doc_cdc",
     "doc_pipeline",
