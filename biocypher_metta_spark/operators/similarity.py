@@ -239,18 +239,18 @@ def build_ivf_centroids(emb: DataFrame, dim: int, n_planes: int = 4,
 
 def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     """argmin_k squared-distance(vec, centroid_k) as a pure expression
-    (centroids are plan literals — broadcast by construction)."""
-    best_idx, best_d = F.lit(0), None
+    (centroids are plan literals — broadcast by construction). Flat
+    array_min over (distance, idx) structs: each distance appears ONCE
+    in the tree. The previous when/least fold referenced the running
+    best twice per centroid — an expression tree doubling per cell
+    (2^256 nodes at 256 cells = executor OOM during codegen)."""
+    ds = []
     for k, c in enumerate(centroids):
         carr = F.array(*[F.lit(float(x)) for x in c])
         d = F.aggregate(F.zip_with(vec, carr, lambda x, w: (x - w) * (x - w)),
                         F.lit(0.0), lambda acc, val: acc + val)
-        if best_d is None:
-            best_d = d
-        else:
-            best_idx = F.when(d < best_d, F.lit(k)).otherwise(best_idx)
-            best_d = F.least(d, best_d)
-    return best_idx
+        ds.append(F.struct(d.alias("d"), F.lit(k).alias("c")))
+    return F.array_min(F.array(*ds))["c"]
 
 
 def ivf_assign(emb: DataFrame, centroids: list[list[float]],
@@ -288,3 +288,66 @@ def lsh_bucketed_topk_from_table(spark, path: str, query_vec: list[float],
     buckets = query_buckets(query_vec, n_planes, probe_adjacent)
     cand = emb.filter(F.col("_bucket").isin(buckets))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def expected_candidates(corpus_n: int, n_planes: int,
+                        probe_bits: int) -> float:
+    """Expected candidate rows per query under uniform bucket load —
+    the sizing rule knn_join's docstring states: probes(probe_bits) *
+    corpus_n / 2^n_planes. Size n_planes so this stays ~10^3-10^4:
+    too few planes floods the rescorer (candidates ~ corpus), too many
+    starves recall (empty probe buckets). At 10^9 rows, probe_bits=2:
+    16 planes -> ~2.1M candidates (flood); 24 -> ~18k (right); hence
+    the 'at 10^9 rows use 24+ planes' rule."""
+    probes = 1
+    if probe_bits >= 1:
+        probes += n_planes
+    if probe_bits >= 2:
+        probes += n_planes * (n_planes - 1) // 2
+    return probes * corpus_n / float(1 << n_planes)
+
+
+def ivf_knn_join(queries: DataFrame, corpus: DataFrame,
+                 centroids: list[list[float]], k: int = 5,
+                 n_probe: int = 2, quant_scale: int = 100,
+                 q_id: str = "q_id", c_id: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Batch k-NN join through an IVF index — the recommended blocking
+    for UNIFORM corpora, where sign-LSH recall is weak (hyperplane
+    sketches only separate what geometry clusters; measured sweep in
+    BENCH.md). Corpus rows get their nearest-centroid cell (map-only
+    broadcast argmin over the literal centroid list), each query
+    explodes into its n_probe nearest cells, candidates equi-join on
+    the cell id — never a cross join — and the exact quantized dot
+    rescores per-query top-k. Candidates/query ~ n_probe * N / n_cells,
+    tunable independent of recall via lloyd_iters/centroid count."""
+    if not centroids:
+        raise ValueError("empty centroid list")
+    if not 1 <= n_probe <= len(centroids):
+        raise ValueError("n_probe must be in [1, n_centroids]")
+    quant = F.transform(F.col(vec_col),
+                        lambda x: F.round(x * quant_scale).cast("long"))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    c = corpus.select(F.col(c_id), quant.alias("_cvec"),
+                      _nearest_centroid(v, centroids).alias("_cell"))
+    # per-query n_probe nearest cells: literal distance per centroid,
+    # array_sort on (distance, cell) structs, slice, explode
+    dists = []
+    for idx, cent in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in cent])
+        d = F.aggregate(
+            F.zip_with(v, carr, lambda x, w: (x - w) * (x - w)),
+            F.lit(0.0), lambda acc, val: acc + val)
+        dists.append(F.struct(d.alias("d"), F.lit(idx).alias("c")))
+    probe = F.slice(F.array_sort(F.array(*dists)), 1, n_probe)
+    q = (queries.select(F.col(q_id), quant.alias("_qvec"),
+                        F.explode(probe).alias("_p"))
+         .select(q_id, "_qvec", F.col("_p.c").alias("_cell")))
+    joined = q.join(c, "_cell").select(
+        q_id, c_id, int_dot(F.col("_qvec"), F.col("_cvec")).alias("dot"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(q_id).orderBy(F.col("dot").desc(), F.col(c_id))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id, c_id, "dot", "rank"))

@@ -652,3 +652,80 @@ def test_c4_line_filter_rules(spark):
     assert out[1].doc_kept is False and out[1].text == ""
     assert out[2].doc_kept is False      # brace = code
     assert (out[3].n_lines, out[3].n_kept) == (0, 0)
+
+
+def test_knn_sizing_rule_and_measured_candidates(spark):
+    """expected_candidates encodes the docstring's n_planes sizing rule
+    (at 10^9 rows, probe_bits=2: 16 planes floods the rescorer, 24
+    keeps ~2e4 candidates), and measured candidate volume on a real
+    corpus stays within a small factor of the uniform-load formula."""
+    from biocypher_metta_spark.operators import similarity as sim
+
+    # the documented rule, as numbers
+    assert sim.expected_candidates(10**9, 16, 2) > 2e6
+    assert 1e4 < sim.expected_candidates(10**9, 24, 2) < 5e4
+    # monotone: more planes -> fewer candidates; wider probe -> more
+    for pb in (0, 1, 2):
+        assert sim.expected_candidates(10**6, 16, pb) < \
+            sim.expected_candidates(10**6, 8, pb)
+    assert sim.expected_candidates(10**6, 16, 0) < \
+        sim.expected_candidates(10**6, 16, 2)
+    # measured vs formula on a deterministic corpus: hash-derived
+    # buckets aren't perfectly uniform, allow 4x
+    n, dim, n_planes = 20_000, 8, 6
+    corpus = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda j: ((F.xxhash64(F.lit("c"), F.col("id"), j)
+                                % 1001) / 1000.0).cast("double"))
+        .alias("embedding"))
+    per_bucket = (corpus.select(
+        sim.lsh_bucket(F.col("embedding"), dim, n_planes).alias("b"))
+        .groupBy("b").count().agg(F.avg("count")).collect()[0][0])
+    probes = 1 + n_planes + n_planes * (n_planes - 1) // 2
+    measured = probes * per_bucket
+    formula = sim.expected_candidates(n, n_planes, 2)
+    assert formula / 4 < measured < formula * 4, (measured, formula)
+
+
+def test_ivf_knn_join_exhaustive_probe_is_exact(spark):
+    """ivf_knn_join with n_probe == n_cells scans every cell exactly
+    once -> must reproduce brute-force top-k; with n_probe=1 it must
+    return a per-query subset of candidates (never duplicates)."""
+    from pyspark.sql.window import Window
+
+    from biocypher_metta_spark.operators import similarity as sim
+
+    rng = random.Random(5)
+    dim = 8
+
+    def vec():
+        return [rng.uniform(-1, 1) for _ in range(dim)]
+
+    queries = spark.createDataFrame(
+        [(i, vec()) for i in range(6)], "q_id long, embedding array<float>")
+    corpus = spark.createDataFrame(
+        [(i, vec()) for i in range(300)],
+        "vec_id long, embedding array<float>")
+    cents = sim.build_ivf_centroids(corpus, dim=dim, n_planes=3,
+                                    lloyd_iters=1)
+    qd = queries.select("q_id", sim.quantize(F.col("embedding"), 100)
+                        .alias("qq"))
+    cd = corpus.select("vec_id", sim.quantize(F.col("embedding"), 100)
+                       .alias("cq"))
+    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(),
+                                           F.col("vec_id"))
+    truth = {(r.q_id, r.vec_id) for r in qd.crossJoin(cd).select(
+        "q_id", "vec_id", sim.int_dot(F.col("qq"), F.col("cq"))
+        .alias("dot"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 5").collect()}
+    exact = {(r.q_id, r.vec_id) for r in sim.ivf_knn_join(
+        queries, corpus, cents, k=5, n_probe=len(cents)).collect()}
+    assert exact == truth
+    one = [(r.q_id, r.vec_id) for r in sim.ivf_knn_join(
+        queries, corpus, cents, k=5, n_probe=1).collect()]
+    assert len(one) == len(set(one))
+    import pytest
+    with pytest.raises(ValueError, match="n_probe"):
+        sim.ivf_knn_join(queries, corpus, cents, n_probe=0)

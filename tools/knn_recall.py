@@ -7,9 +7,13 @@ candidate-coverage miss, never a scoring difference). Corpus and
 queries are deterministic hash-derived vectors — fully distributed
 generation, no driver data, reproducible across runs/engines.
 
-Usage: python tools/knn_recall.py [corpus_n] [n_queries]
-Prints one JSON line per (dim, n_planes, probe_bits) cell; paste the
-table into BENCH.md.
+Usage: python tools/knn_recall.py [corpus_n] [n_queries] [planes] [dims]
+  planes: comma list of n_planes to sweep (default "6,8"; the r5
+          corpus-sized run uses "16,24" at corpus_n=10^6, probe_bits 2)
+  dims:   comma list of dims (default "16,32")
+Prints one JSON line per cell, including the measured mean candidate
+count per query next to the expected_candidates formula; also one IVF
+row per (dist, dim) — the recommended fallback for uniform corpora.
 """
 
 from __future__ import annotations
@@ -25,7 +29,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from biocypher_metta_spark import get_spark
-from biocypher_metta_spark.operators.similarity import int_dot, knn_join
+from biocypher_metta_spark.operators.similarity import (
+    build_ivf_centroids, expected_candidates, int_dot, ivf_knn_join,
+    knn_join)
 
 K = 10
 QUANT = 100
@@ -78,31 +84,78 @@ def brute_topk(queries, corpus, k: int):
             .filter(F.col("rank") <= k))
 
 
+def count_candidates(queries, corpus, dim, n_planes, probe_bits):
+    """Measured mean candidate rows per query (the pre-rescore join
+    volume — what the sizing rule bounds)."""
+    from biocypher_metta_spark.operators.similarity import lsh_bucket
+
+    c = corpus.select(
+        lsh_bucket(F.col("embedding"), dim, n_planes).alias("_b"))
+    probes = 1
+    if probe_bits >= 1:
+        probes += n_planes
+    if probe_bits >= 2:
+        probes += n_planes * (n_planes - 1) // 2
+    q = queries.select(
+        "q_id", lsh_bucket(F.col("embedding"), dim, n_planes).alias("_b"))
+    # uniform-probe approximation: probes * per-bucket corpus load of
+    # the query's own bucket neighborhood, measured exactly via join
+    load = c.groupBy("_b").count()
+    own = q.join(load, "_b", "left").agg(
+        F.avg(F.coalesce(F.col("count"), F.lit(0)))).collect()[0][0]
+    return probes * (own or 0.0)
+
+
 def main():
     corpus_n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    planes = [int(x) for x in
+              (sys.argv[3] if len(sys.argv) > 3 else "6,8").split(",")]
+    dims = [int(x) for x in
+            (sys.argv[4] if len(sys.argv) > 4 else "16,32").split(",")]
+    probe_sweep = [2] if max(planes) >= 16 else [0, 1, 2]
     spark = get_spark("knn-recall", master="local[32]")
     for dist in ("uniform", "clustered"):
         gen = synth_vectors if dist == "uniform" else synth_clustered
-        for dim in (16, 32):
+        for dim in dims:
             corpus = gen(spark, corpus_n, dim, "vec_id", "c").cache()
             queries = gen(spark, n_queries, dim, "q_id", "q").cache()
             truth = {(r.q_id, r.vec_id)
                      for r in brute_topk(queries, corpus, K).collect()}
-            for n_planes in (6, 8):
-                for probe_bits in (0, 1, 2):
+            for n_planes in planes:
+                for probe_bits in probe_sweep:
                     t0 = time.time()
                     got = {(r.q_id, r.vec_id) for r in
                            knn_join(queries, corpus, dim=dim, k=K,
                                     n_planes=n_planes, quant_scale=QUANT,
                                     probe_bits=probe_bits).collect()}
                     recall = len(got & truth) / len(truth)
+                    cand = count_candidates(queries, corpus, dim,
+                                            n_planes, probe_bits)
                     print(json.dumps({
                         "dist": dist, "corpus": corpus_n,
                         "queries": n_queries, "dim": dim,
                         "n_planes": n_planes, "probe_bits": probe_bits,
                         "k": K, "recall": round(recall, 4),
+                        "cand_per_q": round(cand, 1),
+                        "cand_formula": round(expected_candidates(
+                            corpus_n, n_planes, probe_bits), 1),
                         "sec": round(time.time() - t0, 2)}), flush=True)
+            # IVF path: centroids from one corpus pass + 1 Lloyd round,
+            # 256 cells, probe 8 -> candidates ~ corpus/32
+            t0 = time.time()
+            cents = build_ivf_centroids(corpus, dim=dim, n_planes=8,
+                                        lloyd_iters=1)
+            got = {(r.q_id, r.vec_id) for r in
+                   ivf_knn_join(queries, corpus, cents, k=K, n_probe=8,
+                                quant_scale=QUANT).collect()}
+            recall = len(got & truth) / len(truth)
+            print(json.dumps({
+                "dist": dist, "corpus": corpus_n, "queries": n_queries,
+                "dim": dim, "index": "ivf256_probe8", "k": K,
+                "recall": round(recall, 4),
+                "cand_per_q": round(corpus_n * 8 / len(cents), 1),
+                "sec": round(time.time() - t0, 2)}), flush=True)
             corpus.unpersist()
             queries.unpersist()
     spark.stop()
