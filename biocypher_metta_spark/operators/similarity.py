@@ -146,6 +146,10 @@ def knn_join(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     flips (the probe_adjacent=True default), 2 = + all 2-bit flips
     (n_planes*(n_planes+1)/2 + 1 probe rows per query — recall recovery
     for high n_planes; measured sweep in BENCH.md / tools/knn_recall.py).
+    The 10^6-row sweep (BENCH.md r5): sign-LSH holds 0.83-0.94 recall on
+    clustered corpora at 16-24 planes but collapses on uniform geometry
+    (0.15 at 16 planes) — for uniform/unknown corpora use ivf_knn_join,
+    which dominates on recall per candidate in both regimes.
     probe_adjacent is the legacy boolean form and is only consulted when
     probe_bits is None.
     """
