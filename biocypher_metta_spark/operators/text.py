@@ -580,7 +580,18 @@ def lm_perplexity(df: DataFrame, text_col: str = "text",
     (lowercase, non-letters -> single space, padded), one create_map
     lookup per bigram position, aggregate sum. Docs with no bigrams
     (empty after normalization: n_bigrams counts the padded string's
-    pairs, minimum 1 for '  ' -> always >= 1) never divide by zero."""
+    pairs, minimum 1 for '  ' -> always >= 1) never divide by zero.
+
+    The normalized string is materialized ONCE per row behind a
+    Generate barrier (see dedup._compute_once): without it,
+    CollapseProject re-inlines the regexp_replace chain — and whatever
+    upstream scrubbing composed into text_col — into every bigram
+    position of the aggregate lambda, turning the scan O(len^2) in
+    regex work (measured 29x on the doc_pipeline capstone at sf0.1).
+    The bigram walk itself is a zip_with over the char array (adjacent
+    pairs), not positional substring, so it is O(len) too: UTF8String
+    substring at char index i costs an O(i) boundary scan, which summed
+    over a sequence(1, n) loop is quadratic even with s computed once."""
     s = F.concat(F.lit(" "),
                  F.trim(F.regexp_replace(F.lower(F.col(text_col)),
                                          r"[^a-z]+", " ")),
@@ -588,16 +599,21 @@ def lm_perplexity(df: DataFrame, text_col: str = "text",
     kv = []
     for bg, nll in LM_BIGRAM_NLL.items():
         kv.extend([F.lit(bg), F.lit(nll)])
-    table = F.create_map(*kv)
-    n = F.length(s) - 1
-    pre = df.select(
+    table = F.create_map(*kv)  # all-literal -> constant-folded once
+    src = df.select(F.col(id_col),
+                    F.explode(F.array(s)).alias("_s"))
+    n = F.length("_s") - 1
+    chars = F.split(F.col("_s"), "")
+    # both slices are exactly n elements (len >= 2 by padding), so
+    # zip_with never null-pads: pairs are (char_i, char_{i+1})
+    pair_nll = F.zip_with(
+        F.slice(chars, F.lit(1), n), F.slice(chars, F.lit(2), n),
+        lambda a, b: F.coalesce(table[F.concat(a, b)],
+                                F.lit(LM_MAX_NLL)))
+    pre = src.select(
         F.col(id_col), n.alias("n_bigrams"),
-        F.aggregate(
-            F.sequence(F.lit(1), n),
-            F.lit(0).cast("long"),
-            lambda acc, i: acc + F.coalesce(
-                table[F.substring(s, i, 2)], F.lit(LM_MAX_NLL))
-        ).alias("nll_sum"))
+        F.aggregate(pair_nll, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("nll_sum"))
     return pre.select(
         id_col, F.col("n_bigrams").cast("long").alias("n_bigrams"),
         "nll_sum",
