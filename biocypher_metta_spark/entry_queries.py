@@ -1087,6 +1087,59 @@ QUERIES["kg_streaming_parity"] = (kg_streaming_parity,
                                   KG_STREAMING_PARITY_SQL)
 
 
+def kg_streaming_window(spark, sf_dir):
+    """Watermarked tumbling-window streaming aggregation (the remaining
+    §2.6 streaming shape: event-time windows + late-data policy). Two
+    AvailableNow increments over the events table: increment 1 carries
+    every real event plus a far-future flush sentinel that advances the
+    watermark past every real window end; increment 2 plants (a) a LATE
+    row — event time inside a window the watermark already closed, with
+    a tripwire value of 999999 — which append-mode semantics must DROP,
+    and (b) a second sentinel inside the first sentinel's window, so no
+    sentinel window ever finalizes. The emitted output must therefore
+    equal the batch hourly aggregation over the real events exactly —
+    the oracle is the SAME DuckDB SQL as rel_events_hourly, so a leaked
+    late row, a double-emitted window, or a sentinel window all break
+    the value hash."""
+    import hashlib
+    import shutil
+    from datetime import timedelta
+
+    from biocypher_metta_spark.streaming.windowed import run_windowed
+
+    base = ("/tmp/bcm_streamwin_gate_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+    # watermarks require TIMESTAMP (with tz); the parquet is NTZ. The
+    # cast goes NTZ -> instant via the session tz and date_format
+    # renders back in the session tz, so window wall-clock labels (and
+    # the DuckDB oracle's NTZ date_trunc) are unchanged.
+    events = (spark.read.parquet(f"{sf_dir}/events.parquet")
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    # two bounded scalars (corpus time range), not a data collect
+    min_ts, max_ts = events.agg(F.min("ts"), F.max("ts")).first()
+    s1 = max_ts + timedelta(days=30)
+    sentinel1 = spark.createDataFrame(
+        [(-1, s1, -1, "_sentinel", 0.0, "{}")], events.schema)
+    events.unionByName(sentinel1).write.parquet(in_dir)
+    run_windowed(spark.readStream.schema(events.schema).parquet(in_dir),
+                 out_dir, ck)
+    late_and_flush = spark.createDataFrame(
+        [(-2, min_ts, -2, "_late", 999999.0, "{}"),
+         (-3, s1 + timedelta(minutes=1), -3, "_sentinel", 0.0, "{}")],
+        events.schema)
+    late_and_flush.write.mode("append").parquet(in_dir)
+    run_windowed(spark.readStream.schema(events.schema).parquet(in_dir),
+                 out_dir, ck)
+    return spark.read.parquet(out_dir)
+
+
+# the oracle IS the batch twin: real events only, hourly windows
+QUERIES["kg_streaming_window"] = (kg_streaming_window,
+                                  REL_EVENTS_HOURLY_SQL)
+
+
 def kg_nested_annotation_atoms(spark, sf_dir):
     """Nested-dict property rendering in the gate (the FAVOR annotation
     shape, metta_writer.py:158-160 + favor coercion): dict head atom +
@@ -3481,6 +3534,9 @@ CK_COLUMNS = {
                           "width"],
     "multimodal_jpeg_resize": ["channels", "height", "media_ref",
                                "pix_sum", "width"],
+    "kg_streaming_parity": ["obj", "pred", "subj"],
+    "kg_streaming_window": ["event_type", "hour", "n_events",
+                            "sum_value_c"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
@@ -3501,6 +3557,10 @@ CK_COMPOSITES = {
                           "multimodal_wav_decode"],
     "multimodal_resize_family": ["multimodal_resize",
                                  "multimodal_jpeg_resize"],
+    # both sub-gates run real checkpointed AvailableNow increments; the
+    # composite gives the r5 windowed/watermark op a driver row without
+    # growing the registry past the 50-row snapshot cap
+    "kg_streaming_checks": ["kg_streaming_parity", "kg_streaming_window"],
 }
 
 
@@ -3555,6 +3615,7 @@ DRIVER_ORDER = [
     "emb_knn_join",
     "multimodal_codecs",
     "multimodal_resize_family",
+    "kg_streaming_checks",
     # -- driver-green in CORRECTNESS_r04 ---------------------------------
     "kg_gtf_gene_nodes",
     "kg_gtf_gene_atoms",
@@ -3567,7 +3628,6 @@ DRIVER_ORDER = [
     "kg_prolog_facts",
     "kg_mention_link_counts",
     "kg_pattern_match",
-    "kg_streaming_parity",
     "kg_nested_annotation_atoms",
     "kg_alias_dimension",
     "kg_swiss_records",

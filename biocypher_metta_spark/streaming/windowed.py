@@ -1,0 +1,68 @@
+"""Watermarked event-time window aggregation (Structured Streaming).
+
+Completes the streaming capability set next to incremental.py (stateless
+exactly-once extraction) and stateful.py (applyInPandasWithState):
+tumbling event-time windows whose results are emitted exactly once, in
+append mode, when the watermark passes the window end — and late rows
+that arrive after their window closed are DROPPED, never double-counted.
+
+The batch twin is entry_queries.rel_events_hourly (same grouping, same
+floor(value*100) cent quantization), so the kg_streaming_window gate can
+hold the streaming output against the identical DuckDB oracle while the
+gate itself plants a late row and proves it was discarded.
+
+Scale notes: window state is partitioned by (window, event_type) in the
+state store; the watermark bounds state size to (#types x windows within
+the lateness horizon), so state is O(active windows), not O(history).
+The aggregation itself is the ordinary partial-agg shuffle — hot event
+types within one window are map-side combined before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(events: DataFrame,
+                          window_duration: str = "1 hour",
+                          watermark_delay: str = "30 minutes",
+                          time_col: str = "ts") -> DataFrame:
+    """Streaming events (ts, event_type, value, ...) -> per-window
+    per-type counts and cent sums, finalized by watermark.
+
+    Use outputMode('append'): a (window, event_type) row is emitted
+    exactly once, after the watermark (max event time seen minus
+    `watermark_delay`) passes the window end; rows older than the
+    watermark whose window already closed are dropped on input. Output
+    columns match the batch twin rel_events_hourly: hour (window start,
+    'yyyy-MM-dd HH:mm:ss'), event_type, n_events, sum_value_c.
+    """
+    return (events
+            .withWatermark(time_col, watermark_delay)
+            .groupBy(F.window(F.col(time_col), window_duration).alias("win"),
+                     F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.floor(F.col("value") * 100).cast("long"))
+                 .alias("sum_value_c"))
+            .select(F.date_format("win.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("hour"),
+                    "event_type", "n_events", "sum_value_c"))
+
+
+def run_windowed(events_stream: DataFrame, output_path: str,
+                 checkpoint_path: str, **kwargs):
+    """Run the windowed aggregation as one AvailableNow increment and
+    block until it drains. Append mode: only watermark-finalized windows
+    reach the sink, so re-running after new files land emits exactly the
+    newly closed windows."""
+    out = windowed_event_counts(events_stream, **kwargs)
+    q = (out.writeStream
+         .format("parquet")
+         .option("path", output_path)
+         .option("checkpointLocation", checkpoint_path)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
