@@ -1140,6 +1140,99 @@ QUERIES["kg_streaming_window"] = (kg_streaming_window,
                                   REL_EVENTS_HOURLY_SQL)
 
 
+def rel_session_window(spark, sf_dir):
+    """Gap-based sessionization (F.session_window, the dynamic-size
+    window §2.6 still lacked): per (user, session) event counts and
+    cent sums, session = maximal run of events each within 30 minutes
+    (INCLUSIVE — an event exactly gap after the previous still merges,
+    pinned by test_session_merge_and_exact_gap_tie) of the previous.
+    The DuckDB twin is the classic gaps-and-islands formulation (lag
+    diff > gap starts an island) — an independent implementation of the
+    same semantics, so merge boundaries, the exact-gap tie rule, and
+    the last-ts + gap session end are all value-checked."""
+    from biocypher_metta_spark.streaming.windowed import session_event_stats
+
+    e = (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .withColumn("ts", F.col("ts").cast("timestamp")))
+    return session_event_stats(e, gap="30 minutes")
+
+
+REL_SESSION_WINDOW_SQL = """
+WITH o AS (
+  SELECT user_id, ts, CAST(floor(value * 100) AS BIGINT) AS cents,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL '30 minutes'
+              THEN 0 ELSE 1 END AS new_sess
+  FROM events
+), g AS (
+  SELECT user_id, ts, cents,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL '30 minutes',
+                '%Y-%m-%d %H:%M:%S') AS session_end,
+       user_id, count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_value_c
+FROM g GROUP BY user_id, sid
+"""
+
+QUERIES["rel_session_window"] = (rel_session_window,
+                                 REL_SESSION_WINDOW_SQL)
+
+
+def kg_streaming_dedup(spark, sf_dir):
+    """Streaming dedup with bounded state (dropDuplicatesWithinWatermark
+    — the streaming analog of doc_exact_dedup). Increment 1 carries
+    every real event plus exact duplicate copies of every 10th one —
+    the at-least-once-delivery shape — which the state-store filter
+    must emit exactly once; increment 2 re-delivers copies of every 7th
+    event, all of which are still inside the (deliberately huge) dedup
+    horizon and must ALL be dropped. The emitted rows therefore equal
+    the events table itself (event_id is unique in the testdata), so
+    the oracle is a plain projection of `events` — any duplicate
+    surviving either increment breaks rows + hash."""
+    import hashlib
+    import shutil
+
+    from biocypher_metta_spark.streaming.dedup import run_dedup_stream
+
+    base = ("/tmp/bcm_streamdedup_gate_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+    events = (spark.read.parquet(f"{sf_dir}/events.parquet")
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    dupes1 = events.filter(F.col("event_id") % 10 == 0)
+    events.unionByName(dupes1).write.parquet(in_dir)
+    run_dedup_stream(
+        spark.readStream.schema(events.schema).parquet(in_dir),
+        ["event_id"], out_dir, ck, delay="3650 days")
+    events.filter(F.col("event_id") % 7 == 0) \
+        .write.mode("append").parquet(in_dir)
+    run_dedup_stream(
+        spark.readStream.schema(events.schema).parquet(in_dir),
+        ["event_id"], out_dir, ck, delay="3650 days")
+    return (spark.read.parquet(out_dir)
+            .select("event_id", "user_id", "event_type",
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+                    .alias("ts_s"),
+                    F.floor(F.col("value") * 100).cast("long")
+                    .alias("value_c")))
+
+
+KG_STREAMING_DEDUP_SQL = """
+SELECT event_id, user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       CAST(floor(value * 100) AS BIGINT) AS value_c
+FROM events
+"""
+
+QUERIES["kg_streaming_dedup"] = (kg_streaming_dedup,
+                                 KG_STREAMING_DEDUP_SQL)
+
+
 def kg_nested_annotation_atoms(spark, sf_dir):
     """Nested-dict property rendering in the gate (the FAVOR annotation
     shape, metta_writer.py:158-160 + favor coercion): dict head atom +
@@ -3537,6 +3630,10 @@ CK_COLUMNS = {
     "kg_streaming_parity": ["obj", "pred", "subj"],
     "kg_streaming_window": ["event_type", "hour", "n_events",
                             "sum_value_c"],
+    "kg_streaming_dedup": ["event_id", "event_type", "ts_s", "user_id",
+                           "value_c"],
+    "rel_session_window": ["n_events", "session_end", "session_start",
+                           "sum_value_c", "user_id"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
@@ -3547,7 +3644,8 @@ CK_COMPOSITES = {
                         "rel_shuffle_join_agg"],
     "rel_agg_checks": ["rel_collect_ordered", "rel_distinct_dedup",
                        "rel_union_adapters", "rel_pricing_summary"],
-    "rel_window_checks": ["rel_window_rank", "rel_events_hourly"],
+    "rel_window_checks": ["rel_window_rank", "rel_events_hourly",
+                          "rel_session_window"],
     "rel_range_family": ["rel_range_join", "rel_interval_overlap"],
     "kg_peregrine_checks": ["kg_peregrine_enhancers", "kg_peregrine_edges"],
     "doc_text_metrics": ["doc_token_stats", "doc_tfidf_topk",
@@ -3560,7 +3658,8 @@ CK_COMPOSITES = {
     # both sub-gates run real checkpointed AvailableNow increments; the
     # composite gives the r5 windowed/watermark op a driver row without
     # growing the registry past the 50-row snapshot cap
-    "kg_streaming_checks": ["kg_streaming_parity", "kg_streaming_window"],
+    "kg_streaming_checks": ["kg_streaming_parity", "kg_streaming_window",
+                            "kg_streaming_dedup"],
 }
 
 

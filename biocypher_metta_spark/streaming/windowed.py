@@ -50,6 +50,45 @@ def windowed_event_counts(events: DataFrame,
                     "event_type", "n_events", "sum_value_c"))
 
 
+def session_event_stats(events: DataFrame,
+                        gap: str = "30 minutes",
+                        key_col: str = "user_id",
+                        time_col: str = "ts") -> DataFrame:
+    """Gap-based sessionization via F.session_window — the dynamic-size
+    complement to the tumbling window above. Two events of one key fall
+    in the same session iff the later one starts at or before the
+    earlier one's ts + gap (the exact-gap tie MERGES — measured, and
+    pinned by test_session_merge_and_exact_gap_tie); the emitted
+    session end is last-event ts + gap (Spark's window.end for session
+    windows). Output per (key, session): session_start / session_end
+    ('yyyy-MM-dd HH:mm:ss'), n_events, sum_value_c (floor-cent
+    quantization, the portable form).
+
+    The same plan runs batch (groupBy session_window = one shuffle on
+    the key, sessions assembled by Spark's session-merge aggregation)
+    and streaming (add withWatermark upstream; append emits a session
+    once the watermark passes its end). The DuckDB twin is the classic
+    islands formulation — lag diff >= gap starts a new island — an
+    independent implementation of the same semantics, which is exactly
+    what makes it oracle-worthy.
+
+    Scale: sessionization shuffles once on key_col; per-key state is
+    bounded by the gap horizon in streaming. A mega-hot key serializes
+    its session-merge like any per-key op — the asof_join bucket=
+    pre-pass pattern (operators/temporal.py) is the escape hatch."""
+    return (events
+            .groupBy(F.session_window(F.col(time_col), gap).alias("win"),
+                     F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.floor(F.col("value") * 100).cast("long"))
+                 .alias("sum_value_c"))
+            .select(F.date_format("win.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("session_start"),
+                    F.date_format("win.end", "yyyy-MM-dd HH:mm:ss")
+                    .alias("session_end"),
+                    key_col, "n_events", "sum_value_c"))
+
+
 def run_windowed(events_stream: DataFrame, output_path: str,
                  checkpoint_path: str, **kwargs):
     """Run the windowed aggregation as one AvailableNow increment and
