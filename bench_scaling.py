@@ -4,7 +4,7 @@ SAME input — see BASELINE.md).
 
 Runs the KG-construction job in fresh subprocesses (one JVM per
 parallelism level), measures steady-state throughput (warmup pass first,
-then the timed pass inside one JVM), writes BENCH.md.
+then the timed pass inside one JVM), writes BENCH_SCALING_LAST.md.
 
 Usage: python bench_scaling.py [n_docs]
 """
@@ -163,14 +163,10 @@ slower — young-gen blowout).
 Reproduce: `python bench_scaling.py {n_docs}`; per-round operator
 timings: `python bench.py` (BENCH_r{{N}}.json).
 """
-    bench_path = REPO / "BENCH.md"
-    extra = ""
-    if bench_path.exists():
-        old = bench_path.read_text()
-        i = old.find("\n## Head-to-head")
-        if i != -1:
-            extra = old[i:]
-    bench_path.write_text(md + extra)
+    # Own artifact file: BENCH.md's scaling sections carry hand-written
+    # analysis (multi-JVM collapse bisection, controls) that an automated
+    # rewrite once clobbered — generated output stays out of it.
+    (REPO / "BENCH_SCALING_LAST.md").write_text(md)
 
 
 if __name__ == "__main__":
