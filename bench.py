@@ -115,7 +115,8 @@ def main() -> None:
              "doc_pipeline", "doc_cdc", "multimodal_jpeg_decode",
              "doc_perplexity", "doc_c4_filter", "rel_asof_join",
              "rel_range_join", "rel_interval_overlap",
-             "rel_hypertable_rollup", "doc_distinct_sketch"]
+             "rel_hypertable_rollup", "doc_distinct_sketch",
+             "rel_session_window", "multimodal_frame_sample"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):

@@ -2043,6 +2043,71 @@ QUERIES["multimodal_jpeg_decode"] = (multimodal_jpeg_decode,
                                      MULTIMODAL_JPEG_SQL)
 
 
+# ===========================================================================
+# REAL video frame-sampling gate (round 5): uncompressed-DIB AVI is a
+# lossless container, so the DuckDB twin recomputes each SAMPLED frame's
+# exact pixel-byte sum straight from the generator formula — hash
+# equality proves the RIFF walk, bottom-up/BGR/stride-padding DIB
+# unpacking, and the every-2nd-frame sampling all at once. Variants vary
+# dimensions AND frame count so the stride cap is exercised.
+
+def _avi_formula_frames(w, h, nf, v):
+    from biocypher_metta_spark.operators.avi import avi_encode
+
+    frames = [bytes(((x * 7 + y * 13 + ch * 29 + f * 31 + v * 101) % 256)
+                    for y in range(h) for x in range(w)
+                    for ch in range(3))
+              for f in range(nf)]
+    return avi_encode(frames, w, h, fps=10)
+
+
+_AVI_VARIANTS = [_avi_formula_frames(4 + v, 3 + v, 3 + v, v)
+                 for v in range(5)]
+
+
+def multimodal_frame_sample(spark, sf_dir):
+    """Stdlib AVI codec through the video_frame_stats mapInPandas
+    operator: every 2nd frame of each container, one output row per
+    sampled frame with the exact integer pixel sum."""
+    from biocypher_metta_spark.operators import multimodal as mm
+
+    ids = _ids(spark, sf_dir)
+    variants = F.array(*[F.lit(bytearray(b)) for b in _AVI_VARIANTS])
+    media = ids.select(
+        F.concat(F.lit("avi://"), F.col("i").cast("string")).alias("media_ref"),
+        F.lit("video").alias("kind"),
+        F.element_at(variants, (F.col("i") % 5 + 1).cast("int")).alias("content"),
+    )
+    return mm.video_frame_stats(media, stride=2, max_frames=8)
+
+
+MULTIMODAL_AVI_SQL = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+frames AS (
+  SELECT v, unnest(list_filter(range(0, 3 + v), f -> f % 2 = 0)) AS f
+  FROM (SELECT unnest(range(0, 5)) AS v)
+),
+expected AS (
+  SELECT v, f,
+         CAST(4 + v AS INTEGER) AS width,
+         CAST(3 + v AS INTEGER) AS height,
+         CAST(list_sum(flatten(list_transform(range(0, 3 + v), y ->
+           flatten(list_transform(range(0, 4 + v), x ->
+             list_transform(range(0, 3), ch ->
+               (x * 7 + y * 13 + ch * 29 + f * 31 + v * 101) % 256))))))
+           AS BIGINT) AS pix_sum
+  FROM frames
+)
+SELECT 'avi://' || i AS media_ref,
+       CAST(e.f AS INTEGER) AS frame_index,
+       e.width, e.height, e.pix_sum
+FROM ids JOIN expected e ON e.v = i % 5
+"""
+
+QUERIES["multimodal_frame_sample"] = (multimodal_frame_sample,
+                                      MULTIMODAL_AVI_SQL)
+
+
 # fixed-width variants for the resize gate: the 2x-upscale exactness
 # argument needs every target 8x8 block to sample INSIDE one source
 # block (x//2 stride), which holds only when all sources share the
@@ -3623,6 +3688,8 @@ CK_COLUMNS = {
     "multimodal_wav_decode": ["bits", "media_ref", "n_channels",
                               "n_samples", "peak_abs", "sample_rate",
                               "sum_sq"],
+    "multimodal_frame_sample": ["frame_index", "height", "media_ref",
+                                "pix_sum", "width"],
     "multimodal_resize": ["channels", "height", "media_ref", "pix_sum",
                           "width"],
     "multimodal_jpeg_resize": ["channels", "height", "media_ref",
@@ -3652,7 +3719,8 @@ CK_COMPOSITES = {
                          "doc_repetition", "doc_split"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
-                          "multimodal_wav_decode"],
+                          "multimodal_wav_decode",
+                          "multimodal_frame_sample"],
     "multimodal_resize_family": ["multimodal_resize",
                                  "multimodal_jpeg_resize"],
     # both sub-gates run real checkpointed AvailableNow increments; the

@@ -289,12 +289,55 @@ def resample_audio(media: DataFrame, target_rate: int,
             .mapInPandas(batches, media.schema))
 
 
+VIDEO_FRAME_STATS_SCHEMA = StructType([
+    StructField("media_ref", StringType()),
+    StructField("frame_index", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("pix_sum", LongType()),
+])
+
+
+def video_frame_stats(media: DataFrame, stride: int = 2,
+                      max_frames: int = 8) -> DataFrame:
+    """REAL video frame sampling (round 5): parse uncompressed-DIB AVI
+    containers with the stdlib codec (operators/avi.py), take every
+    `stride`-th frame up to `max_frames`, and emit one row per sampled
+    frame with its dimensions and exact integer pixel-byte sum — the
+    oracle-checkable statistic, same pattern as image_stats/audio_stats.
+    Only sampled DIB chunk spans are converted (the chunk walk skips the
+    rest), so a wide stride over a long video does header-sized work
+    plus the sampled frames. Undecodable payloads contribute zero rows
+    (the explode-pattern error contract; parse errors never fail the
+    stage)."""
+    from biocypher_metta_spark.operators.avi import avi_sample_frames
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                try:
+                    w, h, frames = avi_sample_frames(blob, stride,
+                                                     max_frames)
+                except ValueError:
+                    continue
+                for i, rgb in frames:
+                    rows.append((ref, i, w, h, sum(rgb)))
+            yield pd.DataFrame(rows, columns=[
+                "media_ref", "frame_index", "width", "height", "pix_sum"])
+
+    return (media.filter(F.col("kind") == "video")
+            .select("media_ref", "content")
+            .mapInPandas(batches, VIDEO_FRAME_STATS_SCHEMA))
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 1024,
                   max_frames: int = 8) -> DataFrame:
     """Video frame sampling plumbing: one row per sampled frame (explode
     pattern). The 'frame' here is a deterministic byte slice standing in
-    for a real decoder's frame grab — the schema/batching is the real
-    contract."""
+    for a real decoder's frame grab (video_frame_stats above is the
+    real-container path) — the schema/batching is the real contract."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -59,6 +59,16 @@ def get_spark(app_name: str = "biocypher-metta-spark",
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
+    # Local-mode Python workers resolve imports through the env the JVM
+    # was launched with: without this, mapInPandas closures referencing
+    # this package only deserialize when the driver's cwd happens to be
+    # the repo root (ModuleNotFoundError otherwise). Real clusters ship
+    # the package via --py-files / a wheel instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (f"{pkg_root}{os.pathsep}{pp}" if pp
+                                    else pkg_root)
     builder = SparkSession.builder.appName(app_name).master(master)
     confs = dict(DEFAULT_CONFS)
     if extra_confs:
