@@ -2640,6 +2640,54 @@ FROM est
 QUERIES["doc_distinct_sketch"] = (doc_distinct_sketch,
                                   DOC_DISTINCT_SKETCH_SQL)
 
+
+def rel_histogram_quantiles(spark, sf_dir):
+    """Mergeable histogram sketch + deterministic quantile extraction
+    (operators/sketch.histogram_by / quantiles_from_histogram): per
+    event_type, the cent-value bins containing p50/p90/p99. The
+    cross-engine-deterministic alternative to approx_percentile
+    (t-digest — randomized centroids, can never hash-match): every
+    intermediate is an integer, so the DuckDB twin recomputes the
+    identical bins, cumulative counts, and ceil thresholds."""
+    from biocypher_metta_spark.operators import sketch as sk
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    hist = sk.histogram_by(e, ["event_type"], "cents", bin_width=1000)
+    return sk.quantiles_from_histogram(
+        hist, ["event_type"], [500, 900, 990], bin_width=1000)
+
+
+REL_HISTOGRAM_QUANTILES_SQL = """
+WITH h AS (
+  SELECT event_type,
+         CAST(floor(CAST(floor(value * 100) AS BIGINT) / 1000.0)
+              AS BIGINT) AS bin,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT event_type, bin, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS total
+  FROM h
+), q AS (
+  SELECT event_type, bin, n, cum, total,
+         unnest([500, 900, 990]) AS qp
+  FROM c
+)
+SELECT event_type, CAST(qp AS INTEGER) AS q_permille,
+       CAST(bin * 1000 AS BIGINT) AS q_lo,
+       CAST(total AS BIGINT) AS n_rows
+FROM q
+WHERE cum >= CAST(floor((qp * total + 999) / 1000.0) AS BIGINT)
+  AND cum - n < CAST(floor((qp * total + 999) / 1000.0) AS BIGINT)
+"""
+
+QUERIES["rel_histogram_quantiles"] = (rel_histogram_quantiles,
+                                      REL_HISTOGRAM_QUANTILES_SQL)
+
 # ===========================================================================
 # round-3 composite gate twins for the previously parity-only sub-variants
 # (VERDICT r2 item 5). Each leg runs the REAL adapter function over
@@ -3701,6 +3749,8 @@ CK_COLUMNS = {
                            "value_c"],
     "rel_session_window": ["n_events", "session_end", "session_start",
                            "sum_value_c", "user_id"],
+    "rel_histogram_quantiles": ["event_type", "n_rows", "q_lo",
+                                "q_permille"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
@@ -3710,7 +3760,8 @@ CK_COMPOSITES = {
     "rel_join_checks": ["rel_broadcast_left_join", "rel_double_inner_join",
                         "rel_shuffle_join_agg"],
     "rel_agg_checks": ["rel_collect_ordered", "rel_distinct_dedup",
-                       "rel_union_adapters", "rel_pricing_summary"],
+                       "rel_union_adapters", "rel_pricing_summary",
+                       "rel_histogram_quantiles"],
     "rel_window_checks": ["rel_window_rank", "rel_events_hourly",
                           "rel_session_window"],
     "rel_range_family": ["rel_range_join", "rel_interval_overlap"],

@@ -115,6 +115,66 @@ def kmv_distinct_by(df: DataFrame, group_cols: list, col: str,
         group_cols, k)
 
 
+def histogram_by(df: DataFrame, group_cols: list, col: str,
+                 bin_width: int) -> DataFrame:
+    """Fixed-bin histogram sketch: (group..., bin, n) with bin =
+    floor(col / bin_width). The OTHER mergeable sketch family member
+    (KMV above merges by k-minima union; histograms merge by summing n
+    per bin — the hypertable-rollup property), and the deterministic
+    cross-engine alternative to t-digest/approx_percentile for
+    distribution stats: every intermediate is an integer, so a DuckDB
+    twin hash-matches exactly, which no randomized/centroid sketch can.
+
+    Scale shape: one shuffle on (group, bin) with map-side combine; the
+    sketch size is bounded by value-range / bin_width per group — it
+    scales with the DOMAIN, not the row count. floor-division (via
+    double floor, both engines round-to-nearest then floor identically
+    for |v| < 2^52) keeps negative values in the right bin."""
+    if bin_width < 1:
+        raise ValueError("bin_width must be >= 1")
+    b = F.floor(F.col(col) / F.lit(float(bin_width)))
+    return (df.filter(F.col(col).isNotNull())
+            .groupBy(*group_cols, b.cast("long").alias("bin"))
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+def quantiles_from_histogram(hist: DataFrame, group_cols: list,
+                             quantiles_permille: list,
+                             bin_width: int) -> DataFrame:
+    """Per-group quantiles from histogram state: for each q (permille),
+    the smallest bin whose cumulative count reaches ceil(q * total /
+    1000) — i.e. the bin CONTAINING the q-quantile; q_lo = bin *
+    bin_width is its lower edge (estimate error <= bin_width, the
+    standard fixed-bin guarantee). Output: (group..., q_permille, q_lo,
+    n_rows). All-integer thresholds so the DuckDB twin is exact.
+
+    Scale shape: the window runs over SKETCH rows (bins per group —
+    domain-bounded, typically tens), not data rows; the quantile
+    explode multiplies bins x #quantiles then filters map-side. Raw
+    data is never re-scanned — this is the two-stage sketch contract
+    (hist once, query many)."""
+    from pyspark.sql import Window
+
+    wc = (Window.partitionBy(*group_cols).orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy(*group_cols)
+    c = (hist
+         .withColumn("cum", F.sum("n").over(wc))
+         .withColumn("total", F.sum("n").over(wt)))
+    q = c.select(
+        *group_cols, "bin", "n", "cum", "total",
+        F.explode(F.array(*[F.lit(int(p)) for p in quantiles_permille]))
+        .alias("q_permille"))
+    thresh = F.floor((F.col("q_permille") * F.col("total") + 999)
+                     / F.lit(1000.0))
+    return (q.filter((F.col("cum") >= thresh)
+                     & (F.col("cum") - F.col("n") < thresh))
+            .select(*group_cols,
+                    F.col("q_permille").cast("int").alias("q_permille"),
+                    (F.col("bin") * bin_width).cast("long").alias("q_lo"),
+                    F.col("total").cast("long").alias("n_rows")))
+
+
 def kmv_merge_minima(minima: DataFrame, group_cols: list,
                      k: int) -> DataFrame:
     """Merge sketch-state rows (e.g. per-day sketches) down to coarser
