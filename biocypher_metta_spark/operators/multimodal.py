@@ -315,15 +315,23 @@ def video_frame_stats(media: DataFrame, stride: int = 2,
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
+            # duplicate payloads parse once per Arrow batch (same
+            # memoization rationale as image_stats: real corpora repeat
+            # assets heavily and the DIB conversion is the costly step)
+            seen: dict[bytes, list | None] = {}
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
                 blob = bytes(content) if content is not None else b""
-                try:
-                    w, h, frames = avi_sample_frames(blob, stride,
-                                                     max_frames)
-                except ValueError:
-                    continue
-                for i, rgb in frames:
-                    rows.append((ref, i, w, h, sum(rgb)))
+                stats = seen.get(blob)
+                if stats is None and blob not in seen:
+                    try:
+                        w, h, frames = avi_sample_frames(blob, stride,
+                                                         max_frames)
+                        stats = [(i, w, h, sum(rgb)) for i, rgb in frames]
+                    except ValueError:
+                        stats = None
+                    seen[blob] = stats
+                if stats:
+                    rows.extend((ref, i, w, h, s) for i, w, h, s in stats)
             yield pd.DataFrame(rows, columns=[
                 "media_ref", "frame_index", "width", "height", "pix_sum"])
 
