@@ -3651,6 +3651,223 @@ QUERIES["kg_finemap"] = (kg_finemap, KG_FINEMAP_SQL)
 
 
 # ===========================================================================
+# Round-5b training-data curation + graph-analytics gates: deterministic
+# sampling, per-domain caps, BM25 retrieval, count-min sketch, semantic
+# dedup, PageRank. No reference counterpart (Habush/biocypher-metta has no
+# sampling / retrieval / graph-analytics surface) — beyond-reference
+# training-data ops, each with a generated-from-one-formula DuckDB twin.
+# ===========================================================================
+
+from biocypher_metta_spark.operators import graph as graph_ops
+from biocypher_metta_spark.operators import retrieval as retrieval_ops
+from biocypher_metta_spark.operators import sampling as sampling_ops
+from biocypher_metta_spark.operators import web as web_ops
+
+
+def doc_hash_sample(spark, sf_dir):
+    """Map-only salted-hash Bernoulli sample (250 permille): the
+    reproducible-across-engines corpus draw. Plan is a single filter
+    inside the scan's codegen — zero shuffle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling_ops.hash_sample(docs, 250, salt="gate5")
+
+
+DOC_HASH_SAMPLE_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5('gate5:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 1000 < 250
+"""
+
+
+def doc_stratified_sample(spark, sf_dir):
+    """Per-language uniform without-replacement draw of 10 docs, WITH
+    the map-side prefilter band engaged (700 permille against a
+    min-stratum of 64 rows at sf0.01 — comfortably above the 4x-safety
+    sizing rule) so the gate also proves the prefilter preserves the
+    exact result: the oracle samples with NO prefilter."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = sampling_ops.stratified_sample(
+        docs, ["lang"], 10, salt="strat5", prefilter_permille=700)
+    return out.select("doc_id", "lang",
+                      F.col("sample_rank").cast("long").alias("sample_rank"))
+
+
+DOC_STRATIFIED_SAMPLE_SQL = """
+WITH h AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('strat5:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           AS hh
+  FROM documents
+), r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rk
+  FROM h
+)
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS sample_rank FROM r WHERE rk <= 10
+"""
+
+
+def web_domain_cap(spark, sf_dir):
+    """Per-registrable-domain document cap over a URL column synthesized
+    arithmetically from doc_id (7 mega-hosts of ~70 docs each at sf0.01,
+    capped to 10; every 97th doc gets a schemeless URL to exercise the
+    unhosted passthrough)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = docs.withColumn(
+        "url",
+        F.when(F.col("doc_id") % 97 == 0, F.lit("relative/path"))
+        .otherwise(F.concat(
+            F.lit("https://www.h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com/p/"), F.col("doc_id").cast("string"))))
+    out = web_ops.domain_cap(d, 10, salt="domcap5")
+    return out.select("doc_id", "host",
+                      F.col("sample_rank").cast("long").alias("sample_rank"))
+
+
+WEB_DOMAIN_CAP_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0 THEN ''
+              ELSE 'h' || CAST(doc_id % 7 AS VARCHAR) || '.com' END AS host
+  FROM documents
+), hosted AS (
+  SELECT doc_id, host,
+         row_number() OVER (
+           PARTITION BY host
+           ORDER BY ('0x' || substr(md5('domcap5:' || CAST(doc_id AS VARCHAR)),
+                     1, 15))::BIGINT, doc_id) AS rk
+  FROM d WHERE host <> ''
+)
+SELECT doc_id, host, CAST(rk AS BIGINT) AS sample_rank
+FROM hosted WHERE rk <= 10
+UNION ALL
+SELECT doc_id, host, CAST(0 AS BIGINT) AS sample_rank FROM d WHERE host = ''
+"""
+
+_BM25_GATE_Q = ["spark", "join", "window"]
+
+
+def doc_bm25_topk(spark, sf_dir):
+    """Integer-BM25 global top-25 for a fixed 3-token query; the oracle
+    SQL is GENERATED from the same formula (retrieval.bm25_topk_sql)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = retrieval_ops.bm25_topk(docs, _BM25_GATE_Q, k=25)
+    return out.select("doc_id", "score",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+DOC_BM25_SQL = retrieval_ops.bm25_topk_sql(_BM25_GATE_Q, k=25)
+
+_CMS_GATE_PROBES = ["spark", "join", "table", "zzz-absent"]
+
+
+def doc_cms_topfreq(spark, sf_dir):
+    """Count-min sketch over the exploded token stream (depth 3, width
+    256), probed for three heavy hitters + one absent value; the oracle
+    (sketch.cms_sql) is generated from the same salt/width constants."""
+    from biocypher_metta_spark.operators import sketch as sk
+
+    toks = (_docs_par(spark, sf_dir)
+            .select(F.explode(text_ops.tokens(F.col("text")))
+                    .alias("value")))
+    cms = sk.cms_build(toks, "value", depth=3, width=256)
+    return sk.cms_lookup(cms, _CMS_GATE_PROBES, depth=3, width=256)
+
+
+def _cms_gate_sql():
+    from biocypher_metta_spark.operators import sketch as sk
+
+    return sk.cms_sql(
+        _CMS_GATE_PROBES, depth=3, width=256,
+        source_sql=(r"SELECT unnest(regexp_split_to_array(trim(text), "
+                    r"'\s+')) AS value FROM documents"))
+
+
+DOC_CMS_SQL = _cms_gate_sql()
+
+
+def kg_pagerank(spark, sf_dir):
+    """Integer fixed-point PageRank (3 rounds) over an edge table
+    synthesized from doc_ids: src = id % 89, dst = (id*7 + 3) % 101 —
+    a multigraph whose dedup'd edge set has varied in-degrees and 12
+    dangling nodes (ids 89..100 appear only as dst), exercising the
+    dangling-mass redistribution. Oracle: the unrolled recursive-CTE
+    twin generated from the same formula (graph.pagerank_sql)."""
+    ids = _ids(spark, sf_dir)
+    edges = ids.select((F.col("i") % 89).alias("src"),
+                       ((F.col("i") * 7 + 3) % 101).alias("dst"))
+    return graph_ops.pagerank(edges, iterations=3)
+
+
+KG_PAGERANK_SQL = graph_ops.pagerank_sql(
+    "SELECT CAST(doc_id AS BIGINT) % 89 AS src, "
+    "(CAST(doc_id AS BIGINT) * 7 + 3) % 101 AS dst FROM documents",
+    iterations=3)
+
+
+def emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style collapse over the same planted near-dup corpus as
+    emb_near_dup: LSH-blocked exact-cosine pairs -> connected components
+    -> min-id representative per component, every input id mapped. The
+    oracle closes the identical pair set transitively with a recursive
+    CTE (components are <= 10 members by construction)."""
+    ids = _ids(spark, sf_dir)
+    emb = ids.select(F.col("i").alias("vec_id"),
+                     F.expr(_ND_VEC_SPARK).alias("embedding"))
+    return dedup_ops.semantic_dedup(
+        emb, dim=_ND_DIM, threshold_millis=950, n_planes=_ND_PLANES_N,
+        quant_scale=100)
+
+
+EMB_SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+v AS (
+  SELECT i AS vec_id,
+         list_transform(range(0, 8), j -> ((('0x' || substr(md5((i % 50) || '_' || j), 1, 2))::BIGINT - 128)
+             + CASE WHEN j = i % 8 THEN (i // 50) % 3 ELSE 0 END) * 100) AS q
+  FROM ids
+), b AS (
+  SELECT vec_id, q,
+         ({_nd_duck_bucket('q')}) AS bkt,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n
+  FROM v WHERE CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) > 0
+), pairs AS (
+  SELECT * FROM (
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           CAST(floor(1000.0 * CAST(list_sum(list_transform(list_zip(a.q, b2.q),
+                      p -> p[1] * p[2])) AS BIGINT)
+                / sqrt(CAST(a.n * b2.n AS DOUBLE))) AS BIGINT) AS cos_millis
+    FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
+  ) WHERE cos_millis >= 950
+), sym AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(s, t) AS (
+  SELECT s, t FROM sym
+  UNION
+  SELECT reach.s, sym.t FROM reach JOIN sym ON reach.t = sym.s
+), rep AS (
+  SELECT s AS vec_id, least(s, min(t)) AS rep FROM reach GROUP BY s
+)
+SELECT ids.i AS vec_id,
+       coalesce(rep.rep, ids.i) AS rep_id,
+       coalesce(rep.rep, ids.i) = ids.i AS keep
+FROM ids LEFT JOIN rep ON ids.i = rep.vec_id
+"""
+
+QUERIES.update({
+    "doc_hash_sample": (doc_hash_sample, DOC_HASH_SAMPLE_SQL),
+    "doc_stratified_sample": (doc_stratified_sample,
+                              DOC_STRATIFIED_SAMPLE_SQL),
+    "web_domain_cap": (web_domain_cap, WEB_DOMAIN_CAP_SQL),
+    "doc_bm25_topk": (doc_bm25_topk, DOC_BM25_SQL),
+    "doc_cms_topfreq": (doc_cms_topfreq, DOC_CMS_SQL),
+    "kg_pagerank": (kg_pagerank, KG_PAGERANK_SQL),
+    "emb_semantic_dedup": (emb_semantic_dedup, EMB_SEMANTIC_DEDUP_SQL),
+})
+
+
+# ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
 # The driver adjudicates only the FIRST 50 entries of
@@ -3751,6 +3968,15 @@ CK_COLUMNS = {
                            "sum_value_c", "user_id"],
     "rel_histogram_quantiles": ["event_type", "n_rows", "q_lo",
                                 "q_permille"],
+    "doc_simhash": ["doc_id", "simhash"],
+    "doc_fingerprint": ["doc_id", "fingerprint"],
+    "doc_hash_sample": ["doc_id", "lang"],
+    "doc_stratified_sample": ["doc_id", "lang", "sample_rank"],
+    "web_domain_cap": ["doc_id", "host", "sample_rank"],
+    "doc_bm25_topk": ["doc_id", "rank", "score"],
+    "doc_cms_topfreq": ["estimate", "value"],
+    "kg_pagerank": ["id", "rank_fp"],
+    "emb_semantic_dedup": ["keep", "rep_id", "vec_id"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
@@ -3767,7 +3993,15 @@ CK_COMPOSITES = {
     "rel_range_family": ["rel_range_join", "rel_interval_overlap"],
     "kg_peregrine_checks": ["kg_peregrine_enhancers", "kg_peregrine_edges"],
     "doc_text_metrics": ["doc_token_stats", "doc_tfidf_topk",
-                         "doc_repetition", "doc_split"],
+                         "doc_repetition", "doc_split", "doc_simhash",
+                         "doc_fingerprint"],
+    # round-5b training-data curation family (sampling / caps / BM25 /
+    # CMS) and graph-analytics family (PageRank, SemDeDup) — folded so
+    # the registry stays at the 50-row driver snapshot cap
+    "doc_curation_checks": ["doc_hash_sample", "doc_stratified_sample",
+                            "web_domain_cap", "doc_bm25_topk",
+                            "doc_cms_topfreq"],
+    "kg_graph_checks": ["kg_pagerank", "emb_semantic_dedup"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",
@@ -3809,6 +4043,8 @@ for _cname, _subs in CK_COMPOSITES.items():
 # remains individually checkable via tools/check_oracles.py.
 DRIVER_ORDER = [
     # -- never driver-adjudicated ----------------------------------------
+    "doc_curation_checks",
+    "kg_graph_checks",
     "rel_scalar_checks",
     "rel_join_checks",
     "rel_agg_checks",
@@ -3854,8 +4090,7 @@ DRIVER_ORDER = [
     "kg_neo4j_dedup",
     "kg_gwas_leads",
     "kg_liftover",
-    "doc_simhash",
-    "doc_fingerprint",
+    # doc_simhash + doc_fingerprint folded into doc_text_metrics (r5b)
     "emb_dot_topk",
     "emb_near_dup",
     "expr_gene_corr",

@@ -1,0 +1,161 @@
+"""Distributed PageRank over an edge table (integer fixed-point).
+
+Completes the engine's iterative-graph family (connected_components:
+undirected equivalence; transitive_closure: directed reachability;
+this: stationary importance) — the centrality measure KG pipelines use
+to rank entities for retrieval/linking priors.  The reference engine
+has no graph-analytics surface (its MeTTa space answers pattern
+matches only), so this is a beyond-reference op over the same triple
+tables `sinks.write_triple_table` produces.
+
+Cross-engine exactness
+----------------------
+All rank mass is int64 fixed-point (`scale`, default 10^12 = 1.0).
+Per iteration, with damping dp/1000 (default 850):
+
+    contrib(e)  = floor(r[src] / outdeg[src])           per edge
+    r'[v]       = floor((1000-dp)*scale / (1000*N))     teleport
+                + floor(dp * sum_in_contrib(v) / 1000)  links
+                + floor(dp * dangling / (1000*N))       dangling mass
+
+where dangling = sum of r over zero-outdegree nodes (redistributed
+uniformly — the standard fix; dropping it leaks mass every round).
+Every division is a single int64/int64 IEEE divide + floor; operands
+stay < 2^53 for scale <= 10^12 (dp * S <= 850 * scale ~ 8.5e14), so
+both engines round identically and a DuckDB twin with the SAME
+expression shapes (pagerank_sql, generated from one formula) matches
+bit-for-bit.  Floors shave at most a few units of 10^-12 per term per
+round — deterministic quantization, not drift.
+
+Scale shape
+-----------
+Each iteration: one join of ranks to edges on src (ranks are one row
+per node; edges pre-joined with outdeg once and localCheckpointed),
+one groupBy dst with map-side combine, one tiny dangling aggregate
+injected as a SCALAR SUBQUERY (no crossJoin — a broadcast of a
+single-row agg plans a BroadcastNestedLoopJoin, which the repo's plan
+audit forbids), and a left join onto the node list.  2 data-sized
+shuffles per iteration, both on uniform-ish id keys; celebrity
+in-degree skew lands in the dst groupBy where partial aggregation
+absorbs it (the combiner sums per partition before the exchange).
+The node count N is loop-invariant and fetched ONCE via count() — a
+bounded single-scalar driver fetch, the same legitimacy class as the
+IVF centroid pulls — so the teleport constant folds into the
+projection as a literal.  Lineage is cut per round with
+localCheckpoint exactly like connected_components — without it
+iteration i replays all i-1 predecessors.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iterations: int = 5, damping_permille: int = 850,
+             scale: int = 10 ** 12) -> DataFrame:
+    """(id, rank_fp) after `iterations` rounds; rank_fp is fixed-point
+    rank * scale.  Edges are dedup'd (simple directed graph; parallel
+    edges carry no extra weight — weighted PageRank is a different
+    contract).  Sum of rank_fp ~ scale modulo floor shavings."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not 0 < damping_permille < 1000:
+        raise ValueError("damping_permille must be in (0, 1000), "
+                         f"got {damping_permille}")
+    dp = damping_permille
+    spark = edges.sparkSession
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct())
+    e = e.localCheckpoint(eager=True)
+    nodes = (e.select(F.col("src").alias("id"))
+             .union(e.select(F.col("dst").alias("id")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    ed = (e.join(deg, "src")
+          .select("src", "dst", "outdeg")
+          .localCheckpoint(eager=True))
+
+    # loop-invariant scalars; math.floor(a / b) is the same single
+    # int64/int64 IEEE divide + floor both engines execute, so the
+    # Python-folded constants cannot drift from the SQL twin.
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("id", F.lit(0).cast("long").alias("rank_fp"))
+    init = math.floor(scale / n)
+    teleport = math.floor((1000 - dp) * scale / (1000 * n))
+
+    ranks = nodes.select("id", F.lit(init).cast("long").alias("r"))
+    for _ in range(iterations):
+        contrib = (ranks.join(ed, ranks["id"] == ed["src"])
+                   .select(F.col("dst"),
+                           F.floor(F.col("r") / F.col("outdeg"))
+                           .cast("long").alias("c")))
+        s = contrib.groupBy("dst").agg(F.sum("c").cast("long").alias("s"))
+        dang = (ranks.join(deg, ranks["id"] == deg["src"], "left_anti")
+                .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long")
+                     .alias("d")))
+        ranks = spark.sql(
+            f"""
+            SELECT n.id AS id,
+                   CAST({teleport}
+                        + floor({dp} * coalesce(s.s, 0) / 1000)
+                        + floor({dp} * (SELECT d FROM {{dang}})
+                                / {1000 * n})
+                        AS BIGINT) AS r
+            FROM {{nodes}} AS n LEFT JOIN {{s}} AS s ON n.id = s.dst
+            """,
+            nodes=nodes, s=s, dang=dang).localCheckpoint(eager=True)
+    return ranks.select("id", F.col("r").alias("rank_fp"))
+
+
+def pagerank_sql(edges_sql: str, src: str = "src", dst: str = "dst",
+                 iterations: int = 5, damping_permille: int = 850,
+                 scale: int = 10 ** 12) -> str:
+    """DuckDB twin of pagerank() with the iterations UNROLLED as CTEs,
+    GENERATED from the same integer formula (one source of truth — the
+    two sides cannot drift).  `edges_sql` yields the raw edge rows;
+    generated CTE names carry a pr_ prefix so they cannot collide with
+    caller tables."""
+    dp = damping_permille
+    parts = [f"""WITH pr_raw AS (
+{edges_sql.strip()}
+), pr_e AS (
+  SELECT DISTINCT {src} AS src, {dst} AS dst FROM pr_raw
+  WHERE {src} IS NOT NULL AND {dst} IS NOT NULL
+), pr_nodes AS (
+  SELECT src AS id FROM pr_e UNION SELECT dst FROM pr_e
+), pr_deg AS (
+  SELECT src AS id, CAST(count(*) AS BIGINT) AS outdeg
+  FROM pr_e GROUP BY 1
+), pr_nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM pr_nodes
+), pr_r0 AS (
+  SELECT id, CAST(floor({scale} / pr_nn.n) AS BIGINT) AS r FROM pr_nodes, pr_nn
+)"""]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(f""", pr_s{i} AS (
+  SELECT pr_e.dst AS id,
+         CAST(sum(CAST(floor(pr_r{p}.r / pr_deg.outdeg) AS BIGINT)) AS BIGINT)
+           AS s
+  FROM pr_r{p} JOIN pr_e ON pr_r{p}.id = pr_e.src JOIN pr_deg ON pr_e.src = pr_deg.id
+  GROUP BY 1
+), pr_d{i} AS (
+  SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang
+  FROM pr_r{p} WHERE id NOT IN (SELECT id FROM pr_deg)
+), pr_r{i} AS (
+  SELECT pr_nodes.id,
+         CAST(floor({(1000 - dp) * scale} / (1000 * pr_nn.n)) AS BIGINT)
+         + CAST(floor({dp} * coalesce(pr_s{i}.s, 0) / 1000) AS BIGINT)
+         + CAST(floor({dp} * pr_d{i}.dang / (1000 * pr_nn.n)) AS BIGINT)
+           AS r
+  FROM pr_nodes LEFT JOIN pr_s{i} ON pr_nodes.id = pr_s{i}.id, pr_nn, pr_d{i}
+)""")
+    parts.append(f"\nSELECT id, r AS rank_fp FROM pr_r{iterations}")
+    return "".join(parts)

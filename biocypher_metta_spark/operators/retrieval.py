@@ -1,0 +1,163 @@
+"""BM25 full-text retrieval over a document table.
+
+Gives the engine a search surface: score every document against a
+query token set with BM25-style tf/df/length normalization and return
+the global top-k.  A training-data pipeline uses the same scorer for
+targeted corpus probes ("find the docs that dominate this query") and
+quality forensics; the reference engine has no text-retrieval surface
+at all (beyond-reference op).
+
+Cross-engine exact scoring
+--------------------------
+Classic BM25 is sum over query tokens of
+    idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+with idf(t) = ln((N-df+0.5)/(df+0.5)+1).  Two float hazards: the ln,
+and the division chain.  This module's default is a fully integer
+variant so the driver gate can hash-match DuckDB bit-for-bit:
+
+* linear idf:  idf_int = floor(idf_scale * (N - df + 1) / (N + 1))
+  — bounded in [0, idf_scale], monotone decreasing in df exactly like
+  the log idf (the ln is a monotone damping; single-token rankings are
+  identical, multi-token sums weight rare terms more steeply than the
+  log would — documented variant, not a drop-in BM25 clone).
+* rational tf/length term with k1=1.2, b=0.75 cleared of fractions by
+  multiplying through by 10*A (A = total corpus token count, N = doc
+  count, dl = doc token count; avgdl = A/N):
+      score_t = floor( idf_int * 22 * tf * A
+                       / (10*A*tf + 3*A + 9*dl*N) )
+  — every operand a BIGINT, identical floor in any engine.
+
+Overflow bound: idf_scale * 22 * tf * A must fit int64; with the
+default idf_scale=10^6 that holds to A ~ 4*10^9 tokens x tf 100.  At
+web scale lower idf_scale to 10^3 (3 sig figs of idf resolution) or
+lift the arithmetic to DECIMAL(38,0)/HUGEINT — the formula is already
+division-free until the final floor, so the swap is mechanical.
+
+Scale shape
+-----------
+The plan is deliberately explode-free: per-doc tf for each of the q
+query tokens comes from `size(filter(tokens, x == t))` — MAP-ONLY, q
+small.  Corpus stats (N, A, df per token) are SCALAR SUBQUERIES over
+the same base relation; Catalyst's MergeScalarSubqueries folds the
+q+2 of them into ONE single-row aggregate pass whose result is
+injected into the scoring projection as constants — no join at all
+(the naive crossJoin(broadcast(stats)) plans a
+BroadcastNestedLoopJoin, which the repo's plan audit forbids on
+principle).  Scoring is then map-only and the only other exchange is
+the global top-k TakeOrdered.  Net: one tiny agg + one TakeOrdered,
+no groupBy on tokens, no join on a Zipf-skewed token key — the plan a
+100-TB scan wants.  (An inverted-index build amortizes repeated
+queries but costs a full token shuffle; for the one-shot scoring path
+this is strictly better.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from biocypher_metta_spark.operators.text import tokens
+
+
+def bm25_topk(df: DataFrame, query_tokens: list, k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id",
+              idf_scale: int = 1_000_000) -> DataFrame:
+    """Global top-k documents for `query_tokens` by integer BM25.
+
+    Returns (id_col, score, rank): score the integer BM25 sum over the
+    query tokens (docs matching no token score 0 and are excluded),
+    rank 1..k deterministic via (score DESC, id ASC)."""
+    if not query_tokens:
+        raise ValueError("query_tokens must be non-empty")
+    if len(set(query_tokens)) != len(query_tokens):
+        raise ValueError("query_tokens must be distinct")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    tk = tokens(F.col(text_col))
+
+    # NB: a `lambda x, t=t:` two-param closure would make pyspark pass
+    # the ELEMENT INDEX as the second arg — build the one-arg lambda in
+    # a factory instead.
+    def _eq(t):
+        return lambda x: x == F.lit(t)
+
+    cnt_cols = [
+        F.size(F.filter(tk, _eq(t))).cast("long").alias(f"_c{i}")
+        for i, t in enumerate(query_tokens)]
+    base = df.select(F.col(id_col), F.size(tk).cast("long").alias("_dl"),
+                     *cnt_cols)
+
+    # corpus stats as scalar subqueries over the SAME base relation —
+    # MergeScalarSubqueries collapses them into one aggregate pass.
+    spark = df.sparkSession
+    stat_sel = ",\n       ".join(
+        ["(SELECT count(*) FROM {base}) AS _n",
+         "(SELECT sum(_dl) FROM {base}) AS _a"]
+        + [f"(SELECT sum(CASE WHEN _c{i} > 0 THEN 1 ELSE 0 END) "
+           "FROM {base}) AS _df" + str(i)
+           for i in range(len(query_tokens))])
+    enriched = spark.sql(
+        "SELECT *,\n       " + stat_sel + "\nFROM {base}", base=base)
+
+    def tok_score(i: int):
+        tf, dfq = F.col(f"_c{i}"), F.col(f"_df{i}")
+        n, a = F.col("_n"), F.col("_a")
+        idf = F.floor(F.lit(idf_scale) * (n - dfq + 1) / (n + 1))
+        num = idf * 22 * tf * a
+        den = 10 * a * tf + 3 * a + 9 * F.col("_dl") * n
+        return F.when(tf > 0, F.floor(num / den)).otherwise(F.lit(0))
+
+    score = sum(tok_score(i) for i in range(len(query_tokens)))
+    scored = (enriched
+              .select(F.col(id_col), score.cast("long").alias("score"))
+              .filter(F.col("score") > 0))
+    # global top-k: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition heap + driver merge of k rows), never a full sort.
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+    from pyspark.sql.window import Window
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def bm25_topk_sql(query_tokens: list, k: int = 10,
+                  table: str = "documents", text_col: str = "text",
+                  id_col: str = "doc_id",
+                  idf_scale: int = 1_000_000) -> str:
+    """DuckDB twin of bm25_topk, GENERATED from the same formula so
+    the gate's two sides share one source of truth and cannot drift.
+    (The window rank over k<=tens of rows is trivially cheap.)"""
+    cnts = ",\n         ".join(
+        f"CAST(len(list_filter(regexp_split_to_array(trim({text_col}), "
+        f"'\\s+'), x -> x = '{t}')) AS BIGINT) AS c{i}"
+        for i, t in enumerate(query_tokens))
+    dfs = ",\n         ".join(
+        f"sum(CASE WHEN c{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(query_tokens)))
+    terms = " + ".join(
+        f"(CASE WHEN c{i} > 0 THEN CAST(floor("
+        f"floor({idf_scale} * (n - df{i} + 1) / (n + 1))"
+        f" * 22 * c{i} * a / (10 * a * c{i} + 3 * a + 9 * dl * n)"
+        f") AS BIGINT) ELSE 0 END)"
+        for i in range(len(query_tokens)))
+    return f"""
+WITH base AS (
+  SELECT {id_col},
+         CAST(len(regexp_split_to_array(trim({text_col}), '\\s+'))
+              AS BIGINT) AS dl,
+         {cnts}
+  FROM {table}
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS a,
+         {dfs}
+  FROM base
+), scored AS (
+  SELECT {id_col}, {terms} AS score
+  FROM base CROSS JOIN stats
+)
+SELECT {id_col}, score,
+       CAST(row_number() OVER (ORDER BY score DESC, {id_col}) AS BIGINT)
+         AS rank
+FROM scored WHERE score > 0
+ORDER BY score DESC, {id_col} LIMIT {k}
+"""

@@ -175,6 +175,104 @@ def quantiles_from_histogram(hist: DataFrame, group_cols: list,
                     F.col("total").cast("long").alias("n_rows")))
 
 
+def cms_build(df: DataFrame, col: str, depth: int = 4,
+              width: int = 1024) -> DataFrame:
+    """Count-min sketch state: (d, w, n) counter rows, one per occupied
+    cell of a depth x width counter grid — row d counts occurrences in
+    bucket w = portable_hash('cms<d>:' || value) % width. The THIRD
+    mergeable sketch family member (KMV: distinct counts; histogram:
+    quantiles; CMS: per-item FREQUENCIES): merge = sum n per (d, w)
+    cell, exactly the hypertable-rollup property, so per-day/partition
+    sketch rows reaggregate without rescanning raw data. Point lookups
+    (cms_lookup) take min over the depth rows — an overestimate with
+    the standard (Cormode-Muthukrishnan 2005) guarantee: err <=
+    e/width * total_count with prob 1 - e^-depth. Deterministic given
+    the portable hash, so a DuckDB twin hash-matches exactly — which
+    no native randomized sketch can.
+
+    Scale shape: one depth-way map-side explode then a groupBy on
+    (d, w) — at most depth*width output rows regardless of input size
+    (sketch scales with the GRID, not the data), uniform keys by
+    construction (that is what the hash rows are for), full map-side
+    combine. NULLs are dropped: a frequency sketch counts values."""
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    if width < 2:
+        raise ValueError("width must be >= 2")
+    v = F.col(col).cast("string")
+    cells = F.array(*[
+        F.struct(
+            F.lit(d).alias("d"),
+            F.pmod(portable_hash(F.concat(F.lit(f"cms{d}:"), v)),
+                   F.lit(width)).alias("w"))
+        for d in range(depth)])
+    return (df.filter(F.col(col).isNotNull())
+            .select(F.explode(cells).alias("c"))
+            .groupBy(F.col("c.d").cast("int").alias("d"),
+                     F.col("c.w").cast("long").alias("w"))
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+def cms_lookup(cms: DataFrame, values: list, depth: int,
+               width: int) -> DataFrame:
+    """Point-frequency estimates from CMS state: one row (value,
+    estimate) per probe value, estimate = min over d of the (d, h_d(v))
+    cell (0 when every cell is absent — value never seen, modulo
+    collisions). The probe set is small by contract (it's a lookup,
+    not a scan), so the plan is a broadcast join of the <= depth*width
+    sketch rows against the exploded probes — no shuffle of anything
+    data-sized."""
+    spark = cms.sparkSession
+    probes = spark.createDataFrame([(str(v),) for v in values],
+                                   ["value"])
+    cells = F.array(*[
+        F.struct(
+            F.lit(d).alias("d"),
+            F.pmod(portable_hash(F.concat(F.lit(f"cms{d}:"),
+                                          F.col("value"))),
+                   F.lit(width)).alias("w"))
+        for d in range(depth)])
+    pr = (probes.select("value", F.explode(cells).alias("c"))
+          .select("value", F.col("c.d").alias("d"),
+                  F.col("c.w").alias("w")))
+    joined = pr.join(F.broadcast(cms), ["d", "w"], "left")
+    return (joined.groupBy("value")
+            .agg(F.min(F.coalesce(F.col("n"), F.lit(0)))
+                 .cast("long").alias("estimate")))
+
+
+def cms_sql(values: list, depth: int, width: int,
+            source_sql: str, col: str = "value") -> str:
+    """DuckDB twin of cms_build + cms_lookup over `source_sql` (a query
+    yielding one row per occurrence with column `col`), GENERATED from
+    the same salt/width constants so both sides share one source of
+    truth. Probe estimates only (the grid itself is an intermediate)."""
+    probe_rows = ", ".join(f"('{v}')" for v in values)
+    d_rows = ", ".join(f"({d})" for d in range(depth))
+    return f"""
+WITH src AS (
+{source_sql.strip()}
+), cms AS (
+  SELECT d.d AS d,
+         ('0x' || substr(md5('cms' || d.d || ':' || CAST({col} AS VARCHAR)),
+          1, 15))::BIGINT % {width} AS w,
+         CAST(count(*) AS BIGINT) AS n
+  FROM src, (VALUES {d_rows}) AS d(d)
+  WHERE {col} IS NOT NULL
+  GROUP BY 1, 2
+), probes AS (
+  SELECT p.value, d.d AS d,
+         ('0x' || substr(md5('cms' || d.d || ':' || p.value), 1,
+          15))::BIGINT % {width} AS w
+  FROM (VALUES {probe_rows}) AS p(value), (VALUES {d_rows}) AS d(d)
+)
+SELECT probes.value AS value,
+       CAST(min(coalesce(cms.n, 0)) AS BIGINT) AS estimate
+FROM probes LEFT JOIN cms USING (d, w)
+GROUP BY probes.value
+"""
+
+
 def kmv_merge_minima(minima: DataFrame, group_cols: list,
                      k: int) -> DataFrame:
     """Merge sketch-state rows (e.g. per-day sketches) down to coarser

@@ -1,0 +1,74 @@
+"""Web-corpus curation operators: URL parsing and per-domain caps.
+
+Web-crawl training corpora (C4, RefinedWeb, Dolma) cap how many
+documents any single registrable domain may contribute — otherwise a
+handful of mega-sites (blogspot mirrors, e-commerce catalogs, SEO
+farms) dominate the mixture and the model overfits their boilerplate.
+The recipe is: canonicalize the URL to a host, group by host, keep a
+bounded, deterministically-chosen subset per host.
+
+Scale shape
+-----------
+`extract_host` is a single regexp over the url column — map-only,
+stays inside WholeStageCodegen (no Python).  `domain_cap` shuffles
+once on the host key and takes a per-host top-n by salted hash (the
+same uniform without-replacement draw as
+`sampling.stratified_sample`, and the same `prefilter_permille`
+escape hatch for mega-hosts — a 10^8-page domain sends only its
+smallest hash band through the per-key sort).  Host keys on a web
+crawl are Zipf-skewed by construction, so this operator is exactly
+where AQE skew handling + the prefilter knob earn their keep.
+(No reference counterpart — beyond-reference training-data op.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from biocypher_metta_spark.operators.sampling import stratified_sample
+
+# scheme://[userinfo@]HOST[:port][/path...]  — capture the host.
+# RE2/Java-common subset (no lookbehind) so the same pattern family
+# works in Spark, DuckDB, and RE2-based scanners.
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)"
+
+
+def extract_host(url: Column, strip_www: bool = True) -> Column:
+    """Lower-cased host part of a URL; '' when the URL has no
+    scheme://host prefix (Spark's regexp_extract convention for
+    no-match, which callers should filter or null out).
+
+    strip_www drops ONE leading 'www.' label — the conventional
+    canonicalization so www.example.com and example.com pool into the
+    same cap bucket."""
+    host = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    return host
+
+
+def domain_cap(df: DataFrame, cap: int, url_col: str = "url",
+               id_col: str = "doc_id", salt: str = "domcap",
+               prefilter_permille: int | None = None) -> DataFrame:
+    """Keep at most `cap` documents per canonical host.
+
+    The kept subset per host is the `cap` rows with the smallest
+    salted portable hash — uniform, reproducible across engines and
+    reruns (a re-crawl that adds pages to a domain keeps a stable core
+    rather than resampling everything).  Rows whose URL yields no host
+    (relative links, garbage) are passed through UNCAPPED under the
+    sentinel host '' — dropping them is a separate policy decision the
+    caller makes explicitly.
+
+    Output adds `host` and `sample_rank` (1..cap within host)."""
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    with_host = df.withColumn("host", extract_host(F.col(url_col)))
+    hosted = with_host.filter(F.col("host") != "")
+    capped = stratified_sample(
+        hosted, ["host"], cap, id_col=id_col, salt=salt,
+        prefilter_permille=prefilter_permille)
+    unhosted = (with_host.filter(F.col("host") == "")
+                .withColumn("sample_rank", F.lit(0)))
+    return capped.unionByName(unhosted)

@@ -1,0 +1,293 @@
+"""Round-5b operators: sampling, domain caps, BM25, count-min sketch,
+semantic dedup, PageRank — unit semantics plus DuckDB cross-engine
+drift checks (the same arithmetic the driver gates rely on)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from biocypher_metta_spark.operators import retrieval, sampling, web
+from biocypher_metta_spark.operators import sketch as sk
+from biocypher_metta_spark.operators.dedup import semantic_dedup
+from biocypher_metta_spark.operators.graph import pagerank, pagerank_sql
+
+
+# ---------------------------------------------------------------- sampling
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 5).cast("string"))
+        .alias("lang"))
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    d = _docs(spark)
+    a = {r.doc_id for r in
+         sampling.hash_sample(d, 300).select("doc_id").collect()}
+    b = {r.doc_id for r in
+         sampling.hash_sample(d, 300).select("doc_id").collect()}
+    assert a == b
+    small = {r.doc_id for r in
+             sampling.hash_sample(d, 100).select("doc_id").collect()}
+    assert small < a  # same salt, lower rate => strict subset
+    # rough rate sanity (uniform hash): 300 permille of 400 ~ 120
+    assert 80 <= len(a) <= 160
+    other = {r.doc_id for r in
+             sampling.hash_sample(d, 300, salt="x").select("doc_id")
+             .collect()}
+    assert other != a  # different salt draws a different sample
+
+
+def test_hash_sample_rate_bounds(spark):
+    d = _docs(spark, 10)
+    assert sampling.hash_sample(d, 0).count() == 0
+    assert sampling.hash_sample(d, 1000).count() == 10
+    with pytest.raises(ValueError):
+        sampling.hash_sample(d, 1001)
+
+
+def test_stratified_sample_exact_n_and_rank_prefix(spark):
+    d = _docs(spark)  # 5 strata x 80 rows
+    s = sampling.stratified_sample(d, ["lang"], 7).collect()
+    by = {}
+    for r in s:
+        by.setdefault(r.lang, []).append(r)
+    assert set(by) == {f"s{i}" for i in range(5)}
+    for rows in by.values():
+        assert sorted(r.sample_rank for r in rows) == list(range(1, 8))
+    # rank prefix of a larger draw == the smaller draw (nested samples)
+    s3 = {(r.lang, r.doc_id) for r in
+          sampling.stratified_sample(d, ["lang"], 3).collect()}
+    pref = {(r.lang, r.doc_id) for r in s if r.sample_rank <= 3}
+    assert s3 == pref
+
+
+def test_stratified_prefilter_preserves_result(spark):
+    d = _docs(spark)
+    base = {(r.lang, r.doc_id, r.sample_rank) for r in
+            sampling.stratified_sample(d, ["lang"], 5).collect()}
+    # 5 of 80 per stratum => 63 permille; 400 permille is a wide band
+    pre = {(r.lang, r.doc_id, r.sample_rank) for r in
+           sampling.stratified_sample(
+               d, ["lang"], 5, prefilter_permille=400).collect()}
+    assert pre == base
+
+
+# ---------------------------------------------------------------- web caps
+
+def test_extract_host_cases(spark):
+    rows = spark.createDataFrame(
+        [("https://www.Example.com/a/b",),
+         ("http://sub.site.org:8080/x?q=1",),
+         ("ftp://user:pw@files.net/z",),
+         ("https://www.www.dbl.io/",),
+         ("not a url",),
+         ("//schemeless/path",)],
+        ["url"]).select(web.extract_host(F.col("url")).alias("h"))
+    assert [r.h for r in rows.collect()] == [
+        "example.com", "sub.site.org", "files.net", "www.dbl.io",
+        "", ""]
+
+
+def test_domain_cap_caps_and_passthrough(spark):
+    rows = [(i, f"https://www.big.com/p{i}") for i in range(20)]
+    rows += [(100 + i, f"http://small.net/p{i}") for i in range(2)]
+    rows += [(200, "garbage"), (201, "/relative")]
+    d = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = web.domain_cap(d, 5).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.host, []).append(r)
+    assert len(by["big.com"]) == 5
+    assert len(by["small.net"]) == 2
+    assert len(by[""]) == 2 and all(r.sample_rank == 0 for r in by[""])
+    # deterministic winner set
+    again = {r.doc_id for r in web.domain_cap(d, 5).collect()}
+    assert again == {r.doc_id for r in out}
+
+
+# ---------------------------------------------------------------- BM25
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [(1, "spark shuffle join spark spark"),
+         (2, "spark row"),
+         (3, "sort merge join sort row row row row row row"),
+         (4, "completely unrelated words here"),
+         (5, "spark join")],
+        ["doc_id", "text"])
+
+
+def test_bm25_ranking_semantics(spark):
+    out = retrieval.bm25_topk(_corpus(spark), ["spark", "join"], k=5)
+    rows = out.collect()
+    got = {r.doc_id: r for r in rows}
+    assert 4 not in got  # no query token => excluded
+    ranks = {r.doc_id: r.rank for r in rows}
+    # hand-computed integer BM25 (idf_scale 1e6): d5 "spark join"
+    # (dl=2, both terms) 1300770 beats d1 (tf(spark)=3 but dl=5)
+    # 1254165 — tf saturation + length norm working as specified;
+    # both beat single-term d2 650385; long d3 penalized to 337783.
+    assert [ranks[i] for i in (5, 1, 2, 3)] == [1, 2, 3, 4]
+    assert got[5].score == 1300770 and got[1].score == 1254165
+    assert got[2].score == 650385 and got[3].score == 337783
+    assert [r.rank for r in
+            sorted(rows, key=lambda r: r.rank)] == list(
+                range(1, len(rows) + 1))
+
+
+def test_bm25_validation(spark):
+    c = _corpus(spark)
+    with pytest.raises(ValueError):
+        retrieval.bm25_topk(c, [])
+    with pytest.raises(ValueError):
+        retrieval.bm25_topk(c, ["a", "a"])
+    with pytest.raises(ValueError):
+        retrieval.bm25_topk(c, ["a"], k=0)
+
+
+def test_bm25_matches_duckdb_twin(spark):
+    pdf = _corpus(spark).toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sql = retrieval.bm25_topk_sql(["spark", "join"], k=5,
+                                  idf_scale=1000)
+    want = {(r[0], r[1], r[2]) for r in con.execute(sql).fetchall()}
+    got = {(r.doc_id, r.score, r.rank) for r in
+           retrieval.bm25_topk(_corpus(spark), ["spark", "join"], k=5,
+                               idf_scale=1000).collect()}
+    assert got == want and len(got) == 4
+
+
+# ---------------------------------------------------------------- CMS
+
+def test_cms_overcounts_never_undercounts(spark):
+    vals = (["alpha"] * 50 + ["beta"] * 20 + ["gamma"] * 7
+            + [f"noise{i}" for i in range(200)])
+    d = spark.createDataFrame([(v,) for v in vals], ["tok"])
+    cms = sk.cms_build(d, "tok", depth=3, width=64)
+    est = {r.value: r.estimate for r in
+           sk.cms_lookup(cms, ["alpha", "beta", "gamma", "absent"],
+                         depth=3, width=64).collect()}
+    assert est["alpha"] >= 50 and est["beta"] >= 20
+    assert est["gamma"] >= 7 and est["absent"] >= 0
+    # wide grid => few collisions => near-exact on the heavy hitters
+    wide = sk.cms_build(d, "tok", depth=4, width=4096)
+    est_w = {r.value: r.estimate for r in
+             sk.cms_lookup(wide, ["alpha", "beta", "absent"],
+                           depth=4, width=4096).collect()}
+    assert est_w["alpha"] == 50 and est_w["beta"] == 20
+    assert est_w["absent"] == 0
+
+
+def test_cms_merge_is_cell_sum(spark):
+    a = spark.createDataFrame([("x",)] * 5 + [("y",)] * 3, ["tok"])
+    b = spark.createDataFrame([("x",)] * 2 + [("z",)] * 4, ["tok"])
+    merged = (sk.cms_build(a, "tok", depth=2, width=32)
+              .unionByName(sk.cms_build(b, "tok", depth=2, width=32))
+              .groupBy("d", "w").agg(F.sum("n").cast("long").alias("n")))
+    direct = sk.cms_build(a.unionByName(b), "tok", depth=2, width=32)
+    assert ({(r.d, r.w, r.n) for r in merged.collect()}
+            == {(r.d, r.w, r.n) for r in direct.collect()})
+
+
+def test_cms_matches_duckdb_twin(spark):
+    vals = [("t%d" % (i % 11),) for i in range(300)]
+    d = spark.createDataFrame(vals, ["tok"])
+    cms = sk.cms_build(d, "tok", depth=3, width=128)
+    got = {(r.value, r.estimate) for r in
+           sk.cms_lookup(cms, ["t0", "t5", "zz"], depth=3,
+                         width=128).collect()}
+    con = duckdb.connect()
+    con.register("toks", d.toPandas())
+    sql = sk.cms_sql(["t0", "t5", "zz"], depth=3, width=128,
+                     source_sql="SELECT tok AS value FROM toks")
+    want = {(r[0], r[1]) for r in con.execute(sql).fetchall()}
+    assert got == want
+
+
+def test_cms_validation(spark):
+    d = spark.createDataFrame([("a",)], ["tok"])
+    with pytest.raises(ValueError):
+        sk.cms_build(d, "tok", depth=0)
+    with pytest.raises(ValueError):
+        sk.cms_build(d, "tok", width=1)
+
+
+# ------------------------------------------------------- semantic dedup
+
+def test_semantic_dedup_collapses_chains(spark):
+    # 4-dim toy corpus: 1~2~3 a chain of near-dups (1 and 3 only close
+    # via 2), 4 isolated.
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.995, 0.0999, 0.0, 0.0]),   # ~1 and ~3
+        (3, [0.98, 0.198, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    d = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in
+           semantic_dedup(d, dim=4, threshold_millis=990,
+                          n_planes=2, quant_scale=1000).collect()}
+    assert out[1].keep and out[1].rep_id == 1
+    assert not out[2].keep and out[2].rep_id == 1
+    assert not out[3].keep and out[3].rep_id == 1  # via the 2-bridge
+    assert out[4].keep and out[4].rep_id == 4
+    assert len(out) == 4  # every input id present exactly once
+
+
+# ---------------------------------------------------------------- pagerank
+
+def _py_pagerank(edges, iterations=5, dp=850, scale=10 ** 12):
+    """Independent driver-side reference with the same integer rules."""
+    e = sorted(set(edges))
+    nodes = sorted({a for a, _ in e} | {b for _, b in e})
+    n = len(nodes)
+    deg = {}
+    for a, _ in e:
+        deg[a] = deg.get(a, 0) + 1
+    r = {v: scale // n for v in nodes}
+    for _ in range(iterations):
+        s = {v: 0 for v in nodes}
+        for a, b in e:
+            s[b] += r[a] // deg[a]
+        dang = sum(r[v] for v in nodes if v not in deg)
+        r = {v: ((1000 - dp) * scale) // (1000 * n)
+             + (dp * s[v]) // 1000
+             + (dp * dang) // (1000 * n)
+             for v in nodes}
+    return r
+
+
+def test_pagerank_matches_integer_reference(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (4, 3), (5, 3), (3, 6)]
+    # node 6 dangles; 3 is the hub
+    d = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.id: r.rank_fp for r in pagerank(d, iterations=4).collect()}
+    want = _py_pagerank(edges, iterations=4)
+    assert got == want
+    assert got[3] == max(got.values())  # hub outranks everyone
+    total = sum(got.values())
+    assert abs(total - 10 ** 12) < 100  # mass conserved modulo floors
+
+
+def test_pagerank_matches_duckdb_twin(spark):
+    edges = [(i, (i * 7) % 23) for i in range(60)] + [(3, 5), (3, 5)]
+    d = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r.id, r.rank_fp) for r in pagerank(d, iterations=3).collect()}
+    con = duckdb.connect()
+    con.register("e", d.toPandas())
+    sql = pagerank_sql("SELECT src, dst FROM e", iterations=3)
+    want = {(r[0], r[1]) for r in con.execute(sql).fetchall()}
+    assert got == want
+
+
+def test_pagerank_validation(spark):
+    d = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError):
+        pagerank(d, iterations=0)
+    with pytest.raises(ValueError):
+        pagerank(d, damping_permille=1000)

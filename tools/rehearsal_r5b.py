@@ -1,0 +1,173 @@
+"""10x scale rehearsal for the round-5b operators: deterministic
+sampling (+ the prefilter knob), domain caps under planted host skew,
+BM25 scoring, count-min sketch, semantic dedup, PageRank.
+
+Same contract as tools/scale_rehearsal.py / rehearsal_r5.py: each op
+runs at N and 10N in one JVM; a plan survives the scale-up iff time
+grows ~linearly for row-bound ops (ratio ~10, well under at the small
+end where fixed JVM/stage overhead dominates) with no driver collects
+or state blow-ups.  Op-specific expectations:
+
+* hash_sample / cms: map-only or map+tiny-groupBy — ratio ~10 or less.
+* stratified_sample / domain_cap run WITH the prefilter band sized by
+  the 4x rule, so the per-stratum sort sees only the kept band; the
+  mega-host in the domain-cap corpus (20% of all rows on one host)
+  is exactly the skew the knob exists for.
+* bm25: two passes over the corpus (merged-scalar-subquery stats +
+  scoring) — ratio ~10.
+* semantic_dedup: n_planes steps 12 -> 16 with corpus size per the
+  embedding_near_dup_pairs sizing rule (buckets ~ corpus/expected
+  bucket size); components stay tiny (planted groups of 10).
+* pagerank: 3 rounds of join+groupBy over edges — ratio ~10 in edge
+  count at fixed round count.
+
+Prints ONE JSON line {"runs": {...}, "ratios": {...}} and writes
+tools/rehearsal_r5b.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from biocypher_metta_spark.session import get_spark  # noqa: E402
+from tools.scale_rehearsal import synth_text_corpus  # noqa: E402
+
+
+def run_hash_sample(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.sampling import hash_sample
+
+    d = spark.range(n).select(F.col("id").alias("doc_id"))
+    t0 = time.time()
+    kept = hash_sample(d, 250, salt="rehearse").count()
+    return {"rows_in": n, "kept": kept, "sec": round(time.time() - t0, 2)}
+
+
+def run_stratified(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.sampling import stratified_sample
+
+    d = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 100).cast("string").alias("lang"))
+    # stratum ~ n/100 rows, keep 100: 4x rule => ceil(1e5 * 100/n)*4
+    pf = max(1, (100 * 1000 * 100 * 4) // n)
+    t0 = time.time()
+    cnt = stratified_sample(d, ["lang"], 100, salt="rehearse",
+                            prefilter_permille=pf).count()
+    return {"rows_in": n, "rows_out": cnt, "prefilter_permille": pf,
+            "sec": round(time.time() - t0, 2)}
+
+
+def run_domain_cap(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.web import domain_cap
+
+    # 20% of all rows on ONE mega-host, the rest over 1000 uniform hosts
+    host = F.when(F.col("id") % 5 == 0, F.lit("mega"))\
+        .otherwise(F.concat(F.lit("h"), (F.col("id") % 1000).cast("string")))
+    d = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("https://www."), host, F.lit(".com/p/"),
+                 F.col("id").cast("string")).alias("url"))
+    # min uniform host ~ 0.8n/1000 rows, keep 100: 4x rule
+    pf = max(1, (100 * 1000 * 1000 * 4) // (n * 8 // 10))
+    t0 = time.time()
+    cnt = domain_cap(d, 100, salt="rehearse",
+                     prefilter_permille=pf).count()
+    return {"rows_in": n, "rows_out": cnt, "prefilter_permille": pf,
+            "sec": round(time.time() - t0, 2)}
+
+
+def run_bm25(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.retrieval import bm25_topk
+
+    d = synth_text_corpus(spark, n)
+    t0 = time.time()
+    rows = bm25_topk(d, ["w1", "w2", "w3"], k=20).count()
+    return {"rows_in": n, "topk": rows, "sec": round(time.time() - t0, 2)}
+
+
+def run_cms(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators import sketch as sk
+
+    d = spark.range(n).select(
+        F.concat(F.lit("v"), (F.col("id") % 100000).cast("string"))
+        .alias("value"))
+    t0 = time.time()
+    cms = sk.cms_build(d, "value", depth=3, width=8192)
+    est = sk.cms_lookup(cms, ["v0", "v1", "v99999"],
+                        depth=3, width=8192).count()
+    return {"rows_in": n, "probes": est, "sec": round(time.time() - t0, 2)}
+
+
+def run_semantic_dedup(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.dedup import semantic_dedup
+
+    # planted groups of 10 near-identical 8-dim vectors (gate recipe at
+    # rehearsal scale); n_planes sized up with the corpus per the
+    # embedding_near_dup_pairs docstring rule
+    n_groups = n // 10
+    vec = (
+        "transform(sequence(0, 7), j -> CAST("
+        "CAST(conv(substring(md5(concat(cast(id % {g} as string), '_', "
+        "cast(j as string))), 1, 2), 16, 10) AS INT) - 128 "
+        "+ (CASE WHEN j = CAST(id % 8 AS INT) THEN (id div {g}) % 3 "
+        "ELSE 0 END) AS DOUBLE))").format(g=n_groups)
+    emb = spark.range(n).select(F.col("id").alias("vec_id"),
+                                F.expr(vec).alias("embedding"))
+    n_planes = 12 if n <= 1_000_000 else 16
+    t0 = time.time()
+    out = semantic_dedup(emb, dim=8, threshold_millis=950,
+                         n_planes=n_planes, quant_scale=100)
+    survivors = out.filter("keep").count()
+    return {"rows_in": n, "survivors": survivors, "n_planes": n_planes,
+            "sec": round(time.time() - t0, 2)}
+
+
+def run_pagerank(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.graph import pagerank
+
+    n_nodes = n // 10
+    e = spark.range(n).select(
+        (F.col("id") % n_nodes).alias("src"),
+        ((F.col("id") * 2654435761) % n_nodes).alias("dst"))
+    t0 = time.time()
+    cnt = pagerank(e, iterations=3).count()
+    return {"edges_in": n, "nodes_out": cnt,
+            "sec": round(time.time() - t0, 2)}
+
+
+def main():
+    spark = get_spark("rehearsal-r5b")
+    spark.sparkContext.setLogLevel("ERROR")
+    ops = {
+        "hash_sample": (run_hash_sample, 20_000_000),
+        "stratified_sample": (run_stratified, 10_000_000),
+        "domain_cap": (run_domain_cap, 10_000_000),
+        "bm25_topk": (run_bm25, 2_000_000),
+        "cms": (run_cms, 10_000_000),
+        "semantic_dedup": (run_semantic_dedup, 500_000),
+        "pagerank": (run_pagerank, 2_000_000),
+    }
+    runs, ratios = {}, {}
+    for name, (fn, n) in ops.items():
+        fn(spark, max(n // 100, 1000))          # warmup, excluded
+        small = fn(spark, n)
+        big = fn(spark, n * 10)
+        runs[name] = {"n": small, "10n": big}
+        ratios[name] = round(big["sec"] / max(small["sec"], 1e-9), 2)
+        print(json.dumps({name: runs[name], "ratio": ratios[name]}),
+              flush=True)
+    out = {"runs": runs, "ratios": ratios}
+    (REPO / "tools" / "rehearsal_r5b.json").write_text(json.dumps(out))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
