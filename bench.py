@@ -116,7 +116,10 @@ def main() -> None:
              "doc_perplexity", "doc_c4_filter", "rel_asof_join",
              "rel_range_join", "rel_interval_overlap",
              "rel_hypertable_rollup", "doc_distinct_sketch",
-             "rel_session_window", "multimodal_frame_sample"]
+             "rel_session_window", "multimodal_frame_sample",
+             "doc_hash_sample", "doc_stratified_sample",
+             "web_domain_cap", "doc_bm25_topk", "doc_cms_topfreq",
+             "kg_pagerank", "emb_semantic_dedup"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):

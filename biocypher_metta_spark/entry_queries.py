@@ -3855,7 +3855,80 @@ SELECT ids.i AS vec_id,
 FROM ids LEFT JOIN rep ON ids.i = rep.vec_id
 """
 
+def doc_ngram_excise(spark, sf_dir):
+    """Lee-et-al-style corpus-wide repeated-5-gram excision: every
+    token covered by a 5-gram occurring >= 2 times across the corpus
+    is removed, the rest of the doc survives. The oracle recomputes
+    the identical hash -> frequency -> coverage -> rebuild chain."""
+    return dedup_ops.excise_repeated_ngrams(
+        _docs_par(spark, sf_dir), n=5, min_dup=2)
+
+
+DOC_NGRAM_EXCISE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+           i -> ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')),
+                 1, 15))::BIGINT) AS ghs
+  FROM t
+), pos AS (
+  SELECT doc_id, unnest(range(1, len(ghs) + 1)) - 1 AS p,
+         unnest(ghs) AS gh
+  FROM sh
+), rep AS (
+  SELECT gh FROM pos GROUP BY gh HAVING count(*) >= 2
+), removed AS (
+  SELECT DISTINCT doc_id, p + d AS tpos
+  FROM pos JOIN rep USING (gh),
+       (VALUES (0), (1), (2), (3), (4)) AS dd(d)
+), tok AS (
+  SELECT doc_id, unnest(range(1, len(toks) + 1)) - 1 AS tpos,
+         unnest(toks) AS w
+  FROM t
+), kept AS (
+  SELECT tok.doc_id, tok.tpos, tok.w
+  FROM tok LEFT JOIN removed
+    ON tok.doc_id = removed.doc_id AND tok.tpos = removed.tpos
+  WHERE removed.doc_id IS NULL
+), reb AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY tpos) AS clean_text
+  FROM kept GROUP BY doc_id
+), nr AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+  FROM removed GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(reb.clean_text, '') AS clean_text,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       coalesce(nr.n_removed, 0) AS n_removed
+FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id
+       LEFT JOIN nr ON t.doc_id = nr.doc_id
+"""
+
+_BM25_JOIN_Q = [(1, "spark"), (1, "join"), (2, "window"), (2, "table"),
+                (3, "merge"), (3, "zzz-absent")]
+
+
+def doc_bm25_join(spark, sf_dir):
+    """Batch BM25 via posting-list join: 3 queries scored in one pass
+    (one with an absent token), per-query top-15; oracle generated from
+    the same formula (retrieval.bm25_join_sql)."""
+    docs = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_BM25_JOIN_Q, ["query_id", "token"])
+    out = retrieval_ops.bm25_score_join(docs, q, k=15)
+    return out.select(F.col("query_id").cast("long").alias("query_id"),
+                      "doc_id", "score",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+DOC_BM25_JOIN_SQL = retrieval_ops.bm25_join_sql(_BM25_JOIN_Q, k=15)
+
 QUERIES.update({
+    "doc_ngram_excise": (doc_ngram_excise, DOC_NGRAM_EXCISE_SQL),
+    "doc_bm25_join": (doc_bm25_join, DOC_BM25_JOIN_SQL),
     "doc_hash_sample": (doc_hash_sample, DOC_HASH_SAMPLE_SQL),
     "doc_stratified_sample": (doc_stratified_sample,
                               DOC_STRATIFIED_SAMPLE_SQL),
@@ -3975,6 +4048,8 @@ CK_COLUMNS = {
     "web_domain_cap": ["doc_id", "host", "sample_rank"],
     "doc_bm25_topk": ["doc_id", "rank", "score"],
     "doc_cms_topfreq": ["estimate", "value"],
+    "doc_bm25_join": ["doc_id", "query_id", "rank", "score"],
+    "doc_ngram_excise": ["clean_text", "doc_id", "n_removed", "n_tokens"],
     "kg_pagerank": ["id", "rank_fp"],
     "emb_semantic_dedup": ["keep", "rep_id", "vec_id"],
 }
@@ -4000,7 +4075,8 @@ CK_COMPOSITES = {
     # the registry stays at the 50-row driver snapshot cap
     "doc_curation_checks": ["doc_hash_sample", "doc_stratified_sample",
                             "web_domain_cap", "doc_bm25_topk",
-                            "doc_cms_topfreq"],
+                            "doc_cms_topfreq", "doc_bm25_join",
+                            "doc_ngram_excise"],
     "kg_graph_checks": ["kg_pagerank", "emb_semantic_dedup"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",

@@ -338,16 +338,33 @@ def embedding_near_dup_pairs(emb: DataFrame, dim: int,
     and per-bucket work is its square — at 10^9+ rows use 24-32 planes
     (with multi-probe on the query side) or band several independent
     sketches like lsh_candidate_pairs; the default 8 is for
-    million-row-scale inputs and tests.
+    million-row-scale inputs and tests.  CONSTRAINT: n_planes <= dim.
+    k hyperplanes in d-dim space realize only 2*sum_{i<d} C(k-1, i)
+    sign patterns (all 2^k iff k <= d), so planes beyond the embedding
+    dimension add zero blocking power while the formula above keeps
+    promising smaller buckets — measured as a quadratic blowup on a
+    synthetic 8-dim corpus at 16 planes (tools/rehearsal_r5b.py).
     Engine-portable arithmetic throughout: vectors quantize to longs
     (round(x*scale)), hyperplanes are +-1 integers from the seeded LCG
     (similarity._hyperplane), and the emitted cos_millis is
     floor(1000*dot/sqrt(na*nb)) — integer dot/norms with one
+    OVERFLOW BOUND: the norm product na*nb must fit int64, i.e.
+    dim * (max|v| * quant_scale)^2 < 2^31.5 ~ 3.0e9 — at dim 64 with
+    values in [-1, 1], quant_scale up to ~6800 is safe; unit-norm
+    embeddings (|v_i| ~ 1/sqrt(dim)) allow ~scale*sqrt(dim) more.
+    Both engines fail loudly (ANSI long overflow) rather than wrap, so
+    a mis-sized scale is an error, not silent corruption — with one
     correctly-rounded IEEE sqrt, so a DuckDB oracle reproduces the exact
     pair set and values. Returns (id_a, id_b, cos_millis >= threshold).
     """
     from biocypher_metta_spark.operators.similarity import _hyperplane
 
+    if n_planes > dim:
+        raise ValueError(
+            f"n_planes ({n_planes}) > dim ({dim}): only 2*sum_(i<dim) "
+            "C(n_planes-1, i) sign patterns are geometrically realizable, "
+            "so excess planes add no blocking power — buckets overload "
+            "quadratically. Use n_planes <= dim.")
     q = F.transform(F.col(vec_col),
                     lambda x: F.round(x.cast("double") * quant_scale).cast("long"))
     qdf = _compute_once(emb, q, "_q")
@@ -427,6 +444,88 @@ def semantic_dedup(emb: DataFrame, dim: int,
                 .alias("rep_id"),
                 (F.coalesce(F.col("component"), F.col(id_col))
                  == F.col(id_col)).alias("keep")))
+
+
+def excise_repeated_ngrams(df: DataFrame, n: int = 8, min_dup: int = 2,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide repeated-substring removal at word-n-gram
+    granularity — the practical Spark shape of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better")
+    ExactSubstr dedup: any token covered by an n-gram that occurs >=
+    min_dup times ACROSS THE CORPUS (multiplicities counted, so heavy
+    in-doc repetition triggers too) is excised from the text; the rest
+    of the document survives.  Complements doc-level dedup: boilerplate
+    headers/footers/licenses repeat across millions of otherwise-unique
+    pages, and doc-level dedup never touches them.
+
+    A true distributed suffix array resolves arbitrary-length repeats;
+    fixing the granularity at n tokens makes every stage a linear scan
+    + uniform-key shuffle (the suffix-array sort is superlinear and its
+    longest-match semantics are not cross-engine reproducible).  A
+    length-L repeat still excises completely as its L-n+1 overlapping
+    n-grams are each repeated.
+
+    Returns (id_col, clean_text, n_tokens, n_removed) for EVERY input
+    doc; clean_text is the surviving tokens joined by single spaces
+    (whitespace is canonicalized — the same convention as the tokens()
+    family).  Docs shorter than n tokens pass through untouched.
+
+    Scale shape: all shuffles on uniform keys — (1) n-gram hash groupBy
+    for corpus frequencies (map-side combine), (2) hash join of
+    positions to repeated hashes, (3) (doc, token-pos) distinct +
+    doc-keyed left_anti + ordered collect_list regroup.  Everything is
+    linear in total token count, which is the floor for any operator
+    that must rewrite every document.  No driver state, no arrays of
+    corpus-sized data per row (removed positions stay ROW-granular
+    until the final per-doc regroup)."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    if min_dup < 2:
+        raise ValueError(f"min_dup must be >= 2, got {min_dup}")
+    from biocypher_metta_spark.operators.text import (portable_hash,
+                                                      shingles, tokens)
+
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+
+    # shingles() tokenizes with the same tokens() split, so shingle
+    # position p covers token positions p..p+n-1 of _toks exactly
+    pos = (df.select(
+        F.col(id_col),
+        F.posexplode(shingles(F.col(text_col), n)).alias("_p", "_g"))
+        .select(id_col, "_p", portable_hash(F.col("_g")).alias("_gh")))
+    rep = (pos.groupBy("_gh").agg(F.count("*").alias("_c"))
+           .filter(F.col("_c") >= min_dup).select("_gh"))
+    removed = (pos.join(rep, "_gh")
+               .select(F.col(id_col),
+                       F.explode(F.sequence(F.col("_p"),
+                                            F.col("_p") + (n - 1)))
+                       .alias("_t"))
+               .distinct())
+
+    tok = base.select(F.col(id_col),
+                      F.posexplode(F.col("_toks")).alias("_t", "_w"))
+    kept = tok.join(removed, [id_col, "_t"], "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct(F.col("_t"), F.col("_w")))),
+                       lambda s: s["_w"]), " ").alias("clean_text"),
+                    F.count("*").cast("long").alias("_n_kept")))
+    n_rem = removed.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("_n_rem"))
+    return (base.select(F.col(id_col),
+                        F.size("_toks").cast("long").alias("n_tokens"))
+            .join(rebuilt, id_col, "left")
+            .join(n_rem, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("clean_text"), F.lit(""))
+                .alias("clean_text"),
+                F.col("n_tokens"),
+                F.coalesce(F.col("_n_rem"), F.lit(0)).cast("long")
+                .alias("n_removed")))
 
 
 def simhash(df: DataFrame, text_col: str = "text",

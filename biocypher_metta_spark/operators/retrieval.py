@@ -59,6 +59,17 @@ from pyspark.sql import functions as F
 from biocypher_metta_spark.operators.text import tokens
 
 
+def _bm25_term(tf, dfq, dl, n, a, idf_scale: int):
+    """One query-token's integer BM25 contribution (shared by the
+    one-shot scan path and the batch posting-join path so the two
+    cannot drift): floor(idf * 22 * tf * A / (10*A*tf + 3*A + 9*dl*N))
+    with idf = floor(idf_scale * (N - df + 1) / (N + 1))."""
+    idf = F.floor(F.lit(idf_scale) * (n - dfq + 1) / (n + 1))
+    num = idf * 22 * tf * a
+    den = 10 * a * tf + 3 * a + 9 * dl * n
+    return F.when(tf > 0, F.floor(num / den)).otherwise(F.lit(0))
+
+
 def bm25_topk(df: DataFrame, query_tokens: list, k: int = 10,
               text_col: str = "text", id_col: str = "doc_id",
               idf_scale: int = 1_000_000) -> DataFrame:
@@ -101,12 +112,9 @@ def bm25_topk(df: DataFrame, query_tokens: list, k: int = 10,
         "SELECT *,\n       " + stat_sel + "\nFROM {base}", base=base)
 
     def tok_score(i: int):
-        tf, dfq = F.col(f"_c{i}"), F.col(f"_df{i}")
-        n, a = F.col("_n"), F.col("_a")
-        idf = F.floor(F.lit(idf_scale) * (n - dfq + 1) / (n + 1))
-        num = idf * 22 * tf * a
-        den = 10 * a * tf + 3 * a + 9 * F.col("_dl") * n
-        return F.when(tf > 0, F.floor(num / den)).otherwise(F.lit(0))
+        return _bm25_term(F.col(f"_c{i}"), F.col(f"_df{i}"),
+                          F.col("_dl"), F.col("_n"), F.col("_a"),
+                          idf_scale)
 
     score = sum(tok_score(i) for i in range(len(query_tokens)))
     scored = (enriched
@@ -160,4 +168,106 @@ SELECT {id_col}, score,
          AS rank
 FROM scored WHERE score > 0
 ORDER BY score DESC, {id_col} LIMIT {k}
+"""
+
+
+def bm25_score_join(df: DataFrame, queries: DataFrame, k: int = 10,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    query_id_col: str = "query_id",
+                    token_col: str = "token",
+                    idf_scale: int = 1_000_000) -> DataFrame:
+    """Batch BM25: score MANY queries in one pass via a posting-list
+    join — the amortized complement to the one-shot `bm25_topk` scan
+    (which re-reads the corpus per query).  `queries` is a (query_id,
+    token) table; duplicate tokens within a query are collapsed.
+
+    Returns (query_id_col, id_col, score, rank): per query the top-k
+    docs by the SAME integer BM25 term as bm25_topk (`_bm25_term` is
+    the single source of truth), rank 1..k via (score DESC, id ASC),
+    zero-score docs excluded.
+
+    Scale shape: postings (doc, token, tf) and doc lengths are one
+    explode + two uniform-key groupBys over the corpus; per-token
+    doc_freq is vocabulary-sized.  The query join keys on TOKEN — a
+    Zipf-skewed key when queries contain stopwords (the build side has
+    one row per (query, token), so broadcast it when the query set is
+    small; AQE skew-split covers the big-query-set case).  Scoring
+    then aggregates on the uniform (query_id, doc_id) composite and
+    the per-query top-k window partitions on query_id.  Corpus scalars
+    (N, A) ride in as merged scalar subqueries, as in bm25_topk."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    spark = df.sparkSession
+
+    tok = df.select(F.col(id_col),
+                    F.explode(tokens(F.col(text_col))).alias("_tok"))
+    postings = (tok.groupBy(id_col, "_tok")
+                .agg(F.count("*").cast("long").alias("_tf")))
+    dl = tok.groupBy(id_col).agg(F.count("*").cast("long").alias("_dl"))
+    dfreq = (postings.groupBy("_tok")
+             .agg(F.count("*").cast("long").alias("_df")))
+
+    enriched_dl = spark.sql(
+        "SELECT *, (SELECT count(*) FROM {dl}) AS _n,"
+        " (SELECT sum(_dl) FROM {dl}) AS _a FROM {dl}", dl=dl)
+
+    qt = (queries.select(F.col(query_id_col),
+                         F.col(token_col).alias("_tok"))
+          .distinct())
+    matched = (qt.join(postings, "_tok")
+               .join(dfreq, "_tok")
+               .join(enriched_dl, id_col))
+    term = _bm25_term(F.col("_tf"), F.col("_df"), F.col("_dl"),
+                      F.col("_n"), F.col("_a"), idf_scale)
+    scored = (matched.groupBy(query_id_col, id_col)
+              .agg(F.sum(term).cast("long").alias("score"))
+              .filter(F.col("score") > 0))
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy(query_id_col)
+         .orderBy(F.col("score").desc(), F.col(id_col)))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def bm25_join_sql(query_rows: list, k: int = 10,
+                  table: str = "documents", text_col: str = "text",
+                  id_col: str = "doc_id",
+                  idf_scale: int = 1_000_000) -> str:
+    """DuckDB twin of bm25_score_join for a literal (query_id, token)
+    list, GENERATED from the same formula text as bm25_topk_sql."""
+    vals = ", ".join(f"({qid}, '{t}')" for qid, t in query_rows)
+    return f"""
+WITH q(query_id, token) AS (
+  SELECT DISTINCT * FROM (VALUES {vals})
+), tok AS (
+  SELECT {id_col}, unnest(regexp_split_to_array(trim({text_col}), '\\s+'))
+           AS token
+  FROM {table}
+), postings AS (
+  SELECT {id_col}, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT {id_col}, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+), dfreq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY 1
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS a
+  FROM dl
+), scored AS (
+  SELECT q.query_id, postings.{id_col},
+         CAST(sum(CAST(floor(
+           floor({idf_scale} * (n - df + 1) / (n + 1))
+           * 22 * tf * a / (10 * a * tf + 3 * a + 9 * dl.dl * n)
+         ) AS BIGINT)) AS BIGINT) AS score
+  FROM q JOIN postings USING (token) JOIN dfreq USING (token)
+       JOIN dl ON postings.{id_col} = dl.{id_col} CROSS JOIN stats
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, {id_col}, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, {id_col}) AS BIGINT)
+           AS rank
+  FROM scored WHERE score > 0
+)
+SELECT query_id, {id_col}, score, rank FROM ranked WHERE rank <= {k}
 """

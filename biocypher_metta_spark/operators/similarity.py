@@ -139,7 +139,11 @@ def knn_join(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     top-k windows on q_id, which is uniform. SIZE n_planes to the
     corpus: expected candidates per query are
     (1 + n_planes) * N / 2^n_planes — at 10^9 rows use 24+ planes (and
-    probe more flips to recover recall). Recall is approximate by
+    probe more flips to recover recall), but never more planes than the
+    embedding DIMENSION: k hyperplanes in d dims realize only
+    2*sum_{i<d} C(k-1, i) sign patterns (all 2^k iff k <= d), so excess
+    planes add probe cost without adding blocking power (see
+    dedup.embedding_near_dup_pairs for the measured blowup). Recall is approximate by
     construction; the brute-force twin is quantized_dot_topk per query.
 
     probe_bits widens multi-probe: 0 = own bucket only, 1 = + all 1-bit

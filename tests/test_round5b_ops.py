@@ -291,3 +291,91 @@ def test_pagerank_validation(spark):
         pagerank(d, iterations=0)
     with pytest.raises(ValueError):
         pagerank(d, damping_permille=1000)
+
+
+# ------------------------------------------------------ n-gram excision
+
+def test_excise_repeated_ngrams_semantics(spark):
+    # docs 1 and 2 share the 3-gram "a b c" (plus its shifted windows);
+    # doc 3 is clean; doc 4 repeats a 3-gram INSIDE itself (multiplicity
+    # counts, so it triggers too); doc 5 is shorter than n.
+    rows = [
+        (1, "x a b c y"),
+        (2, "p q a b c"),
+        (3, "u v w z k"),
+        (4, "m n o m n o"),
+        (5, "s t"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    from biocypher_metta_spark.operators.dedup import excise_repeated_ngrams
+
+    out = {r.doc_id: r for r in excise_repeated_ngrams(d, n=3).collect()}
+    assert out[1].clean_text == "x y" and out[1].n_removed == 3
+    assert out[2].clean_text == "p q" and out[2].n_removed == 3
+    assert out[3].clean_text == "u v w z k" and out[3].n_removed == 0
+    # doc 4: "m n o" occurs at positions 0 and 3 -> all 6 tokens covered
+    assert out[4].clean_text == "" and out[4].n_removed == 6
+    assert out[5].clean_text == "s t" and out[5].n_tokens == 2
+    assert all(out[i].n_tokens - out[i].n_removed
+               == (len(out[i].clean_text.split())
+                   if out[i].clean_text else 0) for i in (1, 2, 3, 4))
+
+
+def test_excise_validation(spark):
+    from biocypher_metta_spark.operators.dedup import excise_repeated_ngrams
+
+    d = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        excise_repeated_ngrams(d, n=1)
+    with pytest.raises(ValueError):
+        excise_repeated_ngrams(d, min_dup=1)
+
+
+def test_excise_matches_duckdb_twin(spark):
+    # word soup from a tiny vocab so repeated 5-grams actually occur
+    vocab = ["a", "b", "c", "d"]
+    rows = [(i, " ".join(vocab[(i * 7 + j * 3) % 4] for j in range(12)))
+            for i in range(40)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    from biocypher_metta_spark.entry_queries import DOC_NGRAM_EXCISE_SQL
+    from biocypher_metta_spark.operators.dedup import excise_repeated_ngrams
+
+    got = {(r.doc_id, r.clean_text, r.n_tokens, r.n_removed)
+           for r in excise_repeated_ngrams(d, n=5).collect()}
+    con = duckdb.connect()
+    con.register("documents", d.toPandas())
+    want = set(map(tuple, con.execute(DOC_NGRAM_EXCISE_SQL).fetchall()))
+    assert got == want and len(got) == 40
+    assert any(r[3] > 0 for r in got)  # the corpus must exercise removal
+
+
+# -------------------------------------------------------- batch BM25 join
+
+def test_bm25_join_matches_single_query_scan(spark):
+    """The posting-join path and the one-shot scan path must agree
+    exactly on the same query (same _bm25_term, different plans)."""
+    c = _corpus(spark)
+    q = spark.createDataFrame(
+        [(7, "spark"), (7, "join")], ["query_id", "token"])
+    joined = {(r.doc_id, r.score, r.rank) for r in
+              retrieval.bm25_score_join(c, q, k=5).collect()}
+    scan = {(r.doc_id, r.score, r.rank) for r in
+            retrieval.bm25_topk(c, ["spark", "join"], k=5).collect()}
+    assert joined == scan
+
+
+def test_bm25_join_multi_query_and_twin(spark):
+    c = _corpus(spark)
+    qrows = [(1, "spark"), (1, "join"), (2, "row"), (3, "nope")]
+    q = spark.createDataFrame(qrows, ["query_id", "token"])
+    out = retrieval.bm25_score_join(c, q, k=3)
+    got = {(r.query_id, r.doc_id, r.score, r.rank) for r in out.collect()}
+    assert not any(r[0] == 3 for r in got)  # absent token -> no rows
+    assert max(r[3] for r in got) <= 3
+    con = duckdb.connect()
+    con.register("documents", c.toPandas())
+    sql = retrieval.bm25_join_sql(qrows, k=3)
+    want = set(map(tuple, con.execute(sql).fetchall()))
+    assert got == want
+    with pytest.raises(ValueError):
+        retrieval.bm25_score_join(c, q, k=0)

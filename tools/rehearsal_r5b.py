@@ -15,9 +15,17 @@ or state blow-ups.  Op-specific expectations:
   is exactly the skew the knob exists for.
 * bm25: two passes over the corpus (merged-scalar-subquery stats +
   scoring) — ratio ~10.
-* semantic_dedup: n_planes steps 12 -> 16 with corpus size per the
+* semantic_dedup: n_planes steps 14 -> 17 with corpus size per the
   embedding_near_dup_pairs sizing rule (buckets ~ corpus/expected
-  bucket size); components stay tiny (planted groups of 10).
+  bucket size); components stay tiny (planted groups of 10).  The
+  rehearsal vectors are 32-dim because sign-LSH bucket count SATURATES
+  at the number of geometrically realizable sign patterns — 2*sum_{i<d}
+  C(k-1, i) cells for k planes in d dims, i.e. only ~2^12.7 of the
+  2^16 patterns exist for k=16, d=8 — so planes beyond dim add NO
+  blocking power and buckets overload quadratically (measured: an
+  8-dim first draft ground >20 min at 5M rows; planes <= dim gives the
+  full 2^k).  Real embedding corpora are 64-1024-dim, where the
+  operator's plane-count rule applies unconstrained.
 * pagerank: 3 rounds of join+groupBy over edges — ratio ~10 in edge
   count at fixed round count.
 
@@ -57,7 +65,7 @@ def run_stratified(spark, n: int) -> dict:
         F.col("id").alias("doc_id"),
         (F.col("id") % 100).cast("string").alias("lang"))
     # stratum ~ n/100 rows, keep 100: 4x rule => ceil(1e5 * 100/n)*4
-    pf = max(1, (100 * 1000 * 100 * 4) // n)
+    pf = min(1000, max(1, (100 * 1000 * 100 * 4) // n))
     t0 = time.time()
     cnt = stratified_sample(d, ["lang"], 100, salt="rehearse",
                             prefilter_permille=pf).count()
@@ -75,8 +83,9 @@ def run_domain_cap(spark, n: int) -> dict:
         F.col("id").alias("doc_id"),
         F.concat(F.lit("https://www."), host, F.lit(".com/p/"),
                  F.col("id").cast("string")).alias("url"))
-    # min uniform host ~ 0.8n/1000 rows, keep 100: 4x rule
-    pf = max(1, (100 * 1000 * 1000 * 4) // (n * 8 // 10))
+    # min uniform host ~ 0.8n/1000 rows, keep 100: 4x rule (clamped at
+    # the no-op band for warmup-sized corpora)
+    pf = min(1000, max(1, (100 * 1000 * 1000 * 4) // (n * 8 // 10)))
     t0 = time.time()
     cnt = domain_cap(d, 100, salt="rehearse",
                      prefilter_permille=pf).count()
@@ -109,22 +118,26 @@ def run_cms(spark, n: int) -> dict:
 def run_semantic_dedup(spark, n: int) -> dict:
     from biocypher_metta_spark.operators.dedup import semantic_dedup
 
-    # planted groups of 10 near-identical 8-dim vectors (gate recipe at
-    # rehearsal scale); n_planes sized up with the corpus per the
-    # embedding_near_dup_pairs docstring rule
-    n_groups = n // 10
+    # planted groups of 10 near-identical 32-dim vectors (the gate
+    # recipe at rehearsal scale and realistic dimensionality — see the
+    # module docstring on why dim must be >= n_planes); n_planes sized
+    # up with the corpus per the embedding_near_dup_pairs sizing rule
+    n_groups = max(n // 10, 1)
     vec = (
-        "transform(sequence(0, 7), j -> CAST("
+        "transform(sequence(0, 31), j -> CAST("
         "CAST(conv(substring(md5(concat(cast(id % {g} as string), '_', "
         "cast(j as string))), 1, 2), 16, 10) AS INT) - 128 "
-        "+ (CASE WHEN j = CAST(id % 8 AS INT) THEN (id div {g}) % 3 "
+        "+ (CASE WHEN j = CAST(id % 32 AS INT) THEN (id div {g}) % 3 "
         "ELSE 0 END) AS DOUBLE))").format(g=n_groups)
     emb = spark.range(n).select(F.col("id").alias("vec_id"),
                                 F.expr(vec).alias("embedding"))
-    n_planes = 12 if n <= 1_000_000 else 16
+    n_planes = 14 if n <= 1_000_000 else 17
     t0 = time.time()
-    out = semantic_dedup(emb, dim=8, threshold_millis=950,
-                         n_planes=n_planes, quant_scale=100)
+    # quant_scale 25: raw values are [-128, 127], so the operator's
+    # norm-product bound dim*(vmax*scale)^2 < 2^31.5 caps scale at ~18
+    # per unit of |v| — 25 * 128 = 3200, 32 * 3200^2 = 3.3e8, safe
+    out = semantic_dedup(emb, dim=32, threshold_millis=950,
+                         n_planes=n_planes, quant_scale=25)
     survivors = out.filter("keep").count()
     return {"rows_in": n, "survivors": survivors, "n_planes": n_planes,
             "sec": round(time.time() - t0, 2)}
@@ -155,8 +168,16 @@ def main():
         "semantic_dedup": (run_semantic_dedup, 500_000),
         "pagerank": (run_pagerank, 2_000_000),
     }
-    runs, ratios = {}, {}
+    only = set(sys.argv[1:])
+    # incremental: merge this invocation's ops into the artifact so a
+    # partial rerun (e.g. after fixing one op) keeps the others' numbers
+    art = REPO / "tools" / "rehearsal_r5b.json"
+    prev = json.loads(art.read_text()) if art.exists() else {}
+    runs = prev.get("runs", {})
+    ratios = prev.get("ratios", {})
     for name, (fn, n) in ops.items():
+        if only and name not in only:
+            continue
         fn(spark, max(n // 100, 1000))          # warmup, excluded
         small = fn(spark, n)
         big = fn(spark, n * 10)
@@ -165,7 +186,7 @@ def main():
         print(json.dumps({name: runs[name], "ratio": ratios[name]}),
               flush=True)
     out = {"runs": runs, "ratios": ratios}
-    (REPO / "tools" / "rehearsal_r5b.json").write_text(json.dumps(out))
+    art.write_text(json.dumps(out))
     print(json.dumps(out))
 
 
