@@ -1233,6 +1233,79 @@ QUERIES["kg_streaming_dedup"] = (kg_streaming_dedup,
                                  KG_STREAMING_DEDUP_SQL)
 
 
+def kg_streaming_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (the remaining §2.6
+    streaming shape: joining two live streams with bounded state).
+    Impressions = every event; clicks = every 3rd event, planted at
+    imp_ts + (event_id % 180) seconds — so offsets 0..120 fall inside
+    the 2-minute horizon and MUST match while 121..179 fall outside
+    and must not. Clicks arrive across TWO AvailableNow increments
+    split by parity: the second increment's matches only exist if the
+    checkpointed state store retained the unmatched impressions across
+    the restart. The oracle re-derives the exact match set
+    arithmetically from `events`."""
+    import hashlib
+    import shutil
+
+    from biocypher_metta_spark.streaming.joins import (
+        run_interval_join_stream)
+
+    base = ("/tmp/bcm_streamjoin_gate_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    shutil.rmtree(base, ignore_errors=True)
+    imp_dir, clk_dir = f"{base}/imp", f"{base}/clk"
+    out_dir, ck = f"{base}/out", f"{base}/ck"
+    events = (spark.read.parquet(f"{sf_dir}/events.parquet")
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    imps = events.select(
+        F.col("event_id").alias("imp_id"), "user_id",
+        F.col("ts").alias("imp_ts"),
+        F.floor(F.col("value") * 100).cast("long").alias("imp_c"))
+    clicks = (events.filter(F.col("event_id") % 3 == 0)
+              .select(
+                  F.col("event_id").alias("imp_id"),
+                  F.expr("timestampadd(SECOND, event_id % 180, ts)")
+                  .alias("click_ts"),
+                  (F.floor(F.col("value") * 100) + 7).cast("long")
+                  .alias("click_c")))
+    imps.write.parquet(imp_dir)
+    clicks.filter(F.col("imp_id") % 2 == 0).write.parquet(clk_dir)
+
+    def _run():
+        run_interval_join_stream(
+            spark.readStream.schema(imps.schema).parquet(imp_dir),
+            spark.readStream.schema(clicks.schema).parquet(clk_dir),
+            "imp_id", "imp_ts", "click_ts", out_dir, ck,
+            horizon="2 minutes", delay="3650 days")
+
+    _run()
+    clicks.filter(F.col("imp_id") % 2 == 1) \
+        .write.mode("append").parquet(clk_dir)
+    _run()
+    return (spark.read.parquet(out_dir)
+            .select("imp_id", "user_id",
+                    F.date_format("imp_ts", "yyyy-MM-dd HH:mm:ss")
+                    .alias("imp_ts_s"),
+                    F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss")
+                    .alias("click_ts_s"),
+                    "imp_c", "click_c"))
+
+
+KG_STREAMING_JOIN_SQL = """
+SELECT event_id AS imp_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS imp_ts_s,
+       strftime(ts + (event_id % 180) * INTERVAL 1 SECOND,
+                '%Y-%m-%d %H:%M:%S') AS click_ts_s,
+       CAST(floor(value * 100) AS BIGINT) AS imp_c,
+       CAST(floor(value * 100) + 7 AS BIGINT) AS click_c
+FROM events
+WHERE event_id % 3 = 0 AND event_id % 180 <= 120
+"""
+
+QUERIES["kg_streaming_join"] = (kg_streaming_join,
+                                KG_STREAMING_JOIN_SQL)
+
+
 def kg_nested_annotation_atoms(spark, sf_dir):
     """Nested-dict property rendering in the gate (the FAVOR annotation
     shape, metta_writer.py:158-160 + favor coercion): dict head atom +
@@ -4037,6 +4110,8 @@ CK_COLUMNS = {
                             "sum_value_c"],
     "kg_streaming_dedup": ["event_id", "event_type", "ts_s", "user_id",
                            "value_c"],
+    "kg_streaming_join": ["click_c", "click_ts_s", "imp_c", "imp_id",
+                          "imp_ts_s", "user_id"],
     "rel_session_window": ["n_events", "session_end", "session_start",
                            "sum_value_c", "user_id"],
     "rel_histogram_quantiles": ["event_type", "n_rows", "q_lo",
@@ -4088,7 +4163,7 @@ CK_COMPOSITES = {
     # composite gives the r5 windowed/watermark op a driver row without
     # growing the registry past the 50-row snapshot cap
     "kg_streaming_checks": ["kg_streaming_parity", "kg_streaming_window",
-                            "kg_streaming_dedup"],
+                            "kg_streaming_dedup", "kg_streaming_join"],
 }
 
 
