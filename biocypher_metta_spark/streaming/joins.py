@@ -36,16 +36,33 @@ from pyspark.sql import functions as F
 def interval_join(left: DataFrame, right: DataFrame, key: str,
                   left_time: str, right_time: str,
                   horizon: str = "2 minutes",
-                  delay: str = "30 minutes") -> DataFrame:
-    """Inner-join `right` rows onto `left` rows with the same `key`
-    whose `right_time` falls in [left_time, left_time + horizon]
-    (both ends inclusive).
+                  delay: str = "30 minutes",
+                  how: str = "inner") -> DataFrame:
+    """Join `right` rows onto `left` rows with the same `key` whose
+    `right_time` falls in [left_time, left_time + horizon] (both ends
+    inclusive).
+
+    how='inner' emits matches only; how='left_outer' additionally
+    emits a null-padded row for a left row once the watermark proves no
+    match can arrive (streaming: the null row appears only AFTER the
+    watermark passes left_time + horizon + delay, typically in a later
+    micro-batch — the attribution "never clicked" shape; batch frames
+    degrade to a plain left join). NB the GLOBAL watermark is the MIN
+    across both input streams (multipleWatermarkPolicy=min), so null
+    emission requires event time to advance on BOTH sides — a stalled
+    right stream holds every unmatched left row in state, by design
+    (measured in test_interval_join_left_outer_streaming_null_emission).
+    Right/full outer are not offered: this operator drops the
+    right-side key column, which a right-outer null-left row would
+    need.
 
     Both inputs must carry event-time timestamp columns; all non-key
     column names must be disjoint across the two sides (rename before
     calling — the gate's impression/click naming is the template).
     `delay` is the shared watermark lateness allowance; it bounds the
     state buffers, it does not change which rows match."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     overlap = (set(left.columns) & set(right.columns)) - {key}
     if overlap:
         raise ValueError(
@@ -57,7 +74,7 @@ def interval_join(left: DataFrame, right: DataFrame, key: str,
             & (rw[right_time] >= lw[left_time])
             & (rw[right_time] <= lw[left_time]
                + F.expr(f"INTERVAL {horizon}")))
-    return lw.join(rw, cond, "inner").drop(rw[key])
+    return lw.join(rw, cond, how).drop(rw[key])
 
 
 def run_interval_join_stream(left_stream: DataFrame,
