@@ -1182,6 +1182,40 @@ QUERIES["rel_session_window"] = (rel_session_window,
                                  REL_SESSION_WINDOW_SQL)
 
 
+def rel_grouping_sets(spark, sf_dir):
+    """CUBE / grouping-sets aggregation (the multi-granularity rollup
+    relational surface): per (returnflag, linestatus) cents totals at
+    all four granularities in ONE pass over the scan — Spark expands
+    the grouping sets map-side and a single shuffle aggregates every
+    granularity (vs 4 scans for 4 separate GROUP BYs). grouping_id()
+    disambiguates a rolled-up NULL from a data NULL; both engines
+    encode it with the first cube column as the high bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (li.cube("l_returnflag", "l_linestatus")
+           .agg(F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.floor(F.col("l_extendedprice") * 100))
+                .cast("long").alias("sum_cents"),
+                F.grouping_id().cast("long").alias("gid")))
+    return out.select(
+        F.coalesce("l_returnflag", F.lit("_all")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("_all")).alias("linestatus"),
+        "gid", "n_rows", "sum_cents")
+
+
+REL_GROUPING_SETS_SQL = """
+SELECT coalesce(l_returnflag, '_all') AS returnflag,
+       coalesce(l_linestatus, '_all') AS linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+QUERIES["rel_grouping_sets"] = (rel_grouping_sets, REL_GROUPING_SETS_SQL)
+
+
 def kg_streaming_dedup(spark, sf_dir):
     """Streaming dedup with bounded state (dropDuplicatesWithinWatermark
     — the streaming analog of doc_exact_dedup). Increment 1 carries
@@ -4116,6 +4150,8 @@ CK_COLUMNS = {
                            "sum_value_c", "user_id"],
     "rel_histogram_quantiles": ["event_type", "n_rows", "q_lo",
                                 "q_permille"],
+    "rel_grouping_sets": ["gid", "linestatus", "n_rows", "returnflag",
+                          "sum_cents"],
     "doc_simhash": ["doc_id", "simhash"],
     "doc_fingerprint": ["doc_id", "fingerprint"],
     "doc_hash_sample": ["doc_id", "lang"],
@@ -4137,7 +4173,7 @@ CK_COMPOSITES = {
                         "rel_shuffle_join_agg"],
     "rel_agg_checks": ["rel_collect_ordered", "rel_distinct_dedup",
                        "rel_union_adapters", "rel_pricing_summary",
-                       "rel_histogram_quantiles"],
+                       "rel_histogram_quantiles", "rel_grouping_sets"],
     "rel_window_checks": ["rel_window_rank", "rel_events_hourly",
                           "rel_session_window"],
     "rel_range_family": ["rel_range_join", "rel_interval_overlap"],
