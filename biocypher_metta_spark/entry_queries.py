@@ -4015,6 +4015,38 @@ FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id
        LEFT JOIN nr ON t.doc_id = nr.doc_id
 """
 
+def doc_chunk_fixed(spark, sf_dir):
+    """Fixed-window token chunking with overlap (RAG ingestion shape):
+    32-token windows every 24 tokens; the oracle re-derives the same
+    start-emission rule (keep s iff s == 0 or s + overlap < n_tokens)
+    and window slices."""
+    return text_ops.chunk_tokens(_docs_par(spark, sf_dir),
+                                 chunk_size=32, overlap=8)
+
+
+DOC_CHUNK_FIXED_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), st AS (
+  SELECT doc_id, toks,
+         list_filter(range(0, greatest(len(toks) - 1, 0) + 1, 24),
+                     s -> s = 0 OR s + 8 < len(toks)) AS starts
+  FROM t
+), ex AS (
+  SELECT doc_id,
+         unnest(range(1, len(starts) + 1)) - 1 AS chunk_no,
+         unnest(list_transform(starts, s -> toks[s+1:s+32])) AS c
+  FROM st
+)
+SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+       CAST(len(c) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(c, ' ') AS chunk_text
+FROM ex
+"""
+
+QUERIES["doc_chunk_fixed"] = (doc_chunk_fixed, DOC_CHUNK_FIXED_SQL)
+
 _BM25_JOIN_Q = [(1, "spark"), (1, "join"), (2, "window"), (2, "table"),
                 (3, "merge"), (3, "zzz-absent")]
 
@@ -4161,6 +4193,8 @@ CK_COLUMNS = {
     "doc_cms_topfreq": ["estimate", "value"],
     "doc_bm25_join": ["doc_id", "query_id", "rank", "score"],
     "doc_ngram_excise": ["clean_text", "doc_id", "n_removed", "n_tokens"],
+    "doc_chunk_fixed": ["chunk_no", "chunk_text", "doc_id",
+                        "n_chunk_tokens"],
     "kg_pagerank": ["id", "rank_fp"],
     "emb_semantic_dedup": ["keep", "rep_id", "vec_id"],
 }
@@ -4187,7 +4221,7 @@ CK_COMPOSITES = {
     "doc_curation_checks": ["doc_hash_sample", "doc_stratified_sample",
                             "web_domain_cap", "doc_bm25_topk",
                             "doc_cms_topfreq", "doc_bm25_join",
-                            "doc_ngram_excise"],
+                            "doc_ngram_excise", "doc_chunk_fixed"],
     "kg_graph_checks": ["kg_pagerank", "emb_semantic_dedup"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",

@@ -669,3 +669,47 @@ def c4_line_filter(df: DataFrame, text_col: str = "text",
         "doc_kept",
         F.when(F.col("doc_kept"), F.array_join("_kept", sep))
         .otherwise(F.lit("")).alias("text"))
+
+
+def chunk_tokens(df: DataFrame, chunk_size: int = 64, overlap: int = 16,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Fixed-window token chunking with overlap — the RAG-ingestion /
+    context-packing complement to the content-defined CDC chunker
+    (dedup.cdc_chunks): deterministic windows of `chunk_size` tokens
+    starting every chunk_size - overlap tokens, so neighboring chunks
+    share `overlap` tokens of context.
+
+    Emission rule (the part worth pinning): starts run 0, stride,
+    2*stride, ... and a start s > 0 is emitted only while the PREVIOUS
+    chunk did not already reach the document end — i.e. keep s iff
+    s == 0 or s + overlap < n_tokens (prev end = s - stride +
+    chunk_size = s + overlap). This yields exactly one chunk for short
+    docs and no trailing chunk that is pure overlap.
+
+    Returns (id_col, chunk_no, n_chunk_tokens, chunk_text): chunk_no
+    0-based in document order, chunk_text the window joined by single
+    spaces (whitespace canonicalized, the tokens() convention).
+
+    Scale shape: map-only — one transform + posexplode per doc, no
+    shuffle, fully inside codegen; output volume is
+    ~n_tokens/stride rows per doc (the point of the operator)."""
+    if chunk_size < 1:
+        raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(
+            f"overlap must be in [0, chunk_size), got {overlap}")
+    stride = chunk_size - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        lambda s: (s == 0) | (s + overlap < n))
+    chunks = F.transform(
+        starts, lambda s: F.slice(toks, s + 1, chunk_size))
+    return (df.select(F.col(id_col),
+                      F.posexplode(chunks).alias("chunk_no", "_c"))
+            .select(id_col,
+                    F.col("chunk_no").cast("long").alias("chunk_no"),
+                    F.size("_c").cast("long").alias("n_chunk_tokens"),
+                    F.array_join("_c", " ").alias("chunk_text")))

@@ -379,3 +379,55 @@ def test_bm25_join_multi_query_and_twin(spark):
     assert got == want
     with pytest.raises(ValueError):
         retrieval.bm25_score_join(c, q, k=0)
+
+
+# ------------------------------------------------------- fixed chunking
+
+def test_chunk_tokens_emission_rule(spark):
+    from biocypher_metta_spark.operators.text import chunk_tokens
+
+    def chunks(text, size, ov):
+        d = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        return [(r.chunk_no, r.n_chunk_tokens, r.chunk_text) for r in
+                chunk_tokens(d, size, ov).orderBy("chunk_no").collect()]
+
+    ten = " ".join(f"t{i}" for i in range(10))
+    # short doc -> exactly one chunk
+    assert chunks(ten, 64, 16) == [(0, 10, ten)]
+    # size 4, overlap 1, stride 3: starts 0,3,6,9; s=9: 9+1 >= 10 ->
+    # dropped (chunk at 6 covers 6..9 already)
+    got = chunks(ten, 4, 1)
+    assert [(c[0], c[1]) for c in got] == [(0, 4), (1, 4), (2, 4)]
+    assert got[1][2] == "t3 t4 t5 t6"
+    assert got[2][2] == "t6 t7 t8 t9"  # clamped end
+    # zero overlap = disjoint windows incl. short tail
+    got0 = chunks(ten, 4, 0)
+    assert [(c[0], c[1]) for c in got0] == [(0, 4), (1, 4), (2, 2)]
+    # every token appears in some chunk (coverage)
+    covered = set(" ".join(c[2] for c in got).split())
+    assert covered == set(ten.split())
+
+
+def test_chunk_tokens_validation(spark):
+    from biocypher_metta_spark.operators.text import chunk_tokens
+
+    d = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_tokens(d, 0)
+    with pytest.raises(ValueError):
+        chunk_tokens(d, 4, 4)
+
+
+def test_chunk_tokens_matches_duckdb_twin(spark):
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range((i * 13) % 60)))
+            for i in range(30)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    from biocypher_metta_spark.entry_queries import DOC_CHUNK_FIXED_SQL
+    from biocypher_metta_spark.operators.text import chunk_tokens
+
+    got = {tuple(r) for r in
+           chunk_tokens(d, chunk_size=32, overlap=8).collect()}
+    con = duckdb.connect()
+    con.register("documents", d.toPandas())
+    want = set(map(tuple, con.execute(DOC_CHUNK_FIXED_SQL).fetchall()))
+    assert got == want and len(got) >= 30
