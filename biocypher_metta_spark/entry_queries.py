@@ -4015,6 +4015,72 @@ FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id
        LEFT JOIN nr ON t.doc_id = nr.doc_id
 """
 
+def web_canonical_url(spark, sf_dir):
+    """URL canonicalization over 8 synthesized case families (scheme/
+    host case, userinfo, default ports, trailing slashes, tracking
+    params, param sorting, double-www, non-URL passthrough). The
+    oracle derives the EXPECTED canonical arithmetically from each
+    case's semantics — an independent expectation, not a rerun of the
+    operator's regexp chain."""
+    ids = _ids(spark, sf_dir)
+    k = (F.col("i") % 5).cast("string")
+    s = F.col("i").cast("string")
+    sel = F.col("i") % 8
+    url = (
+        F.when(sel == 0, F.concat(
+            F.lit("HTTPS://WWW.Site"), k,
+            F.lit(".com:443/a/b/?utm_source=x&q="), s, F.lit("#frag")))
+        .when(sel == 1, F.concat(F.lit("http://site"), k,
+                                 F.lit(".com:80/path/")))
+        .when(sel == 2, F.concat(F.lit("http://user:pw@site"), k,
+                                 F.lit(".com/x?b=2&a=1")))
+        .when(sel == 3, F.concat(F.lit("https://site"), k, F.lit(".com/")))
+        .when(sel == 4, F.concat(F.lit("ftp://site"), k, F.lit(".com:21/f")))
+        .when(sel == 5, F.concat(F.lit("not a url "), s))
+        .when(sel == 6, F.concat(F.lit("https://www.www.site"), k,
+                                 F.lit(".com/x?fbclid=abc")))
+        .otherwise(F.concat(F.lit("http://site"), k,
+                            F.lit(".com/x?gclid=1&utm_campaign=z"))))
+    d = ids.select(F.col("i").alias("doc_id"), url.alias("url"))
+    return d.select("doc_id", "url",
+                    web_ops.canonical_url(F.col("url")).alias("canon"))
+
+
+WEB_CANONICAL_URL_SQL = """
+WITH c AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         doc_id % 8 AS sel,
+         CAST(doc_id % 5 AS VARCHAR) AS k,
+         CAST(doc_id AS VARCHAR) AS s
+  FROM documents
+)
+SELECT doc_id,
+  CASE sel
+    WHEN 0 THEN 'HTTPS://WWW.Site' || k || '.com:443/a/b/?utm_source=x&q=' || s || '#frag'
+    WHEN 1 THEN 'http://site' || k || '.com:80/path/'
+    WHEN 2 THEN 'http://user:pw@site' || k || '.com/x?b=2&a=1'
+    WHEN 3 THEN 'https://site' || k || '.com/'
+    WHEN 4 THEN 'ftp://site' || k || '.com:21/f'
+    WHEN 5 THEN 'not a url ' || s
+    WHEN 6 THEN 'https://www.www.site' || k || '.com/x?fbclid=abc'
+    ELSE 'http://site' || k || '.com/x?gclid=1&utm_campaign=z'
+  END AS url,
+  CASE sel
+    WHEN 0 THEN 'https://site' || k || '.com/a/b?q=' || s
+    WHEN 1 THEN 'http://site' || k || '.com/path'
+    WHEN 2 THEN 'http://site' || k || '.com/x?a=1&b=2'
+    WHEN 3 THEN 'https://site' || k || '.com'
+    WHEN 4 THEN 'ftp://site' || k || '.com:21/f'
+    WHEN 5 THEN 'not a url ' || s
+    WHEN 6 THEN 'https://www.site' || k || '.com/x'
+    ELSE 'http://site' || k || '.com/x'
+  END AS canon
+FROM c
+"""
+
+QUERIES["web_canonical_url"] = (web_canonical_url, WEB_CANONICAL_URL_SQL)
+
+
 def doc_chunk_fixed(spark, sf_dir):
     """Fixed-window token chunking with overlap (RAG ingestion shape):
     32-token windows every 24 tokens; the oracle re-derives the same
@@ -4195,6 +4261,7 @@ CK_COLUMNS = {
     "doc_ngram_excise": ["clean_text", "doc_id", "n_removed", "n_tokens"],
     "doc_chunk_fixed": ["chunk_no", "chunk_text", "doc_id",
                         "n_chunk_tokens"],
+    "web_canonical_url": ["canon", "doc_id", "url"],
     "kg_pagerank": ["id", "rank_fp"],
     "emb_semantic_dedup": ["keep", "rep_id", "vec_id"],
 }
@@ -4221,7 +4288,8 @@ CK_COMPOSITES = {
     "doc_curation_checks": ["doc_hash_sample", "doc_stratified_sample",
                             "web_domain_cap", "doc_bm25_topk",
                             "doc_cms_topfreq", "doc_bm25_join",
-                            "doc_ngram_excise", "doc_chunk_fixed"],
+                            "doc_ngram_excise", "doc_chunk_fixed",
+                            "web_canonical_url"],
     "kg_graph_checks": ["kg_pagerank", "emb_semantic_dedup"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",

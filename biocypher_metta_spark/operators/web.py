@@ -48,6 +48,56 @@ def extract_host(url: Column, strip_www: bool = True) -> Column:
     return host
 
 
+_AUTH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]+)"
+_REST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]+(.*)$"
+# tracking params the C4/CC recipes drop before URL-dedup
+_TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL for url-level dedup (the C4 / Common
+    Crawl precursor to exact dedup on the URL key). Deterministic
+    rewrite chain, every step a JVM-side regexp/array op:
+
+    1. strip the fragment (#...);
+    2. lower-case scheme and host, drop userinfo, strip ONE leading
+       'www.' label;
+    3. drop the default port (:80 for http, :443 for https — other
+       schemes keep their port);
+    4. strip ALL trailing slashes from the path (root '/' becomes '');
+    5. drop tracking params (utm_*, fbclid, gclid), SORT the remaining
+       query params (sorting canonicalizes param order across crawls;
+       duplicate keys keep value-sorted order), drop the '?' when none
+       survive.
+
+    Inputs with no scheme://authority prefix pass through trimmed and
+    otherwise untouched — dropping them is the caller's policy call,
+    as in domain_cap."""
+    u = F.regexp_replace(F.trim(url), r"#.*$", "")
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u, _AUTH_RE, 1)), r"^www\.", "")
+    host = (F.when(scheme == "http",
+                   F.regexp_replace(host, r":80$", ""))
+            .when(scheme == "https",
+                  F.regexp_replace(host, r":443$", ""))
+            .otherwise(host))
+    rest = F.regexp_extract(u, _REST_RE, 1)
+    path = F.regexp_replace(F.regexp_extract(rest, r"^([^?]*)", 1),
+                            r"/+$", "")
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (~p.rlike(_TRACKING_RE)) & (p != "")))
+    canon_q = F.array_join(params, "&")
+    out = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q))
+        .otherwise(F.lit("")))
+    return F.when(scheme == "", F.trim(url)).otherwise(out)
+
+
 def domain_cap(df: DataFrame, cap: int, url_col: str = "url",
                id_col: str = "doc_id", salt: str = "domcap",
                prefilter_permille: int | None = None) -> DataFrame:

@@ -431,3 +431,38 @@ def test_chunk_tokens_matches_duckdb_twin(spark):
     con.register("documents", d.toPandas())
     want = set(map(tuple, con.execute(DOC_CHUNK_FIXED_SQL).fetchall()))
     assert got == want and len(got) >= 30
+
+
+# -------------------------------------------------- url canonicalization
+
+def test_canonical_url_cases(spark):
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/a/b/?utm_source=x&q=1#f",
+         "https://ex.com/a/b?q=1"),
+        ("http://ex.com:80/path/", "http://ex.com/path"),
+        ("http://u:p@ex.com/x?b=2&a=1", "http://ex.com/x?a=1&b=2"),
+        ("https://ex.com/", "https://ex.com"),
+        ("https://ex.com", "https://ex.com"),
+        ("ftp://ex.com:21/f", "ftp://ex.com:21/f"),   # non-http port kept
+        ("https://ex.com:8443/x", "https://ex.com:8443/x"),
+        ("https://www.www.ex.com/x?fbclid=a", "https://www.ex.com/x"),
+        ("http://ex.com/x?gclid=1&utm_campaign=z", "http://ex.com/x"),
+        ("  not a url 7  ", "not a url 7"),
+        ("http://ex.com/x///", "http://ex.com/x"),
+    ]
+    d = spark.createDataFrame(cases, ["url", "want"])
+    rows = d.select("url", "want",
+                    web.canonical_url(F.col("url")).alias("got")).collect()
+    for r in rows:
+        assert r.got == r.want, (r.url, r.got, r.want)
+
+
+def test_canonical_url_idempotent(spark):
+    urls = [("HTTPS://WWW.Ex.COM:443/a/b/?utm_source=x&q=1#f",),
+            ("http://u:p@ex.com/x?b=2&a=1",), ("garbage",)]
+    d = spark.createDataFrame(urls, ["url"])
+    once = d.select(web.canonical_url(F.col("url")).alias("c1"))
+    twice = once.select("c1",
+                        web.canonical_url(F.col("c1")).alias("c2"))
+    for r in twice.collect():
+        assert r.c1 == r.c2
