@@ -3926,6 +3926,28 @@ def emb_semantic_dedup(spark, sf_dir):
         quant_scale=100)
 
 
+def emb_kmeans(spark, sf_dir):
+    """Deterministic integer k-means (Lloyd's, 3 unrolled rounds) over
+    the first 8 coordinates of the real embeddings table — the
+    iterative-ML clustering member of the graph/iterative family. The
+    oracle is the generated unrolled-CTE twin (kmeans.kmeans_sql), one
+    recipe for both sides."""
+    from biocypher_metta_spark.operators.kmeans import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=4, dim=8, iterations=3)
+
+
+def _kmeans_gate_sql():
+    from biocypher_metta_spark.operators.kmeans import kmeans_sql
+
+    return kmeans_sql(k=4, dim=8, iterations=3)
+
+
+EMB_KMEANS_SQL = _kmeans_gate_sql()
+QUERIES["emb_kmeans"] = (emb_kmeans, EMB_KMEANS_SQL)
+
+
 EMB_SEMANTIC_DEDUP_SQL = f"""
 WITH RECURSIVE ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
 v AS (
@@ -4264,6 +4286,7 @@ CK_COLUMNS = {
     "web_canonical_url": ["canon", "doc_id", "url"],
     "kg_pagerank": ["id", "rank_fp"],
     "emb_semantic_dedup": ["keep", "rep_id", "vec_id"],
+    "emb_kmeans": ["cluster", "vec_id"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
@@ -4290,7 +4313,8 @@ CK_COMPOSITES = {
                             "doc_cms_topfreq", "doc_bm25_join",
                             "doc_ngram_excise", "doc_chunk_fixed",
                             "web_canonical_url"],
-    "kg_graph_checks": ["kg_pagerank", "emb_semantic_dedup"],
+    "kg_graph_checks": ["kg_pagerank", "emb_semantic_dedup",
+                        "emb_kmeans"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",

@@ -466,3 +466,64 @@ def test_canonical_url_idempotent(spark):
                         web.canonical_url(F.col("c1")).alias("c2"))
     for r in twice.collect():
         assert r.c1 == r.c2
+
+
+# ------------------------------------------------------- integer k-means
+
+def _km(spark, rows):
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    from biocypher_metta_spark.operators.kmeans import kmeans_assign
+
+    # two tight 2-d blobs; ids 0 and 1 (the seeds) land in different
+    # blobs so Lloyd converges to the planted split in one round
+    rows = ([(0, [0.0, 0.0]), (2, [0.1, 0.0]), (4, [0.0, 0.1])]
+            + [(1, [5.0, 5.0]), (3, [5.1, 5.0]), (5, [5.0, 5.1])])
+    out = {r.vec_id: r.cluster for r in
+           kmeans_assign(_km(spark, rows), k=2, dim=2,
+                         iterations=2).collect()}
+    assert out[0] == out[2] == out[4] == 0
+    assert out[1] == out[3] == out[5] == 1
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    from biocypher_metta_spark.operators.kmeans import kmeans_assign
+
+    # seed 1 = [10,10] attracts nothing after round 1 (every point is
+    # nearer blob 0's mean) -> cluster 1 keeps its centroid and the
+    # far outlier still assigns to it deterministically
+    rows = [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [0.2, 0.0]),
+            (3, [0.0, 0.2]), (4, [9.9, 9.9])]
+    out = {r.vec_id: r.cluster for r in
+           kmeans_assign(_km(spark, rows), k=2, dim=2,
+                         iterations=3).collect()}
+    assert out[1] == out[4] == 1 and out[0] == out[2] == out[3] == 0
+
+
+def test_kmeans_matches_duckdb_twin(spark):
+    from biocypher_metta_spark.operators.kmeans import (kmeans_assign,
+                                                        kmeans_sql)
+
+    rows = [(i, [((i * 13 + j * 7) % 29 - 14) / 10.0 for j in range(6)])
+            for i in range(120)]
+    d = _km(spark, rows)
+    got = {(r.vec_id, r.cluster) for r in
+           kmeans_assign(d, k=3, dim=6, iterations=3).collect()}
+    con = duckdb.connect()
+    con.register("embeddings", d.toPandas())
+    want = set(map(tuple, con.execute(
+        kmeans_sql(k=3, dim=6, iterations=3)).fetchall()))
+    assert got == want and len(got) == 120
+    assert len({c for _, c in got}) == 3
+
+
+def test_kmeans_validation(spark):
+    from biocypher_metta_spark.operators.kmeans import kmeans_assign
+
+    d = _km(spark, [(0, [0.0])])
+    with pytest.raises(ValueError):
+        kmeans_assign(d, k=0)
+    with pytest.raises(ValueError):
+        kmeans_assign(d, iterations=0)
