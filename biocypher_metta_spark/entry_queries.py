@@ -4153,6 +4153,57 @@ def doc_bm25_join(spark, sf_dir):
 
 DOC_BM25_JOIN_SQL = retrieval_ops.bm25_join_sql(_BM25_JOIN_Q, k=15)
 
+def rel_bloom_prefilter(spark, sf_dir):
+    """Map-only Bloom prefilter of a fact table against a selective
+    build side — the shuffle-avoidance pattern for a 100-TB probe: the
+    filter over BUILDING-segment customer keys (m=4096 bits, k=3,
+    deliberately small so false positives OCCUR and both engines must
+    agree on them bit-for-bit) rides into the orders scan as a literal
+    word array. Oracle: bloom_prefilter_sql's k-unrolled join
+    formulation over the same double-hashed word table — a different
+    plan shape computing the same math."""
+    from biocypher_metta_spark.operators import sketch as sk
+
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    words = sk.bloom_build(cust, "c_custkey", m_bits=4096, k=3)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return sk.bloom_prefilter(orders, words, "o_custkey",
+                              m_bits=4096, k=3)
+
+
+def _bloom_gate_sql():
+    from biocypher_metta_spark.operators.sketch import bloom_prefilter_sql
+
+    return bloom_prefilter_sql(
+        "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'",
+        "SELECT o_orderkey, o_custkey FROM orders",
+        build_col="c_custkey", probe_col="o_custkey",
+        probe_cols=["o_orderkey", "o_custkey"], m_bits=4096, k=3)
+
+
+REL_BLOOM_PREFILTER_SQL = _bloom_gate_sql()
+
+
+def kg_triangles(spark, sf_dir):
+    """Per-vertex triangle counts (degree-oriented wedge join —
+    graph.triangle_count) over an edge table synthesized from doc_ids:
+    src = i % 47, dst = (i // 7) % 47 — a multigraph over 47 nodes
+    mixing i two different ways (an affine dst-of-src map would be
+    triangle-free) so the dedup'd undirected edge set has varied
+    degrees and abundant triangles. Oracle: the DuckDB twin
+    generated from the same orientation recipe
+    (graph.triangle_count_sql)."""
+    ids = _ids(spark, sf_dir)
+    edges = ids.select((F.col("i") % 47).alias("src"),
+                       ((F.col("i") / 7).cast("long") % 47).alias("dst"))
+    return graph_ops.triangle_count(edges)
+
+
+KG_TRIANGLES_SQL = graph_ops.triangle_count_sql(
+    "SELECT CAST(doc_id AS BIGINT) % 47 AS src, "
+    "(CAST(doc_id AS BIGINT) // 7) % 47 AS dst FROM documents")
+
 QUERIES.update({
     "doc_ngram_excise": (doc_ngram_excise, DOC_NGRAM_EXCISE_SQL),
     "doc_bm25_join": (doc_bm25_join, DOC_BM25_JOIN_SQL),
@@ -4164,6 +4215,8 @@ QUERIES.update({
     "doc_cms_topfreq": (doc_cms_topfreq, DOC_CMS_SQL),
     "kg_pagerank": (kg_pagerank, KG_PAGERANK_SQL),
     "emb_semantic_dedup": (emb_semantic_dedup, EMB_SEMANTIC_DEDUP_SQL),
+    "kg_triangles": (kg_triangles, KG_TRIANGLES_SQL),
+    "rel_bloom_prefilter": (rel_bloom_prefilter, REL_BLOOM_PREFILTER_SQL),
 })
 
 
@@ -4285,6 +4338,8 @@ CK_COLUMNS = {
                         "n_chunk_tokens"],
     "web_canonical_url": ["canon", "doc_id", "url"],
     "kg_pagerank": ["id", "rank_fp"],
+    "kg_triangles": ["id", "triangles"],
+    "rel_bloom_prefilter": ["o_custkey", "o_orderkey"],
     "emb_semantic_dedup": ["keep", "rep_id", "vec_id"],
     "emb_kmeans": ["cluster", "vec_id"],
 }
@@ -4294,7 +4349,7 @@ CK_COMPOSITES = {
     "rel_scalar_checks": ["rel_window_filter", "rel_composite_id",
                           "rel_score_cutoff"],
     "rel_join_checks": ["rel_broadcast_left_join", "rel_double_inner_join",
-                        "rel_shuffle_join_agg"],
+                        "rel_shuffle_join_agg", "rel_bloom_prefilter"],
     "rel_agg_checks": ["rel_collect_ordered", "rel_distinct_dedup",
                        "rel_union_adapters", "rel_pricing_summary",
                        "rel_histogram_quantiles", "rel_grouping_sets"],
@@ -4314,7 +4369,7 @@ CK_COMPOSITES = {
                             "doc_ngram_excise", "doc_chunk_fixed",
                             "web_canonical_url"],
     "kg_graph_checks": ["kg_pagerank", "emb_semantic_dedup",
-                        "emb_kmeans"],
+                        "emb_kmeans", "kg_triangles"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",

@@ -159,3 +159,111 @@ def pagerank_sql(edges_sql: str, src: str = "src", dst: str = "dst",
 )""")
     parts.append(f"\nSELECT id, r AS rank_fp FROM pr_r{iterations}")
     return "".join(parts)
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Per-vertex triangle counts over the undirected simple graph
+    induced by the edge list -> (id, triangles), every endpoint
+    present (zero-triangle vertices included).
+
+    Beyond-reference graph-analytics op (the reference's MeTTa space
+    answers pattern matches only); triangles/clustering coefficient is
+    the standard KG-quality signal for spotting over-linked hub
+    entities and mention-linking noise.
+
+    Scale shape
+    -----------
+    Degree orientation is the whole trick: every undirected edge is
+    directed from its lower (degree, id) endpoint to its higher one,
+    which bounds every out-degree by O(sqrt(2m)) [Chiba-Nishizeki].
+    Wedge generation — the oriented edge list self-joined on its
+    source — therefore costs sum_u C(outdeg(u), 2) = O(m^1.5) total
+    work REGARDLESS of in-degree skew: a celebrity vertex (10^8
+    neighbors in a web graph) is oriented INWARD from almost all of
+    its edges and generates no wedges itself, so the hub never lands
+    on one task.  Three shuffles total (degree agg, wedge self-join
+    keyed on the wedge apex, closing-edge equi-join on (x, y) pairs)
+    plus the final per-vertex count with map-side combine.  No
+    iteration, no checkpoint, no driver state.
+
+    Cross-engine exactness: pure integer counting — each triangle
+    {a, b, c} is emitted exactly once (its vertices are totally
+    ordered by (deg, id); the wedge apex is the minimum, the closing
+    edge check follows the same order), so the DuckDB twin generated
+    by triangle_count_sql() from the same recipe matches bit-for-bit.
+    """
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .filter(F.col("s").isNotNull() & F.col("d").isNotNull()
+                 & (F.col("s") != F.col("d"))))
+    und = (e.select(F.least("s", "d").alias("a"),
+                    F.greatest("s", "d").alias("b"))
+           .distinct())
+    deg = (und.select(F.col("a").alias("id"))
+           .unionAll(und.select(F.col("b").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("deg")))
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("db"))
+    j = und.join(da, "a").join(db, "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    o = j.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"))
+    e1 = o.select(F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx"))
+    e2 = o.select(F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy"))
+    wedge = e1.join(e2, "u").filter(
+        (F.col("dx") < F.col("dy")) | (
+            (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))))
+    closing = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedge.join(closing, ["x", "y"]).select("u", "x", "y")
+    cnt = (tri.select(F.explode(F.array("u", "x", "y")).alias("id"))
+           .groupBy("id").agg(F.count(F.lit(1)).cast("long")
+                              .alias("triangles")))
+    return (deg.select("id").join(cnt, "id", "left")
+            .select("id", F.coalesce("triangles", F.lit(0)).cast("long")
+                    .alias("triangles")))
+
+
+def triangle_count_sql(edges_sql: str, src: str = "src",
+                       dst: str = "dst") -> str:
+    """DuckDB twin of triangle_count(), generated from the same
+    orientation recipe (one source of truth).  CTE names carry a tc_
+    prefix to avoid collisions with caller tables."""
+    return f"""WITH tc_raw AS (
+{edges_sql.strip()}
+), tc_und AS (
+  SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+  FROM tc_raw
+  WHERE {src} IS NOT NULL AND {dst} IS NOT NULL AND {src} <> {dst}
+), tc_deg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT a AS id FROM tc_und UNION ALL SELECT b FROM tc_und)
+  GROUP BY 1
+), tc_o AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND t.a < t.b)
+              THEN t.a ELSE t.b END AS u,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND t.a < t.b)
+              THEN t.b ELSE t.a END AS v,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND t.a < t.b)
+              THEN db.deg ELSE da.deg END AS dv
+  FROM tc_und t
+  JOIN tc_deg da ON t.a = da.id
+  JOIN tc_deg db ON t.b = db.id
+), tc_tri AS (
+  SELECT e1.u AS u, e1.v AS x, e2.v AS y
+  FROM tc_o e1
+  JOIN tc_o e2 ON e1.u = e2.u
+   AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+  JOIN tc_o e3 ON e3.u = e1.v AND e3.v = e2.v
+), tc_cnt AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS triangles
+  FROM (SELECT u AS id FROM tc_tri UNION ALL
+        SELECT x FROM tc_tri UNION ALL
+        SELECT y FROM tc_tri)
+  GROUP BY 1
+)
+SELECT n.id AS id, CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles
+FROM (SELECT id FROM tc_deg) n
+LEFT JOIN tc_cnt c ON n.id = c.id"""

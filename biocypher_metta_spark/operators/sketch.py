@@ -286,3 +286,141 @@ def kmv_merge_minima(minima: DataFrame, group_cols: list,
     return (minima.select(*group_cols, "h").distinct()
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+# ---------------------------------------------------------------- Bloom
+
+def _bloom_hashes(col: str, m_bits: int):
+    """(h1m, h2m) column pair for double hashing [Kirsch-Mitzenmacher]:
+    probe_i = (h1m + i*h2m) % m_bits. Both are reduced mod m_bits BEFORE
+    any addition so no intermediate can overflow int64; h2m is forced
+    odd (| 1) so the stride is coprime with the power-of-two m_bits and
+    the k probes never collapse onto one position."""
+    v = F.col(col).cast("string")
+    h1 = portable_hash(v)
+    h2 = portable_hash(F.concat(v, F.lit("\x1fB")))
+    return h1 % m_bits, (h2 % m_bits).bitwiseOR(1)
+
+
+def bloom_build(df: DataFrame, col: str, m_bits: int = 1 << 16,
+                k: int = 4) -> DataFrame:
+    """Build a Bloom filter over the distinct non-NULL values of `col`
+    as a (word_idx, bits) word table: 32 filter bits per int64 word
+    (bits 32..63 stay zero, so shifts are overflow-free in any engine).
+
+    Cross-engine determinism is the design driver (same reason KMV
+    replaces HLL above): positions come from the portable 60-bit md5
+    hash via double hashing, so Spark and the DuckDB twin set — and
+    later probe — EXACTLY the same bits; even false positives agree.
+
+    Scale shape: one explode to k position rows per input value, one
+    groupBy word_idx with map-side bit_or combine — output is bounded
+    by m_bits/32 rows REGARDLESS of input size (the CMS/KMV property).
+    Word tables from disjoint inputs merge by bit_or on word_idx."""
+    if m_bits < 64 or m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
+    if not 1 <= k <= 16:
+        raise ValueError(f"k must be in [1, 16], got {k}")
+    h1m, h2m = _bloom_hashes(col, m_bits)
+    pos = (df.filter(F.col(col).isNotNull())
+           .select(h1m.alias("_h1"), h2m.alias("_h2"))
+           .select(F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"),
+                   "_h1", "_h2")
+           .select(((F.col("_h1") + F.col("_i") * F.col("_h2")) % m_bits)
+                   .alias("_p")))
+    # F.shiftleft takes a Python-int shift amount only; the SQL form
+    # accepts a column.
+    return (pos.groupBy((F.col("_p") / 32).cast("long").alias("word_idx"))
+            .agg(F.bit_or(F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(_p % 32 AS INT))"))
+                 .alias("bits"))
+            .select("word_idx", F.col("bits").cast("long").alias("bits")))
+
+
+def bloom_prefilter(probe: DataFrame, words: DataFrame, col: str,
+                    m_bits: int = 1 << 16, k: int = 4) -> DataFrame:
+    """Keep the probe rows whose `col` MAY be in the set the word table
+    was built over (NULL never passes). The classic shuffle-avoidance
+    pattern for joining a 100-TB fact table against a selective build
+    side: the filter is m_bits/32 int64s BY CONSTRUCTION, so it rides
+    to every task as a literal array and the probe stays MAP-ONLY — no
+    shuffle, no broadcast-join hash relation, false-positive rows only
+    (deterministic ones, given the portable hash) leak through to the
+    real join afterwards.
+
+    The bounded `words.collect()` here is the same legitimacy class as
+    the IVF centroid pull (similarity.py): <= m_bits/32 = a few
+    thousand rows, fixed by the operator's own parameter, never by
+    data volume."""
+    if m_bits < 64 or m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
+    if not 1 <= k <= 16:
+        raise ValueError(f"k must be in [1, 16], got {k}")
+    n_words = m_bits // 32
+    dense = [0] * n_words
+    for r in words.collect():
+        w = int(r["word_idx"])
+        if not 0 <= w < n_words:
+            raise ValueError(f"word_idx {w} out of range for m_bits={m_bits}")
+        dense[w] |= int(r["bits"])
+    arr = F.array([F.lit(w).cast("long") for w in dense])
+    h1m, h2m = _bloom_hashes(col, m_bits)
+    p = probe.withColumn("_h1", h1m).withColumn("_h2", h2m)
+    tmp = ["_h1", "_h2"]
+    cond = F.col(col).isNotNull()
+    for i in range(k):
+        pc = f"_pos{i}"
+        tmp.append(pc)
+        p = p.withColumn(pc, (F.col("_h1") + i * F.col("_h2")) % m_bits)
+        word = F.element_at(arr, (F.col(pc) / 32).cast("int") + 1)
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST({pc} % 32 AS INT))")
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    return p.filter(cond).drop(*tmp)
+
+
+def bloom_prefilter_sql(build_sql: str, probe_sql: str, build_col: str,
+                        probe_col: str, probe_cols: list,
+                        m_bits: int = 1 << 16, k: int = 4) -> str:
+    """DuckDB twin of bloom_build + bloom_prefilter, generated from the
+    same double-hashing recipe (one source of truth). Deliberately a
+    DIFFERENT formulation — k unrolled joins against the word table
+    instead of a literal-array map — so the gate cross-checks the math,
+    not the plan. CTE names carry a bf_ prefix."""
+    hexpr = (
+        "('0x' || substr(md5(CAST({v} AS VARCHAR)), 1, 15))::BIGINT"
+        " % {m} AS h1, "
+        "((('0x' || substr(md5(CAST({v} AS VARCHAR) || chr(31) || 'B'),"
+        " 1, 15))::BIGINT % {m}) | 1) AS h2")
+    joins, conds = [], []
+    for i in range(k):
+        joins.append(
+            f"JOIN bf_words w{i} ON w{i}.word_idx = "
+            f"((p.h1 + {i} * p.h2) % {m_bits}) // 32")
+        conds.append(
+            f"(w{i}.bits & (CAST(1 AS BIGINT) << "
+            f"CAST((p.h1 + {i} * p.h2) % {m_bits} % 32 AS INT))) <> 0")
+    cols = ", ".join(f"p.\"{c}\"" for c in probe_cols)
+    return f"""WITH bf_raw AS (
+{build_sql.strip()}
+), bf_h AS (
+  SELECT {hexpr.format(v=f'"{build_col}"', m=m_bits)}
+  FROM bf_raw WHERE "{build_col}" IS NOT NULL
+), bf_pos AS (
+  SELECT (h.h1 + t.i * h.h2) % {m_bits} AS p
+  FROM bf_h h, (SELECT unnest(range({k})) AS i) t
+), bf_words AS (
+  SELECT p // 32 AS word_idx,
+         CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS BIGINT)
+           AS bits
+  FROM bf_pos GROUP BY 1
+), bf_probe AS (
+  SELECT pr.*, {hexpr.format(v=f'"{probe_col}"', m=m_bits)}
+  FROM (
+{probe_sql.strip()}
+  ) pr WHERE "{probe_col}" IS NOT NULL
+)
+SELECT {cols}
+FROM bf_probe p
+{chr(10).join(joins)}
+WHERE {" AND ".join(conds)}"""

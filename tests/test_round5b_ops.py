@@ -11,7 +11,8 @@ from pyspark.sql import functions as F
 from biocypher_metta_spark.operators import retrieval, sampling, web
 from biocypher_metta_spark.operators import sketch as sk
 from biocypher_metta_spark.operators.dedup import semantic_dedup
-from biocypher_metta_spark.operators.graph import pagerank, pagerank_sql
+from biocypher_metta_spark.operators.graph import (
+    pagerank, pagerank_sql, triangle_count, triangle_count_sql)
 
 
 # ---------------------------------------------------------------- sampling
@@ -527,3 +528,106 @@ def test_kmeans_validation(spark):
         kmeans_assign(d, k=0)
     with pytest.raises(ValueError):
         kmeans_assign(d, iterations=0)
+
+
+# ------------------------------------------------------ triangle counting
+
+def test_triangle_count_known_graph(spark):
+    # K4 on {1,2,3,4}: each vertex is in C(3,2)=3 triangles; vertex 5
+    # hangs off 1 (zero triangles); parallel/reversed/self edges are
+    # noise the canonicalization must absorb.
+    edges = ([(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+             + [(1, 5), (5, 1), (2, 2)])
+    d = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.id: r.triangles for r in triangle_count(d).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}
+
+
+def test_triangle_count_matches_duckdb_twin(spark):
+    edges = [(i % 13, (i // 3) % 13) for i in range(120)]
+    d = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r.id, r.triangles) for r in triangle_count(d).collect()}
+    con = duckdb.connect()
+    con.register("e", d.toPandas())
+    sql = triangle_count_sql("SELECT src, dst FROM e")
+    want = {(r[0], r[1]) for r in con.execute(sql).fetchall()}
+    assert got == want
+    assert sum(t for _, t in got) > 0  # graph actually has triangles
+
+
+def test_triangle_count_brute_force(spark):
+    import itertools
+
+    edges = [(i % 11, (i // 5) % 11) for i in range(70)]
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = {v for e in und for v in e}
+    want = dict.fromkeys(nodes, 0)
+    for t in itertools.combinations(sorted(nodes), 3):
+        if all((min(p), max(p)) in und
+               for p in itertools.combinations(t, 2)):
+            for v in t:
+                want[v] += 1
+    d = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.id: r.triangles for r in triangle_count(d).collect()}
+    assert got == want
+
+
+# ------------------------------------------------------ Bloom prefilter
+
+def test_bloom_no_false_negatives(spark):
+    build = spark.createDataFrame([(f"k{i}",) for i in range(200)], ["v"])
+    words = sk.bloom_build(build, "v", m_bits=1 << 12, k=4)
+    probe = spark.createDataFrame(
+        [(f"k{i}",) for i in range(300)] + [(None,)], ["v"])
+    kept = {r.v for r in
+            sk.bloom_prefilter(probe, words, "v",
+                               m_bits=1 << 12, k=4).collect()}
+    assert {f"k{i}" for i in range(200)} <= kept  # every member kept
+    assert None not in kept                       # NULL never passes
+
+
+def test_bloom_matches_duckdb_twin(spark):
+    import duckdb
+
+    build = spark.createDataFrame([(i * 3,) for i in range(150)], ["bk"])
+    probe = spark.createDataFrame([(i, i % 500) for i in range(2000)],
+                                  ["pk", "fk"])
+    words = sk.bloom_build(build, "bk", m_bits=1 << 10, k=3)
+    got = {(r.pk, r.fk) for r in
+           sk.bloom_prefilter(probe, words, "fk",
+                              m_bits=1 << 10, k=3).collect()}
+    con = duckdb.connect()
+    con.register("b", build.toPandas())
+    con.register("p", probe.toPandas())
+    sql = sk.bloom_prefilter_sql(
+        "SELECT bk FROM b", "SELECT pk, fk FROM p",
+        build_col="bk", probe_col="fk", probe_cols=["pk", "fk"],
+        m_bits=1 << 10, k=3)
+    want = {(r[0], r[1]) for r in con.execute(sql).fetchall()}
+    assert got == want
+    members = {i * 3 for i in range(150)}
+    fps = {fk for _, fk in got} - members
+    assert fps  # small filter chosen so FPs exist — and both agreed
+
+
+def test_bloom_word_table_bounded_and_mergeable(spark):
+    a = spark.createDataFrame([(f"a{i}",) for i in range(500)], ["v"])
+    b = spark.createDataFrame([(f"b{i}",) for i in range(500)], ["v"])
+    m = 1 << 10
+    wa, wb = (sk.bloom_build(d, "v", m_bits=m, k=4) for d in (a, b))
+    assert wa.count() <= m // 32  # bounded by construction
+    merged = (wa.unionByName(wb).groupBy("word_idx")
+              .agg(F.bit_or("bits").alias("bits")))
+    direct = sk.bloom_build(a.unionByName(b), "v", m_bits=m, k=4)
+    assert ({(r.word_idx, r.bits) for r in merged.collect()}
+            == {(r.word_idx, r.bits) for r in direct.collect()})
+
+
+def test_bloom_validation(spark):
+    d = spark.createDataFrame([("x",)], ["v"])
+    with pytest.raises(ValueError):
+        sk.bloom_build(d, "v", m_bits=1000)  # not a power of two
+    with pytest.raises(ValueError):
+        sk.bloom_build(d, "v", m_bits=1 << 10, k=0)
+    with pytest.raises(ValueError):
+        sk.bloom_prefilter(d, sk.bloom_build(d, "v"), "v", m_bits=48)

@@ -156,6 +156,68 @@ def run_pagerank(spark, n: int) -> dict:
             "sec": round(time.time() - t0, 2)}
 
 
+def run_bm25_join(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.retrieval import bm25_score_join
+
+    d = synth_text_corpus(spark, n)
+    q = spark.createDataFrame(
+        [(i, f"w{(i * 37) % 999983}") for i in range(40)],
+        ["query_id", "token"])
+    t0 = time.time()
+    rows = bm25_score_join(d, q, k=20).count()
+    return {"rows_in": n, "matches": rows,
+            "sec": round(time.time() - t0, 2)}
+
+
+def run_ngram_excise(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.dedup import excise_repeated_ngrams
+
+    d = synth_text_corpus(spark, n)  # plants a dup every 97th doc
+    t0 = time.time()
+    out = excise_repeated_ngrams(d, n=8)
+    removed = out.agg(F.sum("n_removed")).first()[0]
+    return {"rows_in": n, "tokens_removed": int(removed),
+            "sec": round(time.time() - t0, 2)}
+
+
+def run_chunk(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.text import chunk_tokens
+
+    d = synth_text_corpus(spark, n)
+    t0 = time.time()
+    c = chunk_tokens(d, chunk_size=32, overlap=8).count()
+    return {"rows_in": n, "chunks": c, "sec": round(time.time() - t0, 2)}
+
+
+def run_canonical_url(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.web import canonical_url
+
+    d = spark.range(n).select(F.concat(
+        F.lit("HTTPS://WWW.h"), (F.col("id") % 1000).cast("string"),
+        F.lit(".com:443/p/"), F.col("id").cast("string"),
+        F.lit("/?utm_source=x&b=2&a="), F.col("id").cast("string"),
+        F.lit("#f")).alias("url"))
+    t0 = time.time()
+    c = (d.select(canonical_url(F.col("url")).alias("c"))
+         .filter(F.col("c").startswith("https://h")).count())
+    return {"rows_in": n, "rows_out": c, "sec": round(time.time() - t0, 2)}
+
+
+def run_kmeans(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.kmeans import kmeans_assign
+
+    vec = ("transform(sequence(0, 7), j -> CAST(("
+           "CAST(conv(substring(md5(concat(cast(id as string), '_', "
+           "cast(j as string))), 1, 2), 16, 10) AS INT) - 128) / 64.0 "
+           "+ 3.0 * CAST(id % 8 = CAST(j AS BIGINT) AS INT) AS DOUBLE))")
+    emb = spark.range(n).select(F.col("id").alias("vec_id"),
+                                F.expr(vec).alias("embedding"))
+    t0 = time.time()
+    out = kmeans_assign(emb, k=8, dim=8, iterations=3)
+    c = out.groupBy("cluster").count().count()
+    return {"rows_in": n, "clusters": c, "sec": round(time.time() - t0, 2)}
+
+
 def main():
     spark = get_spark("rehearsal-r5b")
     spark.sparkContext.setLogLevel("ERROR")
@@ -167,6 +229,11 @@ def main():
         "cms": (run_cms, 10_000_000),
         "semantic_dedup": (run_semantic_dedup, 500_000),
         "pagerank": (run_pagerank, 2_000_000),
+        "bm25_join": (run_bm25_join, 2_000_000),
+        "ngram_excise": (run_ngram_excise, 1_000_000),
+        "chunk_fixed": (run_chunk, 2_000_000),
+        "canonical_url": (run_canonical_url, 20_000_000),
+        "kmeans": (run_kmeans, 1_000_000),
     }
     only = set(sys.argv[1:])
     # incremental: merge this invocation's ops into the artifact so a
