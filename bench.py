@@ -121,7 +121,9 @@ def main() -> None:
              "web_domain_cap", "doc_bm25_topk", "doc_cms_topfreq",
              "kg_pagerank", "emb_semantic_dedup", "doc_bm25_join",
              "doc_ngram_excise", "rel_grouping_sets", "doc_chunk_fixed",
-             "web_canonical_url", "emb_kmeans"]
+             "web_canonical_url", "emb_kmeans", "kg_triangles",
+             "rel_bloom_prefilter", "rel_changelog_compact",
+             "rel_scd2_intervals", "rel_salted_join"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):

@@ -3765,6 +3765,7 @@ QUERIES["kg_finemap"] = (kg_finemap, KG_FINEMAP_SQL)
 # training-data ops, each with a generated-from-one-formula DuckDB twin.
 # ===========================================================================
 
+from biocypher_metta_spark.operators import cdc as cdc_ops
 from biocypher_metta_spark.operators import graph as graph_ops
 from biocypher_metta_spark.operators import retrieval as retrieval_ops
 from biocypher_metta_spark.operators import sampling as sampling_ops
@@ -4204,6 +4205,90 @@ KG_TRIANGLES_SQL = graph_ops.triangle_count_sql(
     "SELECT CAST(doc_id AS BIGINT) % 47 AS src, "
     "(CAST(doc_id AS BIGINT) // 7) % 47 AS dst FROM documents")
 
+_CDC_LOG_SQL = """SELECT DISTINCT l_orderkey, CAST(l_shipdate AS DATE) AS ts,
+  l_linenumber AS seq,
+  CASE WHEN l_returnflag = 'R' THEN 'delete' ELSE 'upsert' END AS op,
+  CAST(floor(l_quantity) AS BIGINT) AS qty
+FROM lineitem"""
+
+
+def _cdc_log(spark, sf_dir):
+    """lineitem as a synthetic changelog: key = l_orderkey, returned
+    lines ('R') playing the delete tombstones. The synthetic testdata
+    has duplicate (l_orderkey, l_linenumber) pairs, so the operators'
+    unique-ordering contract is met the robust way: DISTINCT rows and
+    order by the ENTIRE non-key tuple — unique per key by
+    construction."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_shipdate").cast("date").alias("ts"),
+        F.col("l_linenumber").alias("seq"),
+        F.when(F.col("l_returnflag") == "R", "delete")
+        .otherwise("upsert").alias("op"),
+        F.floor("l_quantity").cast("long").alias("qty")).distinct()
+
+
+_CDC_ORDER = ["ts", "seq", "qty", "op"]
+
+
+def rel_changelog_compact(spark, sf_dir):
+    """CDC snapshot (cdc.changelog_compact): latest version per
+    orderkey by the full version tuple, keys whose latest op is a
+    delete tombstone dropped. One key shuffle, max_by partial agg —
+    the window formulation is deliberately only the DuckDB twin's
+    plan."""
+    return cdc_ops.changelog_compact(
+        _cdc_log(spark, sf_dir), ["l_orderkey"], _CDC_ORDER,
+        op_col="op")
+
+
+REL_CHANGELOG_COMPACT_SQL = cdc_ops.changelog_compact_sql(
+    _CDC_LOG_SQL, ["l_orderkey"], _CDC_ORDER,
+    ["l_orderkey", "ts", "seq", "op", "qty"], op_col="op")
+
+
+def rel_scd2_intervals(spark, sf_dir):
+    """SCD2 history (cdc.scd2_intervals): every changelog row becomes
+    a validity interval [valid_from, valid_to) per orderkey, the
+    as-of-join input shape. Oracle is the correlated-subquery
+    formulation instead of lead() — different plan, same bounds."""
+    return cdc_ops.scd2_intervals(
+        _cdc_log(spark, sf_dir).drop("op").distinct(),
+        ["l_orderkey"], ["ts", "seq", "qty"])
+
+
+REL_SCD2_INTERVALS_SQL = cdc_ops.scd2_intervals_sql(
+    "SELECT DISTINCT l_orderkey, CAST(l_shipdate AS DATE) AS ts, "
+    "l_linenumber AS seq, CAST(floor(l_quantity) AS BIGINT) AS qty "
+    "FROM lineitem",
+    ["l_orderkey"], ["ts", "seq", "qty"], ["l_orderkey", "ts", "seq", "qty"])
+
+
+def rel_salted_join(spark, sf_dir):
+    """Skew-salted equi-join (cdc.salted_join): lineitem x small-size
+    parts on (partkey, salt) with the part side replicated n_salts
+    ways; the salt only touches shuffle routing, so the oracle is the
+    PLAIN join — any row the salting loses or duplicates breaks the
+    count/hash."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    pt = (_t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+          .select(F.col("p_partkey").alias("l_partkey"), "p_brand"))
+    j = cdc_ops.salted_join(li, pt, ["l_partkey"], n_salts=8)
+    return (j.groupBy("p_brand")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.sum(F.floor("l_quantity")).cast("long")
+                 .alias("sum_qty")))
+
+
+REL_SALTED_JOIN_SQL = """
+SELECT p_brand, count(*) AS n_rows,
+       CAST(sum(floor(l_quantity)) AS BIGINT) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 5
+GROUP BY p_brand
+"""
+
 QUERIES.update({
     "doc_ngram_excise": (doc_ngram_excise, DOC_NGRAM_EXCISE_SQL),
     "doc_bm25_join": (doc_bm25_join, DOC_BM25_JOIN_SQL),
@@ -4217,6 +4302,10 @@ QUERIES.update({
     "emb_semantic_dedup": (emb_semantic_dedup, EMB_SEMANTIC_DEDUP_SQL),
     "kg_triangles": (kg_triangles, KG_TRIANGLES_SQL),
     "rel_bloom_prefilter": (rel_bloom_prefilter, REL_BLOOM_PREFILTER_SQL),
+    "rel_changelog_compact": (rel_changelog_compact,
+                              REL_CHANGELOG_COMPACT_SQL),
+    "rel_scd2_intervals": (rel_scd2_intervals, REL_SCD2_INTERVALS_SQL),
+    "rel_salted_join": (rel_salted_join, REL_SALTED_JOIN_SQL),
 })
 
 
@@ -4340,6 +4429,10 @@ CK_COLUMNS = {
     "kg_pagerank": ["id", "rank_fp"],
     "kg_triangles": ["id", "triangles"],
     "rel_bloom_prefilter": ["o_custkey", "o_orderkey"],
+    "rel_changelog_compact": ["l_orderkey", "op", "qty", "seq", "ts"],
+    "rel_scd2_intervals": ["is_current", "l_orderkey", "qty", "seq",
+                           "ts", "valid_from", "valid_to"],
+    "rel_salted_join": ["n_rows", "p_brand", "sum_qty"],
     "emb_semantic_dedup": ["keep", "rep_id", "vec_id"],
     "emb_kmeans": ["cluster", "vec_id"],
 }
@@ -4349,12 +4442,14 @@ CK_COMPOSITES = {
     "rel_scalar_checks": ["rel_window_filter", "rel_composite_id",
                           "rel_score_cutoff"],
     "rel_join_checks": ["rel_broadcast_left_join", "rel_double_inner_join",
-                        "rel_shuffle_join_agg", "rel_bloom_prefilter"],
+                        "rel_shuffle_join_agg", "rel_bloom_prefilter",
+                        "rel_salted_join"],
     "rel_agg_checks": ["rel_collect_ordered", "rel_distinct_dedup",
                        "rel_union_adapters", "rel_pricing_summary",
-                       "rel_histogram_quantiles", "rel_grouping_sets"],
+                       "rel_histogram_quantiles", "rel_grouping_sets",
+                       "rel_changelog_compact"],
     "rel_window_checks": ["rel_window_rank", "rel_events_hourly",
-                          "rel_session_window"],
+                          "rel_session_window", "rel_scd2_intervals"],
     "rel_range_family": ["rel_range_join", "rel_interval_overlap"],
     "kg_peregrine_checks": ["kg_peregrine_enhancers", "kg_peregrine_edges"],
     "doc_text_metrics": ["doc_token_stats", "doc_tfidf_topk",

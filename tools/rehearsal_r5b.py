@@ -218,6 +218,40 @@ def run_kmeans(spark, n: int) -> dict:
     return {"rows_in": n, "clusters": c, "sec": round(time.time() - t0, 2)}
 
 
+def run_triangles(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.graph import triangle_count
+
+    # fixed average degree (~40): nodes scale with edges so wedge
+    # volume — the operator's real cost, O(sum C(outdeg,2)) — grows
+    # linearly with n and the ratio stays ~10
+    v = max(n // 20, 100)
+    d = spark.range(n).select(
+        (F.col("id") % v).alias("src"),
+        ((F.col("id") * 2654435761) % v).alias("dst"))
+    t0 = time.time()
+    out = triangle_count(d)
+    total = out.agg(F.sum("triangles")).first()[0]
+    return {"edges_in": n, "nodes": v, "tri3x": int(total),
+            "sec": round(time.time() - t0, 2)}
+
+
+def run_bloom(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators import sketch as sk
+
+    m_bits, k = 1 << 20, 4
+    build = spark.range(n // 100).select(
+        (F.col("id") * 7).cast("string").alias("bk"))
+    probe = spark.range(n).select(
+        F.col("id").alias("pk"),
+        (F.col("id") % (n // 10)).cast("string").alias("fk"))
+    t0 = time.time()
+    words = sk.bloom_build(build, "bk", m_bits=m_bits, k=k)
+    kept = sk.bloom_prefilter(probe, words, "fk",
+                              m_bits=m_bits, k=k).count()
+    return {"rows_in": n, "kept": kept,
+            "sec": round(time.time() - t0, 2)}
+
+
 def main():
     spark = get_spark("rehearsal-r5b")
     spark.sparkContext.setLogLevel("ERROR")
@@ -234,6 +268,8 @@ def main():
         "chunk_fixed": (run_chunk, 2_000_000),
         "canonical_url": (run_canonical_url, 20_000_000),
         "kmeans": (run_kmeans, 1_000_000),
+        "triangles": (run_triangles, 1_000_000),
+        "bloom_prefilter": (run_bloom, 20_000_000),
     }
     only = set(sys.argv[1:])
     # incremental: merge this invocation's ops into the artifact so a
