@@ -4205,6 +4205,35 @@ KG_TRIANGLES_SQL = graph_ops.triangle_count_sql(
     "SELECT CAST(doc_id AS BIGINT) % 47 AS src, "
     "(CAST(doc_id AS BIGINT) // 7) % 47 AS dst FROM documents")
 
+
+def kg_kcore(spark, sf_dir):
+    """k-core peeling (graph.kcore, k=3) over a planted
+    nucleus-plus-fringe graph: a dense 11-node nucleus, plus
+    leaf->mid->nucleus chains whose leaves have degree 1 — the first
+    peel round strips every leaf, the second confirms the fixpoint,
+    so the gate exercises a real multi-iteration run, not a graph
+    that was already a core. Oracle: the unrolled MATERIALIZED-CTE
+    twin generated from the same recurrence (graph.kcore_sql)."""
+    ids = _ids(spark, sf_dir)
+    nucleus = ids.select((F.col("i") % 11).alias("src"),
+                         ((F.col("i") / 3).cast("long") % 11).alias("dst"))
+    leaf_mid = ids.select((F.col("i") % 150 + 100).alias("src"),
+                          (F.col("i") % 75 + 300).alias("dst"))
+    mid_core = ids.select((F.col("i") % 75 + 300).alias("src"),
+                          (F.col("i") % 11).alias("dst"))
+    return graph_ops.kcore(
+        nucleus.unionAll(leaf_mid).unionAll(mid_core), k=3)
+
+
+_KCORE_EDGES_SQL = """SELECT i % 11 AS src, (i // 3) % 11 AS dst
+  FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+UNION ALL SELECT i % 150 + 100, i % 75 + 300
+  FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+UNION ALL SELECT i % 75 + 300, i % 11
+  FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)"""
+
+KG_KCORE_SQL = graph_ops.kcore_sql(_KCORE_EDGES_SQL, k=3, rounds=3)
+
 _CDC_LOG_SQL = """SELECT DISTINCT l_orderkey, CAST(l_shipdate AS DATE) AS ts,
   l_linenumber AS seq,
   CASE WHEN l_returnflag = 'R' THEN 'delete' ELSE 'upsert' END AS op,
@@ -4301,6 +4330,7 @@ QUERIES.update({
     "kg_pagerank": (kg_pagerank, KG_PAGERANK_SQL),
     "emb_semantic_dedup": (emb_semantic_dedup, EMB_SEMANTIC_DEDUP_SQL),
     "kg_triangles": (kg_triangles, KG_TRIANGLES_SQL),
+    "kg_kcore": (kg_kcore, KG_KCORE_SQL),
     "rel_bloom_prefilter": (rel_bloom_prefilter, REL_BLOOM_PREFILTER_SQL),
     "rel_changelog_compact": (rel_changelog_compact,
                               REL_CHANGELOG_COMPACT_SQL),
@@ -4428,6 +4458,7 @@ CK_COLUMNS = {
     "web_canonical_url": ["canon", "doc_id", "url"],
     "kg_pagerank": ["id", "rank_fp"],
     "kg_triangles": ["id", "triangles"],
+    "kg_kcore": ["core_deg", "id"],
     "rel_bloom_prefilter": ["o_custkey", "o_orderkey"],
     "rel_changelog_compact": ["l_orderkey", "op", "qty", "seq", "ts"],
     "rel_scd2_intervals": ["is_current", "l_orderkey", "qty", "seq",
@@ -4464,7 +4495,7 @@ CK_COMPOSITES = {
                             "doc_ngram_excise", "doc_chunk_fixed",
                             "web_canonical_url"],
     "kg_graph_checks": ["kg_pagerank", "emb_semantic_dedup",
-                        "emb_kmeans", "kg_triangles"],
+                        "emb_kmeans", "kg_triangles", "kg_kcore"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",

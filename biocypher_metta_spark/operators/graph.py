@@ -267,3 +267,103 @@ def triangle_count_sql(edges_sql: str, src: str = "src",
 SELECT n.id AS id, CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles
 FROM (SELECT id FROM tc_deg) n
 LEFT JOIN tc_cnt c ON n.id = c.id"""
+
+
+def kcore(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
+          max_rounds: int = 64) -> DataFrame:
+    """Vertices of the k-core — the (unique) maximal subgraph of the
+    undirected simple graph in which every vertex keeps degree >= k —
+    by iterative peeling: drop sub-k vertices, restrict edges, repeat
+    to fixpoint.  Output: (id, core_deg), core_deg = the vertex's
+    degree WITHIN the core.
+
+    Completes the graph-quality family (triangles spot over-linked
+    hubs; the k-core is the standard dense-nucleus extractor for
+    KG entity-importance tiers and for stripping pendant crawl
+    debris).  Beyond-reference op, same rationale as pagerank above.
+
+    Scale shape
+    -----------
+    Each round: one degree groupBy (map-side combine absorbs hub
+    skew) + one semi-join restricting edges to surviving endpoints —
+    all on uniform id keys, never all-pairs.  Rounds = peeling depth
+    of the graph (small for web/KG graphs: each round removes a full
+    shell, and real degeneracy orders are shallow); lineage is cut
+    per round with localCheckpoint exactly like transitive_closure /
+    pagerank.  Convergence is checked by edge count (an O(1)-row
+    action per round); the k-core's uniqueness means early-stop and
+    the twin's fixed unroll agree as long as both reach fixpoint —
+    exhaustion without convergence raises, matching the closure
+    operator's contract (canonicalize.transitive_closure).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .filter(F.col("s").isNotNull() & F.col("d").isNotNull()
+                 & (F.col("s") != F.col("d"))))
+    und = (e.select(F.least("s", "d").alias("a"),
+                    F.greatest("s", "d").alias("b"))
+           .distinct().localCheckpoint())
+    n = und.count()
+    for _ in range(max_rounds):
+        deg = (und.select(F.col("a").alias("id"))
+               .unionAll(und.select(F.col("b").alias("id")))
+               .groupBy("id")
+               .agg(F.count(F.lit(1)).cast("long").alias("core_deg")))
+        keep = deg.filter(F.col("core_deg") >= k)
+        nxt = (und
+               .join(keep.select(F.col("id").alias("a")), "a", "left_semi")
+               .join(keep.select(F.col("id").alias("b")), "b", "left_semi")
+               .localCheckpoint())
+        m = nxt.count()
+        if m == n:
+            return keep
+        und, n = nxt, m
+    raise RuntimeError(
+        f"kcore did not converge within max_rounds={max_rounds}; "
+        "raise max_rounds (peeling depth exceeds it)")
+
+
+def kcore_sql(edges_sql: str, k: int, rounds: int,
+              src: str = "src", dst: str = "dst") -> str:
+    """DuckDB twin of kcore(): the peeling recurrence unrolled to a
+    fixed `rounds` (the kmeans_sql/pagerank_sql pattern — DuckDB's
+    recursive CTEs cannot re-aggregate the working set per round).
+    Because the k-core is unique, the engine's early-stopped fixpoint
+    equals the twin's fixed unroll whenever `rounds` >= peeling depth.
+    Every round CTE is AS MATERIALIZED: each kc_e{{i}} is referenced
+    ~5 times by round i+1, so without the hint DuckDB re-inlines the
+    whole prefix per reference and planning blows up 5^rounds
+    (measured: rounds=5 took 109 s inlined, milliseconds
+    materialized).  CTE names carry a kc_ prefix."""
+    if k < 1 or rounds < 1:
+        raise ValueError("k and rounds must be >= 1")
+    parts = [f"""WITH kc_e0 AS MATERIALIZED (
+  SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+  FROM (
+{edges_sql.strip()}
+  )
+  WHERE {src} IS NOT NULL AND {dst} IS NOT NULL AND {src} <> {dst}
+)"""]
+    for i in range(1, rounds + 1):
+        p, c = f"kc_e{i - 1}", f"kc_e{i}"
+        parts.append(f""", kc_d{i} AS MATERIALIZED (
+  SELECT id, CAST(count(*) AS BIGINT) AS core_deg
+  FROM (SELECT a AS id FROM {p} UNION ALL SELECT b FROM {p})
+  GROUP BY 1
+), kc_k{i} AS MATERIALIZED (
+  SELECT id FROM kc_d{i} WHERE core_deg >= {k}
+), {c} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {p} e
+  JOIN kc_k{i} ka ON e.a = ka.id
+  JOIN kc_k{i} kb ON e.b = kb.id
+)""")
+    parts.append(f"""
+SELECT id, CAST(count(*) AS BIGINT) AS core_deg
+FROM (SELECT a AS id FROM kc_e{rounds} UNION ALL
+      SELECT b FROM kc_e{rounds})
+GROUP BY 1
+HAVING count(*) >= {k}""")
+    return "".join(parts)

@@ -631,3 +631,76 @@ def test_bloom_validation(spark):
         sk.bloom_build(d, "v", m_bits=1 << 10, k=0)
     with pytest.raises(ValueError):
         sk.bloom_prefilter(d, sk.bloom_build(d, "v"), "v", m_bits=48)
+
+
+# ---------------------------------------------------------------- k-core
+
+def _kcore_brute(edges, k):
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    while True:
+        deg = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, c in deg.items() if c >= k}
+        nxt = {(a, b) for a, b in und if a in keep and b in keep}
+        if nxt == und:
+            return {v: deg[v] for v in keep}
+        und = nxt
+
+
+def test_kcore_triangle_with_tail(spark):
+    from biocypher_metta_spark.operators.graph import kcore
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+    d = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.id: r.core_deg for r in kcore(d, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}  # tail peeled, triangle stays
+
+
+def test_kcore_deep_peeling_path(spark):
+    from biocypher_metta_spark.operators.graph import kcore
+
+    # path 0-1-2-...-9: 2-core empty, peeled one shell per round from
+    # both ends — exercises the multi-round loop + empty fixpoint
+    edges = [(i, i + 1) for i in range(9)]
+    d = spark.createDataFrame(edges, ["src", "dst"])
+    assert kcore(d, k=2).count() == 0
+
+
+def test_kcore_convergence_guard(spark):
+    from biocypher_metta_spark.operators.graph import kcore
+
+    edges = [(i, i + 1) for i in range(9)]
+    d = spark.createDataFrame(edges, ["src", "dst"])
+    with pytest.raises(RuntimeError):
+        kcore(d, k=2, max_rounds=1).collect()
+
+
+def test_kcore_brute_force_and_twin(spark):
+    import duckdb
+
+    from biocypher_metta_spark.operators.graph import kcore, kcore_sql
+
+    edges = [(i % 13, (i // 3) % 13) for i in range(120)] + [
+        (100 + i, i % 13) for i in range(10)]  # pendant fringe
+    d = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r.id, r.core_deg) for r in kcore(d, k=4).collect()}
+    want = set(_kcore_brute(edges, 4).items())
+    assert got == want and got  # non-empty core
+    con = duckdb.connect()
+    con.register("e", d.toPandas())
+    sql = kcore_sql("SELECT src, dst FROM e", k=4, rounds=6)
+    assert {(r[0], r[1]) for r in con.execute(sql).fetchall()} == want
+
+
+def test_kcore_validation(spark):
+    from biocypher_metta_spark.operators.graph import kcore, kcore_sql
+
+    d = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError):
+        kcore(d, k=0)
+    with pytest.raises(ValueError):
+        kcore(d, k=1, max_rounds=0)
+    with pytest.raises(ValueError):
+        kcore_sql("SELECT 1", k=0, rounds=1)

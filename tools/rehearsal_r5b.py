@@ -223,11 +223,14 @@ def run_triangles(spark, n: int) -> dict:
 
     # fixed average degree (~40): nodes scale with edges so wedge
     # volume — the operator's real cost, O(sum C(outdeg,2)) — grows
-    # linearly with n and the ratio stays ~10
+    # linearly with n and the ratio stays ~10. The two endpoint mixes
+    # must be INDEPENDENT of each other: (id % v, (id*c) % v) is a
+    # functional graph (dst is a function of src — zero triangles);
+    # (id % v, (id // 7) % v) mixes id two different ways.
     v = max(n // 20, 100)
     d = spark.range(n).select(
         (F.col("id") % v).alias("src"),
-        ((F.col("id") * 2654435761) % v).alias("dst"))
+        ((F.col("id") / 7).cast("long") % v).alias("dst"))
     t0 = time.time()
     out = triangle_count(d)
     total = out.agg(F.sum("triangles")).first()[0]
@@ -238,12 +241,16 @@ def run_triangles(spark, n: int) -> dict:
 def run_bloom(spark, n: int) -> dict:
     from biocypher_metta_spark.operators import sketch as sk
 
-    m_bits, k = 1 << 20, 4
-    build = spark.range(n // 100).select(
+    # FIXED build side (1M keys into 2^24 bits, fp ~0.2%): the scale
+    # claim under test is the MAP-ONLY probe, so only the probe grows
+    # with n — a build scaled with n would just saturate the filter
+    # (measured: 2M keys in 2^20 bits passed 99.8% of rows).
+    m_bits, k = 1 << 24, 4
+    build = spark.range(1_000_000).select(
         (F.col("id") * 7).cast("string").alias("bk"))
     probe = spark.range(n).select(
         F.col("id").alias("pk"),
-        (F.col("id") % (n // 10)).cast("string").alias("fk"))
+        (F.col("id") % 7_000_000).cast("string").alias("fk"))
     t0 = time.time()
     words = sk.bloom_build(build, "bk", m_bits=m_bits, k=k)
     kept = sk.bloom_prefilter(probe, words, "fk",
