@@ -337,21 +337,37 @@ def bloom_build(df: DataFrame, col: str, m_bits: int = 1 << 16,
             .select("word_idx", F.col("bits").cast("long").alias("bits")))
 
 
+_BLOOM_LITERAL_WORDS_MAX = 1024  # literal int64-array path above this
+
+
 def bloom_prefilter(probe: DataFrame, words: DataFrame, col: str,
                     m_bits: int = 1 << 16, k: int = 4) -> DataFrame:
     """Keep the probe rows whose `col` MAY be in the set the word table
     was built over (NULL never passes). The classic shuffle-avoidance
     pattern for joining a 100-TB fact table against a selective build
     side: the filter is m_bits/32 int64s BY CONSTRUCTION, so it rides
-    to every task as a literal array and the probe stays MAP-ONLY — no
+    to every task as a literal and the probe stays MAP-ONLY — no
     shuffle, no broadcast-join hash relation, false-positive rows only
     (deterministic ones, given the portable hash) leak through to the
     real join afterwards.
 
+    Two lookup encodings, same bits: small filters ship as a literal
+    int64 array + element_at; past _BLOOM_LITERAL_WORDS_MAX words the
+    table ships as ONE BinaryType literal (4 big-endian bytes per
+    32-bit word) sliced with substring and decoded via hex+conv. The
+    split exists because a CreateArray literal has one Catalyst child
+    PER WORD — at m_bits=2^24 (512k words) every optimizer rule walks
+    512k children and the probe spent ~1700s in planning/codegen
+    before touching a row (measured, rehearsal_r5b). The big side must
+    be BINARY, not a hex STRING: substring on a string walks bytes to
+    count codepoints (O(offset) per probe — measured minutes-per-stage
+    at 2^24), while substring on binary is an O(4) arraycopy. The
+    literal appears ONLY inside the filter condition, never as a
+    projected column, so no row ever carries the blob.
+
     The bounded `words.collect()` here is the same legitimacy class as
-    the IVF centroid pull (similarity.py): <= m_bits/32 = a few
-    thousand rows, fixed by the operator's own parameter, never by
-    data volume."""
+    the IVF centroid pull (similarity.py): <= m_bits/32 rows, fixed by
+    the operator's own parameter, never by data volume."""
     if m_bits < 64 or m_bits & (m_bits - 1):
         raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
     if not 1 <= k <= 16:
@@ -363,7 +379,19 @@ def bloom_prefilter(probe: DataFrame, words: DataFrame, col: str,
         if not 0 <= w < n_words:
             raise ValueError(f"word_idx {w} out of range for m_bits={m_bits}")
         dense[w] |= int(r["bits"])
-    arr = F.array([F.lit(w).cast("long") for w in dense])
+    if n_words <= _BLOOM_LITERAL_WORDS_MAX:
+        arr = F.array([F.lit(w).cast("long") for w in dense])
+
+        def word_at(pc: str):
+            return F.element_at(arr, (F.col(pc) / 32).cast("int") + 1)
+    else:
+        blob = F.lit(b"".join(w.to_bytes(4, "big") for w in dense))
+
+        def word_at(pc: str):
+            idx = (F.col(pc) / 32).cast("int")
+            return F.conv(
+                F.hex(F.substring(blob, idx * 4 + 1, F.lit(4))),
+                16, 10).cast("long")
     h1m, h2m = _bloom_hashes(col, m_bits)
     p = probe.withColumn("_h1", h1m).withColumn("_h2", h2m)
     tmp = ["_h1", "_h2"]
@@ -372,10 +400,9 @@ def bloom_prefilter(probe: DataFrame, words: DataFrame, col: str,
         pc = f"_pos{i}"
         tmp.append(pc)
         p = p.withColumn(pc, (F.col("_h1") + i * F.col("_h2")) % m_bits)
-        word = F.element_at(arr, (F.col(pc) / 32).cast("int") + 1)
         mask = F.expr(
             f"shiftleft(CAST(1 AS BIGINT), CAST({pc} % 32 AS INT))")
-        cond = cond & (word.bitwiseAND(mask) != 0)
+        cond = cond & (word_at(pc).bitwiseAND(mask) != 0)
     return p.filter(cond).drop(*tmp)
 
 

@@ -623,6 +623,35 @@ def test_bloom_word_table_bounded_and_mergeable(spark):
             == {(r.word_idx, r.bits) for r in direct.collect()})
 
 
+def test_bloom_binary_blob_path_matches_twin(spark):
+    # m_bits = 2^16 -> 2048 words > _BLOOM_LITERAL_WORDS_MAX: exercises
+    # the binary-blob lookup encoding (the literal-array path has one
+    # Catalyst child per word and melts down at large m_bits); the
+    # DuckDB twin is the JOIN formulation, so agreement here checks the
+    # substring+hex+conv decode bit-for-bit, false positives included.
+    import duckdb
+
+    m = 1 << 16
+    assert m // 32 > sk._BLOOM_LITERAL_WORDS_MAX
+    build = spark.createDataFrame([(i * 3,) for i in range(150)], ["bk"])
+    probe = spark.createDataFrame([(i, i % 500) for i in range(2000)],
+                                  ["pk", "fk"])
+    words = sk.bloom_build(build, "bk", m_bits=m, k=3)
+    got = {(r.pk, r.fk) for r in
+           sk.bloom_prefilter(probe, words, "fk",
+                              m_bits=m, k=3).collect()}
+    con = duckdb.connect()
+    con.register("b", build.toPandas())
+    con.register("p", probe.toPandas())
+    sql = sk.bloom_prefilter_sql(
+        "SELECT bk FROM b", "SELECT pk, fk FROM p",
+        build_col="bk", probe_col="fk", probe_cols=["pk", "fk"],
+        m_bits=m, k=3)
+    want = {(r[0], r[1]) for r in con.execute(sql).fetchall()}
+    assert got == want
+    assert {i * 3 for i in range(150)} & {fk for _, fk in got}
+
+
 def test_bloom_validation(spark):
     d = spark.createDataFrame([("x",)], ["v"])
     with pytest.raises(ValueError):
