@@ -4318,6 +4318,110 @@ WHERE p_size <= 5
 GROUP BY p_brand
 """
 
+def kg_lpa(spark, sf_dir):
+    """Synchronous label-propagation communities
+    (graph.label_propagation, rounds=3) over two planted dense
+    10-node nuclei joined by ONE bridge edge: vote counts keep each
+    nucleus on its own label across the bridge — the behavior that
+    distinguishes LPA from connected_components, which would flood
+    the whole graph to a single component. Oracle: the unrolled
+    MATERIALIZED-CTE twin generated from the same recurrence
+    (graph.label_propagation_sql)."""
+    ids = _ids(spark, sf_dir)
+    ca = ids.select((F.col("i") % 10).alias("src"),
+                    ((F.col("i") / 3).cast("long") % 10).alias("dst"))
+    cb = ids.select((F.col("i") % 10 + 200).alias("src"),
+                    ((F.col("i") / 3).cast("long") % 10 + 200).alias("dst"))
+    bridge = ids.select((F.col("i") % 1 + 5).alias("src"),
+                        (F.col("i") % 1 + 205).alias("dst"))
+    return graph_ops.label_propagation(
+        ca.unionAll(cb).unionAll(bridge), rounds=3)
+
+
+_LPA_EDGES_SQL = """SELECT i % 10 AS src, (i // 3) % 10 AS dst
+  FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+UNION ALL SELECT i % 10 + 200, (i // 3) % 10 + 200
+  FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+UNION ALL SELECT i % 1 + 5, i % 1 + 205
+  FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)"""
+
+KG_LPA_SQL = graph_ops.label_propagation_sql(_LPA_EDGES_SQL, rounds=3)
+
+
+def rel_gapfill_locf(spark, sf_dir):
+    """Time-series gap fill + LOCF (temporal.gapfill_locf — the
+    TimescaleDB gapfill/locf pair completing the hypertable family):
+    orders bucketed to 7-day integer offsets per customer-bucket key;
+    cents divisible by 7 are planted as NULL so the gate exercises
+    BOTH fill modes (synthesized gap rows and observed-NULL carry).
+    Oracle: generate_series + last_value IGNORE NULLS — an
+    independent spelling of sequence/explode + last(ignorenulls)."""
+    from biocypher_metta_spark.operators.temporal import gapfill_locf
+
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+    obs = (o.select((F.col("o_custkey") % 50).alias("grp"),
+                    ((day / 7).cast("long") * 7).alias("day"),
+                    F.floor(F.col("o_totalprice") * 100).cast("long")
+                    .alias("c"))
+           .groupBy("grp", "day").agg(F.max("c").alias("m"))
+           .select("grp", "day",
+                   F.when(F.col("m") % 7 == 0,
+                          F.lit(None).cast("long"))
+                   .otherwise(F.col("m")).alias("cents")))
+    return gapfill_locf(obs, "grp", "day", ["cents"], step=7)
+
+
+from biocypher_metta_spark.operators.temporal import (  # noqa: E402
+    gapfill_locf_sql as _gapfill_locf_sql,
+)
+
+_GAPFILL_OBS_SQL = """SELECT grp, day,
+  CASE WHEN m % 7 = 0 THEN NULL ELSE m END AS cents
+FROM (
+  SELECT o_custkey % 50 AS grp,
+         (date_diff('day', DATE '1992-01-01',
+                    CAST(o_orderdate AS DATE)) // 7) * 7 AS day,
+         max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS m
+  FROM orders GROUP BY 1, 2
+)"""
+
+REL_GAPFILL_LOCF_SQL = _gapfill_locf_sql(
+    _GAPFILL_OBS_SQL, "grp", "day", ["cents"], step=7)
+
+
+def rel_pivot(spark, sf_dir):
+    """PIVOT: groupBy().pivot() with an EXPLICIT value list — the
+    explicit list matters at scale because it skips the eager
+    distinct-values discovery job and plans one single-shuffle
+    partial aggregate over group x pivot keys. Money stays integer
+    cents (floor(price*100)) so sums are exact in any engine. Oracle:
+    the FILTER-aggregate spelling, DuckDB's independent form."""
+    o = _t(spark, sf_dir, "orders")
+    p = (o.select("o_orderpriority", "o_orderstatus",
+                  F.floor(F.col("o_totalprice") * 100).cast("long")
+                  .alias("cents"))
+         .groupBy("o_orderpriority")
+         .pivot("o_orderstatus", ["F", "O", "P"])
+         .agg(F.sum("cents")))
+    return p.select("o_orderpriority",
+                    F.col("F").alias("cents_f"),
+                    F.col("O").alias("cents_o"),
+                    F.col("P").alias("cents_p"))
+
+
+REL_PIVOT_SQL = """
+SELECT o_orderpriority,
+  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+       FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS cents_f,
+  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+       FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS cents_o,
+  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+       FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS cents_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
 QUERIES.update({
     "doc_ngram_excise": (doc_ngram_excise, DOC_NGRAM_EXCISE_SQL),
     "doc_bm25_join": (doc_bm25_join, DOC_BM25_JOIN_SQL),
@@ -4336,6 +4440,9 @@ QUERIES.update({
                               REL_CHANGELOG_COMPACT_SQL),
     "rel_scd2_intervals": (rel_scd2_intervals, REL_SCD2_INTERVALS_SQL),
     "rel_salted_join": (rel_salted_join, REL_SALTED_JOIN_SQL),
+    "kg_lpa": (kg_lpa, KG_LPA_SQL),
+    "rel_gapfill_locf": (rel_gapfill_locf, REL_GAPFILL_LOCF_SQL),
+    "rel_pivot": (rel_pivot, REL_PIVOT_SQL),
 })
 
 
@@ -4464,6 +4571,9 @@ CK_COLUMNS = {
     "rel_scd2_intervals": ["is_current", "l_orderkey", "qty", "seq",
                            "ts", "valid_from", "valid_to"],
     "rel_salted_join": ["n_rows", "p_brand", "sum_qty"],
+    "kg_lpa": ["id", "label"],
+    "rel_gapfill_locf": ["cents", "day", "grp", "is_gap"],
+    "rel_pivot": ["cents_f", "cents_o", "cents_p", "o_orderpriority"],
     "emb_semantic_dedup": ["keep", "rep_id", "vec_id"],
     "emb_kmeans": ["cluster", "vec_id"],
 }
@@ -4478,9 +4588,10 @@ CK_COMPOSITES = {
     "rel_agg_checks": ["rel_collect_ordered", "rel_distinct_dedup",
                        "rel_union_adapters", "rel_pricing_summary",
                        "rel_histogram_quantiles", "rel_grouping_sets",
-                       "rel_changelog_compact"],
+                       "rel_changelog_compact", "rel_pivot"],
     "rel_window_checks": ["rel_window_rank", "rel_events_hourly",
-                          "rel_session_window", "rel_scd2_intervals"],
+                          "rel_session_window", "rel_scd2_intervals",
+                          "rel_gapfill_locf"],
     "rel_range_family": ["rel_range_join", "rel_interval_overlap"],
     "kg_peregrine_checks": ["kg_peregrine_enhancers", "kg_peregrine_edges"],
     "doc_text_metrics": ["doc_token_stats", "doc_tfidf_topk",
@@ -4495,7 +4606,8 @@ CK_COMPOSITES = {
                             "doc_ngram_excise", "doc_chunk_fixed",
                             "web_canonical_url"],
     "kg_graph_checks": ["kg_pagerank", "emb_semantic_dedup",
-                        "emb_kmeans", "kg_triangles", "kg_kcore"],
+                        "emb_kmeans", "kg_triangles", "kg_kcore",
+                        "kg_lpa"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",

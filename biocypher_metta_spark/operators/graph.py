@@ -367,3 +367,103 @@ FROM (SELECT a AS id FROM kc_e{rounds} UNION ALL
 GROUP BY 1
 HAVING count(*) >= {k}""")
     return "".join(parts)
+
+
+def label_propagation(edges: DataFrame, rounds: int, src: str = "src",
+                      dst: str = "dst") -> DataFrame:
+    """Synchronous label propagation (community detection) over the
+    undirected simple graph, run for a FIXED number of rounds.
+    Output: (id, label) — nodes sharing a label after `rounds` sit in
+    the same (approximate) community.
+
+    Determinism is the whole design: classic LPA breaks vote ties
+    randomly and updates asynchronously, which is irreproducible
+    across engines AND across Spark task orderings. Here every node
+    starts labeled with its own id, all nodes update simultaneously
+    from the previous round's labels, and the vote winner is
+    (max count, then MIN label) — a total order, so Spark and the
+    unrolled DuckDB twin (label_propagation_sql, same recurrence)
+    agree row-for-row. Fixed rounds rather than convergence because
+    synchronous LPA can 2-cycle on bipartite structures; a fixed
+    unroll is what the twin can express and what reproducibility
+    wants (rounds=3-5 is the standard neighborhood-mixing depth).
+
+    Distinct from connected_components: CC merges along ANY path
+    (min-label flood); LPA weights by neighbor VOTE COUNTS, so dense
+    cores keep their own label against a thin bridge — communities,
+    not components.
+
+    Scale shape: the adjacency (both directions, deduped,
+    localCheckpointed once) is the loop invariant; each round is one
+    equi-join of labels onto adjacency by neighbor id + one
+    (id, label) groupBy with map-side combine + one min_by per id —
+    all uniform-key shuffles, vote rows bounded by directed-edge
+    count. Hub skew lands in the count groupBy where the partial agg
+    absorbs it. Lineage cut per round (localCheckpoint), same as
+    pagerank/kcore above."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .filter(F.col("s").isNotNull() & F.col("d").isNotNull()
+                 & (F.col("s") != F.col("d"))))
+    und = (e.select(F.least("s", "d").alias("a"),
+                    F.greatest("s", "d").alias("b"))
+           .distinct())
+    adj = (und.select(F.col("a").alias("id"), F.col("b").alias("nb"))
+           .unionAll(und.select(F.col("b").alias("id"),
+                                F.col("a").alias("nb")))
+           .localCheckpoint())
+    labels = (adj.select("id").distinct()
+              .select("id", F.col("id").alias("label"))
+              .localCheckpoint())
+    for _ in range(rounds):
+        votes = (adj.join(labels.select(F.col("id").alias("nb"), "label"),
+                          "nb")
+                 .groupBy("id", "label")
+                 .agg(F.count(F.lit(1)).alias("c")))
+        labels = (votes.groupBy("id")
+                  .agg(F.min_by(
+                      "label",
+                      F.struct((-F.col("c")).alias("nc"),
+                               F.col("label").alias("lb"))).alias("label"))
+                  .localCheckpoint())
+    return labels
+
+
+def label_propagation_sql(edges_sql: str, rounds: int, src: str = "src",
+                          dst: str = "dst") -> str:
+    """DuckDB twin of label_propagation(): the synchronous vote
+    recurrence unrolled `rounds` times (kcore_sql pattern, AS
+    MATERIALIZED for the same 5^rounds re-inlining reason). The tie
+    break is spelled row_number() ORDER BY c DESC, label ASC — an
+    independent formulation of Spark's min_by struct(-c, label)."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    parts = [f"""WITH lp_u AS MATERIALIZED (
+  SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+  FROM (
+{edges_sql.strip()}
+  )
+  WHERE {src} IS NOT NULL AND {dst} IS NOT NULL AND {src} <> {dst}
+), lp_adj AS MATERIALIZED (
+  SELECT a AS id, b AS nb FROM lp_u
+  UNION ALL SELECT b, a FROM lp_u
+), lp_l0 AS MATERIALIZED (
+  SELECT DISTINCT id, id AS label FROM lp_adj
+)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""", lp_v{i} AS MATERIALIZED (
+  SELECT n.id, l.label, count(*) AS c
+  FROM lp_adj n JOIN lp_l{i - 1} l ON n.nb = l.id
+  GROUP BY 1, 2
+), lp_l{i} AS MATERIALIZED (
+  SELECT id, label FROM (
+    SELECT id, label,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM lp_v{i})
+  WHERE rn = 1
+)""")
+    parts.append(f"""
+SELECT id, label FROM lp_l{rounds}""")
+    return "".join(parts)

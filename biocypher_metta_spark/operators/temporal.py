@@ -155,3 +155,102 @@ def hypertable_rollup(events: DataFrame, ts_col: str = "ts",
                     F.min("vmin").alias("vmin"), F.max("vmax").alias("vmax")))
         out[lv] = cur
     return out
+
+
+def gapfill_locf(obs: DataFrame, key: str, ts_col: str,
+                 value_cols: list, step: int,
+                 max_grid_per_key: int = 10_000_000) -> DataFrame:
+    """Time-series gap fill + last-observation-carried-forward (the
+    TimescaleDB time_bucket_gapfill/locf pair, the other half of the
+    hypertable family above): for each key, emit a DENSE integer
+    timestamp grid from that key's min to max observation at `step`,
+    and fill each value column on grid rows (and on observed NULLs)
+    with the latest earlier non-null observation for the same key.
+    Output: (key, ts, *value_cols, is_gap) — is_gap marks rows the
+    grid synthesized. Earliest rows stay NULL when nothing precedes
+    them (LOCF has nothing to carry).
+
+    Timestamps are INTEGERS (epoch seconds/millis — caller's choice);
+    integer grids are the cross-engine-exact form (date arithmetic
+    rounds differently across engines) and what sequence()/
+    generate_series both speak natively.
+
+    Contract: one observation row per (key, ts) — duplicates would
+    fan out the grid join in BOTH engines identically, but the result
+    stops being a time series; pre-aggregate first.
+
+    Scale shape: per-key bounds come from one groupBy (map-side
+    combine), the grid is a map-side sequence()+explode over those
+    BOUND rows (never a driver loop, never a global range crossed
+    with keys), the observation attach is one equi-join on
+    (key, ts), and the carry is one per-key ordered window. A key's
+    grid is range/step rows — `max_grid_per_key` guards the
+    pathological key whose [min,max] span would explode the grid
+    (a 10-year key at 1s step = 3*10^8 rows ON ONE KEY before any
+    window runs); such keys raise loudly rather than OOM a task,
+    and the caller picks a coarser step. The window serializes per
+    key like any LOCF; the asof_join bucket= pre-pass above is the
+    template if a profiled hot key ever needs splitting."""
+    if step < 1:
+        raise ValueError(f"step must be >= 1, got {step}")
+    if not value_cols:
+        raise ValueError("need at least one value column")
+    reserved = {"_tmin", "_tmax", "is_gap"}
+    clash = reserved & set(obs.columns)
+    if clash:
+        raise ValueError(f"reserved column names in use: {sorted(clash)}")
+    o = obs.filter(F.col(ts_col).isNotNull() & F.col(key).isNotNull())
+    bounds = (o.groupBy(key)
+              .agg(F.min(ts_col).alias("_tmin"), F.max(ts_col).alias("_tmax")))
+    # loud guard, evaluated inside the explode projection: raise_error
+    # is a row expression, so the check distributes with the data
+    span_ok = ((F.col("_tmax") - F.col("_tmin")) / step
+               < F.lit(max_grid_per_key))
+    grid = bounds.select(
+        key,
+        F.explode(F.when(span_ok, F.sequence(
+            F.col("_tmin"), F.col("_tmax"), F.lit(step)))
+            .otherwise(F.raise_error(F.concat(
+                F.lit("gapfill_locf: key "), F.col(key).cast("string"),
+                F.lit(f" spans more than max_grid_per_key={max_grid_per_key}"
+                      f" grid rows at step={step}"))))).alias(ts_col))
+    joined = grid.join(
+        o.select(key, ts_col, *value_cols,
+                 F.lit(False).alias("is_gap")),
+        [key, ts_col], "left")
+    w = (Window.partitionBy(key).orderBy(ts_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = joined.withColumn("is_gap", F.coalesce("is_gap", F.lit(True)))
+    for c in value_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def gapfill_locf_sql(obs_sql: str, key: str, ts_col: str,
+                     value_cols: list, step: int) -> str:
+    """DuckDB twin of gapfill_locf(): generate_series per key bounds
+    + LEFT JOIN + last_value(... IGNORE NULLS) — the independent
+    spelling of sequence/explode + last(ignorenulls)."""
+    locf = ",\n       ".join(
+        f"last_value(o.{c} IGNORE NULLS) OVER w AS {c}"
+        for c in value_cols)
+    ocols = ", ".join(f"o.{c}" for c in value_cols)
+    return f"""WITH gf_obs AS MATERIALIZED (
+  SELECT * FROM (
+{obs_sql.strip()}
+  ) WHERE {ts_col} IS NOT NULL AND {key} IS NOT NULL
+), gf_bounds AS MATERIALIZED (
+  SELECT {key}, min({ts_col}) AS tmin, max({ts_col}) AS tmax
+  FROM gf_obs GROUP BY 1
+), gf_grid AS MATERIALIZED (
+  SELECT {key}, unnest(generate_series(tmin, tmax, {step})) AS {ts_col}
+  FROM gf_bounds
+)
+SELECT g.{key}, g.{ts_col},
+       {locf},
+       o.{ts_col} IS NULL AS is_gap
+FROM gf_grid g
+LEFT JOIN gf_obs o
+  ON g.{key} = o.{key} AND g.{ts_col} = o.{ts_col}
+WINDOW w AS (PARTITION BY g.{key} ORDER BY g.{ts_col}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
