@@ -123,7 +123,8 @@ def main() -> None:
              "doc_ngram_excise", "rel_grouping_sets", "doc_chunk_fixed",
              "web_canonical_url", "emb_kmeans", "kg_triangles",
              "rel_bloom_prefilter", "rel_changelog_compact",
-             "rel_scd2_intervals", "rel_salted_join", "kg_kcore"]
+             "rel_scd2_intervals", "rel_salted_join", "kg_kcore",
+             "kg_lpa", "rel_gapfill_locf", "rel_pivot"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):
