@@ -4422,6 +4422,65 @@ FROM orders
 GROUP BY o_orderpriority
 """
 
+def kg_cooccurrence(spark, sf_dir):
+    """Bipartite projection (graph.cooccurrence_edges): document
+    token memberships -> weighted token co-occurrence edges with the
+    per-doc quadratic-fanout cap ACTIVE (max_items_per_doc=8, far
+    below the docs' distinct-token counts, so the gate exercises the
+    hash down-sample path, not just the happy path) and min_count=3
+    pruning the pair tail. Oracle: the twin generated from the same
+    recurrence with the identical md5 cap hash."""
+    d = _t(spark, sf_dir, "documents")
+    mem = (d.select(F.col("doc_id").cast("long").alias("doc"),
+                    F.explode(text_ops.tokens(F.col("text")))
+                    .alias("tok"))
+           .filter(F.col("tok") != ""))
+    return graph_ops.cooccurrence_edges(
+        mem, "doc", "tok", min_count=3, max_items_per_doc=8)
+
+
+_COOC_MEMBERS_SQL = r"""SELECT doc, tok FROM (
+  SELECT CAST(doc_id AS BIGINT) AS doc,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+) WHERE tok <> ''"""
+
+KG_COOCCURRENCE_SQL = graph_ops.cooccurrence_edges_sql(
+    _COOC_MEMBERS_SQL, "doc", "tok", min_count=3, max_items_per_doc=8)
+
+
+def doc_weighted_sample(spark, sf_dir):
+    """Weighted without-replacement draw (sampling.weighted_sample,
+    priority sampling): 10 docs per language, weight = text length,
+    so long docs are near-certain picks and short ones proportional.
+    Oracle: the row_number-over-(w/(h+1)) spelling — double division
+    is IEEE-correctly-rounded in both engines, which is the whole
+    reason the operator uses w/u priorities instead of the
+    libm-dependent u^(1/w) key."""
+    d = _t(spark, sf_dir, "documents")
+    wdf = d.select("doc_id", "lang",
+                   F.length("text").cast("long").alias("wt"))
+    return sampling_ops.weighted_sample(
+        wdf, 10, "wt", strata_cols=["lang"], id_col="doc_id",
+        salt="gate5w")
+
+
+DOC_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, lang, wt, sample_rank FROM (
+  SELECT doc_id, lang, wt,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(wt AS DOUBLE) / (h + 1) DESC, doc_id
+         ) AS sample_rank
+  FROM (
+    SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS wt,
+           ('0x' || substr(md5('gate5w:' || CAST(doc_id AS VARCHAR)),
+                           1, 15))::BIGINT AS h
+    FROM documents
+  ) WHERE wt IS NOT NULL AND wt > 0
+) WHERE sample_rank <= 10
+"""
+
 QUERIES.update({
     "doc_ngram_excise": (doc_ngram_excise, DOC_NGRAM_EXCISE_SQL),
     "doc_bm25_join": (doc_bm25_join, DOC_BM25_JOIN_SQL),
@@ -4443,6 +4502,8 @@ QUERIES.update({
     "kg_lpa": (kg_lpa, KG_LPA_SQL),
     "rel_gapfill_locf": (rel_gapfill_locf, REL_GAPFILL_LOCF_SQL),
     "rel_pivot": (rel_pivot, REL_PIVOT_SQL),
+    "kg_cooccurrence": (kg_cooccurrence, KG_COOCCURRENCE_SQL),
+    "doc_weighted_sample": (doc_weighted_sample, DOC_WEIGHTED_SAMPLE_SQL),
 })
 
 
@@ -4574,6 +4635,8 @@ CK_COLUMNS = {
     "kg_lpa": ["id", "label"],
     "rel_gapfill_locf": ["cents", "day", "grp", "is_gap"],
     "rel_pivot": ["cents_f", "cents_o", "cents_p", "o_orderpriority"],
+    "kg_cooccurrence": ["item_a", "item_b", "n_docs"],
+    "doc_weighted_sample": ["doc_id", "lang", "sample_rank", "wt"],
     "emb_semantic_dedup": ["keep", "rep_id", "vec_id"],
     "emb_kmeans": ["cluster", "vec_id"],
 }
@@ -4604,10 +4667,10 @@ CK_COMPOSITES = {
                             "web_domain_cap", "doc_bm25_topk",
                             "doc_cms_topfreq", "doc_bm25_join",
                             "doc_ngram_excise", "doc_chunk_fixed",
-                            "web_canonical_url"],
+                            "web_canonical_url", "doc_weighted_sample"],
     "kg_graph_checks": ["kg_pagerank", "emb_semantic_dedup",
                         "emb_kmeans", "kg_triangles", "kg_kcore",
-                        "kg_lpa"],
+                        "kg_lpa", "kg_cooccurrence"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",

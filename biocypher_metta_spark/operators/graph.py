@@ -467,3 +467,102 @@ def label_propagation_sql(edges_sql: str, rounds: int, src: str = "src",
     parts.append(f"""
 SELECT id, label FROM lp_l{rounds}""")
     return "".join(parts)
+
+
+def cooccurrence_edges(df: DataFrame, doc_col: str, item_col: str,
+                       min_count: int = 1,
+                       max_items_per_doc: int | None = None,
+                       salt: str = "cooc") -> DataFrame:
+    """Bipartite projection: (doc, item) memberships -> weighted
+    item-item co-occurrence edges (item_a < item_b, n_docs = number
+    of docs containing both). THE bulk KG-construction primitive for
+    building entity/term graphs out of a document corpus (the input
+    shape is exactly what linking.mention detection and parse_gtf
+    attribute explosion emit).
+
+    The scale trap is quadratic per-doc fanout: a doc with 10^5
+    distinct items emits C(10^5, 2) ~ 5*10^9 pairs BY ITSELF, and web
+    corpora always contain such docs (crawl debris, token dumps).
+    `max_items_per_doc` is the guard: a deterministic uniform
+    down-sample of each oversized doc's item set — row_number per doc
+    ordered by the salted portable hash of (doc, item) — so every doc
+    is bounded at C(cap, 2) pairs and the job's pair volume is
+    sum(min(m_i, cap)^2)/2 instead of sum(m_i^2)/2. The hash makes
+    the kept subset reproducible across runs/engines AND independent
+    across docs (hashing the item alone would keep the SAME items
+    everywhere — a biased projection). Choose the cap from the pair
+    budget: cap=1000 bounds any doc at ~500k pairs.
+
+    Scale shape: distinct on (doc, item), one self-equi-join on doc
+    (never a cross join — the a.item < b.item predicate rides the
+    doc-key join), one (item_a, item_b) count groupBy with map-side
+    combine absorbing popular-pair skew. min_count prunes the long
+    tail BEFORE the result materializes."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if max_items_per_doc is not None and max_items_per_doc < 2:
+        raise ValueError("max_items_per_doc must be >= 2 (a 1-item doc "
+                         f"emits no pairs anyway), got {max_items_per_doc}")
+    items = (df.select(F.col(doc_col).alias("d"),
+                       F.col(item_col).alias("it"))
+             .filter(F.col("d").isNotNull() & F.col("it").isNotNull())
+             .distinct())
+    if max_items_per_doc is not None:
+        from pyspark.sql.window import Window
+
+        from biocypher_metta_spark.operators.text import portable_hash
+
+        h = portable_hash(F.concat_ws(":", F.lit(salt),
+                                      F.col("d").cast("string"),
+                                      F.col("it").cast("string")))
+        w = Window.partitionBy("d").orderBy(h.asc(), F.col("it").asc())
+        items = (items.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") <= max_items_per_doc).drop("_rn"))
+    a = items.select("d", F.col("it").alias("item_a"))
+    b = items.select("d", F.col("it").alias("item_b"))
+    return (a.join(b, "d")
+            .filter(F.col("item_a") < F.col("item_b"))
+            .groupBy("item_a", "item_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .filter(F.col("n_docs") >= min_count))
+
+
+def cooccurrence_edges_sql(memberships_sql: str, doc_col: str,
+                           item_col: str, min_count: int = 1,
+                           max_items_per_doc: int | None = None,
+                           salt: str = "cooc") -> str:
+    """DuckDB twin of cooccurrence_edges() — same distinct/cap/
+    self-join/count recurrence, cap spelled with the identical md5
+    prefix hash so both engines down-sample oversized docs to the
+    SAME item subset."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    capped = "co_items"
+    cap_cte = ""
+    if max_items_per_doc is not None:
+        if max_items_per_doc < 2:
+            raise ValueError("max_items_per_doc must be >= 2, "
+                             f"got {max_items_per_doc}")
+        cap_cte = f""", co_capped AS MATERIALIZED (
+  SELECT d, it FROM (
+    SELECT d, it, row_number() OVER (
+      PARTITION BY d
+      ORDER BY ('0x' || substr(md5(concat_ws(':', '{salt}',
+                CAST(d AS VARCHAR), CAST(it AS VARCHAR))), 1, 15))::BIGINT,
+               it) AS rn
+    FROM co_items)
+  WHERE rn <= {max_items_per_doc}
+)"""
+        capped = "co_capped"
+    return f"""WITH co_items AS MATERIALIZED (
+  SELECT DISTINCT {doc_col} AS d, {item_col} AS it
+  FROM (
+{memberships_sql.strip()}
+  )
+  WHERE {doc_col} IS NOT NULL AND {item_col} IS NOT NULL
+){cap_cte}
+SELECT a.it AS item_a, b.it AS item_b,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM {capped} a JOIN {capped} b ON a.d = b.d AND a.it < b.it
+GROUP BY 1, 2
+HAVING count(*) >= {min_count}"""

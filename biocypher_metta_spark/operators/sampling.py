@@ -107,3 +107,55 @@ def stratified_sample(df: DataFrame, strata_cols: list, n: int,
     return (out.withColumn("sample_rank", F.row_number().over(w))
             .filter(F.col("sample_rank") <= n)
             .drop("_strat_h"))
+
+
+def weighted_sample(df: DataFrame, n: int, weight_col: str,
+                    strata_cols: list | None = None,
+                    id_col: str = "doc_id",
+                    salt: str = "wsamp") -> DataFrame:
+    """Weighted without-replacement sample of up to n rows (per
+    stratum when `strata_cols` is given, else global): priority
+    sampling [Duffield-Lund-Thorup] — each row draws u = (h+1)/2^60
+    from its salted portable hash and the n rows with the largest
+    priority w/u win, giving inclusion probability min(1, w/tau)
+    proportional to weight. The heavier a row, the more certain its
+    inclusion; a weight-1 corpus degrades exactly to
+    stratified_sample's uniform draw.
+
+    Determinism across engines is why the priority is w/(h+1) and not
+    the Efraimidis-Spirakis u^(1/w) key: exp/log are NOT correctly
+    rounded by IEEE 754 (libm results differ across engines/platforms,
+    enough to swap near-tied ranks), while double DIVISION is — both
+    Spark and the DuckDB twin compute bit-identical priorities from
+    the same 60-bit hash. Ties (same priority, e.g. duplicate ids)
+    break by id.
+
+    Rows with NULL or non-positive weight are excluded (a zero weight
+    has priority 0 in any engine; a negative one would invert the
+    order nonsensically).
+
+    Scale shape: the global form is orderBy+limit — Spark plans
+    TakeOrdered(n), a map-side per-partition top-n then an n-row
+    driver merge, NO global sort shuffle. The stratified form is the
+    stratified_sample window plan: one shuffle on the stratum key +
+    per-stratum top-n; for mega-strata, bound the sort with a
+    map-side priority floor the same way prefilter_permille bounds
+    the uniform draw (not built until a profile needs it — the
+    uniform band trick needs a weight-dependent threshold here)."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    w = F.col(weight_col).cast("double")
+    pri = (w / (_salted_hash(id_col, salt) + F.lit(1).cast("long")))
+    out = (df.filter(F.col(weight_col).isNotNull() & (w > 0))
+           .select("*", pri.alias("_pri")))
+    if strata_cols:
+        win = (Window.partitionBy(*strata_cols)
+               .orderBy(F.col("_pri").desc(), F.col(id_col)))
+        return (out.withColumn("sample_rank", F.row_number().over(win))
+                .filter(F.col("sample_rank") <= n)
+                .drop("_pri"))
+    top = out.orderBy(F.col("_pri").desc(), F.col(id_col)).limit(n)
+    win = Window.orderBy(F.col("_pri").desc(), F.col(id_col))
+    # the rank window runs over <= n already-collected rows, not data
+    return (top.withColumn("sample_rank", F.row_number().over(win))
+            .drop("_pri"))

@@ -140,3 +140,141 @@ def test_gapfill_locf_giant_span_raises_loudly(spark):
     with pytest.raises(Exception, match="max_grid_per_key"):
         gapfill_locf(o, "k", "ts", ["v"], step=1,
                      max_grid_per_key=1000).collect()
+
+
+# ---------------------------------------------------- weighted sampling
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from biocypher_metta_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1_000_000 if i < 10 else 1) for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id: long, wt: long")
+    got = {r.doc_id for r in
+           weighted_sample(d, 5, "wt", id_col="doc_id").collect()}
+    # 10 rows carry 99.998% of the mass; the draw is deterministic
+    # given the salt, and a uniform draw would pick ~0.25 heavy rows
+    assert len(got) == 5
+    assert len(got & set(range(10))) >= 4
+    again = {r.doc_id for r in
+             weighted_sample(d, 5, "wt", id_col="doc_id").collect()}
+    assert got == again
+
+
+def test_weighted_sample_excludes_nonpositive_and_null_weights(spark):
+    from biocypher_metta_spark.operators.sampling import weighted_sample
+
+    d = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, -5), (4, None), (5, 2)],
+        "doc_id: long, wt: long")
+    got = {r.doc_id for r in
+           weighted_sample(d, 10, "wt", id_col="doc_id").collect()}
+    assert got == {1, 5}
+
+
+def test_weighted_sample_global_matches_duckdb_twin(spark):
+    from biocypher_metta_spark.operators.sampling import weighted_sample
+
+    rows = [(i, (i * 37) % 100 + 1) for i in range(500)]
+    d = spark.createDataFrame(rows, "doc_id: long, wt: long")
+    got = {(r.doc_id, r.sample_rank) for r in
+           weighted_sample(d, 20, "wt", id_col="doc_id",
+                           salt="tw").collect()}
+    con = duckdb.connect()
+    con.register("ddf", pd.DataFrame(rows, columns=["doc_id", "wt"]))
+    want = {tuple(r) for r in con.execute("""
+        SELECT doc_id, sample_rank FROM (
+          SELECT doc_id, row_number() OVER (
+            ORDER BY CAST(wt AS DOUBLE) / (h + 1) DESC, doc_id
+          ) AS sample_rank
+          FROM (SELECT doc_id, wt,
+                ('0x' || substr(md5('tw:' || CAST(doc_id AS VARCHAR)),
+                                1, 15))::BIGINT AS h
+                FROM ddf) WHERE wt > 0
+        ) WHERE sample_rank <= 20""").fetchall()}
+    assert got == want
+
+
+def test_weighted_sample_strata_and_validation(spark):
+    from biocypher_metta_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "s%d" % (i % 3), i % 7 + 1) for i in range(90)]
+    d = spark.createDataFrame(rows, "doc_id: long, g: string, wt: long")
+    out = weighted_sample(d, 4, "wt", strata_cols=["g"], id_col="doc_id")
+    per = {r.g: r.n for r in
+           out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert per == {"s0": 4, "s1": 4, "s2": 4}
+    assert out.filter("sample_rank < 1 OR sample_rank > 4").count() == 0
+    with pytest.raises(ValueError):
+        weighted_sample(d, 0, "wt")
+
+
+def test_weighted_sample_global_plan_is_take_ordered(spark):
+    from biocypher_metta_spark.operators.sampling import weighted_sample
+
+    d = spark.range(1000).select(F.col("id").alias("doc_id"),
+                                 (F.col("id") % 9 + 1).alias("wt"))
+    plan = (weighted_sample(d, 5, "wt", id_col="doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+
+
+# ------------------------------------------------- co-occurrence edges
+
+def _memberships(spark):
+    rows = [(1, "a"), (1, "b"), (1, "c"), (1, "a"),   # dup membership
+            (2, "a"), (2, "b"),
+            (3, "a"), (3, "b"), (3, "d"),
+            (4, "d"), (None, "x"), (4, None)]
+    return spark.createDataFrame(rows, "doc: long, tok: string")
+
+
+def test_cooccurrence_hand_counts(spark):
+    from biocypher_metta_spark.operators.graph import cooccurrence_edges
+
+    got = {(r.item_a, r.item_b): r.n_docs
+           for r in cooccurrence_edges(_memberships(spark), "doc",
+                                       "tok").collect()}
+    assert got == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 1,
+                   ("a", "d"): 1, ("b", "d"): 1}
+
+
+def test_cooccurrence_min_count_prunes(spark):
+    from biocypher_metta_spark.operators.graph import cooccurrence_edges
+
+    got = {(r.item_a, r.item_b)
+           for r in cooccurrence_edges(_memberships(spark), "doc", "tok",
+                                       min_count=2).collect()}
+    assert got == {("a", "b")}
+
+
+def test_cooccurrence_cap_matches_twin_and_subsets(spark):
+    from biocypher_metta_spark.operators.graph import (
+        cooccurrence_edges, cooccurrence_edges_sql)
+
+    rng = random.Random(7)
+    rows = [(d, "t%02d" % rng.randint(0, 30))
+            for d in range(40) for _ in range(rng.randint(1, 25))]
+    df = spark.createDataFrame(rows, "doc: long, tok: string")
+    capped = {(r.item_a, r.item_b, r.n_docs)
+              for r in cooccurrence_edges(df, "doc", "tok",
+                                          max_items_per_doc=5).collect()}
+    con = duckdb.connect()
+    con.register("mdf", pd.DataFrame(rows, columns=["doc", "tok"]))
+    want = {tuple(r) for r in con.execute(cooccurrence_edges_sql(
+        "SELECT doc, tok FROM mdf", "doc", "tok",
+        max_items_per_doc=5)).fetchall()}
+    assert capped == want
+    # capped pair set is a subset of the uncapped projection's pairs
+    full = {(r.item_a, r.item_b)
+            for r in cooccurrence_edges(df, "doc", "tok").collect()}
+    assert {(a, b) for a, b, _ in capped} <= full
+
+
+def test_cooccurrence_validation(spark):
+    from biocypher_metta_spark.operators.graph import cooccurrence_edges
+
+    d = _memberships(spark)
+    with pytest.raises(ValueError):
+        cooccurrence_edges(d, "doc", "tok", min_count=0)
+    with pytest.raises(ValueError):
+        cooccurrence_edges(d, "doc", "tok", max_items_per_doc=1)

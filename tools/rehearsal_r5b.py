@@ -238,6 +238,55 @@ def run_triangles(spark, n: int) -> dict:
             "sec": round(time.time() - t0, 2)}
 
 
+def run_lpa(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.graph import label_propagation
+
+    # 50 disjoint blocks of v/50 nodes, random chords inside a block,
+    # no cross edges — labels plateau inside blocks (3 rounds is not
+    # full convergence for a 200-node block and doesn't need to be);
+    # what's under measure is 3 rounds of join+vote-groupBy in edge count
+    v = max(n // 10, 1000)
+    block = v // 50
+    d = spark.range(n).select(
+        (F.col("id") % v).alias("node"),
+        (F.col("id") * 2654435761).alias("h"))
+    edges = d.select(
+        F.col("node").alias("src"),
+        ((F.col("node") / block).cast("long") * block
+         + (F.col("node") + F.col("h") % (block - 1) + 1) % block)
+        .alias("dst"))
+    t0 = time.time()
+    labels = label_propagation(edges, rounds=3)
+    n_nodes = labels.count()
+    n_comm = labels.select("label").distinct().count()
+    return {"edges_in": n, "nodes": n_nodes, "communities": n_comm,
+            "sec": round(time.time() - t0, 2)}
+
+
+def run_gapfill(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.temporal import gapfill_locf
+
+    # ~1000 observations per key with ~40% of SLOTS knocked out (the
+    # keep predicate must vary with the slot, not the key — a linear
+    # id-hash with multiplier ===1 mod 10 silently dropped whole keys
+    # and produced zero gaps) -> real gaps at step=7; value nulls
+    # every 11th row exercise the observed-null carry
+    k = max(n // 1000, 10)
+    slot = (F.col("id") / k).cast("long")
+    obs = (spark.range(n).select(
+        (F.col("id") % k).alias("key"),
+        (slot * 7).alias("ts"),
+        F.when(F.col("id") % 11 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("id") % 1000).alias("v"))
+        .filter((slot * slot + F.col("id") % k) % 10 < 6))
+    t0 = time.time()
+    out = gapfill_locf(obs, "key", "ts", ["v"], step=7)
+    rows = out.count()
+    gaps = out.filter("is_gap").count()
+    return {"obs_in": n, "rows_out": rows, "gap_rows": gaps,
+            "sec": round(time.time() - t0, 2)}
+
+
 def run_bloom(spark, n: int) -> dict:
     from biocypher_metta_spark.operators import sketch as sk
 
@@ -277,6 +326,8 @@ def main():
         "kmeans": (run_kmeans, 1_000_000),
         "triangles": (run_triangles, 1_000_000),
         "bloom_prefilter": (run_bloom, 20_000_000),
+        "lpa": (run_lpa, 2_000_000),
+        "gapfill_locf": (run_gapfill, 5_000_000),
     }
     only = set(sys.argv[1:])
     # incremental: merge this invocation's ops into the artifact so a
