@@ -4481,6 +4481,45 @@ SELECT doc_id, lang, wt, sample_rank FROM (
 ) WHERE sample_rank <= 10
 """
 
+def rel_bucketed_join(spark, sf_dir):
+    """Bucketed-table co-located join (bucketing.write_bucketed):
+    orders and customer land as 8-bucket catalog tables hashed on
+    custkey, then join THROUGH the catalog — the layout whose later
+    equi-joins run with zero Exchange (plan asserted in
+    tests/test_bucketing.py; at gate size Spark may still elect a
+    broadcast join, which is allowed to change the PLAN but never
+    the rows). Oracle: the plain join — bucketing must change
+    layout, never results."""
+    import tempfile
+
+    from biocypher_metta_spark import bucketing
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    tmp = tempfile.mkdtemp(prefix="bcm_bkt_")
+    bucketing.write_bucketed(o, "bcm_gate_bkt_orders", ["o_custkey"], 8,
+                             sort_cols=["o_custkey"], path=f"{tmp}/o")
+    bucketing.write_bucketed(c, "bcm_gate_bkt_customer", ["c_custkey"], 8,
+                             sort_cols=["c_custkey"], path=f"{tmp}/c")
+    ob = bucketing.bucketed(spark, "bcm_gate_bkt_orders")
+    cb = bucketing.bucketed(spark, "bcm_gate_bkt_customer")
+    return (ob.join(cb, ob.o_custkey == cb.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.sum("cents").alias("sum_cents")))
+
+
+REL_BUCKETED_JOIN_SQL = """
+SELECT c_mktsegment, count(*) AS n_rows,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES.update({
     "doc_ngram_excise": (doc_ngram_excise, DOC_NGRAM_EXCISE_SQL),
     "doc_bm25_join": (doc_bm25_join, DOC_BM25_JOIN_SQL),
@@ -4504,6 +4543,7 @@ QUERIES.update({
     "rel_pivot": (rel_pivot, REL_PIVOT_SQL),
     "kg_cooccurrence": (kg_cooccurrence, KG_COOCCURRENCE_SQL),
     "doc_weighted_sample": (doc_weighted_sample, DOC_WEIGHTED_SAMPLE_SQL),
+    "rel_bucketed_join": (rel_bucketed_join, REL_BUCKETED_JOIN_SQL),
 })
 
 
@@ -4637,6 +4677,7 @@ CK_COLUMNS = {
     "rel_pivot": ["cents_f", "cents_o", "cents_p", "o_orderpriority"],
     "kg_cooccurrence": ["item_a", "item_b", "n_docs"],
     "doc_weighted_sample": ["doc_id", "lang", "sample_rank", "wt"],
+    "rel_bucketed_join": ["c_mktsegment", "n_rows", "sum_cents"],
     "emb_semantic_dedup": ["keep", "rep_id", "vec_id"],
     "emb_kmeans": ["cluster", "vec_id"],
 }
@@ -4647,7 +4688,7 @@ CK_COMPOSITES = {
                           "rel_score_cutoff"],
     "rel_join_checks": ["rel_broadcast_left_join", "rel_double_inner_join",
                         "rel_shuffle_join_agg", "rel_bloom_prefilter",
-                        "rel_salted_join"],
+                        "rel_salted_join", "rel_bucketed_join"],
     "rel_agg_checks": ["rel_collect_ordered", "rel_distinct_dedup",
                        "rel_union_adapters", "rel_pricing_summary",
                        "rel_histogram_quantiles", "rel_grouping_sets",
