@@ -4481,6 +4481,34 @@ SELECT doc_id, lang, wt, sample_rank FROM (
 ) WHERE sample_rank <= 10
 """
 
+_MARKUP_PREFIX = ('<html><head><style>p{color:red}</style></head>'
+                  '<body><p class="x">')
+_MARKUP_SUFFIX = ('</p><script>var x = 1 < 2;</script>'
+                  '<!-- footer -->&amp; &lt;fin&gt;</body></html>')
+
+
+def doc_strip_markup(spark, sf_dir):
+    """HTML stripping (text.strip_markup): each doc wrapped in a
+    deterministic page skeleton — style/script content, a comment,
+    real tags, and ESCAPED markup (&lt;fin&gt; must survive as
+    literal '<fin>' text, not get stripped) — then cleaned. Oracle:
+    the twin chain generated from the same MARKUP_RULES list."""
+    d = _t(spark, sf_dir, "documents")
+    marked = d.select(
+        "doc_id",
+        F.concat(F.lit(_MARKUP_PREFIX), F.col("text"),
+                 F.lit(_MARKUP_SUFFIX)).alias("text"))
+    return text_ops.strip_markup(marked)
+
+
+DOC_STRIP_MARKUP_SQL = f"""
+SELECT doc_id, {text_ops.strip_markup_sql(
+    "'" + _MARKUP_PREFIX.replace("'", "''") + "' || text || '"
+    + _MARKUP_SUFFIX.replace("'", "''") + "'")} AS clean_text
+FROM documents
+"""
+
+
 def rel_bucketed_join(spark, sf_dir):
     """Bucketed-table co-located join (bucketing.write_bucketed):
     orders and customer land as 8-bucket catalog tables hashed on
@@ -4544,6 +4572,7 @@ QUERIES.update({
     "kg_cooccurrence": (kg_cooccurrence, KG_COOCCURRENCE_SQL),
     "doc_weighted_sample": (doc_weighted_sample, DOC_WEIGHTED_SAMPLE_SQL),
     "rel_bucketed_join": (rel_bucketed_join, REL_BUCKETED_JOIN_SQL),
+    "doc_strip_markup": (doc_strip_markup, DOC_STRIP_MARKUP_SQL),
 })
 
 
@@ -4678,6 +4707,7 @@ CK_COLUMNS = {
     "kg_cooccurrence": ["item_a", "item_b", "n_docs"],
     "doc_weighted_sample": ["doc_id", "lang", "sample_rank", "wt"],
     "rel_bucketed_join": ["c_mktsegment", "n_rows", "sum_cents"],
+    "doc_strip_markup": ["clean_text", "doc_id"],
     "emb_semantic_dedup": ["keep", "rep_id", "vec_id"],
     "emb_kmeans": ["cluster", "vec_id"],
 }
@@ -4708,7 +4738,8 @@ CK_COMPOSITES = {
                             "web_domain_cap", "doc_bm25_topk",
                             "doc_cms_topfreq", "doc_bm25_join",
                             "doc_ngram_excise", "doc_chunk_fixed",
-                            "web_canonical_url", "doc_weighted_sample"],
+                            "web_canonical_url", "doc_weighted_sample",
+                            "doc_strip_markup"],
     "kg_graph_checks": ["kg_pagerank", "emb_semantic_dedup",
                         "emb_kmeans", "kg_triangles", "kg_kcore",
                         "kg_lpa", "kg_cooccurrence"],

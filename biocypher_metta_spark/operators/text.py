@@ -713,3 +713,59 @@ def chunk_tokens(df: DataFrame, chunk_size: int = 64, overlap: int = 16,
                     F.col("chunk_no").cast("long").alias("chunk_no"),
                     F.size("_c").cast("long").alias("n_chunk_tokens"),
                     F.array_join("_c", " ").alias("chunk_text")))
+
+
+# Markup-stripping rule chain, applied IN ORDER. Restricted to the
+# RE2/Java shared regex subset like PII_PATTERNS above; replacements
+# are literals (no backrefs), so Java's '$' and RE2's '\\1' replacement
+# dialects can't diverge. Both the Spark expression chain and the
+# DuckDB twin are GENERATED from this one list (strip_markup /
+# strip_markup_sql) so the engines cannot drift.
+MARKUP_RULES = [
+    # container elements whose CONTENT is noise, not text
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    # any remaining tag
+    (r"(?s)<[^>]*>", " "),
+    # the half-dozen entities that dominate real crawl text; a full
+    # entity table is a data file, not a regex chain
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    # collapse the whitespace the removals left behind
+    (r"\s+", " "),
+]
+
+
+def strip_markup(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """HTML/markup stripping — the first cleaning pass of every crawl
+    corpus: script/style/comment content dropped, tags removed, the
+    common entities decoded, whitespace collapsed. Map-only pure
+    regexp_replace chain (zero shuffle, stays in whole-stage codegen);
+    a real extraction stack (boilerplate DOM scoring a la trafilatura)
+    is a parser, not a regex — this is the scan-speed 90% pass that
+    runs BEFORE c4_line_filter/quality gates in the pipeline.
+
+    Entity decode runs AFTER tag removal, so '&lt;p&gt;' in the source
+    text decodes to a literal '<p>' WITHOUT being stripped as a tag —
+    escaped markup shown in a page is content, not structure."""
+    out = F.col(text_col)
+    for pat, repl in MARKUP_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return df.select(F.col(id_col), F.trim(out).alias("clean_text"))
+
+
+def strip_markup_sql(text_expr: str) -> str:
+    """DuckDB spelling of the same rule chain (nested regexp_replace
+    with the global flag; Spark's regexp_replace is global already)."""
+    out = text_expr
+    for pat, repl in MARKUP_RULES:
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    return f"trim({out})"

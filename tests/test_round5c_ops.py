@@ -278,3 +278,47 @@ def test_cooccurrence_validation(spark):
         cooccurrence_edges(d, "doc", "tok", min_count=0)
     with pytest.raises(ValueError):
         cooccurrence_edges(d, "doc", "tok", max_items_per_doc=1)
+
+
+# ------------------------------------------------------ markup stripping
+
+def test_strip_markup_semantics(spark):
+    from biocypher_metta_spark.operators.text import strip_markup
+
+    rows = [
+        (1, '<html><body><p>Hello <b>world</b></p></body></html>'),
+        (2, '<script>var x = 1 < 2;</script>real text<style>p{}</style>'),
+        (3, 'before<!-- hidden comment -->after'),
+        (4, 'escaped &lt;fin&gt; stays &amp; so do &quot;quotes&quot;'),
+        (5, None),
+        (6, '   lots\t\nof   space   '),
+    ]
+    d = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r.doc_id: r.clean_text for r in strip_markup(d).collect()}
+    assert got[1] == "Hello world"
+    assert got[2] == "real text"
+    assert got[3] == "before after"
+    # escaped markup is CONTENT: decoded after tag removal, not stripped
+    assert got[4] == 'escaped <fin> stays & so do "quotes"'
+    assert got[5] is None
+    assert got[6] == "lots of space"
+
+
+def test_strip_markup_matches_duckdb_twin(spark):
+    from biocypher_metta_spark.operators.text import (
+        strip_markup, strip_markup_sql)
+
+    rng = random.Random(5)
+    frags = ["plain words", "<p>tag</p>", "&amp;", "<script>x<y</script>",
+             "a < b still text", "<!-- c -->", "&lt;esc&gt;", "  sp  "]
+    rows = [(i, " ".join(rng.choice(frags)
+                         for _ in range(rng.randint(0, 6))))
+            for i in range(120)]
+    d = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {(r.doc_id, r.clean_text) for r in strip_markup(d).collect()}
+    con = duckdb.connect()
+    con.register("tdf", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {tuple(r) for r in con.execute(
+        f"SELECT doc_id, {strip_markup_sql('text')} AS c FROM tdf"
+    ).fetchall()}
+    assert got == want
