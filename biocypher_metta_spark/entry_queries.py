@@ -4509,6 +4509,45 @@ FROM documents
 """
 
 
+def web_link_edges(spark, sf_dir):
+    """Hyperlink extraction (web.extract_links): each doc becomes a
+    page with a duplicated absolute link (must dedup to n_links=2),
+    a second absolute link in a single-quoted UPPERCASE attribute,
+    and relative / javascript: / fragment links that must be DROPPED
+    — all embedded alongside the doc's real text as noise. The
+    injected URLs are already in canonical form, so the oracle is
+    the expected edge table itself (canonical_url's own transform
+    has its dedicated gate, web_canonical_url)."""
+    d = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 5).cast("string")
+    page = F.concat(
+        F.lit('<a href="https://site'), k, F.lit('.com/a?x=1">t</a> '),
+        F.lit("<a href='https://site"), k, F.lit(".com/a?x=1'>d</a> "),
+        F.lit('<A HREF="http://other'), k, F.lit('.org/p">u</A> '),
+        F.lit('<a href="/rel/path">r</a> '),
+        F.lit('<a href="javascript:void(0)">j</a> '),
+        F.lit('<a href="#frag">f</a> '),
+        F.col("text"))
+    return web_ops.extract_links(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                 page.alias("text")))
+
+
+WEB_LINK_EDGES_SQL = """
+WITH c AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc,
+         CAST(doc_id % 5 AS VARCHAR) AS k
+  FROM documents
+)
+SELECT doc, 'https://site' || k || '.com/a?x=1' AS url,
+       CAST(2 AS BIGINT) AS n_links
+FROM c
+UNION ALL
+SELECT doc, 'http://other' || k || '.org/p', CAST(1 AS BIGINT)
+FROM c
+"""
+
+
 def rel_bucketed_join(spark, sf_dir):
     """Bucketed-table co-located join (bucketing.write_bucketed):
     orders and customer land as 8-bucket catalog tables hashed on
@@ -4573,6 +4612,7 @@ QUERIES.update({
     "doc_weighted_sample": (doc_weighted_sample, DOC_WEIGHTED_SAMPLE_SQL),
     "rel_bucketed_join": (rel_bucketed_join, REL_BUCKETED_JOIN_SQL),
     "doc_strip_markup": (doc_strip_markup, DOC_STRIP_MARKUP_SQL),
+    "web_link_edges": (web_link_edges, WEB_LINK_EDGES_SQL),
 })
 
 
@@ -4708,6 +4748,7 @@ CK_COLUMNS = {
     "doc_weighted_sample": ["doc_id", "lang", "sample_rank", "wt"],
     "rel_bucketed_join": ["c_mktsegment", "n_rows", "sum_cents"],
     "doc_strip_markup": ["clean_text", "doc_id"],
+    "web_link_edges": ["doc", "n_links", "url"],
     "emb_semantic_dedup": ["keep", "rep_id", "vec_id"],
     "emb_kmeans": ["cluster", "vec_id"],
 }
@@ -4739,7 +4780,7 @@ CK_COMPOSITES = {
                             "doc_cms_topfreq", "doc_bm25_join",
                             "doc_ngram_excise", "doc_chunk_fixed",
                             "web_canonical_url", "doc_weighted_sample",
-                            "doc_strip_markup"],
+                            "doc_strip_markup", "web_link_edges"],
     "kg_graph_checks": ["kg_pagerank", "emb_semantic_dedup",
                         "emb_kmeans", "kg_triangles", "kg_kcore",
                         "kg_lpa", "kg_cooccurrence"],

@@ -122,3 +122,42 @@ def domain_cap(df: DataFrame, cap: int, url_col: str = "url",
     unhosted = (with_host.filter(F.col("host") == "")
                 .withColumn("sample_rank", F.lit(0)))
     return capped.unionByName(unhosted)
+
+
+_HREF_RE = r"""(?i)href\s*=\s*["']([^"']+)["']"""
+
+
+def extract_links(df: DataFrame, doc_col: str = "doc_id",
+                  text_col: str = "text",
+                  base_url_col: str | None = None) -> DataFrame:
+    """Hyperlink extraction: raw page text -> (doc, url, n_links)
+    link-edge rows, the construction step of the WEB GRAPH that
+    pagerank/kcore/cooccurrence upstream consume (and the source of
+    anchor-graph dedup signals). href values are captured with one
+    RE2/Java-common regexp (regexp_extract_all group 1 — map-side,
+    zero Python), deduplicated per doc, absolute http(s) URLs
+    canonicalized via canonical_url; fragment-only, relative, and
+    javascript: links are DROPPED rather than resolved — base-URL
+    resolution needs the crawl's redirect metadata, which is a
+    JOIN-time concern (`base_url_col` reserved for it), not a
+    regex one.
+
+    Scale shape: regexp_extract_all + explode is the only fanout and
+    is bounded by actual link count; the per-(doc,url) distinct is
+    one shuffle on uniform keys. Compose with domain_cap BEFORE
+    pagerank to stop mega-site link farms from dominating the graph.
+    """
+    if base_url_col is not None:
+        raise NotImplementedError(
+            "base-URL resolution of relative links needs crawl "
+            "metadata joined in; extract absolute links first and "
+            "resolve relatives in that join")
+    raw = df.select(
+        F.col(doc_col).alias("doc"),
+        F.explode(F.regexp_extract_all(
+            F.col(text_col), F.lit(_HREF_RE), 1)).alias("href"))
+    absolute = raw.filter(F.col("href").rlike(r"(?i)^https?://"))
+    return (absolute
+            .select("doc", canonical_url(F.col("href")).alias("url"))
+            .groupBy("doc", "url")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_links")))

@@ -322,3 +322,35 @@ def test_strip_markup_matches_duckdb_twin(spark):
         f"SELECT doc_id, {strip_markup_sql('text')} AS c FROM tdf"
     ).fetchall()}
     assert got == want
+
+
+# ------------------------------------------------------ link extraction
+
+def test_extract_links_semantics(spark):
+    from biocypher_metta_spark.operators.web import extract_links
+
+    rows = [
+        (1, '<a href="https://a.com/x">1</a> <a href="https://a.com/x">'
+            'again</a> plain text'),
+        (2, "<A HREF='HTTP://B.ORG/P'>upper scheme+attr</A>"),
+        (3, '<a href="/relative">r</a> <a href="#f">f</a> '
+            '<a href="javascript:void(0)">j</a> no links survive'),
+        (4, 'no markup at all'),
+        (5, '<a href="https://c.net/p?utm_source=x&q=1#z">tracked</a>'),
+    ]
+    d = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {(r.doc, r.url, r.n_links)
+           for r in extract_links(d).collect()}
+    assert (1, "https://a.com/x", 2) in got          # dedup counted
+    # scheme+host case-fold; PATH case is semantic and preserved
+    assert (2, "http://b.org/P", 1) in got
+    assert (5, "https://c.net/p?q=1", 1) in got      # tracking stripped
+    assert {t[0] for t in got} == {1, 2, 5}          # 3 and 4 emit nothing
+
+
+def test_extract_links_base_url_reserved(spark):
+    from biocypher_metta_spark.operators.web import extract_links
+
+    d = spark.createDataFrame([(1, "x")], "doc_id: long, text: string")
+    with pytest.raises(NotImplementedError):
+        extract_links(d, base_url_col="base")
