@@ -4509,6 +4509,65 @@ FROM documents
 """
 
 
+from biocypher_metta_spark.functions import genomic  # noqa: E402
+
+
+def rel_interval_merge(spark, sf_dir):
+    """Interval coalescing (genomic.merge_intervals — bedtools
+    merge): lineitem ship-day intervals per supplier bucket, slack=2
+    days; the mix of per-key densities makes real multi-interval
+    blocks AND singletons. Oracle: the island recurrence in DuckDB's
+    window spelling (genomic.interval_merge_sql)."""
+    li = _t(spark, sf_dir, "lineitem")
+    day = F.datediff(F.col("l_shipdate"), F.lit("1992-01-01"))
+    iv = li.select((F.col("l_suppkey") % 500).alias("grp"),
+                   day.cast("long").alias("start"),
+                   (day + F.col("l_linenumber") * 3).cast("long")
+                   .alias("end"))
+    return genomic.merge_intervals(iv, ["grp"], "start", "end", slack=2)
+
+
+_INTERVAL_MERGE_IN_SQL = """SELECT l_suppkey % 500 AS grp,
+  CAST(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+       AS BIGINT) AS start,
+  CAST(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+       + l_linenumber * 3 AS BIGINT) AS "end"
+FROM lineitem"""
+
+REL_INTERVAL_MERGE_SQL = genomic.interval_merge_sql(
+    _INTERVAL_MERGE_IN_SQL, ["grp"], "start", '"end"', slack=2)
+
+
+def rel_snapshot_diff(spark, sf_dir):
+    """Keyed two-version diff (cdc.snapshot_diff): v1 = orders minus
+    every 7th key, v2 = orders minus every 5th key with every 11th
+    key's cents bumped — so all three change classes (added /
+    removed / changed) occur and unchanged keys (the vast majority)
+    are filtered out before materialization. Oracle: FULL OUTER JOIN
+    + per-column IS DISTINCT FROM, an independent spelling of the
+    null-safe struct comparison."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    old = o.filter(F.col("k") % 7 != 0)
+    new = (o.filter(F.col("k") % 5 != 0)
+           .withColumn("cents",
+                       F.col("cents")
+                       + F.when(F.col("k") % 11 == 0, 1).otherwise(0)))
+    return cdc_ops.snapshot_diff(old, new, ["k"],
+                                 ["o_orderstatus", "cents"])
+
+
+_SNAPDIFF_BASE_SQL = """SELECT o_orderkey AS k, o_orderstatus,
+  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders"""
+
+REL_SNAPSHOT_DIFF_SQL = cdc_ops.snapshot_diff_sql(
+    f"SELECT * FROM ({_SNAPDIFF_BASE_SQL}) WHERE k % 7 <> 0",
+    f"SELECT k, o_orderstatus, cents + CASE WHEN k % 11 = 0 THEN 1 "
+    f"ELSE 0 END AS cents FROM ({_SNAPDIFF_BASE_SQL}) WHERE k % 5 <> 0",
+    ["k"], ["o_orderstatus", "cents"])
+
+
 def web_link_edges(spark, sf_dir):
     """Hyperlink extraction (web.extract_links): each doc becomes a
     page with a duplicated absolute link (must dedup to n_links=2),
@@ -4613,6 +4672,8 @@ QUERIES.update({
     "rel_bucketed_join": (rel_bucketed_join, REL_BUCKETED_JOIN_SQL),
     "doc_strip_markup": (doc_strip_markup, DOC_STRIP_MARKUP_SQL),
     "web_link_edges": (web_link_edges, WEB_LINK_EDGES_SQL),
+    "rel_interval_merge": (rel_interval_merge, REL_INTERVAL_MERGE_SQL),
+    "rel_snapshot_diff": (rel_snapshot_diff, REL_SNAPSHOT_DIFF_SQL),
 })
 
 
@@ -4749,6 +4810,9 @@ CK_COLUMNS = {
     "rel_bucketed_join": ["c_mktsegment", "n_rows", "sum_cents"],
     "doc_strip_markup": ["clean_text", "doc_id"],
     "web_link_edges": ["doc", "n_links", "url"],
+    "rel_interval_merge": ["end", "grp", "n_merged", "start"],
+    "rel_snapshot_diff": ["cents_new", "cents_old", "change", "k",
+                          "o_orderstatus_new", "o_orderstatus_old"],
     "emb_semantic_dedup": ["keep", "rep_id", "vec_id"],
     "emb_kmeans": ["cluster", "vec_id"],
 }
@@ -4759,7 +4823,8 @@ CK_COMPOSITES = {
                           "rel_score_cutoff"],
     "rel_join_checks": ["rel_broadcast_left_join", "rel_double_inner_join",
                         "rel_shuffle_join_agg", "rel_bloom_prefilter",
-                        "rel_salted_join", "rel_bucketed_join"],
+                        "rel_salted_join", "rel_bucketed_join",
+                        "rel_snapshot_diff"],
     "rel_agg_checks": ["rel_collect_ordered", "rel_distinct_dedup",
                        "rel_union_adapters", "rel_pricing_summary",
                        "rel_histogram_quantiles", "rel_grouping_sets",
@@ -4767,7 +4832,8 @@ CK_COMPOSITES = {
     "rel_window_checks": ["rel_window_rank", "rel_events_hourly",
                           "rel_session_window", "rel_scd2_intervals",
                           "rel_gapfill_locf"],
-    "rel_range_family": ["rel_range_join", "rel_interval_overlap"],
+    "rel_range_family": ["rel_range_join", "rel_interval_overlap",
+                         "rel_interval_merge"],
     "kg_peregrine_checks": ["kg_peregrine_enhancers", "kg_peregrine_edges"],
     "doc_text_metrics": ["doc_token_stats", "doc_tfidf_topk",
                          "doc_repetition", "doc_split", "doc_simhash",

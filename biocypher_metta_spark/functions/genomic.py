@@ -108,3 +108,86 @@ def interval_overlap_join(left, right, bucket: int = 10_000,
         F.greatest(F.col(l_start), F.col(r_start)) / bucket
     ).cast("long") == F.col("_bkt")
     return joined.filter(overlap & canonical).drop("_bkt")
+
+
+def merge_intervals(df, key_cols: list, start_col: str = "start",
+                    end_col: str = "end", slack: int = 0):
+    """Coalesce overlapping-or-near intervals per key (bedtools merge
+    / TimescaleDB range aggregation): intervals whose gap to the
+    running merged block is <= `slack` join it; output one row per
+    merged block with (key..., start, end, n_merged). Intervals are
+    CLOSED ([start, end], the BED-after-rebase convention used by the
+    range joins above); end >= start enforced by filter semantics —
+    rows with end < start or NULL bounds are dropped, not guessed.
+
+    The recurrence is the classic running-max island detector: order
+    per key by (start, end); a row OPENS a new block iff its start
+    exceeds the max end seen so far (exclusive of itself) plus slack;
+    the block id is the running count of opens. One key shuffle, two
+    ordered window passes, one groupBy — all on the same partitioning
+    (Catalyst reuses the exchange). A mega-key serializes like any
+    per-key ordered recurrence; the as-of bucket pre-pass pattern
+    (operators/temporal.py) is the split template if profiled.
+
+    DuckDB twin: interval_merge_sql — same recurrence, DuckDB's
+    window spelling."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if slack < 0:
+        raise ValueError(f"slack must be >= 0, got {slack}")
+    if not key_cols:
+        raise ValueError("need at least one key column")
+    s, e = F.col(start_col), F.col(end_col)
+    base = df.filter(s.isNotNull() & e.isNotNull() & (e >= s))
+    w_prev = (Window.partitionBy(*key_cols)
+              .orderBy(start_col, end_col)
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy(*key_cols)
+             .orderBy(start_col, end_col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    prev_max = F.max(e).over(w_prev)
+    opens = F.when(prev_max.isNull() | (s > prev_max + slack), 1).otherwise(0)
+    return (base
+            .withColumn("_open", opens)
+            .withColumn("_blk", F.sum("_open").over(w_run))
+            .groupBy(*key_cols, "_blk")
+            .agg(F.min(start_col).alias(start_col),
+                 F.max(end_col).alias(end_col),
+                 F.count(F.lit(1)).cast("long").alias("n_merged"))
+            .drop("_blk"))
+
+
+def interval_merge_sql(intervals_sql: str, key_cols: list,
+                       start_col: str = "start", end_col: str = "end",
+                       slack: int = 0) -> str:
+    """DuckDB twin of merge_intervals (same island recurrence)."""
+    if slack < 0 or not key_cols:
+        raise ValueError("slack must be >= 0 and key_cols non-empty")
+    keys = ", ".join(key_cols)
+    return f"""WITH im_base AS MATERIALIZED (
+  SELECT * FROM (
+{intervals_sql.strip()}
+  ) WHERE {start_col} IS NOT NULL AND {end_col} IS NOT NULL
+        AND {end_col} >= {start_col}
+), im_marked AS MATERIALIZED (
+  SELECT *,
+    CASE WHEN max({end_col}) OVER (
+           PARTITION BY {keys} ORDER BY {start_col}, {end_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR {start_col} > max({end_col}) OVER (
+           PARTITION BY {keys} ORDER BY {start_col}, {end_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + {slack}
+         THEN 1 ELSE 0 END AS im_open
+  FROM im_base
+), im_blocks AS MATERIALIZED (
+  SELECT *, sum(im_open) OVER (
+    PARTITION BY {keys} ORDER BY {start_col}, {end_col}
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS im_blk
+  FROM im_marked
+)
+SELECT {keys}, min({start_col}) AS {start_col},
+       max({end_col}) AS {end_col},
+       CAST(count(*) AS BIGINT) AS n_merged
+FROM im_blocks
+GROUP BY {keys}, im_blk"""

@@ -183,3 +183,75 @@ def salted_join(left: DataFrame, right: DataFrame, on: list,
     r = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     return l.join(r, on + ["_salt"], how).drop("_salt")
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list,
+                  value_cols: list) -> DataFrame:
+    """Keyed diff of two table versions — the nightly-build
+    regression primitive (what changed between yesterday's KG and
+    today's?): one row per key present in either snapshot whose
+    state differs, tagged 'added' / 'removed' / 'changed'; unchanged
+    keys are filtered OUT before materialization, so the output is
+    sized by churn, not by table. Output columns: key_cols,
+    `change`, and each value column twice (`<c>_old`, `<c>_new`;
+    the absent side is NULL for added/removed).
+
+    Requires one row per key in each snapshot (a snapshot IS a keyed
+    state table — changelog_compact above produces exactly this
+    shape); duplicate keys would cross-multiply in the join in any
+    engine.
+
+    Scale shape: one full outer join on the key (two key shuffles),
+    value comparison via null-safe struct equality INSIDE the join
+    projection — no second pass, no collect. At 100 TB both
+    snapshots are bucketed on the key (bucketing.write_bucketed) and
+    the diff becomes exchange-free."""
+    _check_cols(old.columns, key_cols + value_cols, "old")
+    _check_cols(new.columns, key_cols + value_cols, "new")
+    o = old.select(*key_cols,
+                   F.struct(*[F.col(c) for c in value_cols]).alias("_vo"))
+    n = new.select(*key_cols,
+                   F.struct(*[F.col(c) for c in value_cols]).alias("_vn"))
+    j = o.join(n, key_cols, "full_outer")
+    change = (F.when(F.col("_vo").isNull(), "added")
+              .when(F.col("_vn").isNull(), "removed")
+              .when(~F.col("_vo").eqNullSafe(F.col("_vn")), "changed"))
+    out_vals = []
+    for c in value_cols:
+        out_vals.append(F.col(f"_vo.{c}").alias(f"{c}_old"))
+        out_vals.append(F.col(f"_vn.{c}").alias(f"{c}_new"))
+    return (j.withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select(*key_cols, "change", *out_vals))
+
+
+def snapshot_diff_sql(old_sql: str, new_sql: str, key_cols: list,
+                      value_cols: list) -> str:
+    """DuckDB twin of snapshot_diff: FULL OUTER JOIN with per-column
+    IS DISTINCT FROM — an independent spelling of the null-safe
+    struct comparison."""
+    keys = ", ".join(key_cols)
+    on = " AND ".join(f"o.{k} = n.{k}" for k in key_cols)
+    key_sel = ", ".join(f"coalesce(o.{k}, n.{k}) AS {k}"
+                        for k in key_cols)
+    any_k_old = f"o.{key_cols[0]}"
+    any_k_new = f"n.{key_cols[0]}"
+    differs = " OR ".join(f"o.{c} IS DISTINCT FROM n.{c}"
+                          for c in value_cols)
+    outer_vals = ", ".join(f"sd_o_{c} AS {c}_old, sd_n_{c} AS {c}_new"
+                           for c in value_cols)
+    return f"""WITH sd_old AS MATERIALIZED (
+{old_sql.strip()}
+), sd_new AS MATERIALIZED (
+{new_sql.strip()}
+)
+SELECT {keys}, change, {outer_vals}
+FROM (
+  SELECT {key_sel},
+    CASE WHEN {any_k_old} IS NULL THEN 'added'
+         WHEN {any_k_new} IS NULL THEN 'removed'
+         WHEN {differs} THEN 'changed' END AS change,
+    {', '.join(f'o.{c} AS sd_o_{c}, n.{c} AS sd_n_{c}' for c in value_cols)}
+  FROM sd_old o FULL OUTER JOIN sd_new n ON {on}
+)
+WHERE change IS NOT NULL"""

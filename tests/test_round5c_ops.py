@@ -354,3 +354,101 @@ def test_extract_links_base_url_reserved(spark):
     d = spark.createDataFrame([(1, "x")], "doc_id: long, text: string")
     with pytest.raises(NotImplementedError):
         extract_links(d, base_url_col="base")
+
+
+# ---------------------------------------------------- interval merge
+
+def test_merge_intervals_semantics(spark):
+    from biocypher_metta_spark.functions.genomic import merge_intervals
+
+    rows = [("a", 0, 10), ("a", 5, 12), ("a", 12, 14),  # chain -> one
+            ("a", 20, 25),                               # gap -> new
+            ("a", 40, 40),                               # point
+            ("b", 0, 1), ("b", 100, 101),
+            ("b", None, 5), ("b", 7, None), ("b", 9, 3)]  # dropped
+    d = spark.createDataFrame(rows, "grp: string, start: long, end: long")
+    got = {(r.grp, r.start, r.end, r.n_merged)
+           for r in merge_intervals(d, ["grp"]).collect()}
+    assert got == {("a", 0, 14, 3), ("a", 20, 25, 1), ("a", 40, 40, 1),
+                   ("b", 0, 1, 1), ("b", 100, 101, 1)}
+
+
+def test_merge_intervals_slack_bridges_gaps(spark):
+    from biocypher_metta_spark.functions.genomic import merge_intervals
+
+    rows = [("a", 0, 10), ("a", 12, 20), ("a", 25, 30)]
+    d = spark.createDataFrame(rows, "grp: string, start: long, end: long")
+    tight = merge_intervals(d, ["grp"], slack=0).count()
+    loose = {(r.start, r.end, r.n_merged)
+             for r in merge_intervals(d, ["grp"], slack=2).collect()}
+    assert tight == 3
+    assert loose == {(0, 20, 2), (25, 30, 1)}  # slack=2 bridges gap 10->12
+
+
+def test_merge_intervals_matches_duckdb_twin_randomized(spark):
+    from biocypher_metta_spark.functions.genomic import (
+        interval_merge_sql, merge_intervals)
+
+    rng = random.Random(99)
+    rows = []
+    for g in range(8):
+        for _ in range(rng.randint(0, 40)):
+            s = rng.randint(0, 300)
+            rows.append((g, s, s + rng.randint(0, 25)))
+    d = spark.createDataFrame(rows, "grp: long, start: long, end: long")
+    got = {(r.grp, r.start, r.end, r.n_merged)
+           for r in merge_intervals(d, ["grp"], slack=1).collect()}
+    con = duckdb.connect()
+    con.register("ivd", pd.DataFrame(rows, columns=["grp", "start", "end"]))
+    want = {tuple(r) for r in con.execute(interval_merge_sql(
+        'SELECT grp, start, "end" FROM ivd', ["grp"],
+        "start", '"end"', slack=1)).fetchall()}
+    assert got == want
+
+
+def test_merge_intervals_validation(spark):
+    from biocypher_metta_spark.functions.genomic import merge_intervals
+
+    d = spark.createDataFrame([("a", 1, 2)],
+                              "grp: string, start: long, end: long")
+    with pytest.raises(ValueError):
+        merge_intervals(d, ["grp"], slack=-1)
+    with pytest.raises(ValueError):
+        merge_intervals(d, [])
+
+
+# ---------------------------------------------------- snapshot diff
+
+def test_snapshot_diff_classes(spark):
+    from biocypher_metta_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 20), (3, "z", 30), (4, None, 40)],
+        "k: long, s: string, v: long")
+    new = spark.createDataFrame(
+        [(2, "y", 20), (3, "z", 31), (4, None, 40), (5, "w", 50)],
+        "k: long, s: string, v: long")
+    got = {(r.k, r.change, r.v_old, r.v_new)
+           for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()}
+    # k=2 unchanged (absent), k=4 unchanged incl. null-safe compare
+    assert got == {(1, "removed", 10, None),
+                   (3, "changed", 30, 31),
+                   (5, "added", None, 50)}
+
+
+def test_snapshot_diff_null_transitions_are_changes(spark):
+    from biocypher_metta_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, 5)], "k: long, v: long")
+    new = spark.createDataFrame([(1, 7), (2, None)], "k: long, v: long")
+    got = {(r.k, r.change) for r in
+           snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert got == {(1, "changed"), (2, "changed")}
+
+
+def test_snapshot_diff_missing_column_raises(spark):
+    from biocypher_metta_spark.operators.cdc import snapshot_diff
+
+    d = spark.createDataFrame([(1, 2)], "k: long, v: long")
+    with pytest.raises(ValueError):
+        snapshot_diff(d, d, ["k"], ["nope"])
