@@ -4509,6 +4509,53 @@ FROM documents
 """
 
 
+def kg_jaccard_links(spark, sf_dir):
+    """Neighborhood-Jaccard link prediction
+    (graph.neighborhood_jaccard, min_common=2) over the same planted
+    two-nuclei-plus-bridge graph as kg_lpa: within-nucleus pairs
+    share many neighbors (high permille), cross-bridge pairs share
+    none and must be absent. Oracle: the composed twin
+    (cooccurrence projection of the adjacency + degree joins,
+    integer floor permille)."""
+    ids = _ids(spark, sf_dir)
+    ca = ids.select((F.col("i") % 10).alias("src"),
+                    ((F.col("i") / 3).cast("long") % 10).alias("dst"))
+    cb = ids.select((F.col("i") % 10 + 200).alias("src"),
+                    ((F.col("i") / 3).cast("long") % 10 + 200).alias("dst"))
+    bridge = ids.select((F.col("i") % 1 + 5).alias("src"),
+                        (F.col("i") % 1 + 205).alias("dst"))
+    return graph_ops.neighborhood_jaccard(
+        ca.unionAll(cb).unionAll(bridge), min_common=2)
+
+
+KG_JACCARD_LINKS_SQL = graph_ops.neighborhood_jaccard_sql(
+    _LPA_EDGES_SQL, min_common=2)
+
+
+def doc_lm_train(spark, sf_dir):
+    """Distributed char-bigram LM training counts
+    (text.train_char_bigram_lm): alphabet-bounded aggregate state
+    (the CMS/KMV property — output rows never exceed the bigram
+    space regardless of corpus size), identical normalization to
+    lm_perplexity so the trained model composes exactly. Oracle:
+    the positional substr spelling over generate-series."""
+    return text_ops.train_char_bigram_lm(_t(spark, sf_dir, "documents"))
+
+
+DOC_LM_TRAIN_SQL = r"""
+WITH lm_s AS MATERIALIZED (
+  SELECT ' ' || trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'))
+         || ' ' AS s
+  FROM documents
+), lm_p AS MATERIALIZED (
+  SELECT substr(s, CAST(i AS INT), 2) AS bigram
+  FROM lm_s, unnest(range(1, length(s))) AS t(i)
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM lm_p GROUP BY 1
+"""
+
+
 from biocypher_metta_spark.functions import genomic  # noqa: E402
 
 
@@ -4674,6 +4721,8 @@ QUERIES.update({
     "web_link_edges": (web_link_edges, WEB_LINK_EDGES_SQL),
     "rel_interval_merge": (rel_interval_merge, REL_INTERVAL_MERGE_SQL),
     "rel_snapshot_diff": (rel_snapshot_diff, REL_SNAPSHOT_DIFF_SQL),
+    "kg_jaccard_links": (kg_jaccard_links, KG_JACCARD_LINKS_SQL),
+    "doc_lm_train": (doc_lm_train, DOC_LM_TRAIN_SQL),
 })
 
 
@@ -4813,6 +4862,9 @@ CK_COLUMNS = {
     "rel_interval_merge": ["end", "grp", "n_merged", "start"],
     "rel_snapshot_diff": ["cents_new", "cents_old", "change", "k",
                           "o_orderstatus_new", "o_orderstatus_old"],
+    "kg_jaccard_links": ["jaccard_permille", "n_common", "node_a",
+                         "node_b"],
+    "doc_lm_train": ["bigram", "n"],
     "emb_semantic_dedup": ["keep", "rep_id", "vec_id"],
     "emb_kmeans": ["cluster", "vec_id"],
 }
@@ -4837,7 +4889,7 @@ CK_COMPOSITES = {
     "kg_peregrine_checks": ["kg_peregrine_enhancers", "kg_peregrine_edges"],
     "doc_text_metrics": ["doc_token_stats", "doc_tfidf_topk",
                          "doc_repetition", "doc_split", "doc_simhash",
-                         "doc_fingerprint"],
+                         "doc_fingerprint", "doc_lm_train"],
     # round-5b training-data curation family (sampling / caps / BM25 /
     # CMS) and graph-analytics family (PageRank, SemDeDup) — folded so
     # the registry stays at the 50-row driver snapshot cap
@@ -4849,7 +4901,7 @@ CK_COMPOSITES = {
                             "doc_strip_markup", "web_link_edges"],
     "kg_graph_checks": ["kg_pagerank", "emb_semantic_dedup",
                         "emb_kmeans", "kg_triangles", "kg_kcore",
-                        "kg_lpa", "kg_cooccurrence"],
+                        "kg_lpa", "kg_cooccurrence", "kg_jaccard_links"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",

@@ -566,3 +566,86 @@ SELECT a.it AS item_a, b.it AS item_b,
 FROM {capped} a JOIN {capped} b ON a.d = b.d AND a.it < b.it
 GROUP BY 1, 2
 HAVING count(*) >= {min_count}"""
+
+
+def neighborhood_jaccard(edges: DataFrame, min_common: int = 2,
+                         src: str = "src", dst: str = "dst") -> DataFrame:
+    """Link prediction by neighborhood overlap: for node pairs sharing
+    >= min_common neighbors in the undirected simple graph, emit
+    (node_a < node_b, n_common, jaccard_permille) with
+    jaccard_permille = floor(1000 * |N(a) & N(b)| / |N(a) | N(b)|) —
+    integer permille so both engines round identically. The standard
+    "suggest this edge" / entity-merge-candidate primitive over KG
+    adjacency.
+
+    Built BY COMPOSITION on cooccurrence_edges: shared-neighbor pairs
+    ARE the co-occurrence projection of the (neighbor, node)
+    membership table — same self-join shape, same skew behavior, and
+    the same quadratic guard applies (a 10^6-degree hub manufactures
+    C(10^6, 2) candidate pairs; pass the adjacency through a degree
+    cap first if the graph has one — deliberately NOT silently
+    built in, because dropping a hub changes the answer and that
+    choice belongs to the caller). min_common prunes the candidate
+    tail before the degree joins.
+
+    Scale shape: cooccurrence's distinct + self-join + count, then
+    two broadcast-or-shuffle joins against the degree table (one row
+    per node). Union size by inclusion-exclusion — no second pass
+    over the adjacency."""
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .filter(F.col("s").isNotNull() & F.col("d").isNotNull()
+                 & (F.col("s") != F.col("d"))))
+    und = (e.select(F.least("s", "d").alias("a"),
+                    F.greatest("s", "d").alias("b"))
+           .distinct())
+    adj = (und.select(F.col("a").alias("node"), F.col("b").alias("nb"))
+           .unionAll(und.select(F.col("b").alias("node"),
+                                F.col("a").alias("nb"))))
+    common = (cooccurrence_edges(adj, "nb", "node", min_count=min_common)
+              .withColumnRenamed("item_a", "node_a")
+              .withColumnRenamed("item_b", "node_b")
+              .withColumnRenamed("n_docs", "n_common"))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long")
+                                  .alias("deg"))
+    out = (common
+           .join(deg.select(F.col("node").alias("node_a"),
+                            F.col("deg").alias("_da")), "node_a")
+           .join(deg.select(F.col("node").alias("node_b"),
+                            F.col("deg").alias("_db")), "node_b"))
+    union = F.col("_da") + F.col("_db") - F.col("n_common")
+    return (out.select("node_a", "node_b", "n_common",
+                       F.floor(F.lit(1000) * F.col("n_common") / union)
+                       .cast("long").alias("jaccard_permille")))
+
+
+def neighborhood_jaccard_sql(edges_sql: str, min_common: int = 2,
+                             src: str = "src", dst: str = "dst") -> str:
+    """DuckDB twin of neighborhood_jaccard — the cooccurrence twin
+    over the adjacency plus degree joins, floor-divided in integers."""
+    adj_sql = f"""WITH nj_u AS (
+  SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+  FROM (
+{edges_sql.strip()}
+  )
+  WHERE {src} IS NOT NULL AND {dst} IS NOT NULL AND {src} <> {dst}
+)
+SELECT a AS node, b AS nb FROM nj_u
+UNION ALL SELECT b, a FROM nj_u"""
+    cooc = cooccurrence_edges_sql(adj_sql, "nb", "node",
+                                  min_count=min_common)
+    return f"""WITH nj_cooc AS MATERIALIZED (
+{cooc}
+), nj_adj AS MATERIALIZED (
+{adj_sql}
+), nj_deg AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg
+  FROM nj_adj GROUP BY 1
+)
+SELECT c.item_a AS node_a, c.item_b AS node_b,
+       c.n_docs AS n_common,
+       CAST(floor(1000.0 * c.n_docs
+                  / (da.deg + db.deg - c.n_docs)) AS BIGINT)
+         AS jaccard_permille
+FROM nj_cooc c
+JOIN nj_deg da ON c.item_a = da.node
+JOIN nj_deg db ON c.item_b = db.node"""

@@ -570,11 +570,16 @@ LM_MAX_NLL = max(LM_BIGRAM_NLL.values())
 
 
 def lm_perplexity(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  table: dict[str, int] | None = None) -> DataFrame:
     """Per-doc char-bigram LM score: (doc_id, n_bigrams, nll_sum,
     nll_per_bigram), integers in milli-nats. nll_per_bigram is the
     perplexity proxy downstream filters threshold on (exp(nll/1000) =
     true perplexity; kept in log space to stay integer-portable).
+    `table` swaps in a corpus-trained model
+    (train_char_bigram_lm -> bigram_nll_from_counts) for the
+    built-in snippet-trained LM_BIGRAM_NLL; same integer milli-nat
+    contract, same all-literal create_map plan.
 
     Map-only pure expressions: normalize like the language-ID
     (lowercase, non-letters -> single space, padded), one create_map
@@ -596,8 +601,10 @@ def lm_perplexity(df: DataFrame, text_col: str = "text",
                  F.trim(F.regexp_replace(F.lower(F.col(text_col)),
                                          r"[^a-z]+", " ")),
                  F.lit(" "))
+    model = LM_BIGRAM_NLL if table is None else table
+    max_nll = LM_MAX_NLL if table is None else max(model.values())
     kv = []
-    for bg, nll in LM_BIGRAM_NLL.items():
+    for bg, nll in model.items():
         kv.extend([F.lit(bg), F.lit(nll)])
     table = F.create_map(*kv)  # all-literal -> constant-folded once
     src = df.select(F.col(id_col),
@@ -609,7 +616,7 @@ def lm_perplexity(df: DataFrame, text_col: str = "text",
     pair_nll = F.zip_with(
         F.slice(chars, F.lit(1), n), F.slice(chars, F.lit(2), n),
         lambda a, b: F.coalesce(table[F.concat(a, b)],
-                                F.lit(LM_MAX_NLL)))
+                                F.lit(max_nll)))
     pre = src.select(
         F.col(id_col), n.alias("n_bigrams"),
         F.aggregate(pair_nll, F.lit(0).cast("long"),
@@ -769,3 +776,59 @@ def strip_markup_sql(text_expr: str) -> str:
         r = repl.replace("'", "''")
         out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
     return f"trim({out})"
+
+
+def train_char_bigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distributed char-bigram counting over the normalized corpus —
+    the TRAINING half of the lm_perplexity pair above (which embeds a
+    table trained at import from a fixed snippet): (bigram, n) counts
+    using the IDENTICAL normalization and padded-pair walk, so a
+    model trained here scores exactly like the built-in path.
+
+    The 100-TB flow this encodes: count bigrams distributively (one
+    map-side explode + one groupBy over <= (len(alphabet)+1)^2
+    surviving keys — the aggregate state is alphabet-bounded, the
+    CMS/KMV property), collect the TINY count table on the driver,
+    turn it into integer milli-nat NLLs with bigram_nll_from_counts,
+    and ship that dict back into lm_perplexity(table=...) as an
+    all-literal create_map. Floats never cross the engine boundary;
+    the log() lives in driver-side Python where it is deterministic."""
+    s = F.concat(F.lit(" "),
+                 F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                         r"[^a-z]+", " ")),
+                 F.lit(" "))
+    # Generate barrier: materialize the normalized string once per row
+    # (same CollapseProject re-inlining hazard as lm_perplexity)
+    src = df.select(F.explode(F.array(s)).alias("_s"))
+    n = F.length("_s") - 1
+    chars = F.split(F.col("_s"), "")
+    pairs = F.zip_with(F.slice(chars, F.lit(1), n),
+                       F.slice(chars, F.lit(2), n),
+                       lambda a, b: F.concat(a, b))
+    return (src.select(F.explode(pairs).alias("bigram"))
+            .groupBy("bigram")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def bigram_nll_from_counts(rows, alphabet: str = LM_ALPHABET,
+                           scale: int = 1000) -> dict[str, int]:
+    """Driver-side model build from collected train_char_bigram_lm
+    counts (bounded by (len(alphabet))^2 rows — the same legitimacy
+    class as the IVF centroid pull): Laplace-smoothed conditional
+    probabilities as integer milli-nat NLLs, the same formula as the
+    import-time _lm_bigram_table, so training on _lm's own snippet
+    reproduces LM_BIGRAM_NLL bit-for-bit (pinned by test)."""
+    import math
+
+    counts = {}
+    for r in rows:
+        bg = r["bigram"] if not isinstance(r, tuple) else r[0]
+        c = r["n"] if not isinstance(r, tuple) else r[1]
+        counts[bg] = counts.get(bg, 0) + int(c)
+    ctx: dict[str, int] = {}
+    for bg, c in counts.items():
+        ctx[bg[0]] = ctx.get(bg[0], 0) + c
+    v = len(alphabet)
+    return {a + b: round(-scale * math.log(
+        (counts.get(a + b, 0) + 1) / (ctx.get(a, 0) + v)))
+        for a in alphabet for b in alphabet}

@@ -452,3 +452,91 @@ def test_snapshot_diff_missing_column_raises(spark):
     d = spark.createDataFrame([(1, 2)], "k: long, v: long")
     with pytest.raises(ValueError):
         snapshot_diff(d, d, ["k"], ["nope"])
+
+
+# ------------------------------------------------ neighborhood jaccard
+
+def test_neighborhood_jaccard_hand_example(spark):
+    from biocypher_metta_spark.operators.graph import neighborhood_jaccard
+
+    # 1 and 2 share neighbors {3,4}; N(1)={3,4}, N(2)={3,4,5}
+    # -> n_common=2, union=3, jaccard = floor(2000/3) = 666
+    e = spark.createDataFrame(
+        [(1, 3), (1, 4), (2, 3), (2, 4), (2, 5)], ["src", "dst"])
+    got = {(r.node_a, r.node_b, r.n_common, r.jaccard_permille)
+           for r in neighborhood_jaccard(e, min_common=2).collect()}
+    assert (1, 2, 2, 666) in got
+    # 3 and 4 share {1,2} with N(3)=N(4)={1,2} -> 1000 permille
+    assert (3, 4, 2, 1000) in got
+
+
+def test_neighborhood_jaccard_bridge_pairs_absent(spark):
+    from biocypher_metta_spark.operators.graph import neighborhood_jaccard
+
+    edges = _two_cliques_with_bridge()
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    out = neighborhood_jaccard(e, min_common=2)
+    rows = out.collect()
+    # no pair straddles the bridge: nucleus A ids < 100 <= nucleus B
+    assert rows and all((r.node_a < 100) == (r.node_b < 100)
+                        for r in rows)
+    assert all(1 <= r.jaccard_permille <= 1000 for r in rows)
+
+
+def test_neighborhood_jaccard_matches_duckdb_twin(spark):
+    from biocypher_metta_spark.operators.graph import (
+        neighborhood_jaccard, neighborhood_jaccard_sql)
+
+    rng = random.Random(21)
+    edges = [(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(400)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {tuple(r) for r in neighborhood_jaccard(e, min_common=2)
+           .collect()}
+    con = duckdb.connect()
+    con.register("edf2", pd.DataFrame(edges, columns=["src", "dst"]))
+    want = {tuple(r) for r in con.execute(neighborhood_jaccard_sql(
+        "SELECT src, dst FROM edf2", min_common=2)).fetchall()}
+    assert got == want
+
+
+# ------------------------------------------------ char-bigram LM train
+
+def test_lm_training_reproduces_builtin_table(spark):
+    from biocypher_metta_spark.operators.text import (
+        LANG_TRIGRAM_SNIPPETS, LM_BIGRAM_NLL, bigram_nll_from_counts,
+        train_char_bigram_lm)
+
+    d = spark.createDataFrame([(1, LANG_TRIGRAM_SNIPPETS["en"])],
+                              "doc_id: long, text: string")
+    rows = [r.asDict() for r in train_char_bigram_lm(d).collect()]
+    model = bigram_nll_from_counts(rows)
+    # the distributed count path + driver model build reproduce the
+    # import-time snippet-trained table bit-for-bit
+    assert model == LM_BIGRAM_NLL
+
+
+def test_lm_trained_table_composes_with_perplexity(spark):
+    from biocypher_metta_spark.operators.text import (
+        bigram_nll_from_counts, lm_perplexity, train_char_bigram_lm)
+
+    corpus = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog ran to the house")
+         for i in range(20)], "doc_id: long, text: string")
+    rows = [r.asDict() for r in train_char_bigram_lm(corpus).collect()]
+    model = bigram_nll_from_counts(rows)
+    probe = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "zqxv kjwq pzzkx vqxjz")],
+        "doc_id: long, text: string")
+    out = {r.doc_id: r.nll_per_bigram
+           for r in lm_perplexity(probe, table=model).collect()}
+    assert out[1] < out[2]  # in-domain scores lower than gibberish
+
+
+def test_lm_train_empty_and_null_docs(spark):
+    from biocypher_metta_spark.operators.text import train_char_bigram_lm
+
+    d = spark.createDataFrame([(1, ""), (2, None), (3, "ab")],
+                              "doc_id: long, text: string")
+    got = {r.bigram: r.n for r in train_char_bigram_lm(d).collect()}
+    # "" normalizes to '  ' (1 bigram); None drops; "ab" -> ' ab '
+    assert got == {"  ": 1, " a": 1, "ab": 1, "b ": 1}
