@@ -540,3 +540,42 @@ def test_lm_train_empty_and_null_docs(spark):
     got = {r.bigram: r.n for r in train_char_bigram_lm(d).collect()}
     # "" normalizes to '  ' (1 bigram); None drops; "ab" -> ' ab '
     assert got == {"  ": 1, " a": 1, "ab": 1, "b ": 1}
+
+
+# --------------------------------------- merge_intervals property tests
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 3),          # key
+                          st.integers(0, 80),         # start
+                          st.integers(0, 25)),        # length
+                min_size=1, max_size=60),
+       st.integers(0, 4))                             # slack
+def test_merge_intervals_invariants(spark, raw, slack):
+    from biocypher_metta_spark.functions.genomic import merge_intervals
+
+    rows = [(k, s, s + ln) for k, s, ln in raw]
+    d = spark.createDataFrame(rows, "grp: long, start: long, end: long")
+    out = merge_intervals(d, ["grp"], slack=slack).collect()
+    # (1) conservation: every input interval lands in exactly one block
+    assert sum(r.n_merged for r in out) == len(rows)
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r.grp, []).append((r.start, r.end))
+    for k, blocks in by_key.items():
+        blocks.sort()
+        ins = sorted((s, e) for g, s, e in rows if g == k)
+        # (2) blocks are disjoint with gaps STRICTLY wider than slack
+        for (s1, e1), (s2, e2) in zip(blocks, blocks[1:]):
+            assert s2 > e1 + slack
+        # (3) every input interval is contained in some block
+        for s, e in ins:
+            assert any(bs <= s and e <= be for bs, be in blocks)
+        # (4) block bounds are realized by inputs (no invented space)
+        starts = {s for s, _ in ins}
+        ends = {e for _, e in ins}
+        assert all(bs in starts and be in ends for bs, be in blocks)

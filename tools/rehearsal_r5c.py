@@ -152,6 +152,45 @@ def run_snapshot_diff(spark, n: int) -> dict:
             "sec": sec}
 
 
+def run_jaccard(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.graph import neighborhood_jaccard
+
+    # ~10 edges/node of hash-varied chords INSIDE 50-node blocks (the
+    # LPA leg's corpus): block locality manufactures genuinely shared
+    # neighborhoods so min_common=3 has real pairs to emit. The first
+    # draft used dst = (id*7+13) % v — constant per src because
+    # 7*j*v === 0 mod v across a node's member ids (the same
+    # congruence footgun as the cooccurrence corpus above), degree
+    # collapsed to ~2 and pairs_out was 0.
+    v = max(n // 10, 1000)
+    d = spark.range(n).select(
+        (F.col("id") % v).alias("node"),
+        (F.col("id") * 2654435761).alias("h"))
+    d = d.select(
+        F.col("node").alias("src"),
+        ((F.col("node") / 50).cast("long") * 50
+         + (F.col("node") + F.col("h") % 49 + 1) % 50).alias("dst"))
+    t0 = time.time()
+    out = neighborhood_jaccard(d, min_common=3).count()
+    return {"edges_in": n, "pairs_out": out,
+            "sec": round(time.time() - t0, 2)}
+
+
+def run_lm_train(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.text import train_char_bigram_lm
+
+    d = spark.range(n).select(
+        F.concat(F.lit("the quick brown fox number "),
+                 (F.col("id") % 9973).cast("string"),
+                 F.lit(" jumps over it")).alias("text"))
+    t0 = time.time()
+    out = train_char_bigram_lm(d)
+    total = out.agg(F.sum("n")).first()[0]
+    rows = out.count()
+    return {"docs_in": n, "bigram_rows": rows, "bigrams_total": int(total),
+            "sec": round(time.time() - t0, 2)}
+
+
 def main():
     spark = get_spark("rehearsal-r5c")
     spark.sparkContext.setLogLevel("ERROR")
@@ -162,6 +201,8 @@ def main():
         "extract_links": (run_extract_links, 5_000_000),
         "interval_merge": (run_interval_merge, 10_000_000),
         "snapshot_diff": (run_snapshot_diff, 20_000_000),
+        "jaccard": (run_jaccard, 2_000_000),
+        "lm_train": (run_lm_train, 2_000_000),
     }
     only = set(sys.argv[1:])
     art = REPO / "tools" / "rehearsal_r5c.json"
