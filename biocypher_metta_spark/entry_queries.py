@@ -3481,9 +3481,18 @@ FROM tr JOIN evd USING (gh) GROUP BY doc_id
 PIPELINE_NLL_MAX = 3050
 
 
+_PIPE_PREFIX = ('<html><head><style>p{color:red}</style></head>'
+                '<body><p class="x">')
+_PIPE_SUFFIX = ('</p>\n<script>var q = 1 < 2;</script>'
+                '<!-- footer -->&amp; &lt;end&gt;</body></html>')
+
+
 def doc_pipeline(spark, sf_dir):
     """CAPSTONE composition: the full corpus-preparation chain a
-    pretraining pipeline runs — PII scrub -> C4 boilerplate gate
+    pretraining pipeline runs — HTML strip (each doc arrives wrapped
+    in a page skeleton whose newline SURVIVES stripping, so the C4
+    line stats downstream see the real two-line structure) ->
+    PII scrub -> C4 boilerplate gate
     (doc-level drop markers + per-doc line stats) -> char-bigram LM
     perplexity threshold (<= PIPELINE_NLL_MAX milli-nats/bigram) ->
     exact dedup (keep min id) -> quality filter (>= 500) -> language ID
@@ -3494,7 +3503,13 @@ def doc_pipeline(spark, sf_dir):
     total_lines / sum_nll_pb sums) the per-doc C4 and perplexity values
     themselves — one wrong doc shifts a pack sum."""
     d = _docs_par(spark, sf_dir)
-    scrubbed = text_ops.scrub_pii(d).select("doc_id", "text")
+    marked = d.select(
+        "doc_id",
+        F.concat(F.lit(_PIPE_PREFIX), F.col("text"),
+                 F.lit(_PIPE_SUFFIX)).alias("text"))
+    stripped = (text_ops.strip_markup(marked)
+                .select("doc_id", F.col("clean_text").alias("text")))
+    scrubbed = text_ops.scrub_pii(stripped).select("doc_id", "text")
     c4 = text_ops.c4_line_filter(scrubbed).select(
         "doc_id", "n_lines", "doc_kept")
     px = text_ops.lm_perplexity(scrubbed).select(
@@ -3522,15 +3537,29 @@ def doc_pipeline(spark, sf_dir):
                  F.sum("nll_per_bigram").cast("long").alias("sum_nll_pb")))
 
 
+# SQL expression for the wrapped page text; the newline in the suffix
+# travels as chr(10) so the literal stays single-line. Interpolated as
+# a VALUE into the rf-string below, so braces in the css need no
+# doubling.
+_DP_WRAPPED = ("'" + _PIPE_PREFIX.replace("'", "''")
+               + "' || text || '"
+               + _PIPE_SUFFIX.replace("'", "''").replace(
+                   "\n", "' || chr(10) || '")
+               + "'")
+
 DOC_PIPELINE_SQL = rf"""
 WITH lm(bg, nll) AS (VALUES {_duck_lm_values()}),
+dp_stripped AS (
+  SELECT doc_id, {text_ops.strip_markup_sql(_DP_WRAPPED)} AS text
+  FROM documents
+),
 scrubbed AS (
   SELECT doc_id,
          regexp_replace(regexp_replace(regexp_replace(text,
            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<email>', 'g'),
            '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<ipv4>', 'g'),
            '\+\d[\d -]{{7,}}\d', '<phone>', 'g') AS text
-  FROM documents
+  FROM dp_stripped
 ), c4l AS (
   SELECT doc_id,
          CAST(len(list_filter(string_split(text, chr(10)),

@@ -743,8 +743,13 @@ MARKUP_RULES = [
     (r"&gt;", ">"),
     (r"&quot;", "\""),
     (r"&#39;", "'"),
-    # collapse the whitespace the removals left behind
-    (r"\s+", " "),
+    # collapse the whitespace the removals left behind — but PRESERVE
+    # newlines: downstream line-based filters (c4_line_filter) need
+    # the line structure, and a crawl cleaner that flattens documents
+    # to one line silently disables them. Horizontal runs collapse to
+    # one space; newline runs (with surrounding spaces) to one '\n'.
+    (r"[ \t\r\f]+", " "),
+    (r"( ?\n ?)+", "\n"),
 ]
 
 

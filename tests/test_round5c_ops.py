@@ -292,6 +292,7 @@ def test_strip_markup_semantics(spark):
         (4, 'escaped &lt;fin&gt; stays &amp; so do &quot;quotes&quot;'),
         (5, None),
         (6, '   lots\t\nof   space   '),
+        (7, 'line one\n\n\nline two'),
     ]
     d = spark.createDataFrame(rows, "doc_id: long, text: string")
     got = {r.doc_id: r.clean_text for r in strip_markup(d).collect()}
@@ -301,7 +302,10 @@ def test_strip_markup_semantics(spark):
     # escaped markup is CONTENT: decoded after tag removal, not stripped
     assert got[4] == 'escaped <fin> stays & so do "quotes"'
     assert got[5] is None
-    assert got[6] == "lots of space"
+    # newlines survive (line-based filters downstream need them);
+    # horizontal runs and newline runs each collapse to one
+    assert got[6] == "lots\nof space"
+    assert got[7] == "line one\nline two"
 
 
 def test_strip_markup_matches_duckdb_twin(spark):
