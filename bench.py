@@ -124,7 +124,10 @@ def main() -> None:
              "web_canonical_url", "emb_kmeans", "kg_triangles",
              "rel_bloom_prefilter", "rel_changelog_compact",
              "rel_scd2_intervals", "rel_salted_join", "kg_kcore",
-             "kg_lpa", "rel_gapfill_locf", "rel_pivot"]
+             "kg_lpa", "rel_gapfill_locf", "rel_pivot",
+             "kg_cooccurrence", "doc_weighted_sample", "rel_bucketed_join",
+             "doc_strip_markup", "web_link_edges", "rel_interval_merge",
+             "rel_snapshot_diff", "kg_jaccard_links", "doc_lm_train"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):
