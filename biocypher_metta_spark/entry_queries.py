@@ -4323,6 +4323,39 @@ REL_SCD2_INTERVALS_SQL = cdc_ops.scd2_intervals_sql(
     ["l_orderkey"], ["ts", "seq", "qty"], ["l_orderkey", "ts", "seq", "qty"])
 
 
+def kg_streaming_upsert(spark, sf_dir):
+    """Streaming CDC upsert (streaming/upsert.run_upsert_stream): the
+    lineitem changelog arrives as TWO checkpointed availableNow
+    increments (split by key, so the per-key cross-batch ordering
+    contract holds by construction); each micro-batch merges into the
+    versioned state snapshot via the SAME changelog_compact kernel
+    the batch gate uses. The final state must equal one batch compact
+    over the full log — the rel_changelog_compact oracle verbatim —
+    proving streamed-merge / batch-compact equivalence including
+    tombstone drops and resurrections."""
+    import hashlib
+    import shutil
+
+    from biocypher_metta_spark.streaming.upsert import (
+        read_state, run_upsert_stream)
+
+    base = ("/tmp/bcm_upsert_gate_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, state, ck = f"{base}/in", f"{base}/state", f"{base}/ck"
+    log = _cdc_log(spark, sf_dir)
+    log.filter(F.col("l_orderkey") % 2 == 0).write.parquet(in_dir)
+    for batch in range(2):
+        stream = spark.readStream.schema(log.schema).parquet(in_dir)
+        run_upsert_stream(stream, ["l_orderkey"], _CDC_ORDER,
+                          state, ck, op_col="op")
+        if batch == 0:
+            log.filter(F.col("l_orderkey") % 2 == 1) \
+               .write.mode("append").parquet(in_dir)
+    return read_state(spark, state).select(
+        "l_orderkey", "ts", "seq", "op", "qty")
+
+
 def rel_salted_join(spark, sf_dir):
     """Skew-salted equi-join (cdc.salted_join): lineitem x small-size
     parts on (partkey, salt) with the part side replicated n_salts
@@ -4752,6 +4785,8 @@ QUERIES.update({
     "rel_snapshot_diff": (rel_snapshot_diff, REL_SNAPSHOT_DIFF_SQL),
     "kg_jaccard_links": (kg_jaccard_links, KG_JACCARD_LINKS_SQL),
     "doc_lm_train": (doc_lm_train, DOC_LM_TRAIN_SQL),
+    "kg_streaming_upsert": (kg_streaming_upsert,
+                            REL_CHANGELOG_COMPACT_SQL),
 })
 
 
@@ -4894,6 +4929,7 @@ CK_COLUMNS = {
     "kg_jaccard_links": ["jaccard_permille", "n_common", "node_a",
                          "node_b"],
     "doc_lm_train": ["bigram", "n"],
+    "kg_streaming_upsert": ["l_orderkey", "op", "qty", "seq", "ts"],
     "emb_semantic_dedup": ["keep", "rep_id", "vec_id"],
     "emb_kmeans": ["cluster", "vec_id"],
 }
@@ -4941,7 +4977,8 @@ CK_COMPOSITES = {
     # composite gives the r5 windowed/watermark op a driver row without
     # growing the registry past the 50-row snapshot cap
     "kg_streaming_checks": ["kg_streaming_parity", "kg_streaming_window",
-                            "kg_streaming_dedup", "kg_streaming_join"],
+                            "kg_streaming_dedup", "kg_streaming_join",
+                            "kg_streaming_upsert"],
 }
 
 

@@ -169,3 +169,36 @@ def test_salted_join_validation(spark):
         cdc.salted_join(d, d, ["key"], n_salts=0)
     with pytest.raises(ValueError):
         cdc.salted_join(d.withColumn("_salt", F.lit(1)), d, ["key"])
+
+
+def test_streaming_upsert_tombstones_and_resurrection(spark, tmp_path):
+    from biocypher_metta_spark.streaming.upsert import (
+        latest_state_version, read_state, run_upsert_stream)
+
+    in_dir = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    schema = "k: long, ts: long, op: string, v: long"
+    batch1 = spark.createDataFrame(
+        [(1, 10, "upsert", 100), (1, 11, "upsert", 101),
+         (2, 10, "upsert", 200), (3, 10, "upsert", 300),
+         (3, 12, "delete", 0)], schema)
+    batch1.write.parquet(in_dir)
+    batch2 = spark.createDataFrame(
+        [(2, 20, "delete", 0),          # delete an existing key
+         (3, 20, "upsert", 333),        # resurrect a tombstoned key
+         (4, 20, "upsert", 400)], schema)
+    for i in range(2):
+        stream = spark.readStream.schema(batch1.schema).parquet(in_dir)
+        run_upsert_stream(stream, ["k"], ["ts"], state, ck, op_col="op")
+        if i == 0:
+            batch2.write.mode("append").parquet(in_dir)
+    got = {(r.k, r.ts, r.v) for r in read_state(spark, state).collect()}
+    # 1 keeps its latest version; 2 deleted ACROSS batches; 3
+    # resurrected after an in-batch tombstone; 4 inserted late
+    assert got == {(1, 11, 101), (3, 20, 333), (4, 20, 400)}
+    assert latest_state_version(state) == 1
+    # version 0 (pre-second-increment) is still readable history
+    v0 = {(r.k, r.ts, r.v) for r in
+          spark.read.parquet(f"{state}/v=0").collect()}
+    assert v0 == {(1, 11, 101), (2, 10, 200)}
