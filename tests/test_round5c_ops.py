@@ -583,3 +583,44 @@ def test_merge_intervals_invariants(spark, raw, slack):
         starts = {s for s, _ in ins}
         ends = {e for _, e in ins}
         assert all(bs in starts and be in ends for bs, be in blocks)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 2),           # key
+                          st.integers(0, 30),          # slot
+                          st.one_of(st.none(),
+                                    st.integers(-9, 9))),
+                min_size=1, max_size=40),
+       st.integers(1, 5))                              # step
+def test_gapfill_locf_invariants(spark, raw, step):
+    # one obs per (key, slot): last write wins in the generator so the
+    # operator's uniqueness contract holds
+    obs = {}
+    for k, slot, v in raw:
+        obs[(k, slot * step)] = v
+    rows = [(k, ts, float(v) if v is not None else None)
+            for (k, ts), v in obs.items()]
+    d = spark.createDataFrame(rows, "k: long, ts: long, v: double")
+    out = gapfill_locf(d, "k", "ts", ["v"], step=step).collect()
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r.k, {})[r.ts] = (r.v, r.is_gap)
+    ins: dict = {}
+    for k, ts, v in rows:
+        ins.setdefault(k, {})[ts] = v
+    assert set(by_key) == set(ins)
+    for k, grid in by_key.items():
+        lo, hi = min(ins[k]), max(ins[k])
+        # (1) the grid is exactly lo..hi at step
+        assert sorted(grid) == list(range(lo, hi + 1, step))
+        # (2) is_gap marks exactly the non-observed slots; (3) values
+        # are the pure-Python LOCF of the observations
+        carry = None
+        for ts in sorted(grid):
+            observed = ts in ins[k]
+            if observed and ins[k][ts] is not None:
+                carry = ins[k][ts]
+            v, is_gap = grid[ts]
+            assert is_gap == (not observed)
+            assert v == carry
