@@ -569,7 +569,8 @@ HAVING count(*) >= {min_count}"""
 
 
 def neighborhood_jaccard(edges: DataFrame, min_common: int = 2,
-                         src: str = "src", dst: str = "dst") -> DataFrame:
+                         src: str = "src", dst: str = "dst",
+                         max_degree: int | None = None) -> DataFrame:
     """Link prediction by neighborhood overlap: for node pairs sharing
     >= min_common neighbors in the undirected simple graph, emit
     (node_a < node_b, n_common, jaccard_permille) with
@@ -581,12 +582,15 @@ def neighborhood_jaccard(edges: DataFrame, min_common: int = 2,
     Built BY COMPOSITION on cooccurrence_edges: shared-neighbor pairs
     ARE the co-occurrence projection of the (neighbor, node)
     membership table — same self-join shape, same skew behavior, and
-    the same quadratic guard applies (a 10^6-degree hub manufactures
-    C(10^6, 2) candidate pairs; pass the adjacency through a degree
-    cap first if the graph has one — deliberately NOT silently
-    built in, because dropping a hub changes the answer and that
-    choice belongs to the caller). min_common prunes the candidate
-    tail before the degree joins.
+    the same quadratic guard: a 10^6-degree hub manufactures
+    C(10^6, 2) candidate pairs through itself. `max_degree` forwards
+    to the projection's per-doc cap: each hub VOTES with only a
+    deterministic hash-uniform max_degree-subset of its members, so
+    n_common becomes a sampled UNDER-count through capped hubs (an
+    explicit approximation knob, opt-in and documented rather than
+    silent, while degrees — and so the permille denominator — stay
+    exact). min_common prunes the candidate tail before the degree
+    joins.
 
     Scale shape: cooccurrence's distinct + self-join + count, then
     two broadcast-or-shuffle joins against the degree table (one row
@@ -601,7 +605,8 @@ def neighborhood_jaccard(edges: DataFrame, min_common: int = 2,
     adj = (und.select(F.col("a").alias("node"), F.col("b").alias("nb"))
            .unionAll(und.select(F.col("b").alias("node"),
                                 F.col("a").alias("nb"))))
-    common = (cooccurrence_edges(adj, "nb", "node", min_count=min_common)
+    common = (cooccurrence_edges(adj, "nb", "node", min_count=min_common,
+                                 max_items_per_doc=max_degree)
               .withColumnRenamed("item_a", "node_a")
               .withColumnRenamed("item_b", "node_b")
               .withColumnRenamed("n_docs", "n_common"))

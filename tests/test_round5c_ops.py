@@ -624,3 +624,25 @@ def test_gapfill_locf_invariants(spark, raw, step):
             v, is_gap = grid[ts]
             assert is_gap == (not observed)
             assert v == carry
+
+
+def test_neighborhood_jaccard_max_degree_caps_hub(spark):
+    from biocypher_metta_spark.operators.graph import neighborhood_jaccard
+
+    # one hub (0) connected to 40 spokes; no other edges
+    e = spark.createDataFrame([(0, i) for i in range(1, 41)],
+                              ["src", "dst"])
+    full = neighborhood_jaccard(e, min_common=1)
+    # uncapped: every spoke pair shares the hub -> C(40,2) pairs
+    assert full.count() == 40 * 39 // 2
+    capped = neighborhood_jaccard(e, min_common=1, max_degree=5)
+    # the hub votes with 5 members -> C(5,2) pairs, a strict subset
+    assert capped.count() == 5 * 4 // 2
+    fp = {(r.node_a, r.node_b) for r in full.collect()}
+    cp = {(r.node_a, r.node_b) for r in capped.collect()}
+    assert cp < fp
+    # degrees (and so denominators) stay exact under the cap: each
+    # spoke has degree 1, so union = 1 + 1 - 1 and permille = 1000
+    for r in neighborhood_jaccard(e, min_common=1,
+                                  max_degree=5).collect():
+        assert r.n_common == 1 and r.jaccard_permille == 1000
