@@ -3509,7 +3509,12 @@ def doc_pipeline(spark, sf_dir):
                  F.lit(_PIPE_SUFFIX)).alias("text"))
     stripped = (text_ops.strip_markup(marked)
                 .select("doc_id", F.col("clean_text").alias("text")))
-    scrubbed = text_ops.scrub_pii(stripped).select("doc_id", "text")
+    # three branches (c4, perplexity, the gated join) read scrubbed;
+    # without a lineage cut each re-executes the strip+scrub regex
+    # chains over the full corpus (measured ~25% of gate wall-clock
+    # at sf0.1) — localCheckpoint materializes the cleaned text once
+    scrubbed = (text_ops.scrub_pii(stripped).select("doc_id", "text")
+                .localCheckpoint())
     c4 = text_ops.c4_line_filter(scrubbed).select(
         "doc_id", "n_lines", "doc_kept")
     px = text_ops.lm_perplexity(scrubbed).select(
