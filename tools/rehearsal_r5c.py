@@ -1,7 +1,8 @@
 """10x scale rehearsal for the round-5c operators: label propagation
 and gapfill (in rehearsal_r5b.py), plus co-occurrence projection,
 weighted sampling, markup stripping, link extraction, interval
-coalescing, and snapshot diff here.
+coalescing, snapshot diff, neighborhood Jaccard, and char-bigram LM
+training here.
 
 Same contract as rehearsal_r5b.py: each op runs at N and 10N in one
 JVM (warmup excluded); a plan survives the scale-up iff time grows
