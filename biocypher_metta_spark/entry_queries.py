@@ -4328,6 +4328,22 @@ REL_SCD2_INTERVALS_SQL = cdc_ops.scd2_intervals_sql(
     ["l_orderkey"], ["ts", "seq", "qty"], ["l_orderkey", "ts", "seq", "qty"])
 
 
+def doc_set_similarity(spark, sf_dir):
+    """EXACT set-similarity self-join (dedup.set_similarity_join,
+    prefix filtering, tau=0.9): every document pair with token-set
+    Jaccard >= 0.9, no LSH recall gap. Oracle: the brute-force
+    all-pairs-sharing-a-token formulation — no prefix logic at all,
+    so a green row proves the pruning theorem dropped nothing on
+    this corpus (the template-generated docs are near-dup heavy,
+    exactly the hard case for candidate pruning)."""
+    return dedup_ops.set_similarity_join(
+        _t(spark, sf_dir, "documents"), 900)
+
+
+DOC_SET_SIMILARITY_SQL = dedup_ops.set_similarity_join_sql(
+    "SELECT doc_id, text FROM documents", 900)
+
+
 def kg_streaming_upsert(spark, sf_dir):
     """Streaming CDC upsert (streaming/upsert.run_upsert_stream): the
     lineitem changelog arrives as TWO checkpointed availableNow
@@ -4792,6 +4808,7 @@ QUERIES.update({
     "doc_lm_train": (doc_lm_train, DOC_LM_TRAIN_SQL),
     "kg_streaming_upsert": (kg_streaming_upsert,
                             REL_CHANGELOG_COMPACT_SQL),
+    "doc_set_similarity": (doc_set_similarity, DOC_SET_SIMILARITY_SQL),
 })
 
 
@@ -4935,6 +4952,8 @@ CK_COLUMNS = {
                          "node_b"],
     "doc_lm_train": ["bigram", "n"],
     "kg_streaming_upsert": ["l_orderkey", "op", "qty", "seq", "ts"],
+    "doc_set_similarity": ["id_a", "id_b", "jaccard_permille",
+                           "n_common"],
     "emb_semantic_dedup": ["keep", "rep_id", "vec_id"],
     "emb_kmeans": ["cluster", "vec_id"],
 }
@@ -4959,7 +4978,8 @@ CK_COMPOSITES = {
     "kg_peregrine_checks": ["kg_peregrine_enhancers", "kg_peregrine_edges"],
     "doc_text_metrics": ["doc_token_stats", "doc_tfidf_topk",
                          "doc_repetition", "doc_split", "doc_simhash",
-                         "doc_fingerprint", "doc_lm_train"],
+                         "doc_fingerprint", "doc_lm_train",
+                         "doc_set_similarity"],
     # round-5b training-data curation family (sampling / caps / BM25 /
     # CMS) and graph-analytics family (PageRank, SemDeDup) — folded so
     # the registry stays at the 50-row driver snapshot cap

@@ -619,3 +619,124 @@ def hamming_near_pairs(sims: DataFrame, id_col: str = "doc_id",
         .filter(F.col("hamming") <= max_dist)
         .distinct()
     )
+
+
+def set_similarity_join(df: DataFrame, tau_permille: int,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """EXACT all-pairs set-similarity join above a Jaccard threshold
+    — the prefix-filtering algorithm (AllPairs / PPJoin family
+    [Bayardo et al. WWW'07; Xiao et al. WWW'08]), the exact
+    counterpart to the MinHash-LSH path above: LSH trades recall for
+    speed; this returns EVERY pair with token-set Jaccard >=
+    tau_permille/1000, no misses, no false positives. Output:
+    (id_a < id_b, n_common, jaccard_permille).
+
+    The pruning theorem: order every document's token set by ONE
+    global total order and keep only the first
+    n - ceil(tau*n) + 1 tokens (the PREFIX); two sets can reach
+    Jaccard tau only if their prefixes share a token. So candidates
+    come from an equi-join on prefix tokens — never all pairs — and
+    the exact verify runs only on them.
+
+    The global order is (token frequency ASC, token ASC): rarest
+    first, so prefixes are built from the least-common tokens and the
+    candidate join collides as little as the corpus allows (a
+    stopword in a prefix would pair half the corpus). The order is
+    realized WITHOUT a global rank window: per doc we sort an array
+    of (freq, token) structs — Spark's struct ordering IS the total
+    order — so nothing ever funnels through one partition; the only
+    shuffles are the token-frequency groupBy, the per-doc collect,
+    the prefix-token candidate join, and the verify join of two
+    bounded arrays (array_intersect is hash-based, O(|A|+|B|)).
+
+    Scale shape vs LSH: prefix filtering is output-and-
+    collision-bound — on corpora where near-dups are rare and tokens
+    are Zipf, prefixes are rare tokens and the candidate join is
+    tiny; on adversarial corpora (every doc shares its rarest token)
+    it degrades toward the true pair count, which is the honest
+    lower bound for an EXACT join. Use the LSH path when approximate
+    recall is acceptable and the corpus is adversarial."""
+    if not 1 <= tau_permille <= 1000:
+        raise ValueError(f"tau_permille must be in [1, 1000], "
+                         f"got {tau_permille}")
+    from biocypher_metta_spark.operators.text import tokens
+
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(tokens(F.col(text_col))).alias("tok"))
+            .filter(F.col("tok") != "")
+            .distinct())
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_f"))
+    per_doc = (toks.join(freq, "tok")
+               .groupBy("id")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct(F.col("_f"), F.col("tok")))).alias("_ord"),
+                   F.count(F.lit(1)).cast("long").alias("_n")))
+    # ceil(tau*n/1000) in integers; prefix keeps the rarest tokens
+    pref_len = (F.col("_n")
+                - ((F.col("_n") * tau_permille + 999) / 1000)
+                .cast("long") + 1)
+    docs = per_doc.select(
+        "id", "_n",
+        F.transform("_ord", lambda x: x["tok"]).alias("_toks"),
+        F.slice(F.transform("_ord", lambda x: x["tok"]),
+                F.lit(1), pref_len).alias("_prefix"))
+    pa = docs.select(F.col("id").alias("_ida"),
+                     F.explode("_prefix").alias("tok"))
+    pb = docs.select(F.col("id").alias("_idb"),
+                     F.explode("_prefix").alias("tok"))
+    cand = (pa.join(pb, "tok")
+            .filter(F.col("_ida") < F.col("_idb"))
+            .select("_ida", "_idb").distinct())
+    j = (cand
+         .join(docs.select(F.col("id").alias("_ida"),
+                           F.col("_toks").alias("_ta"),
+                           F.col("_n").alias("_na")), "_ida")
+         .join(docs.select(F.col("id").alias("_idb"),
+                           F.col("_toks").alias("_tb"),
+                           F.col("_n").alias("_nb")), "_idb"))
+    inter = F.size(F.array_intersect("_ta", "_tb")).cast("long")
+    out = j.select(
+        F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"),
+        inter.alias("n_common"),
+        (F.col("_na") + F.col("_nb") - inter).alias("_u"))
+    return (out.filter(F.lit(1000) * F.col("n_common")
+                       >= F.lit(tau_permille) * F.col("_u"))
+            .select("id_a", "id_b", "n_common",
+                    F.floor(F.lit(1000) * F.col("n_common") / F.col("_u"))
+                    .cast("long").alias("jaccard_permille")))
+
+
+def set_similarity_join_sql(docs_sql: str, tau_permille: int,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> str:
+    """DuckDB twin of set_similarity_join: the BRUTE-FORCE
+    formulation (token equi-join over ALL pairs sharing any token,
+    then the exact integer threshold) — a completely independent
+    plan with no prefix logic, so a green gate proves the pruning
+    theorem dropped nothing. Gate-size only by construction."""
+    if not 1 <= tau_permille <= 1000:
+        raise ValueError("tau_permille must be in [1, 1000]")
+    return rf"""WITH ssj_tk AS MATERIALIZED (
+  SELECT DISTINCT {id_col} AS id, tok FROM (
+    SELECT {id_col},
+           unnest(regexp_split_to_array(trim({text_col}), '\s+')) AS tok
+    FROM (
+{docs_sql.strip()}
+    )
+  ) WHERE tok <> ''
+), ssj_sz AS MATERIALIZED (
+  SELECT id, CAST(count(*) AS BIGINT) AS n FROM ssj_tk GROUP BY 1
+), ssj_i AS MATERIALIZED (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM ssj_tk a JOIN ssj_tk b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       CAST(floor(1000.0 * n_common
+                  / (na.n + nb.n - n_common)) AS BIGINT)
+         AS jaccard_permille
+FROM ssj_i
+JOIN ssj_sz na ON id_a = na.id
+JOIN ssj_sz nb ON id_b = nb.id
+WHERE 1000 * n_common >= {tau_permille} * (na.n + nb.n - n_common)"""

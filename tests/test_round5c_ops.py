@@ -646,3 +646,43 @@ def test_neighborhood_jaccard_max_degree_caps_hub(spark):
     for r in neighborhood_jaccard(e, min_common=1,
                                   max_degree=5).collect():
         assert r.n_common == 1 and r.jaccard_permille == 1000
+
+
+# ----------------------------------------------- exact set-sim join
+
+def test_set_similarity_exact_vs_brute_force(spark):
+    from biocypher_metta_spark.operators.dedup import (
+        set_similarity_join, set_similarity_join_sql)
+
+    rng = random.Random(11)
+    vocab = ["w%02d" % i for i in range(60)]
+    rows = []
+    for i in range(120):
+        base = rng.sample(vocab, rng.randint(3, 15))
+        rows.append((i, " ".join(base)))
+        if rng.random() < 0.3:              # planted near-dup
+            twin = base[:-1] if len(base) > 4 else base
+            rows.append((1000 + i, " ".join(twin)))
+    d = spark.createDataFrame(rows, "doc_id: long, text: string")
+    for tau in (600, 800, 1000):
+        got = {tuple(r) for r in set_similarity_join(d, tau).collect()}
+        con = duckdb.connect()
+        con.register("ssd", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        want = {tuple(r) for r in con.execute(set_similarity_join_sql(
+            "SELECT doc_id, text FROM ssd", tau)).fetchall()}
+        # prefix filtering is EXACT: nothing missed, nothing extra
+        assert got == want, tau
+        assert all(r[3] >= tau for r in got)
+
+
+def test_set_similarity_identical_and_disjoint_docs(spark):
+    from biocypher_metta_spark.operators.dedup import set_similarity_join
+
+    d = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a a"), (3, "x y z"), (4, "")],
+        "doc_id: long, text: string")
+    got = {tuple(r) for r in set_similarity_join(d, 1000).collect()}
+    # duplicate tokens and order don't matter; disjoint/empty emit nothing
+    assert got == {(1, 2, 3, 1000)}
+    with pytest.raises(ValueError):
+        set_similarity_join(d, 0)
