@@ -4615,6 +4615,37 @@ KG_JACCARD_LINKS_SQL = graph_ops.neighborhood_jaccard_sql(
     _LPA_EDGES_SQL, min_common=2)
 
 
+def kg_bfs(spark, sf_dir):
+    """Multi-source bounded BFS distances (graph.bfs_distances,
+    max_depth=8) over a pseudorandom out-degree-2 graph on 5000 nodes
+    (i -> 7i+3 and i -> 3i+1, mod 5000 — cyclic, so the depth bound
+    is load-bearing, and branching, so frontiers genuinely merge and
+    the settled anti-join earns its keep) from a 5-seed source set:
+    the distance-to-trusted-seed primitive completing the
+    iterative-graph family next to kg_isa_closure's unbounded
+    reachability. Oracle: recursive-CTE walk enumeration + min(dist)
+    — an independent evaluation strategy for the same answer
+    (graph.bfs_distances_sql)."""
+    ids = _ids(spark, sf_dir)
+    m = F.col("i") % 5000
+    edges = (ids.select(m.alias("src"), ((m * 7 + 3) % 5000).alias("dst"))
+             .unionAll(ids.select(m.alias("src"),
+                                  ((m * 3 + 1) % 5000).alias("dst"))))
+    sources = ids.filter("i < 5").select(F.col("i").alias("node"))
+    return graph_ops.bfs_distances(edges, sources, max_depth=8)
+
+
+_BFS_EDGES_SQL = """SELECT i % 5000 AS src, ((i % 5000) * 7 + 3) % 5000 AS dst
+  FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+UNION ALL SELECT i % 5000, ((i % 5000) * 3 + 1) % 5000
+  FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)"""
+_BFS_SOURCES_SQL = """SELECT CAST(doc_id AS BIGINT) AS node
+  FROM documents WHERE CAST(doc_id AS BIGINT) < 5"""
+
+KG_BFS_SQL = graph_ops.bfs_distances_sql(
+    _BFS_EDGES_SQL, _BFS_SOURCES_SQL, max_depth=8)
+
+
 def doc_lm_train(spark, sf_dir):
     """Distributed char-bigram LM training counts
     (text.train_char_bigram_lm): alphabet-bounded aggregate state
@@ -4805,6 +4836,7 @@ QUERIES.update({
     "rel_interval_merge": (rel_interval_merge, REL_INTERVAL_MERGE_SQL),
     "rel_snapshot_diff": (rel_snapshot_diff, REL_SNAPSHOT_DIFF_SQL),
     "kg_jaccard_links": (kg_jaccard_links, KG_JACCARD_LINKS_SQL),
+    "kg_bfs": (kg_bfs, KG_BFS_SQL),
     "doc_lm_train": (doc_lm_train, DOC_LM_TRAIN_SQL),
     "kg_streaming_upsert": (kg_streaming_upsert,
                             REL_CHANGELOG_COMPACT_SQL),
@@ -4948,6 +4980,7 @@ CK_COLUMNS = {
     "rel_interval_merge": ["end", "grp", "n_merged", "start"],
     "rel_snapshot_diff": ["cents_new", "cents_old", "change", "k",
                           "o_orderstatus_new", "o_orderstatus_old"],
+    "kg_bfs": ["dist", "node"],
     "kg_jaccard_links": ["jaccard_permille", "n_common", "node_a",
                          "node_b"],
     "doc_lm_train": ["bigram", "n"],
@@ -4991,7 +5024,8 @@ CK_COMPOSITES = {
                             "doc_strip_markup", "web_link_edges"],
     "kg_graph_checks": ["kg_pagerank", "emb_semantic_dedup",
                         "emb_kmeans", "kg_triangles", "kg_kcore",
-                        "kg_lpa", "kg_cooccurrence", "kg_jaccard_links"],
+                        "kg_lpa", "kg_cooccurrence", "kg_jaccard_links",
+                        "kg_bfs"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",

@@ -654,3 +654,84 @@ SELECT c.item_a AS node_a, c.item_b AS node_b,
 FROM nj_cooc c
 JOIN nj_deg da ON c.item_a = da.node
 JOIN nj_deg db ON c.item_b = db.node"""
+
+
+def bfs_distances(edges: DataFrame, sources: DataFrame,
+                  max_depth: int, src: str = "src",
+                  dst: str = "dst") -> DataFrame:
+    """Multi-source bounded BFS over the DIRECTED edge table: minimum
+    hop distance from ANY source node to every node reachable within
+    `max_depth` hops — the "how far is this entity from a trusted
+    seed set" primitive (KG curation radius, ontology distance-to-root,
+    link-prediction features). Returns (node, dist) with dist in
+    [0, max_depth]; source nodes are dist 0 even when also reachable
+    by a longer path. Completes the iterative-graph family next to
+    transitive_closure (reachability without distances) — the
+    reference engine walks such chains driver-side per query
+    (metta_space_import.py pattern matching), never as a set job.
+
+    Frontier iteration, NOT path doubling: in unweighted BFS a node's
+    FIRST discovery round is its min distance, so each round joins
+    only the current frontier (nodes discovered last round) against
+    the edge table, then anti-joins the settled set. The settled set
+    never flows through the expansion join — each round shuffles
+    O(frontier x avg-degree), and the loop exits early when a round
+    discovers nothing. max_depth bounds the rounds, which also makes
+    the op total on cyclic graphs. One localCheckpoint per round cuts
+    the lineage exactly like connected_components; hub out-degree skew
+    lands in the frontier-edge join where AQE's skew split applies.
+
+    Oracle twin (bfs_distances_sql) is an INDEPENDENT spelling: a
+    recursive CTE that enumerates every (node, dist<=max_depth) walk
+    prefix with UNION dedup, then takes min(dist) per node — full
+    enumeration + aggregate vs frontier-settled, same answer by the
+    BFS optimality argument."""
+    if max_depth < 0:
+        raise ValueError(f"max_depth must be >= 0, got {max_depth}")
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+         .distinct())
+    e = e.localCheckpoint(eager=True)
+    frontier = (sources.select(F.col(sources.columns[0]).alias("node"))
+                .filter(F.col("node").isNotNull())
+                .distinct()
+                .select("node", F.lit(0).cast("int").alias("dist")))
+    frontier = frontier.localCheckpoint(eager=True)
+    settled = frontier
+    for depth in range(1, max_depth + 1):
+        nxt = (frontier.join(e, frontier["node"] == e["s"])
+               .select(F.col("d").alias("node"))
+               .distinct()
+               .join(settled.select("node"), "node", "left_anti")
+               .select("node", F.lit(depth).cast("int").alias("dist")))
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return settled
+
+
+def bfs_distances_sql(edges_sql: str, sources_sql: str,
+                      max_depth: int, src: str = "src",
+                      dst: str = "dst") -> str:
+    """DuckDB twin of bfs_distances: recursive-CTE walk enumeration
+    (UNION-deduped (node, dist) pairs, dist bounded by max_depth) with
+    min(dist) per node — independent of the frontier-settled loop."""
+    return f"""WITH RECURSIVE bfs_edges AS MATERIALIZED (
+  SELECT DISTINCT {src} AS s, {dst} AS d FROM (
+{edges_sql.strip()}
+  ) WHERE {src} IS NOT NULL AND {dst} IS NOT NULL
+), bfs_walk AS (
+  SELECT node, 0 AS dist FROM (
+    SELECT DISTINCT node FROM (
+{sources_sql.strip()}
+    ) WHERE node IS NOT NULL
+  )
+  UNION
+  SELECT e.d AS node, w.dist + 1 AS dist
+  FROM bfs_walk w JOIN bfs_edges e ON e.s = w.node
+  WHERE w.dist < {max_depth}
+)
+SELECT node, CAST(min(dist) AS INTEGER) AS dist
+FROM bfs_walk GROUP BY node"""

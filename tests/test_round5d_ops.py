@@ -1,0 +1,93 @@
+"""Round-5d operators: bounded multi-source BFS distances.
+
+Twin-match is randomized (Spark frontier-settled loop vs DuckDB
+recursive-CTE enumeration — two different evaluation strategies for
+the same definition), plus the semantic invariants that the twin
+cannot witness: early exit, depth boundedness on cycles, and source
+precedence.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from biocypher_metta_spark.operators.graph import (
+    bfs_distances,
+    bfs_distances_sql,
+)
+
+
+def _values_sql(pairs, cols):
+    rows = ", ".join(
+        "(" + ", ".join("NULL" if v is None else str(v) for v in p) + ")"
+        for p in pairs)
+    names = ", ".join(cols)
+    inner = ", ".join(f"c{i} AS {c}" for i, c in enumerate(cols))
+    tcols = ", ".join(f"c{i}" for i in range(len(cols)))
+    return f"SELECT {inner} FROM (VALUES {rows}) t({tcols})"
+
+
+def _run_twin(edges, sources, max_depth):
+    con = duckdb.connect()
+    sql = bfs_distances_sql(
+        _values_sql(edges, ["src", "dst"]),
+        _values_sql([(s,) for s in sources], ["node"]), max_depth)
+    return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+
+def test_bfs_matches_duckdb_twin_randomized(spark):
+    rng = random.Random(41)
+    for trial in range(3):
+        n = 200 + trial * 150
+        edges = [(rng.randrange(n), rng.randrange(n))
+                 for _ in range(4 * n)]
+        edges += [(7, 7), (None, 1), (1, None)]  # self-loop + null guard
+        sources = rng.sample(range(n), 4)
+        e = spark.createDataFrame(edges, "src: int, dst: int")
+        s = spark.createDataFrame([(x,) for x in sources], "node: int")
+        got = sorted(tuple(r)
+                     for r in bfs_distances(e, s, max_depth=6).collect())
+        assert got == _run_twin(edges, sources, 6)
+
+
+def test_bfs_hand_graph_and_source_precedence(spark):
+    # 0 -> 1 -> 2 -> 3, plus 3 -> 1 back-edge; source 2 is ALSO
+    # reachable from 0 at dist 2 but must stay dist 0.
+    edges = [(0, 1), (1, 2), (2, 3), (3, 1)]
+    e = spark.createDataFrame(edges, "src: int, dst: int")
+    s = spark.createDataFrame([(0,), (2,)], "node: int")
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(e, s, max_depth=10).collect()}
+    assert got == {0: 0, 2: 0, 1: 1, 3: 1}
+
+
+def test_bfs_depth_bound_is_total_on_cycles(spark):
+    # pure 3-cycle: without the bound the frontier loop would exit by
+    # settling; with max_depth=1 only one hop is taken.
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src: int, dst: int")
+    s = spark.createDataFrame([(0,)], "node: int")
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(e, s, max_depth=1).collect()}
+    assert got == {0: 0, 1: 1}
+    full = {r["node"]: r["dist"]
+            for r in bfs_distances(e, s, max_depth=50).collect()}
+    assert full == {0: 0, 1: 1, 2: 2}
+
+
+def test_bfs_isolated_source_and_depth_zero(spark):
+    e = spark.createDataFrame([(10, 11)], "src: int, dst: int")
+    s = spark.createDataFrame([(99,)], "node: int")
+    assert [tuple(r) for r in bfs_distances(e, s, 5).collect()] == [(99, 0)]
+    s2 = spark.createDataFrame([(10,)], "node: int")
+    assert [tuple(r)
+            for r in bfs_distances(e, s2, 0).collect()] == [(10, 0)]
+
+
+def test_bfs_validation(spark):
+    e = spark.createDataFrame([(0, 1)], "src: int, dst: int")
+    s = spark.createDataFrame([(0,)], "node: int")
+    with pytest.raises(ValueError, match="max_depth"):
+        bfs_distances(e, s, max_depth=-1)
