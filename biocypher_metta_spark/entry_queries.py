@@ -4473,6 +4473,37 @@ REL_GAPFILL_LOCF_SQL = _gapfill_locf_sql(
     _GAPFILL_OBS_SQL, "grp", "day", ["cents"], step=7)
 
 
+def rel_ewma(spark, sf_dir):
+    """Integer-exact EWMA smoothing (temporal.ewma, decay 1/2,
+    lookback 32) over per-customer-bucket daily order cents — the
+    time-series trend primitive next to gapfill/rollup. The groupBy
+    pre-pass guarantees the unique-(key, ts) caller contract. Oracle:
+    the self-join-by-row_number-distance spelling with the same
+    dyadic weights (temporal.ewma_sql)."""
+    from biocypher_metta_spark.operators.temporal import ewma
+
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+    obs = (o.select((F.col("o_custkey") % 100).alias("grp"),
+                    day.cast("long").alias("day"),
+                    F.floor(F.col("o_totalprice") * 100).cast("long")
+                    .alias("c"))
+           .groupBy("grp", "day").agg(F.max("c").alias("cents")))
+    return ewma(obs, "grp", "day", "cents")
+
+
+from biocypher_metta_spark.operators.temporal import (  # noqa: E402
+    ewma_sql as _ewma_sql,
+)
+
+_EWMA_OBS_SQL = """SELECT o_custkey % 100 AS grp,
+  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day,
+  max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+FROM orders GROUP BY 1, 2"""
+
+REL_EWMA_SQL = _ewma_sql(_EWMA_OBS_SQL, "grp", "day", "cents")
+
+
 def rel_pivot(spark, sf_dir):
     """PIVOT: groupBy().pivot() with an EXPLICIT value list — the
     explicit list matters at scale because it skips the eager
@@ -4827,6 +4858,7 @@ QUERIES.update({
     "rel_salted_join": (rel_salted_join, REL_SALTED_JOIN_SQL),
     "kg_lpa": (kg_lpa, KG_LPA_SQL),
     "rel_gapfill_locf": (rel_gapfill_locf, REL_GAPFILL_LOCF_SQL),
+    "rel_ewma": (rel_ewma, REL_EWMA_SQL),
     "rel_pivot": (rel_pivot, REL_PIVOT_SQL),
     "kg_cooccurrence": (kg_cooccurrence, KG_COOCCURRENCE_SQL),
     "doc_weighted_sample": (doc_weighted_sample, DOC_WEIGHTED_SAMPLE_SQL),
@@ -4971,6 +5003,7 @@ CK_COLUMNS = {
     "rel_salted_join": ["n_rows", "p_brand", "sum_qty"],
     "kg_lpa": ["id", "label"],
     "rel_gapfill_locf": ["cents", "day", "grp", "is_gap"],
+    "rel_ewma": ["day", "ewma", "ewma_num", "grp"],
     "rel_pivot": ["cents_f", "cents_o", "cents_p", "o_orderpriority"],
     "kg_cooccurrence": ["item_a", "item_b", "n_docs"],
     "doc_weighted_sample": ["doc_id", "lang", "sample_rank", "wt"],
@@ -5005,7 +5038,7 @@ CK_COMPOSITES = {
                        "rel_changelog_compact", "rel_pivot"],
     "rel_window_checks": ["rel_window_rank", "rel_events_hourly",
                           "rel_session_window", "rel_scd2_intervals",
-                          "rel_gapfill_locf"],
+                          "rel_gapfill_locf", "rel_ewma"],
     "rel_range_family": ["rel_range_join", "rel_interval_overlap",
                          "rel_interval_merge"],
     "kg_peregrine_checks": ["kg_peregrine_enhancers", "kg_peregrine_edges"],

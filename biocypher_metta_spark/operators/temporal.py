@@ -254,3 +254,106 @@ LEFT JOIN gf_obs o
   ON g.{key} = o.{key} AND g.{ts_col} = o.{ts_col}
 WINDOW w AS (PARTITION BY g.{key} ORDER BY g.{ts_col}
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+
+def ewma(df: DataFrame, key: str, ts_col: str, value_col: str,
+         lookback: int = 32) -> DataFrame:
+    """Exponentially weighted moving average per key, integer-exact
+    across engines — the time-series smoothing primitive the
+    hypertable/gapfill family lacks (trend lines over metric streams,
+    burn-rate monitors, decayed popularity scores for retrieval).
+
+    Cross-engine exactness is the design constraint, and it dictates
+    the two non-obvious choices:
+      * decay is FIXED at 1/2 per step, so every weight 2^(L-1-d) is
+        an exact int64 power of two — no float weight ever exists;
+      * the window is TRUNCATED at `lookback` = L rows (default 32):
+        dropped terms carry weight < 2^-31 of the newest row, and the
+        truncation is replicated verbatim in the twin, so it is
+        deterministic quantization, not drift.
+    For each row t (rows ordered by ts_col within key, n = number of
+    rows in the frame, m = min(n, L)):
+        ewma_num = sum_{d=0..m-1} value[t-d] * 2^(L-1-d)   (int64)
+        wsum     = 2^L - 2^(L-m)                            (int64)
+        ewma     = floor(ewma_num / wsum)   -- the normalized average,
+    floor-division spelled sign-correctly on both sides (pmod form
+    here, native floor // in DuckDB). Caller contract: |value| *
+    2^lookback must fit int64 (cents-scale inputs with L=32 leave 20
+    bits of headroom) and (key, ts_col) pairs are unique — ties would
+    make the rows-frame engine-dependent.
+
+    Scale shape: ONE key shuffle, one ordered rows-frame window on it
+    (collect of <= L (ts, value) structs per row, sort_array so the
+    result never depends on collect order), all arithmetic in
+    zip_with/aggregate built-ins — map-side, no second exchange, no
+    Python. Skew = rows per key, same profile as every per-key window
+    here; the asof_join bucket trick applies if one key dominates."""
+    if not 1 <= lookback <= 62:
+        raise ValueError(f"lookback must be in [1, 62], got {lookback}")
+    w = (Window.partitionBy(key).orderBy(ts_col)
+         .rowsBetween(-(lookback - 1), 0))
+    lst = F.sort_array(F.collect_list(
+        F.struct(F.col(ts_col).alias("t"),
+                 F.col(value_col).cast("long").alias("v"))).over(w))
+    vals = F.transform(lst, lambda s: s["v"])
+    n = F.size(vals)
+    # literal weight tables (powers of two are exact int64 literals):
+    # weight for the d-th newest row is 2^(L-1-d); a frame of n rows
+    # has total weight 2^L - 2^(L-n)
+    wts = F.array(*[F.lit(1 << (lookback - 1 - d)).cast("long")
+                    for d in range(lookback)])
+    wsums = F.array(*[F.lit((1 << lookback) - (1 << (lookback - m)))
+                      .cast("long") for m in range(1, lookback + 1)])
+    terms = F.zip_with(
+        vals, F.sequence(F.lit(1), n),
+        lambda x, i: x * F.element_at(wts, (n - i + 1).cast("int")))
+    num = F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x)
+    wsum = F.element_at(wsums, n.cast("int"))
+    out = (df.filter(F.col(value_col).isNotNull())
+           .select(key, ts_col,
+                   num.alias("ewma_num"), wsum.alias("_w")))
+    # floor division valid for negative numerators too: pmod >= 0, and
+    # (num - pmod) is exactly divisible so integer `div` IS the floor —
+    # a float `/` here would round once ewma_num exceeds 2^53
+    return out.select(
+        key, ts_col, "ewma_num",
+        F.expr("(ewma_num - pmod(ewma_num, _w)) div _w").alias("ewma"))
+
+
+def ewma_sql(input_sql: str, key: str, ts_col: str, value_col: str,
+             lookback: int = 32) -> str:
+    """DuckDB twin of ewma — the self-join spelling: pair each row
+    with its <= lookback predecessors by row_number distance and sum
+    value * (1 << (L-1-distance)). Floor division is spelled with the
+    same non-negative-mod trick as the Spark side (DuckDB's // and %
+    truncate toward zero on negatives, unlike pmod). Independent of
+    the window-frame + zip_with fold on the Spark side."""
+    if not 1 <= lookback <= 62:
+        raise ValueError(f"lookback must be in [1, 62], got {lookback}")
+    L = lookback
+    return f"""WITH ew_agg AS MATERIALIZED (
+  SELECT a.{key} AS {key}, a.{ts_col} AS {ts_col},
+    CAST(sum(b.v * (CAST(1 AS BIGINT) << ({L - 1} - (a.rn - b.rn))))
+         AS BIGINT) AS ewma_num,
+    (CAST(1 AS BIGINT) << {L}) -
+      (CAST(1 AS BIGINT) << ({L} - CAST(count(*) AS INT))) AS wsum
+  FROM (
+    SELECT {key}, {ts_col}, CAST({value_col} AS BIGINT) AS v,
+           row_number() OVER (PARTITION BY {key} ORDER BY {ts_col}) AS rn
+    FROM (
+{input_sql.strip()}
+    ) WHERE {value_col} IS NOT NULL
+  ) a JOIN (
+    SELECT {key}, CAST({value_col} AS BIGINT) AS v,
+           row_number() OVER (PARTITION BY {key} ORDER BY {ts_col}) AS rn
+    FROM (
+{input_sql.strip()}
+    ) WHERE {value_col} IS NOT NULL
+  ) b
+    ON a.{key} = b.{key} AND b.rn BETWEEN a.rn - {L - 1} AND a.rn
+  GROUP BY 1, 2
+)
+SELECT {key}, {ts_col}, ewma_num,
+  CAST((ewma_num - (((ewma_num % wsum) + wsum) % wsum)) // wsum
+       AS BIGINT) AS ewma
+FROM ew_agg"""

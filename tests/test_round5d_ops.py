@@ -91,3 +91,67 @@ def test_bfs_validation(spark):
     s = spark.createDataFrame([(0,)], "node: int")
     with pytest.raises(ValueError, match="max_depth"):
         bfs_distances(e, s, max_depth=-1)
+
+
+# ---------------------------------------------------------------------------
+# ewma (operators/temporal.py)
+# ---------------------------------------------------------------------------
+
+from biocypher_metta_spark.operators.temporal import (  # noqa: E402
+    ewma,
+    ewma_sql,
+)
+
+
+def _ewma_twin(rows, lookback):
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({a}, {b}, {'NULL' if c is None else c})" for a, b, c in rows)
+    src = f"SELECT c0 AS k, c1 AS t, c2 AS v FROM (VALUES {vals}) x(c0,c1,c2)"
+    return sorted(tuple(r) for r in con.execute(
+        ewma_sql(src, "k", "t", "v", lookback=lookback)).fetchall())
+
+
+def test_ewma_matches_duckdb_twin_randomized(spark):
+    rng = random.Random(11)
+    rows = []
+    for k in range(6):
+        for t in range(rng.randrange(1, 70)):
+            v = rng.randrange(-50_000_000, 50_000_000)
+            rows.append((k, t, None if rng.random() < 0.05 else v))
+    df = spark.createDataFrame(rows, "k: int, t: int, v: long")
+    for lookback in (32, 4, 1):
+        got = sorted(tuple(r) for r in
+                     ewma(df, "k", "t", "v", lookback=lookback).collect())
+        assert got == _ewma_twin(rows, lookback)
+
+
+def test_ewma_hand_values(spark):
+    # constant series -> ewma equals the constant at every point;
+    # a step 0 -> 1200 decays halfway each later step
+    rows = [(1, t, 1000) for t in range(5)]
+    df = spark.createDataFrame(rows, "k: int, t: int, v: long")
+    out = {r["t"]: r["ewma"] for r in ewma(df, "k", "t", "v").collect()}
+    assert out == {t: 1000 for t in range(5)}
+    step = spark.createDataFrame(
+        [(1, 0, 0), (1, 1, 1200), (1, 2, 1200)], "k: int, t: int, v: long")
+    got = {r["t"]: r["ewma"] for r in ewma(step, "k", "t", "v").collect()}
+    # t=1: (1200*2 + 0*1)/3 = 800; t=2: (1200*4 + 1200*2 + 0)/7 = 1028
+    assert got == {0: 0, 1: 800, 2: 1028}
+
+
+def test_ewma_negative_floor_and_nulls(spark):
+    # floor on a negative average must round DOWN on both engines
+    rows = [(1, 0, -5), (1, 1, None), (1, 2, -6)]
+    df = spark.createDataFrame(rows, "k: int, t: int, v: long")
+    got = sorted(tuple(r) for r in ewma(df, "k", "t", "v").collect())
+    assert got == _ewma_twin(rows, 32)
+    # null row is excluded from output AND from the weighting frame
+    assert [g[1] for g in got] == [0, 2]
+    # t=2 frame is (-5, -6): (-6*2 + -5)/3 = -17/3 -> floor -6
+    assert dict((g[1], g[3]) for g in got)[2] == -6
+
+
+def test_ewma_validation():
+    with pytest.raises(ValueError, match="lookback"):
+        ewma_sql("SELECT 1", "k", "t", "v", lookback=0)
