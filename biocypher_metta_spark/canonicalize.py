@@ -161,3 +161,76 @@ def transitive_closure(edges: DataFrame, src: str = "src",
             f"{max_iter} path-doubling rounds (covers diameter 2^{max_iter}); "
             "raise max_iter")
     return cur.select(F.col("s").alias(src), F.col("d").alias(dst))
+
+
+def survivorship_merge(records: DataFrame, cluster_col: str,
+                       precedence_cols: list[str],
+                       field_cols: list[str]) -> DataFrame:
+    """Golden-record survivorship: one merged row per cluster where
+    EACH FIELD independently takes the value of the best-precedence
+    record that has it non-null — the step after canonical_id_map /
+    connected_components turns "these rows are the same entity" into
+    one usable row (MDM survivorship; the reference's
+    skip_duplicate_nodes keeps an arbitrary first row instead,
+    biocypher_config.yaml:11 semantics).
+
+    Precedence is the ascending sort over `precedence_cols` (source
+    rank, then e.g. -recency, then a unique id as final tiebreaker).
+    Caller contract: precedence columns are NON-NULL and, per cluster,
+    no two records share a full precedence tuple unless any field
+    value may break the tie — the implementation appends the field
+    value itself as the last sort key so the pick stays a total order
+    (and the twin replicates exactly that).
+
+    Scale shape: ONE groupBy on the cluster key with one min(struct)
+    aggregate per field — all mergeable, so map-side partial
+    aggregation absorbs mega-cluster skew; no window, no join, no
+    second exchange. Null-skipping is the F.min-ignores-null contract
+    on the when()-guarded struct."""
+    if not field_cols:
+        raise ValueError("field_cols must be non-empty")
+    overlap = ({cluster_col} | set(precedence_cols)) & set(field_cols)
+    if overlap:
+        raise ValueError(f"field_cols overlap cluster/precedence: "
+                         f"{sorted(overlap)}")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_members")]
+    for f in field_cols:
+        picked = F.min(F.when(
+            F.col(f).isNotNull(),
+            F.struct(*[F.col(p) for p in precedence_cols],
+                     F.col(f).alias("_v"))))
+        aggs.append(picked["_v"].alias(f))
+    return records.groupBy(cluster_col).agg(*aggs)
+
+
+def survivorship_merge_sql(records_sql: str, cluster_col: str,
+                           precedence_cols: list[str],
+                           field_cols: list[str]) -> str:
+    """DuckDB twin of survivorship_merge — the window spelling: per
+    field, rank the non-null rows by (precedence..., value) and join
+    the rn=1 picks back per cluster; independent of the single
+    grouped min(struct) pass on the Spark side."""
+    prec = ", ".join(precedence_cols)
+    ctes = [f"""sv_in AS MATERIALIZED (
+  SELECT * FROM (
+{records_sql.strip()}
+  )
+), sv_n AS (
+  SELECT {cluster_col}, CAST(count(*) AS BIGINT) AS n_members
+  FROM sv_in GROUP BY 1
+)"""]
+    joins = []
+    for i, f in enumerate(field_cols):
+        ctes.append(f"""sv_f{i} AS (
+  SELECT {cluster_col}, {f} FROM (
+    SELECT {cluster_col}, {f},
+           row_number() OVER (PARTITION BY {cluster_col}
+                              ORDER BY {prec}, {f}) AS rn
+    FROM sv_in WHERE {f} IS NOT NULL
+  ) WHERE rn = 1
+)""")
+        joins.append(f"LEFT JOIN sv_f{i} USING ({cluster_col})")
+    fields = ", ".join(field_cols)
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT {cluster_col}, n_members, {fields}\n"
+            f"FROM sv_n\n" + "\n".join(joins))

@@ -4473,6 +4473,46 @@ REL_GAPFILL_LOCF_SQL = _gapfill_locf_sql(
     _GAPFILL_OBS_SQL, "grp", "day", ["cents"], step=7)
 
 
+def kg_survivorship(spark, sf_dir):
+    """Golden-record survivorship (canonicalize.survivorship_merge):
+    customer rows grouped into 400 synthetic entity clusters with
+    planted per-field nulls, source rank from the nation key and the
+    custkey as the unique final tiebreaker — each field must come
+    from the BEST-precedence record that has it, not from one winner
+    row. Oracle: the per-field window-rank + join spelling
+    (survivorship_merge_sql)."""
+    from biocypher_metta_spark.canonicalize import survivorship_merge
+
+    c = _t(spark, sf_dir, "customer")
+    rec = c.select(
+        (F.col("c_custkey") % 400).alias("cluster"),
+        (F.col("c_nationkey") % 3).alias("src_rank"),
+        F.col("c_custkey").alias("rid"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_name")).alias("name"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(F.floor(F.col("c_acctbal") * 100).cast("long"))
+        .alias("acct_cents"))
+    return survivorship_merge(rec, "cluster", ["src_rank", "rid"],
+                              ["name", "acct_cents"])
+
+
+from biocypher_metta_spark.canonicalize import (  # noqa: E402
+    survivorship_merge_sql as _survivorship_sql,
+)
+
+_SURVIVORSHIP_IN_SQL = """SELECT c_custkey % 400 AS cluster,
+  c_nationkey % 3 AS src_rank, c_custkey AS rid,
+  CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_name END AS name,
+  CASE WHEN c_custkey % 7 = 0 THEN NULL
+       ELSE CAST(floor(c_acctbal * 100) AS BIGINT) END AS acct_cents
+FROM customer"""
+
+KG_SURVIVORSHIP_SQL = _survivorship_sql(
+    _SURVIVORSHIP_IN_SQL, "cluster", ["src_rank", "rid"],
+    ["name", "acct_cents"])
+
+
 def rel_ewma(spark, sf_dir):
     """Integer-exact EWMA smoothing (temporal.ewma, decay 1/2,
     lookback 32) over per-customer-bucket daily order cents — the
@@ -4859,6 +4899,7 @@ QUERIES.update({
     "kg_lpa": (kg_lpa, KG_LPA_SQL),
     "rel_gapfill_locf": (rel_gapfill_locf, REL_GAPFILL_LOCF_SQL),
     "rel_ewma": (rel_ewma, REL_EWMA_SQL),
+    "kg_survivorship": (kg_survivorship, KG_SURVIVORSHIP_SQL),
     "rel_pivot": (rel_pivot, REL_PIVOT_SQL),
     "kg_cooccurrence": (kg_cooccurrence, KG_COOCCURRENCE_SQL),
     "doc_weighted_sample": (doc_weighted_sample, DOC_WEIGHTED_SAMPLE_SQL),
@@ -5004,6 +5045,7 @@ CK_COLUMNS = {
     "kg_lpa": ["id", "label"],
     "rel_gapfill_locf": ["cents", "day", "grp", "is_gap"],
     "rel_ewma": ["day", "ewma", "ewma_num", "grp"],
+    "kg_survivorship": ["acct_cents", "cluster", "n_members", "name"],
     "rel_pivot": ["cents_f", "cents_o", "cents_p", "o_orderpriority"],
     "kg_cooccurrence": ["item_a", "item_b", "n_docs"],
     "doc_weighted_sample": ["doc_id", "lang", "sample_rank", "wt"],
@@ -5058,7 +5100,7 @@ CK_COMPOSITES = {
     "kg_graph_checks": ["kg_pagerank", "emb_semantic_dedup",
                         "emb_kmeans", "kg_triangles", "kg_kcore",
                         "kg_lpa", "kg_cooccurrence", "kg_jaccard_links",
-                        "kg_bfs"],
+                        "kg_bfs", "kg_survivorship"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",

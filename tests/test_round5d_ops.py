@@ -155,3 +155,70 @@ def test_ewma_negative_floor_and_nulls(spark):
 def test_ewma_validation():
     with pytest.raises(ValueError, match="lookback"):
         ewma_sql("SELECT 1", "k", "t", "v", lookback=0)
+
+
+# ---------------------------------------------------------------------------
+# survivorship_merge (canonicalize.py)
+# ---------------------------------------------------------------------------
+
+from biocypher_metta_spark.canonicalize import (  # noqa: E402
+    survivorship_merge,
+    survivorship_merge_sql,
+)
+
+_SV_SCHEMA = "cluster: int, src_rank: int, rid: int, name: string, score: long"
+
+
+def test_survivorship_per_field_independence(spark):
+    # best-rank record has name but NULL score; score must come from
+    # the SECOND-best record, not travel with the winner row
+    rows = [(1, 0, 10, "best", None),
+            (1, 1, 11, "worse", 500),
+            (1, 2, 12, None, 900)]
+    df = spark.createDataFrame(rows, _SV_SCHEMA)
+    out = survivorship_merge(df, "cluster", ["src_rank", "rid"],
+                             ["name", "score"]).collect()
+    assert [tuple(r) for r in out] == [(1, 3, "best", 500)]
+
+
+def test_survivorship_all_null_field_and_tiebreak(spark):
+    rows = [(1, 0, 10, None, None), (1, 0, 9, None, None),
+            (2, 5, 20, "only", 7)]
+    df = spark.createDataFrame(rows, _SV_SCHEMA)
+    got = sorted(tuple(r) for r in survivorship_merge(
+        df, "cluster", ["src_rank", "rid"], ["name", "score"]).collect())
+    assert got == [(1, 2, None, None), (2, 1, "only", 7)]
+
+
+def test_survivorship_matches_duckdb_twin_randomized(spark):
+    rng = random.Random(23)
+    rows, rid = [], 0
+    for c in range(60):
+        for _ in range(rng.randrange(1, 6)):
+            rid += 1
+            rows.append((c, rng.randrange(3), rid,
+                         None if rng.random() < 0.4
+                         else f"n{rng.randrange(5)}",
+                         None if rng.random() < 0.4
+                         else rng.randrange(1000)))
+    df = spark.createDataFrame(rows, _SV_SCHEMA)
+    got = sorted(tuple(r) for r in survivorship_merge(
+        df, "cluster", ["src_rank", "rid"], ["name", "score"]).collect())
+    vals = ", ".join(
+        "(" + ", ".join("NULL" if v is None
+                        else (f"'{v}'" if isinstance(v, str) else str(v))
+                        for v in r) + ")" for r in rows)
+    src = (f"SELECT c0 AS cluster, c1 AS src_rank, c2 AS rid, "
+           f"c3 AS name, c4 AS score FROM (VALUES {vals}) t(c0,c1,c2,c3,c4)")
+    con = duckdb.connect()
+    want = sorted(tuple(r) for r in con.execute(survivorship_merge_sql(
+        src, "cluster", ["src_rank", "rid"], ["name", "score"])).fetchall())
+    assert got == want
+
+
+def test_survivorship_validation(spark):
+    df = spark.createDataFrame([(1, 0, 1, "a", 1)], _SV_SCHEMA)
+    with pytest.raises(ValueError, match="non-empty"):
+        survivorship_merge(df, "cluster", ["src_rank"], [])
+    with pytest.raises(ValueError, match="overlap"):
+        survivorship_merge(df, "cluster", ["src_rank"], ["src_rank"])
