@@ -4513,6 +4513,69 @@ KG_SURVIVORSHIP_SQL = _survivorship_sql(
     ["name", "acct_cents"])
 
 
+def kg_entity_resolution(spark, sf_dir):
+    """Entity-resolution capstone (er.resolve_entities): fuzzy-match
+    -> cluster -> golden record, composed from three independently
+    oracled operators (set_similarity_join, connected_components,
+    survivorship_merge). Records synthesized from customer: entity
+    e = custkey div 30 (bounded cluster size at EVERY sf — cluster
+    COUNT scales with data, never cluster size), match names of 4
+    tokens where two are entity-unique, one is a shared coarse group
+    (dropped for rid%5==0 rows, so some records only connect via a
+    same-variant partner and, at tiny sf, legitimately fall out as
+    singletons), one a per-record variant. tau=600 separates
+    within-entity (>=600) from cross-entity (<=400) by integer
+    arithmetic. Oracle: brute-force token join + recursive-CTE
+    reachability + window-rank survivorship — every stage a
+    different strategy from the Spark side."""
+    from biocypher_metta_spark.er import resolve_entities
+
+    c = _t(spark, sf_dir, "customer")
+    e = F.expr("c_custkey div 30")
+    rec = c.select(
+        F.col("c_custkey").alias("rid"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("ent"), e.cast("string")),
+            F.concat(F.lit("id"), e.cast("string")),
+            F.when(F.col("c_custkey") % 5 != 0,
+                   F.concat(F.lit("grp"), (e % 97).cast("string"))),
+            F.concat(F.lit("v"), e.cast("string"), F.lit("_"),
+                     (F.col("c_custkey") % 3).cast("string")),
+        ).alias("mname"),
+        (F.col("c_nationkey") % 3).alias("src_rank"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_name")).alias("name"),
+        F.when(F.col("c_custkey") % 6 == 0, F.lit(None).cast("long"))
+        .otherwise(F.floor(F.col("c_acctbal") * 100).cast("long"))
+        .alias("acct_cents"))
+    return resolve_entities(rec, "rid", "mname", ["src_rank", "rid"],
+                            ["name", "acct_cents"], tau_permille=600)
+
+
+from biocypher_metta_spark.er import (  # noqa: E402
+    resolve_entities_sql as _resolve_entities_sql,
+)
+
+_ER_REC_SQL = """SELECT c_custkey AS rid,
+  concat_ws(' ',
+    'ent' || CAST(c_custkey // 30 AS VARCHAR),
+    'id' || CAST(c_custkey // 30 AS VARCHAR),
+    CASE WHEN c_custkey % 5 <> 0
+         THEN 'grp' || CAST((c_custkey // 30) % 97 AS VARCHAR) END,
+    'v' || CAST(c_custkey // 30 AS VARCHAR) || '_'
+        || CAST(c_custkey % 3 AS VARCHAR)) AS mname,
+  c_nationkey % 3 AS src_rank,
+  CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE c_name END AS name,
+  CASE WHEN c_custkey % 6 = 0 THEN NULL
+       ELSE CAST(floor(c_acctbal * 100) AS BIGINT) END AS acct_cents
+FROM customer"""
+
+KG_ENTITY_RESOLUTION_SQL = _resolve_entities_sql(
+    _ER_REC_SQL, "rid", "mname", ["src_rank", "rid"],
+    ["name", "acct_cents"], tau_permille=600)
+
+
 def rel_ewma(spark, sf_dir):
     """Integer-exact EWMA smoothing (temporal.ewma, decay 1/2,
     lookback 32) over per-customer-bucket daily order cents — the
@@ -4900,6 +4963,7 @@ QUERIES.update({
     "rel_gapfill_locf": (rel_gapfill_locf, REL_GAPFILL_LOCF_SQL),
     "rel_ewma": (rel_ewma, REL_EWMA_SQL),
     "kg_survivorship": (kg_survivorship, KG_SURVIVORSHIP_SQL),
+    "kg_entity_resolution": (kg_entity_resolution, KG_ENTITY_RESOLUTION_SQL),
     "rel_pivot": (rel_pivot, REL_PIVOT_SQL),
     "kg_cooccurrence": (kg_cooccurrence, KG_COOCCURRENCE_SQL),
     "doc_weighted_sample": (doc_weighted_sample, DOC_WEIGHTED_SAMPLE_SQL),
@@ -5046,6 +5110,7 @@ CK_COLUMNS = {
     "rel_gapfill_locf": ["cents", "day", "grp", "is_gap"],
     "rel_ewma": ["day", "ewma", "ewma_num", "grp"],
     "kg_survivorship": ["acct_cents", "cluster", "n_members", "name"],
+    "kg_entity_resolution": ["acct_cents", "entity_id", "n_members", "name"],
     "rel_pivot": ["cents_f", "cents_o", "cents_p", "o_orderpriority"],
     "kg_cooccurrence": ["item_a", "item_b", "n_docs"],
     "doc_weighted_sample": ["doc_id", "lang", "sample_rank", "wt"],
@@ -5100,7 +5165,8 @@ CK_COMPOSITES = {
     "kg_graph_checks": ["kg_pagerank", "emb_semantic_dedup",
                         "emb_kmeans", "kg_triangles", "kg_kcore",
                         "kg_lpa", "kg_cooccurrence", "kg_jaccard_links",
-                        "kg_bfs", "kg_survivorship"],
+                        "kg_bfs", "kg_survivorship",
+                        "kg_entity_resolution"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",
