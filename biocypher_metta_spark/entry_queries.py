@@ -4513,6 +4513,29 @@ KG_SURVIVORSHIP_SQL = _survivorship_sql(
     ["name", "acct_cents"])
 
 
+def rel_funnel(spark, sf_dir):
+    """Ordered-funnel analysis (temporal.funnel_stages): per user the
+    longest completed prefix of signup -> view -> click -> purchase,
+    by one shuffle + a JVM-side greedy prefix scan over the sorted
+    (ts, step_index) array. Oracle: the iterative min-timestamp
+    chained-join spelling — a completely different plan."""
+    from biocypher_metta_spark.operators.temporal import funnel_stages
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_stages(ev, "user_id", "ts", "event_type",
+                         ["signup", "view", "click", "purchase"])
+
+
+from biocypher_metta_spark.operators.temporal import (  # noqa: E402
+    funnel_stages_sql as _funnel_sql,
+)
+
+REL_FUNNEL_SQL = _funnel_sql(
+    "SELECT user_id, ts, event_type FROM events",
+    "user_id", "ts", "event_type",
+    ["signup", "view", "click", "purchase"])
+
+
 def kg_entity_resolution(spark, sf_dir):
     """Entity-resolution capstone (er.resolve_entities): fuzzy-match
     -> cluster -> golden record, composed from three independently
@@ -4964,6 +4987,7 @@ QUERIES.update({
     "rel_ewma": (rel_ewma, REL_EWMA_SQL),
     "kg_survivorship": (kg_survivorship, KG_SURVIVORSHIP_SQL),
     "kg_entity_resolution": (kg_entity_resolution, KG_ENTITY_RESOLUTION_SQL),
+    "rel_funnel": (rel_funnel, REL_FUNNEL_SQL),
     "rel_pivot": (rel_pivot, REL_PIVOT_SQL),
     "kg_cooccurrence": (kg_cooccurrence, KG_COOCCURRENCE_SQL),
     "doc_weighted_sample": (doc_weighted_sample, DOC_WEIGHTED_SAMPLE_SQL),
@@ -5111,6 +5135,7 @@ CK_COLUMNS = {
     "rel_ewma": ["day", "ewma", "ewma_num", "grp"],
     "kg_survivorship": ["acct_cents", "cluster", "n_members", "name"],
     "kg_entity_resolution": ["acct_cents", "entity_id", "n_members", "name"],
+    "rel_funnel": ["stage", "user_id"],
     "rel_pivot": ["cents_f", "cents_o", "cents_p", "o_orderpriority"],
     "kg_cooccurrence": ["item_a", "item_b", "n_docs"],
     "doc_weighted_sample": ["doc_id", "lang", "sample_rank", "wt"],
@@ -5145,7 +5170,8 @@ CK_COMPOSITES = {
                        "rel_changelog_compact", "rel_pivot"],
     "rel_window_checks": ["rel_window_rank", "rel_events_hourly",
                           "rel_session_window", "rel_scd2_intervals",
-                          "rel_gapfill_locf", "rel_ewma"],
+                          "rel_gapfill_locf", "rel_ewma",
+                          "rel_funnel"],
     "rel_range_family": ["rel_range_join", "rel_interval_overlap",
                          "rel_interval_merge"],
     "kg_peregrine_checks": ["kg_peregrine_enhancers", "kg_peregrine_edges"],

@@ -357,3 +357,91 @@ SELECT {key}, {ts_col}, ewma_num,
   CAST((ewma_num - (((ewma_num % wsum) + wsum) % wsum)) // wsum
        AS BIGINT) AS ewma
 FROM ew_agg"""
+
+
+def funnel_stages(events: DataFrame, user_col: str, ts_col: str,
+                  step_col: str, steps: list[str]) -> DataFrame:
+    """Ordered-funnel analysis: per user, the length of the longest
+    prefix of `steps` completable by that user's events in
+    non-decreasing timestamp order (the product-analytics funnel —
+    ClickHouse windowFunnel / Amplitude funnels — which the events
+    table of any large pipeline eventually needs). Output:
+    (user_col, stage) with stage in [1, len(steps)], one row per user
+    whose earliest `steps[0]` event exists; users who never enter the
+    funnel emit nothing.
+
+    Semantics: step k+1 may fire at the SAME timestamp as step k
+    (>=); at equal timestamps earlier steps match first (the
+    (ts, step_index) sort below — replicated by the twin's `t >=
+    prev` joins). `steps` must be distinct, else one event could be
+    asked to satisfy two stages.
+
+    Scale shape: ONE shuffle. The step->index map is applied map-side
+    and non-funnel events are dropped BEFORE the groupBy, so the
+    per-user collected array is bounded by the user's funnel events,
+    not their total activity; the greedy prefix scan runs inside
+    F.aggregate (JVM codegen, no Python). Greedy-earliest is exact
+    for unconstrained ordered funnels: taking the earliest event that
+    extends the current prefix never forecloses a longer prefix
+    (exchange argument — any completion can be rewritten to use the
+    earliest candidates). A per-key mega-hot user costs one task its
+    array, bounded by that user's funnel events.
+    """
+    if not steps or len(set(steps)) != len(steps):
+        raise ValueError("steps must be non-empty and distinct")
+    idx = F.element_at(
+        F.create_map(*[F.lit(x) for s, i in
+                       ((s, i) for i, s in enumerate(steps))
+                       for x in (s, i)]),
+        F.col(step_col))
+    ev = (events
+          .select(F.col(user_col).alias("_u"),
+                  F.col(ts_col).alias("_t"), idx.alias("_si"))
+          .filter(F.col("_si").isNotNull())
+          .filter(F.col("_t").isNotNull()))
+    per = ev.groupBy("_u").agg(
+        F.sort_array(F.collect_list(F.struct("_t", "_si"))).alias("_evs"))
+    stage = F.aggregate(
+        "_evs", F.lit(0),
+        lambda acc, x: F.when(x["_si"] == acc, acc + 1).otherwise(acc))
+    return (per.select(F.col("_u").alias(user_col),
+                       stage.cast("int").alias("stage"))
+            .filter(F.col("stage") >= 1))
+
+
+def funnel_stages_sql(events_sql: str, user_col: str, ts_col: str,
+                      step_col: str, steps: list[str]) -> str:
+    """DuckDB twin of funnel_stages: the ITERATIVE min-timestamp
+    spelling — t0 = min ts of steps[0] per user, t_{k} = min ts of a
+    steps[k] event at-or-after t_{k-1} — chained left joins, a
+    completely different plan from the one-shuffle array-greedy scan
+    on the Spark side."""
+    if not steps or len(set(steps)) != len(steps):
+        raise ValueError("steps must be non-empty and distinct")
+    for s in steps:
+        if not s.replace("_", "").replace("-", "").isalnum():
+            raise ValueError(f"step name {s!r} must be alphanumeric")
+    ctes = [f"""fn_ev AS MATERIALIZED (
+  SELECT {user_col} AS u, {ts_col} AS t, {step_col} AS s FROM (
+{events_sql.strip()}
+  ) WHERE {ts_col} IS NOT NULL
+)""",
+            f"""fn_t0 AS (
+  SELECT u, min(t) AS t0 FROM fn_ev WHERE s = '{steps[0]}' GROUP BY 1
+)"""]
+    for i in range(1, len(steps)):
+        ctes.append(f"""fn_t{i} AS (
+  SELECT e.u, min(e.t) AS t{i}
+  FROM fn_ev e JOIN fn_t{i - 1} p ON e.u = p.u
+  WHERE e.s = '{steps[i]}' AND e.t >= p.t{i - 1}
+  GROUP BY 1
+)""")
+    cases = " ".join(
+        f"WHEN t{i} IS NOT NULL THEN {i + 1}"
+        for i in range(len(steps) - 1, 0, -1))
+    joins = "\n".join(f"LEFT JOIN fn_t{i} USING (u)"
+                      for i in range(1, len(steps)))
+    case = f"CASE {cases} ELSE 1 END" if cases else "1"
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT u AS {user_col}, CAST({case} AS INT) AS stage\n"
+            f"FROM fn_t0\n{joins}")

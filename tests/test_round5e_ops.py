@@ -76,3 +76,99 @@ def test_er_validation(spark):
     with pytest.raises(ValueError, match="entity_id"):
         resolve_entities(df.withColumnRenamed("name", "entity_id"),
                          "rid", "mname", ["src_rank"], ["cents"])
+
+
+# ---------------------------------------------------------------------------
+# funnel_stages (operators/temporal.py)
+# ---------------------------------------------------------------------------
+
+from datetime import datetime, timedelta
+
+from biocypher_metta_spark.operators.temporal import (  # noqa: E402
+    funnel_stages,
+    funnel_stages_sql,
+)
+
+_FN_SCHEMA = "u: long, t: timestamp, s: string"
+_T0 = datetime(2024, 1, 1)
+
+
+def _ts(m):
+    return _T0 + timedelta(minutes=m)
+
+
+def _fn_run(spark, rows, steps):
+    df = spark.createDataFrame(rows, _FN_SCHEMA)
+    return sorted(tuple(r) for r in funnel_stages(
+        df, "u", "t", "s", steps).collect())
+
+
+def _fn_duck(rows, steps):
+    vals = ", ".join(
+        f"({u}, TIMESTAMP '{t}', " + ("NULL" if s is None else f"'{s}'") + ")"
+        for u, t, s in rows)
+    src = f"SELECT * FROM (VALUES {vals}) t(u, t, s)"
+    con = duckdb.connect()
+    return sorted(tuple(r) for r in con.execute(
+        funnel_stages_sql(src, "u", "t", "s", steps)).fetchall())
+
+
+def test_funnel_order_matters(spark):
+    steps = ["a", "b", "c"]
+    rows = [
+        # u1 completes in order -> 3
+        (1, _ts(0), "a"), (1, _ts(1), "b"), (1, _ts(2), "c"),
+        # u2 has c BEFORE b -> stops at 2 (a then b; c never re-fires)
+        (2, _ts(0), "a"), (2, _ts(1), "c"), (2, _ts(2), "b"),
+        # u3 never enters (no 'a') -> no row
+        (3, _ts(0), "b"), (3, _ts(1), "c"),
+        # u4 only 'a' -> 1; noise steps ignored
+        (4, _ts(0), "x"), (4, _ts(1), "a"), (4, _ts(2), "x"),
+    ]
+    got = _fn_run(spark, rows, steps)
+    assert got == [(1, 3), (2, 2), (4, 1)]
+    assert got == _fn_duck(rows, steps)
+
+
+def test_funnel_same_timestamp_advances(spark):
+    steps = ["a", "b"]
+    rows = [(1, _ts(5), "b"), (1, _ts(5), "a"),   # b at SAME ts as a -> 2
+            (2, _ts(5), "b"), (2, _ts(6), "a")]   # b strictly before a -> 1
+    got = _fn_run(spark, rows, steps)
+    assert got == [(1, 2), (2, 1)]
+    assert got == _fn_duck(rows, steps)
+
+
+def test_funnel_greedy_earliest_is_exact(spark):
+    # a@0, a@2, b@1: the EARLIEST a (t=0) still allows b@1 -> stage 2.
+    # A non-greedy "latest a" reading would miss it.
+    steps = ["a", "b"]
+    rows = [(1, _ts(0), "a"), (1, _ts(2), "a"), (1, _ts(1), "b")]
+    got = _fn_run(spark, rows, steps)
+    assert got == [(1, 2)]
+    assert got == _fn_duck(rows, steps)
+
+
+def test_funnel_matches_duckdb_twin_randomized(spark):
+    rng = random.Random(47)
+    steps = ["s0", "s1", "s2", "s3"]
+    pool = steps + ["zz", "yy"]
+    rows = []
+    for u in range(40):
+        for _ in range(rng.randrange(0, 12)):
+            rows.append((u, _ts(rng.randrange(500)),
+                         pool[rng.randrange(len(pool))]))
+    rows.append((999, _ts(0), "s0"))  # guarantee non-empty output
+    got = _fn_run(spark, rows, steps)
+    assert got == _fn_duck(rows, steps)
+    assert all(1 <= st <= 4 for _, st in got)
+
+
+def test_funnel_validation(spark):
+    df = spark.createDataFrame([(1, _ts(0), "a")], _FN_SCHEMA)
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_stages(df, "u", "t", "s", ["a", "a"])
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_stages(df, "u", "t", "s", [])
+    with pytest.raises(ValueError, match="alphanumeric"):
+        funnel_stages_sql("SELECT 1", "u", "t", "s", ["a'b"])
