@@ -129,7 +129,8 @@ def main() -> None:
              "doc_strip_markup", "web_link_edges", "rel_interval_merge",
              "rel_snapshot_diff", "kg_jaccard_links", "doc_lm_train",
              "doc_set_similarity", "kg_bfs", "rel_ewma",
-             "kg_survivorship", "kg_entity_resolution", "rel_funnel"]
+             "kg_survivorship", "kg_entity_resolution", "rel_funnel",
+             "rel_dq_profile", "rel_fk_check"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):

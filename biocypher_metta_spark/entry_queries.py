@@ -4513,6 +4513,77 @@ KG_SURVIVORSHIP_SQL = _survivorship_sql(
     ["name", "acct_cents"])
 
 
+def rel_dq_profile(spark, sf_dir):
+    """Data-quality column profiling (profiling.profile_columns):
+    null / empty / exact-distinct / length / min-max metrics for four
+    customer columns with planted nulls and empty strings, computed
+    in ONE Expand-aggregate pass. Oracle: per-column UNION ALL scans
+    — the opposite plan."""
+    from biocypher_metta_spark.operators.profiling import profile_columns
+
+    c = _t(spark, sf_dir, "customer")
+    rec = c.select(
+        F.when(F.col("c_custkey") % 9 == 0, F.lit(None).cast("string"))
+        .when(F.col("c_custkey") % 9 == 1, F.lit(""))
+        .otherwise(F.col("c_name")).alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_custkey").alias("ckey"),
+        F.when(F.col("c_nationkey") % 5 == 0,
+               F.lit(None).cast("long"))
+        .otherwise(F.col("c_nationkey").cast("long")).alias("nkey"))
+    return profile_columns(rec, ["name", "seg", "ckey", "nkey"])
+
+
+from biocypher_metta_spark.operators.profiling import (  # noqa: E402
+    fk_violations_sql as _fk_violations_sql,
+    profile_columns_sql as _profile_sql,
+)
+
+_DQ_IN_SQL = """SELECT
+  CASE WHEN c_custkey % 9 = 0 THEN NULL
+       WHEN c_custkey % 9 = 1 THEN ''
+       ELSE c_name END AS name,
+  c_mktsegment AS seg,
+  c_custkey AS ckey,
+  CASE WHEN c_nationkey % 5 = 0 THEN NULL
+       ELSE CAST(c_nationkey AS BIGINT) END AS nkey
+FROM customer"""
+
+REL_DQ_PROFILE_SQL = _profile_sql(
+    _DQ_IN_SQL, [("name", "string"), ("seg", "string"),
+                 ("ckey", "int"), ("nkey", "int")])
+
+
+def rel_fk_check(spark, sf_dir):
+    """Referential-integrity check (profiling.fk_violations): orders
+    rows whose customer key was perturbed out of range (every 97th
+    key pushed past the keyspace) surface as orphans via LEFT ANTI
+    join; NULL fks (every 89th) are excluded by contract. Oracle:
+    NOT EXISTS spelling."""
+    from biocypher_metta_spark.operators.profiling import fk_violations
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.when(F.col("o_orderkey") % 89 == 0, F.lit(None).cast("long"))
+        .when(F.col("o_orderkey") % 97 == 0,
+              F.col("o_custkey") + F.lit(10_000_000_000))
+        .otherwise(F.col("o_custkey")).alias("cust_fk"))
+    c = _t(spark, sf_dir, "customer")
+    return fk_violations(o, "cust_fk", c, "c_custkey").select(
+        "cust_fk", "o_orderkey")
+
+
+_FK_CHILD_SQL = """SELECT o_orderkey,
+  CASE WHEN o_orderkey % 89 = 0 THEN NULL
+       WHEN o_orderkey % 97 = 0 THEN o_custkey + 10000000000
+       ELSE o_custkey END AS cust_fk
+FROM orders"""
+
+REL_FK_CHECK_SQL = _fk_violations_sql(
+    _FK_CHILD_SQL, "cust_fk", "SELECT c_custkey FROM customer",
+    "c_custkey", ["cust_fk", "o_orderkey"])
+
+
 def rel_funnel(spark, sf_dir):
     """Ordered-funnel analysis (temporal.funnel_stages): per user the
     longest completed prefix of signup -> view -> click -> purchase,
@@ -4988,6 +5059,8 @@ QUERIES.update({
     "kg_survivorship": (kg_survivorship, KG_SURVIVORSHIP_SQL),
     "kg_entity_resolution": (kg_entity_resolution, KG_ENTITY_RESOLUTION_SQL),
     "rel_funnel": (rel_funnel, REL_FUNNEL_SQL),
+    "rel_dq_profile": (rel_dq_profile, REL_DQ_PROFILE_SQL),
+    "rel_fk_check": (rel_fk_check, REL_FK_CHECK_SQL),
     "rel_pivot": (rel_pivot, REL_PIVOT_SQL),
     "kg_cooccurrence": (kg_cooccurrence, KG_COOCCURRENCE_SQL),
     "doc_weighted_sample": (doc_weighted_sample, DOC_WEIGHTED_SAMPLE_SQL),
@@ -5136,6 +5209,9 @@ CK_COLUMNS = {
     "kg_survivorship": ["acct_cents", "cluster", "n_members", "name"],
     "kg_entity_resolution": ["acct_cents", "entity_id", "n_members", "name"],
     "rel_funnel": ["stage", "user_id"],
+    "rel_dq_profile": ["col_name", "max_v", "min_v", "n_distinct",
+                       "n_empty", "n_null", "n_rows", "total_len"],
+    "rel_fk_check": ["cust_fk", "o_orderkey"],
     "rel_pivot": ["cents_f", "cents_o", "cents_p", "o_orderpriority"],
     "kg_cooccurrence": ["item_a", "item_b", "n_docs"],
     "doc_weighted_sample": ["doc_id", "lang", "sample_rank", "wt"],
@@ -5163,11 +5239,12 @@ CK_COMPOSITES = {
     "rel_join_checks": ["rel_broadcast_left_join", "rel_double_inner_join",
                         "rel_shuffle_join_agg", "rel_bloom_prefilter",
                         "rel_salted_join", "rel_bucketed_join",
-                        "rel_snapshot_diff"],
+                        "rel_snapshot_diff", "rel_fk_check"],
     "rel_agg_checks": ["rel_collect_ordered", "rel_distinct_dedup",
                        "rel_union_adapters", "rel_pricing_summary",
                        "rel_histogram_quantiles", "rel_grouping_sets",
-                       "rel_changelog_compact", "rel_pivot"],
+                       "rel_changelog_compact", "rel_pivot",
+                       "rel_dq_profile"],
     "rel_window_checks": ["rel_window_rank", "rel_events_hourly",
                           "rel_session_window", "rel_scd2_intervals",
                           "rel_gapfill_locf", "rel_ewma",

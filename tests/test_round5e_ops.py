@@ -172,3 +172,75 @@ def test_funnel_validation(spark):
         funnel_stages(df, "u", "t", "s", [])
     with pytest.raises(ValueError, match="alphanumeric"):
         funnel_stages_sql("SELECT 1", "u", "t", "s", ["a'b"])
+
+
+# ---------------------------------------------------------------------------
+# profile_columns / fk_violations (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+from biocypher_metta_spark.operators.profiling import (  # noqa: E402
+    fk_violations,
+    fk_violations_sql,
+    profile_columns,
+    profile_columns_sql,
+)
+
+
+def test_profile_metrics_by_hand(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("", 2), ("  ", 2), (None, None), ("bb", 7)],
+        "s: string, k: long")
+    got = {r["col_name"]: tuple(r) for r in
+           profile_columns(df, ["s", "k"]).collect()}
+    # s: 5 rows, 1 null, distinct {a,'','  ',bb}=4, empty(trim)=2,
+    # total_len 0+1+2+2=5, min ''(empty sorts first), max 'bb'
+    assert got["s"] == ("s", 5, 1, 4, 2, 5, "", "bb")
+    assert got["k"] == ("k", 5, 1, 3, None, None, "1", "7")
+
+
+def test_profile_matches_duckdb_twin_randomized(spark):
+    rng = random.Random(53)
+    rows = [(None if rng.random() < 0.2
+             else ("" if rng.random() < 0.2 else f"v{rng.randrange(9)}"),
+             None if rng.random() < 0.2 else rng.randrange(50))
+            for _ in range(300)]
+    df = spark.createDataFrame(rows, "s: string, k: long")
+    got = sorted(tuple(r) for r in
+                 profile_columns(df, ["s", "k"]).collect())
+    vals = ", ".join(
+        "(" + ("NULL" if s is None else f"'{s}'") + ", " +
+        ("NULL" if k is None else str(k)) + ")" for s, k in rows)
+    src = f"SELECT * FROM (VALUES {vals}) t(s, k)"
+    con = duckdb.connect()
+    want = sorted(tuple(r) for r in con.execute(profile_columns_sql(
+        src, [("s", "string"), ("k", "int")])).fetchall())
+    assert got == want
+
+
+def test_profile_validation(spark):
+    df = spark.createDataFrame([(1.5,)], "d: double")
+    with pytest.raises(ValueError, match="non-empty"):
+        profile_columns(df, [])
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        profile_columns(df, ["nope"])
+    with pytest.raises(ValueError, match="quantize"):
+        profile_columns(df, ["d"])
+    with pytest.raises(ValueError, match="'string' or 'int'"):
+        profile_columns_sql("SELECT 1", [("d", "double")])
+
+
+def test_fk_violations_null_fk_is_not_orphan(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, None), (4, 10)], "id: long, fk: long")
+    parent = spark.createDataFrame([(10,), (20,)], "pk: long")
+    got = sorted(tuple(r) for r in
+                 fk_violations(child, "fk", parent, "pk")
+                 .select("id", "fk").collect())
+    assert got == [(2, 99)]
+    con = duckdb.connect()
+    want = sorted(tuple(r) for r in con.execute(fk_violations_sql(
+        "SELECT * FROM (VALUES (1, 10), (2, 99), (3, NULL), (4, 10)) "
+        "t(id, fk)", "fk",
+        "SELECT * FROM (VALUES (10), (20)) t(pk)", "pk",
+        ["id", "fk"])).fetchall())
+    assert got == want

@@ -39,8 +39,8 @@ def audit_plan(plan: str) -> list[str]:
         # AGGREGATED rows (HashAggregate below it) or a global limit
         # (TakeOrderedAndProject handles top-k without it; a residual
         # GlobalLimit over a LocalLimit is bounded rows)
-        if not re.search(r"HashAggregate|ObjectHashAggregate|LocalLimit|"
-                         r"LocalTableScan", below):
+        if not re.search(r"HashAggregate|ObjectHashAggregate|SortAggregate|"
+                         r"LocalLimit|LocalTableScan", below):
             flags.append("single-partition-exchange-over-full-input")
             break
     return flags
