@@ -4513,6 +4513,25 @@ KG_SURVIVORSHIP_SQL = _survivorship_sql(
     ["name", "acct_cents"])
 
 
+def rel_retention(spark, sf_dir):
+    """Cohort retention triangle (temporal.retention_cohorts, weekly
+    periods) over events — early (user, period) dedup, one
+    groupBy(user) anchor, co-partitioned self-join, plain count.
+    Oracle: min-over-window spelling."""
+    from biocypher_metta_spark.operators.temporal import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"),
+                             "user_id", "ts", period_days=7)
+
+
+from biocypher_metta_spark.operators.temporal import (  # noqa: E402
+    retention_cohorts_sql as _retention_sql,
+)
+
+REL_RETENTION_SQL = _retention_sql(
+    "SELECT user_id, ts FROM events", "user_id", "ts", period_days=7)
+
+
 def rel_dq_profile(spark, sf_dir):
     """Data-quality column profiling (profiling.profile_columns):
     null / empty / exact-distinct / length / min-max metrics for four
@@ -5060,6 +5079,7 @@ QUERIES.update({
     "kg_entity_resolution": (kg_entity_resolution, KG_ENTITY_RESOLUTION_SQL),
     "rel_funnel": (rel_funnel, REL_FUNNEL_SQL),
     "rel_dq_profile": (rel_dq_profile, REL_DQ_PROFILE_SQL),
+    "rel_retention": (rel_retention, REL_RETENTION_SQL),
     "rel_fk_check": (rel_fk_check, REL_FK_CHECK_SQL),
     "rel_pivot": (rel_pivot, REL_PIVOT_SQL),
     "kg_cooccurrence": (kg_cooccurrence, KG_COOCCURRENCE_SQL),
@@ -5211,6 +5231,7 @@ CK_COLUMNS = {
     "rel_funnel": ["stage", "user_id"],
     "rel_dq_profile": ["col_name", "max_v", "min_v", "n_distinct",
                        "n_empty", "n_null", "n_rows", "total_len"],
+    "rel_retention": ["cohort", "n_users", "offset_p"],
     "rel_fk_check": ["cust_fk", "o_orderkey"],
     "rel_pivot": ["cents_f", "cents_o", "cents_p", "o_orderpriority"],
     "kg_cooccurrence": ["item_a", "item_b", "n_docs"],
@@ -5244,7 +5265,7 @@ CK_COMPOSITES = {
                        "rel_union_adapters", "rel_pricing_summary",
                        "rel_histogram_quantiles", "rel_grouping_sets",
                        "rel_changelog_compact", "rel_pivot",
-                       "rel_dq_profile"],
+                       "rel_dq_profile", "rel_retention"],
     "rel_window_checks": ["rel_window_rank", "rel_events_hourly",
                           "rel_session_window", "rel_scd2_intervals",
                           "rel_gapfill_locf", "rel_ewma",

@@ -445,3 +445,59 @@ def funnel_stages_sql(events_sql: str, user_col: str, ts_col: str,
     return (f"WITH {', '.join(ctes)}\n"
             f"SELECT u AS {user_col}, CAST({case} AS INT) AS stage\n"
             f"FROM fn_t0\n{joins}")
+
+
+def retention_cohorts(events: DataFrame, user_col: str, ts_col: str,
+                      period_days: int = 7) -> DataFrame:
+    """Cohort retention: users grouped by the period of their FIRST
+    activity, counted in every later period they return (the
+    product-analytics retention triangle; period = `period_days`
+    buckets of days since epoch, integer-exact in both engines).
+
+    Output: (cohort, offset_p, n_users) — n_users distinct users from
+    cohort `cohort` active `offset_p` periods later; offset 0 is the
+    cohort size itself.
+
+    Scale shape: dedup to (user, period) first — the map-side
+    distinct collapses each user's in-period activity before anything
+    shuffles — then ONE groupBy(user) for the cohort anchor, a
+    co-partitioned self-join on user (both sides hash on the same
+    key; no second shuffle of the big side), and a final count per
+    (cohort, offset) where rows are already distinct users. No
+    count(DISTINCT) anywhere — the early dedup makes plain count()
+    exact."""
+    if period_days < 1:
+        raise ValueError(f"period_days must be >= 1, got {period_days}")
+    p = F.floor(
+        F.datediff(F.col(ts_col).cast("date"), F.lit("1970-01-01"))
+        / period_days).cast("long")
+    ev = (events.select(F.col(user_col).alias("_u"), p.alias("_p"))
+          .filter(F.col("_p").isNotNull())
+          .distinct())
+    first = ev.groupBy("_u").agg(F.min("_p").alias("_c"))
+    return (ev.join(first, "_u")
+            .groupBy(F.col("_c").alias("cohort"),
+                     (F.col("_p") - F.col("_c")).alias("offset_p"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users")))
+
+
+def retention_cohorts_sql(events_sql: str, user_col: str, ts_col: str,
+                          period_days: int = 7) -> str:
+    """DuckDB twin of retention_cohorts: the WINDOW spelling —
+    min(period) OVER (PARTITION BY user) instead of groupBy + join."""
+    if period_days < 1:
+        raise ValueError("period_days must be >= 1")
+    return f"""WITH rc_ev AS MATERIALIZED (
+  SELECT DISTINCT {user_col} AS u,
+         CAST(floor(date_diff('day', DATE '1970-01-01',
+                              CAST({ts_col} AS DATE))
+                    / {period_days}) AS BIGINT) AS p
+  FROM (
+{events_sql.strip()}
+  ) WHERE {ts_col} IS NOT NULL
+), rc_w AS (
+  SELECT u, p, min(p) OVER (PARTITION BY u) AS c FROM rc_ev
+)
+SELECT c AS cohort, p - c AS offset_p,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM rc_w GROUP BY 1, 2"""

@@ -244,3 +244,54 @@ def test_fk_violations_null_fk_is_not_orphan(spark):
         "SELECT * FROM (VALUES (10), (20)) t(pk)", "pk",
         ["id", "fk"])).fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# retention_cohorts (operators/temporal.py)
+# ---------------------------------------------------------------------------
+
+from biocypher_metta_spark.operators.temporal import (  # noqa: E402
+    retention_cohorts,
+    retention_cohorts_sql,
+)
+
+
+def test_retention_by_hand(spark):
+    # period_days=7, epoch day 0 = 1970-01-01 (a Thursday; periods are
+    # plain 7-day buckets from epoch, not ISO weeks)
+    rows = [
+        (1, datetime(1970, 1, 1)),   # u1 cohort 0
+        (1, datetime(1970, 1, 2)),   # same period, dedup
+        (1, datetime(1970, 1, 9)),   # offset 1
+        (2, datetime(1970, 1, 3)),   # u2 cohort 0
+        (2, datetime(1970, 1, 20)),  # offset 2
+        (3, datetime(1970, 1, 10)),  # u3 cohort 1 only
+    ]
+    df = spark.createDataFrame(rows, "u: long, t: timestamp")
+    got = sorted(tuple(r) for r in
+                 retention_cohorts(df, "u", "t", 7).collect())
+    assert got == [(0, 0, 2), (0, 1, 1), (0, 2, 1), (1, 0, 1)]
+
+
+def test_retention_matches_duckdb_twin_randomized(spark):
+    rng = random.Random(61)
+    rows = [(rng.randrange(25), _ts(rng.randrange(100000)))
+            for _ in range(400)]
+    df = spark.createDataFrame(rows, "u: long, t: timestamp")
+    got = sorted(tuple(r) for r in
+                 retention_cohorts(df, "u", "t", 7).collect())
+    vals = ", ".join(f"({u}, TIMESTAMP '{t}')" for u, t in rows)
+    con = duckdb.connect()
+    want = sorted(tuple(r) for r in con.execute(retention_cohorts_sql(
+        f"SELECT * FROM (VALUES {vals}) t(u, t)", "u", "t", 7)).fetchall())
+    assert got == want
+    # cohort sizes are offset-0 rows and must cover all 25 users
+    assert sum(n for _, o, n in got if o == 0) == 25
+
+
+def test_retention_validation(spark):
+    df = spark.createDataFrame([(1, _ts(0))], "u: long, t: timestamp")
+    with pytest.raises(ValueError, match="period_days"):
+        retention_cohorts(df, "u", "t", 0)
+    with pytest.raises(ValueError, match="period_days"):
+        retention_cohorts_sql("SELECT 1", "u", "t", -1)
