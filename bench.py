@@ -130,7 +130,8 @@ def main() -> None:
              "rel_snapshot_diff", "kg_jaccard_links", "doc_lm_train",
              "doc_set_similarity", "kg_bfs", "rel_ewma",
              "kg_survivorship", "kg_entity_resolution", "rel_funnel",
-             "rel_dq_profile", "rel_fk_check", "rel_retention"]
+             "rel_dq_profile", "rel_fk_check", "rel_retention",
+             "doc_bpe_train"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):

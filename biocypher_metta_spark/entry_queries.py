@@ -4893,6 +4893,24 @@ KG_BFS_SQL = graph_ops.bfs_distances_sql(
     _BFS_EDGES_SQL, _BFS_SOURCES_SQL, max_depth=8)
 
 
+def doc_bpe_train(spark, sf_dir):
+    """Distributed BPE merge learning (bpe.train_bpe, 8 merges) over
+    the documents corpus: one corpus-sized word-count shuffle, then
+    every round runs on the bounded vocabulary weighted by word
+    frequency. Oracle: the identical recurrence in long-format SQL
+    with gaps-and-islands parity instead of the Spark-side fold."""
+    from biocypher_metta_spark.operators.bpe import train_bpe
+
+    return train_bpe(_t(spark, sf_dir, "documents"), "text", 8)
+
+
+from biocypher_metta_spark.operators.bpe import (  # noqa: E402
+    train_bpe_sql as _bpe_sql,
+)
+
+DOC_BPE_TRAIN_SQL = _bpe_sql("SELECT text FROM documents", "text", 8)
+
+
 def doc_lm_train(spark, sf_dir):
     """Distributed char-bigram LM training counts
     (text.train_char_bigram_lm): alphabet-bounded aggregate state
@@ -5080,6 +5098,7 @@ QUERIES.update({
     "rel_funnel": (rel_funnel, REL_FUNNEL_SQL),
     "rel_dq_profile": (rel_dq_profile, REL_DQ_PROFILE_SQL),
     "rel_retention": (rel_retention, REL_RETENTION_SQL),
+    "doc_bpe_train": (doc_bpe_train, DOC_BPE_TRAIN_SQL),
     "rel_fk_check": (rel_fk_check, REL_FK_CHECK_SQL),
     "rel_pivot": (rel_pivot, REL_PIVOT_SQL),
     "kg_cooccurrence": (kg_cooccurrence, KG_COOCCURRENCE_SQL),
@@ -5232,6 +5251,7 @@ CK_COLUMNS = {
     "rel_dq_profile": ["col_name", "max_v", "min_v", "n_distinct",
                        "n_empty", "n_null", "n_rows", "total_len"],
     "rel_retention": ["cohort", "n_users", "offset_p"],
+    "doc_bpe_train": ["merge_rank", "n", "sym_a", "sym_b"],
     "rel_fk_check": ["cust_fk", "o_orderkey"],
     "rel_pivot": ["cents_f", "cents_o", "cents_p", "o_orderpriority"],
     "kg_cooccurrence": ["item_a", "item_b", "n_docs"],
@@ -5276,7 +5296,7 @@ CK_COMPOSITES = {
     "doc_text_metrics": ["doc_token_stats", "doc_tfidf_topk",
                          "doc_repetition", "doc_split", "doc_simhash",
                          "doc_fingerprint", "doc_lm_train",
-                         "doc_set_similarity"],
+                         "doc_set_similarity", "doc_bpe_train"],
     # round-5b training-data curation family (sampling / caps / BM25 /
     # CMS) and graph-analytics family (PageRank, SemDeDup) — folded so
     # the registry stays at the 50-row driver snapshot cap

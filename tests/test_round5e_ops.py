@@ -295,3 +295,69 @@ def test_retention_validation(spark):
         retention_cohorts(df, "u", "t", 0)
     with pytest.raises(ValueError, match="period_days"):
         retention_cohorts_sql("SELECT 1", "u", "t", -1)
+
+
+# ---------------------------------------------------------------------------
+# train_bpe (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+from biocypher_metta_spark.operators.bpe import (  # noqa: E402
+    train_bpe,
+    train_bpe_sql,
+)
+
+
+def _bpe_run(spark, docs, k):
+    df = spark.createDataFrame([(d,) for d in docs], "text: string")
+    return sorted(tuple(r) for r in train_bpe(df, "text", k).collect())
+
+
+def _bpe_duck(docs, k):
+    vals = ", ".join("('" + d.replace("'", "''") + "')" for d in docs)
+    sql = train_bpe_sql(f"SELECT * FROM (VALUES {vals}) t(text)",
+                        "text", k)
+    con = duckdb.connect()
+    return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+
+def test_bpe_classic_corpus(spark):
+    docs = ["low lower lowest low low", "new newer newest new",
+            "low new lower"]
+    got = _bpe_run(spark, docs, 6)
+    # textbook: l+o, lo+w dominate (7 'low*' words), then e+w / n+ew
+    assert got[0] == (1, "l", "o", 7)
+    assert got[1] == (2, "lo", "w", 7)
+    assert got == _bpe_duck(docs, 6)
+
+
+def test_bpe_repeated_symbol_runs_merge_greedily(spark):
+    # 'aaaa' -> merge (a,a) applies left-to-right non-overlapping:
+    # round 1 count = 2 per 'aaaa' word (NOT 3 — overlaps don't count
+    # twice after application; but the COUNT phase counts raw adjacent
+    # pairs: 3 per 'aaaa'). The twin must agree on both phases.
+    docs = ["aaaa aaaa aa", "aaa b aaa"]
+    got = _bpe_run(spark, docs, 3)
+    assert got == _bpe_duck(docs, 3)
+    assert got[0][1] == "a" and got[0][2] == "a"
+
+
+def test_bpe_matches_duckdb_twin_randomized(spark):
+    rng = random.Random(71)
+    words = ["the", "then", "than", "that", "this", "these", "band",
+             "bend", "bond", "and", "end", "rnd", "zz", "zzz", "zzzz"]
+    docs = [" ".join(rng.choice(words)
+                     for _ in range(rng.randrange(3, 30)))
+            for _ in range(60)]
+    assert _bpe_run(spark, docs, 8) == _bpe_duck(docs, 8)
+
+
+def test_bpe_early_stop_and_validation(spark):
+    # single 1-char word + EOW: one pair exists, then none
+    got = _bpe_run(spark, ["a a a"], 5)
+    assert got == [(1, "a", "_", 3)]
+    assert got == _bpe_duck(["a a a"], 5)
+    df = spark.createDataFrame([("x",)], "text: string")
+    with pytest.raises(ValueError, match="n_merges"):
+        train_bpe(df, "text", 0)
+    with pytest.raises(ValueError, match="n_merges"):
+        train_bpe_sql("SELECT 1", "text", 0)
