@@ -4911,6 +4911,30 @@ from biocypher_metta_spark.operators.bpe import (  # noqa: E402
 DOC_BPE_TRAIN_SQL = _bpe_sql("SELECT text FROM documents", "text", 8)
 
 
+def doc_bpe_encode(spark, sf_dir):
+    """Train-then-encode composition (bpe.bpe_encode_tokens): the 8
+    merges learned by train_bpe are applied back to the vocabulary
+    and the corpus token-frequency table is emitted — the artifact a
+    tokenizer ships with. Oracle: the train twin's round chain
+    already carries the rewritten vocab; round 8 is counted
+    directly."""
+    from biocypher_metta_spark.operators.bpe import (bpe_encode_tokens,
+                                                     train_bpe)
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(r["sym_a"], r["sym_b"])
+              for r in train_bpe(docs, "text", 8).collect()]
+    return bpe_encode_tokens(docs, "text", merges)
+
+
+from biocypher_metta_spark.operators.bpe import (  # noqa: E402
+    bpe_encode_tokens_sql as _bpe_encode_sql,
+)
+
+DOC_BPE_ENCODE_SQL = _bpe_encode_sql(
+    "SELECT text FROM documents", "text", 8)
+
+
 def doc_lm_train(spark, sf_dir):
     """Distributed char-bigram LM training counts
     (text.train_char_bigram_lm): alphabet-bounded aggregate state
@@ -5099,6 +5123,7 @@ QUERIES.update({
     "rel_dq_profile": (rel_dq_profile, REL_DQ_PROFILE_SQL),
     "rel_retention": (rel_retention, REL_RETENTION_SQL),
     "doc_bpe_train": (doc_bpe_train, DOC_BPE_TRAIN_SQL),
+    "doc_bpe_encode": (doc_bpe_encode, DOC_BPE_ENCODE_SQL),
     "rel_fk_check": (rel_fk_check, REL_FK_CHECK_SQL),
     "rel_pivot": (rel_pivot, REL_PIVOT_SQL),
     "kg_cooccurrence": (kg_cooccurrence, KG_COOCCURRENCE_SQL),
@@ -5252,6 +5277,7 @@ CK_COLUMNS = {
                        "n_empty", "n_null", "n_rows", "total_len"],
     "rel_retention": ["cohort", "n_users", "offset_p"],
     "doc_bpe_train": ["merge_rank", "n", "sym_a", "sym_b"],
+    "doc_bpe_encode": ["n", "token"],
     "rel_fk_check": ["cust_fk", "o_orderkey"],
     "rel_pivot": ["cents_f", "cents_o", "cents_p", "o_orderpriority"],
     "kg_cooccurrence": ["item_a", "item_b", "n_docs"],
@@ -5296,7 +5322,8 @@ CK_COMPOSITES = {
     "doc_text_metrics": ["doc_token_stats", "doc_tfidf_topk",
                          "doc_repetition", "doc_split", "doc_simhash",
                          "doc_fingerprint", "doc_lm_train",
-                         "doc_set_similarity", "doc_bpe_train"],
+                         "doc_set_similarity", "doc_bpe_train",
+                         "doc_bpe_encode"],
     # round-5b training-data curation family (sampling / caps / BM25 /
     # CMS) and graph-analytics family (PageRank, SemDeDup) — folded so
     # the registry stays at the 50-row driver snapshot cap

@@ -195,3 +195,42 @@ def train_bpe_sql(docs_sql: str, text_col: str, n_merges: int) -> str:
     return (f"WITH {', '.join(ctes)}\n"
             f"SELECT CAST(merge_rank AS INT) AS merge_rank, sym_a, "
             f"sym_b, n FROM (\n{body}\n)")
+
+
+def bpe_encode_tokens(docs: DataFrame, text_col: str,
+                      merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply a learned merge list (rank order) and return the corpus
+    token-frequency table (token, n) — the vocabulary a tokenizer
+    ships with, and the item a data pipeline audits (token histogram
+    drift between corpus versions).
+
+    Same scale collapse as train_bpe: the merges rewrite the bounded
+    (word, freq) VOCABULARY — k sequential folds, zero shuffles — and
+    token counts are sum(freq) per emitted symbol; the corpus is
+    touched exactly once (the word count). `merges` is a driver-side
+    artifact (train_bpe output), applied as literals.
+    """
+    if not merges:
+        raise ValueError("merges must be non-empty")
+    vocab = _vocab(docs, text_col)
+    for i, (a, b) in enumerate(merges):
+        vocab = vocab.select("w", "freq", _apply_merge(a, b).alias("syms"))
+        if (i + 1) % 4 == 0:
+            vocab = vocab.localCheckpoint()
+    return (vocab
+            .select(F.explode("syms").alias("token"), "freq")
+            .groupBy("token")
+            .agg(F.sum("freq").cast("long").alias("n")))
+
+
+def bpe_encode_tokens_sql(docs_sql: str, text_col: str,
+                          n_merges: int) -> str:
+    """DuckDB twin of train_bpe(n_merges) THEN bpe_encode_tokens with
+    those merges: the train twin's round chain already carries the
+    rewritten vocabulary, so the encoded token table is just a final
+    count over round n's long-format rows."""
+    train = train_bpe_sql(docs_sql, text_col, n_merges)
+    head, _, _tail = train.rpartition("\nSELECT CAST(merge_rank")
+    return (f"{head}\n"
+            f"SELECT sym AS token, CAST(sum(freq) AS BIGINT) AS n\n"
+            f"FROM r{n_merges} GROUP BY 1")

@@ -361,3 +361,28 @@ def test_bpe_early_stop_and_validation(spark):
         train_bpe(df, "text", 0)
     with pytest.raises(ValueError, match="n_merges"):
         train_bpe_sql("SELECT 1", "text", 0)
+
+
+def test_bpe_encode_tokens_roundtrip(spark):
+    from biocypher_metta_spark.operators.bpe import (
+        bpe_encode_tokens,
+        bpe_encode_tokens_sql,
+    )
+    docs = ["low lower low", "new lower newest"]
+    df = spark.createDataFrame([(d,) for d in docs], "text: string")
+    merges = [(r["sym_a"], r["sym_b"])
+              for r in train_bpe(df, "text", 4).collect()]
+    got = sorted(tuple(r) for r in
+                 bpe_encode_tokens(df, "text", merges).collect())
+    vals = ", ".join(f"('{d}')" for d in docs)
+    sql = bpe_encode_tokens_sql(
+        f"SELECT * FROM (VALUES {vals}) t(text)", "text", 4)
+    con = duckdb.connect()
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want
+    # token mass is conserved: sum(token n) = total symbols after
+    # merging = chars + words - merged occurrences; at minimum the
+    # corpus word count survives as EOW-bearing tokens
+    assert sum(n for _, n in got) > 0
+    with pytest.raises(ValueError, match="non-empty"):
+        bpe_encode_tokens(df, "text", [])
