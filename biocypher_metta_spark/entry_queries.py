@@ -4513,6 +4513,39 @@ KG_SURVIVORSHIP_SQL = _survivorship_sql(
     ["name", "acct_cents"])
 
 
+def rel_outlier_flags(spark, sf_dir):
+    """Integer-exact z-score anomaly flags (stats.outlier_flags,
+    z = 3.0): order cents per customer bucket with every 101st order
+    inflated 40x — the planted spikes must flag, the base load must
+    not. Moments in DECIMAL(38,0); one groupBy + co-partitioned join
+    back. Oracle: window-moments spelling in HUGEINT."""
+    from biocypher_metta_spark.operators.stats import outlier_flags
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 200).alias("grp"),
+        F.col("o_orderkey").alias("rid"),
+        (F.floor(F.col("o_totalprice") * 100)
+         * F.when(F.col("o_orderkey") % 101 == 0, 40).otherwise(1))
+        .cast("long").alias("cents"))
+    return outlier_flags(o, ["grp"], "cents", z_permille=3000)
+
+
+from biocypher_metta_spark.operators.stats import (  # noqa: E402
+    outlier_flags_sql as _outlier_sql,
+)
+
+_OUTLIER_IN_SQL = """SELECT o_custkey % 200 AS grp,
+  o_orderkey AS rid,
+  CAST(floor(o_totalprice * 100)
+       * CASE WHEN o_orderkey % 101 = 0 THEN 40 ELSE 1 END AS BIGINT)
+    AS cents
+FROM orders"""
+
+REL_OUTLIER_FLAGS_SQL = _outlier_sql(
+    _OUTLIER_IN_SQL, ["grp"], "cents", ["grp", "rid", "cents"],
+    z_permille=3000)
+
+
 def rel_retention(spark, sf_dir):
     """Cohort retention triangle (temporal.retention_cohorts, weekly
     periods) over events — early (user, period) dedup, one
@@ -5122,6 +5155,7 @@ QUERIES.update({
     "rel_funnel": (rel_funnel, REL_FUNNEL_SQL),
     "rel_dq_profile": (rel_dq_profile, REL_DQ_PROFILE_SQL),
     "rel_retention": (rel_retention, REL_RETENTION_SQL),
+    "rel_outlier_flags": (rel_outlier_flags, REL_OUTLIER_FLAGS_SQL),
     "doc_bpe_train": (doc_bpe_train, DOC_BPE_TRAIN_SQL),
     "doc_bpe_encode": (doc_bpe_encode, DOC_BPE_ENCODE_SQL),
     "rel_fk_check": (rel_fk_check, REL_FK_CHECK_SQL),
@@ -5276,6 +5310,7 @@ CK_COLUMNS = {
     "rel_dq_profile": ["col_name", "max_v", "min_v", "n_distinct",
                        "n_empty", "n_null", "n_rows", "total_len"],
     "rel_retention": ["cohort", "n_users", "offset_p"],
+    "rel_outlier_flags": ["cents", "grp", "n_grp", "rid"],
     "doc_bpe_train": ["merge_rank", "n", "sym_a", "sym_b"],
     "doc_bpe_encode": ["n", "token"],
     "rel_fk_check": ["cust_fk", "o_orderkey"],
@@ -5315,7 +5350,7 @@ CK_COMPOSITES = {
     "rel_window_checks": ["rel_window_rank", "rel_events_hourly",
                           "rel_session_window", "rel_scd2_intervals",
                           "rel_gapfill_locf", "rel_ewma",
-                          "rel_funnel"],
+                          "rel_funnel", "rel_outlier_flags"],
     "rel_range_family": ["rel_range_join", "rel_interval_overlap",
                          "rel_interval_merge"],
     "kg_peregrine_checks": ["kg_peregrine_enhancers", "kg_peregrine_edges"],

@@ -1,0 +1,96 @@
+"""Statistical anomaly detection, integer-exact across engines.
+
+The z-score test |x - mean| > z * stddev is float-laden in its
+textbook form; multiplied through by n^2 it is pure integer
+arithmetic:
+
+    (n*x - S)^2 * 1_000_000  >  z_permille^2 * (n*Q - S^2)
+
+with S = sum(x), Q = sum(x^2) per group — both exact integers. The
+squares overflow int64 on large groups, so every term is computed in
+DECIMAL(38,0) on the Spark side and HUGEINT on the DuckDB side: both
+are exact integer arithmetic, so the engines agree bit-for-bit.
+Caller contract: |value| * rows_per_group <= ~3*10^15 (documented
+headroom below the 38-digit ceiling); quantize wider data first.
+
+Scale shape: one groupBy for the per-key moments (mergeable sums —
+map-side combine absorbs hot keys), one co-partitioned join back (the
+moments side is one row per key), flags evaluated row-wise. No
+window, no second shuffle of the big side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,0)"
+
+
+def outlier_flags(df: DataFrame, key_cols: list[str], value_col: str,
+                  z_permille: int = 3000) -> DataFrame:
+    """Rows whose value deviates from its group mean by more than
+    z_permille/1000 group standard deviations. Output: the input
+    columns plus n_grp (group size); NULL values never flag and do
+    not enter the moments.
+
+    n = 1 groups and constant groups have zero variance and zero
+    deviation — never flagged (0 > 0 is false), no special casing.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if z_permille < 1:
+        raise ValueError(f"z_permille must be >= 1, got {z_permille}")
+    for c in ("n_grp", "_S", "_Q"):
+        if c in df.columns:
+            raise ValueError(f"input must not already have column {c!r}")
+    x = F.col(value_col).cast(_DEC)
+    stats = (df.filter(F.col(value_col).isNotNull())
+             .groupBy(*key_cols)
+             .agg(F.count(F.lit(1)).cast(_DEC).alias("n_grp"),
+                  F.sum(x).alias("_S"),
+                  F.sum(x * x).alias("_Q")))
+    j = df.join(stats, key_cols)
+    dev = F.col("n_grp") * x - F.col("_S")
+    var_n2 = (F.col("n_grp") * F.col("_Q")
+              - F.col("_S") * F.col("_S"))
+    keep = (F.col(value_col).isNotNull()
+            & (dev * dev * F.lit(1_000_000).cast(_DEC)
+               > F.lit(z_permille * z_permille).cast(_DEC) * var_n2))
+    return (j.filter(keep)
+            .select(*df.columns, F.col("n_grp").cast("long")
+                    .alias("n_grp")))
+
+
+def outlier_flags_sql(input_sql: str, key_cols: list[str],
+                      value_col: str, out_cols: list[str],
+                      z_permille: int = 3000) -> str:
+    """DuckDB twin of outlier_flags: the WINDOW spelling (moments via
+    sum() OVER (PARTITION BY key) instead of groupBy + join), HUGEINT
+    throughout."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if z_permille < 1:
+        raise ValueError("z_permille must be >= 1")
+    keys = ", ".join(key_cols)
+    cols = ", ".join(out_cols)
+    v = value_col
+    return f"""WITH of_in AS MATERIALIZED (
+  SELECT * FROM (
+{input_sql.strip()}
+  )
+), of_w AS (
+  SELECT *,
+    CAST(count({v}) OVER w AS HUGEINT) AS n_g,
+    CAST(sum(CAST({v} AS HUGEINT)) OVER w AS HUGEINT) AS s_g,
+    CAST(sum(CAST({v} AS HUGEINT) * CAST({v} AS HUGEINT)) OVER w
+         AS HUGEINT) AS q_g
+  FROM of_in
+  WINDOW w AS (PARTITION BY {keys})
+)
+SELECT {cols}, CAST(n_g AS BIGINT) AS n_grp
+FROM of_w
+WHERE {v} IS NOT NULL
+  AND (n_g * CAST({v} AS HUGEINT) - s_g)
+      * (n_g * CAST({v} AS HUGEINT) - s_g) * 1000000::HUGEINT
+      > {z_permille * z_permille}::HUGEINT * (n_g * q_g - s_g * s_g)"""

@@ -386,3 +386,57 @@ def test_bpe_encode_tokens_roundtrip(spark):
     assert sum(n for _, n in got) > 0
     with pytest.raises(ValueError, match="non-empty"):
         bpe_encode_tokens(df, "text", [])
+
+
+# ---------------------------------------------------------------------------
+# outlier_flags (operators/stats.py)
+# ---------------------------------------------------------------------------
+
+from biocypher_metta_spark.operators.stats import (  # noqa: E402
+    outlier_flags,
+    outlier_flags_sql,
+)
+
+
+def test_outlier_planted_spike_flags(spark):
+    rows = ([(1, i, 100 + (i % 3)) for i in range(30)]
+            + [(1, 99, 50_000)]          # the spike
+            + [(2, 0, 7)]                # singleton: never flags
+            + [(3, 0, 5), (3, 1, 5)]     # constant: never flags
+            + [(4, 0, None), (4, 1, 9)])  # null never flags/enters
+    df = spark.createDataFrame(rows, "g: long, rid: long, v: long")
+    got = sorted(tuple(r) for r in
+                 outlier_flags(df, ["g"], "v", 3000).collect())
+    assert got == [(1, 99, 50_000, 31)]
+
+
+def test_outlier_matches_duckdb_twin_randomized(spark):
+    rng = random.Random(83)
+    rows = []
+    for g in range(12):
+        for i in range(rng.randrange(1, 60)):
+            v = (None if rng.random() < 0.1
+                 else rng.randrange(-500, 500)
+                 * (100 if rng.random() < 0.03 else 1))
+            rows.append((g, g * 1000 + i, v))
+    df = spark.createDataFrame(rows, "g: long, rid: long, v: long")
+    got = sorted(tuple(r) for r in
+                 outlier_flags(df, ["g"], "v", 2500).collect())
+    vals = ", ".join(
+        "(" + ", ".join("NULL" if x is None else str(x) for x in r) + ")"
+        for r in rows)
+    con = duckdb.connect()
+    want = sorted(tuple(r) for r in con.execute(outlier_flags_sql(
+        f"SELECT * FROM (VALUES {vals}) t(g, rid, v)",
+        ["g"], "v", ["g", "rid", "v"], 2500)).fetchall())
+    assert got == want
+
+
+def test_outlier_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "g: long, v: long")
+    with pytest.raises(ValueError, match="key_cols"):
+        outlier_flags(df, [], "v")
+    with pytest.raises(ValueError, match="z_permille"):
+        outlier_flags(df, ["g"], "v", 0)
+    with pytest.raises(ValueError, match="n_grp"):
+        outlier_flags(df.withColumnRenamed("v", "n_grp"), ["g"], "n_grp")
