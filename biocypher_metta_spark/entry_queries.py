@@ -4513,6 +4513,42 @@ KG_SURVIVORSHIP_SQL = _survivorship_sql(
     ["name", "acct_cents"])
 
 
+def rel_fuzzy_join(spark, sf_dir):
+    """Exact edit-distance self-join (dedup.edit_distance_join, d=2,
+    Ed-Join prefix filtering over positional q-grams): customer names
+    (every 40th key — long path, dense digit-typo pairs) unioned with
+    planted 2-char codes (short path, where the prefix lemma is
+    vacuous and the bounded distinct-value branch takes over).
+    Oracle: BRUTE-FORCE all-pairs levenshtein with zero gram logic —
+    green proves the pruning dropped nothing."""
+    from biocypher_metta_spark.operators.dedup import edit_distance_join
+
+    c = _t(spark, sf_dir, "customer")
+    longs = (c.filter(F.col("c_custkey") % 40 == 0)
+             .select(F.col("c_custkey").alias("doc_id"),
+                     F.col("c_name").alias("text")))
+    shorts = (c.filter(F.col("c_custkey") % 500 == 7)
+              .select((F.col("c_custkey") + 10_000_000).alias("doc_id"),
+                      F.lpad(F.expr("(c_custkey - 7) div 500 % 30")
+                             .cast("string"), 2, "0").alias("text")))
+    return edit_distance_join(longs.unionByName(shorts), 2)
+
+
+from biocypher_metta_spark.operators.dedup import (  # noqa: E402
+    edit_distance_join_sql as _edj_sql,
+)
+
+_EDJ_IN_SQL = """SELECT c_custkey AS doc_id, c_name AS text
+FROM customer WHERE c_custkey % 40 = 0
+UNION ALL
+SELECT c_custkey + 10000000 AS doc_id,
+       lpad(CAST(CAST((c_custkey - 7) // 500 % 30 AS BIGINT)
+                 AS VARCHAR), 2, '0') AS text
+FROM customer WHERE c_custkey % 500 = 7"""
+
+REL_FUZZY_JOIN_SQL = _edj_sql(_EDJ_IN_SQL, 2)
+
+
 def rel_outlier_flags(spark, sf_dir):
     """Integer-exact z-score anomaly flags (stats.outlier_flags,
     z = 3.0): order cents per customer bucket with every 101st order
@@ -5156,6 +5192,7 @@ QUERIES.update({
     "rel_dq_profile": (rel_dq_profile, REL_DQ_PROFILE_SQL),
     "rel_retention": (rel_retention, REL_RETENTION_SQL),
     "rel_outlier_flags": (rel_outlier_flags, REL_OUTLIER_FLAGS_SQL),
+    "rel_fuzzy_join": (rel_fuzzy_join, REL_FUZZY_JOIN_SQL),
     "doc_bpe_train": (doc_bpe_train, DOC_BPE_TRAIN_SQL),
     "doc_bpe_encode": (doc_bpe_encode, DOC_BPE_ENCODE_SQL),
     "rel_fk_check": (rel_fk_check, REL_FK_CHECK_SQL),
@@ -5311,6 +5348,7 @@ CK_COLUMNS = {
                        "n_empty", "n_null", "n_rows", "total_len"],
     "rel_retention": ["cohort", "n_users", "offset_p"],
     "rel_outlier_flags": ["cents", "grp", "n_grp", "rid"],
+    "rel_fuzzy_join": ["dist", "id_a", "id_b"],
     "doc_bpe_train": ["merge_rank", "n", "sym_a", "sym_b"],
     "doc_bpe_encode": ["n", "token"],
     "rel_fk_check": ["cust_fk", "o_orderkey"],
@@ -5341,7 +5379,8 @@ CK_COMPOSITES = {
     "rel_join_checks": ["rel_broadcast_left_join", "rel_double_inner_join",
                         "rel_shuffle_join_agg", "rel_bloom_prefilter",
                         "rel_salted_join", "rel_bucketed_join",
-                        "rel_snapshot_diff", "rel_fk_check"],
+                        "rel_snapshot_diff", "rel_fk_check",
+                        "rel_fuzzy_join"],
     "rel_agg_checks": ["rel_collect_ordered", "rel_distinct_dedup",
                        "rel_union_adapters", "rel_pricing_summary",
                        "rel_histogram_quantiles", "rel_grouping_sets",

@@ -440,3 +440,59 @@ def test_outlier_validation(spark):
         outlier_flags(df, ["g"], "v", 0)
     with pytest.raises(ValueError, match="n_grp"):
         outlier_flags(df.withColumnRenamed("v", "n_grp"), ["g"], "n_grp")
+
+
+# ---------------------------------------------------------------------------
+# edit_distance_join (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+from biocypher_metta_spark.operators.dedup import (  # noqa: E402
+    edit_distance_join,
+    edit_distance_join_sql,
+)
+
+
+def _edj_run(spark, rows, d):
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    return sorted(tuple(r) for r in edit_distance_join(df, d).collect())
+
+
+def _edj_duck(rows, d):
+    vals = ", ".join(f"({i}, '{s}')" for i, s in rows)
+    con = duckdb.connect()
+    return sorted(tuple(r) for r in con.execute(edit_distance_join_sql(
+        f"SELECT * FROM (VALUES {vals}) t(doc_id, text)", d)).fetchall())
+
+
+def test_edj_exact_vs_brute_force_adversarial(spark):
+    # tiny alphabet + short strings: the hardest case for the prefix
+    # lemma (short path carries much of the result set)
+    rng = random.Random(13)
+    rows = [(i, "".join(rng.choice("abcde")
+                        for _ in range(rng.randrange(1, 12))))
+            for i in range(120)]
+    rows += [(1000 + i, rows[i][1] + "x") for i in range(0, 40, 3)]
+    rows += [(2000, "a"), (2001, "b"), (2002, "")]
+    for d in (1, 2):
+        assert _edj_run(spark, rows, d) == _edj_duck(rows, d)
+
+
+def test_edj_identical_and_short_values_pair(spark):
+    rows = [(1, "ab"), (2, "ab"), (3, "ba"), (4, "xyzw"), (5, "xyzv")]
+    got = _edj_run(spark, rows, 1)
+    # (1,2) identical dist 0; (1,3)/(2,3) NOT within 1 (dist 2);
+    # (4,5) substitution dist 1
+    assert got == [(1, 2, 0), (4, 5, 1)]
+    got2 = _edj_run(spark, rows, 2)
+    assert (1, 3, 2) in got2 and (2, 3, 2) in got2
+    assert got2 == _edj_duck(rows, 2)
+
+
+def test_edj_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id: long, text: string")
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_distance_join(df, 0)
+    with pytest.raises(ValueError, match="q must"):
+        edit_distance_join(df, 1, q=1)
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_distance_join_sql("SELECT 1", 0)
