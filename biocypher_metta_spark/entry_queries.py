@@ -4549,6 +4549,50 @@ FROM customer WHERE c_custkey % 500 = 7"""
 REL_FUZZY_JOIN_SQL = _edj_sql(_EDJ_IN_SQL, 2)
 
 
+def rel_event_transitions(spark, sf_dir):
+    """First-order journey graph (temporal.event_transitions):
+    consecutive (from, to) event-type transition counts per user —
+    one lead window + a bounded |steps|^2 groupBy. Oracle: same
+    recurrence, other engine."""
+    from biocypher_metta_spark.operators.temporal import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"),
+                             "user_id", "ts", "event_type")
+
+
+from biocypher_metta_spark.operators.temporal import (  # noqa: E402
+    event_transitions_sql as _transitions_sql,
+    time_weighted_avg_sql as _twap_sql,
+)
+
+REL_EVENT_TRANSITIONS_SQL = _transitions_sql(
+    "SELECT user_id, ts, event_type FROM events",
+    "user_id", "ts", "event_type")
+
+
+_TWAP_END = "2025-01-01 00:00:00"
+
+
+def rel_twap(spark, sf_dir):
+    """Duration-weighted average (temporal.time_weighted_avg): each
+    event's value-cents hold until the user's next event, the last
+    until a fixed horizon; integer-exact DECIMAL(38,0) sums with
+    pmod-floor division. Oracle: HUGEINT spelling with the same
+    recurrence and tie order."""
+    from biocypher_metta_spark.operators.temporal import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("ts"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    return time_weighted_avg(ev, ["user_id"], "ts", "cents", _TWAP_END)
+
+
+REL_TWAP_SQL = _twap_sql(
+    """SELECT user_id, ts,
+  CAST(floor(value * 100) AS BIGINT) AS cents FROM events""",
+    ["user_id"], "ts", "cents", _TWAP_END)
+
+
 def rel_outlier_flags(spark, sf_dir):
     """Integer-exact z-score anomaly flags (stats.outlier_flags,
     z = 3.0): order cents per customer bucket with every 101st order
@@ -5193,6 +5237,9 @@ QUERIES.update({
     "rel_retention": (rel_retention, REL_RETENTION_SQL),
     "rel_outlier_flags": (rel_outlier_flags, REL_OUTLIER_FLAGS_SQL),
     "rel_fuzzy_join": (rel_fuzzy_join, REL_FUZZY_JOIN_SQL),
+    "rel_event_transitions": (rel_event_transitions,
+                              REL_EVENT_TRANSITIONS_SQL),
+    "rel_twap": (rel_twap, REL_TWAP_SQL),
     "doc_bpe_train": (doc_bpe_train, DOC_BPE_TRAIN_SQL),
     "doc_bpe_encode": (doc_bpe_encode, DOC_BPE_ENCODE_SQL),
     "rel_fk_check": (rel_fk_check, REL_FK_CHECK_SQL),
@@ -5349,6 +5396,8 @@ CK_COLUMNS = {
     "rel_retention": ["cohort", "n_users", "offset_p"],
     "rel_outlier_flags": ["cents", "grp", "n_grp", "rid"],
     "rel_fuzzy_join": ["dist", "id_a", "id_b"],
+    "rel_event_transitions": ["from_step", "n", "to_step"],
+    "rel_twap": ["dur_total", "twap", "user_id"],
     "doc_bpe_train": ["merge_rank", "n", "sym_a", "sym_b"],
     "doc_bpe_encode": ["n", "token"],
     "rel_fk_check": ["cust_fk", "o_orderkey"],
@@ -5389,7 +5438,8 @@ CK_COMPOSITES = {
     "rel_window_checks": ["rel_window_rank", "rel_events_hourly",
                           "rel_session_window", "rel_scd2_intervals",
                           "rel_gapfill_locf", "rel_ewma",
-                          "rel_funnel", "rel_outlier_flags"],
+                          "rel_funnel", "rel_outlier_flags",
+                          "rel_event_transitions", "rel_twap"],
     "rel_range_family": ["rel_range_join", "rel_interval_overlap",
                          "rel_interval_merge"],
     "kg_peregrine_checks": ["kg_peregrine_enhancers", "kg_peregrine_edges"],

@@ -30,7 +30,7 @@ same semantics, which is exactly what a correctness gate wants.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -501,3 +501,112 @@ def retention_cohorts_sql(events_sql: str, user_col: str, ts_col: str,
 SELECT c AS cohort, p - c AS offset_p,
        CAST(count(*) AS BIGINT) AS n_users
 FROM rc_w GROUP BY 1, 2"""
+
+
+def event_transitions(events: DataFrame, user_col: str, ts_col: str,
+                      step_col: str) -> DataFrame:
+    """First-order journey graph: counts of (from_step -> to_step)
+    transitions between CONSECUTIVE events per user (the Markov /
+    Sankey input of product analytics). Ties on timestamp order by
+    step value so the sequence — and therefore the counts — is a
+    total order both engines agree on.
+
+    Output: (from_step, to_step, n). One key shuffle + one ordered
+    window (lead), then a bounded-cardinality groupBy (|steps|^2
+    rows at most) with map-side combine."""
+    w = Window.partitionBy("_u").orderBy("_t", "_s")
+    ev = (events.select(F.col(user_col).alias("_u"),
+                        F.col(ts_col).alias("_t"),
+                        F.col(step_col).alias("_s"))
+          .filter(F.col("_t").isNotNull() & F.col("_s").isNotNull()))
+    return (ev.withColumn("_nxt", F.lead("_s").over(w))
+            .filter(F.col("_nxt").isNotNull())
+            .groupBy(F.col("_s").alias("from_step"),
+                     F.col("_nxt").alias("to_step"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def event_transitions_sql(events_sql: str, user_col: str, ts_col: str,
+                          step_col: str) -> str:
+    """DuckDB twin of event_transitions — same lead-window recurrence
+    (the independence here is the engine, not the plan: there is only
+    one sensible spelling of a lag-1 transition count)."""
+    return f"""WITH et_in AS MATERIALIZED (
+  SELECT {user_col} AS u, {ts_col} AS t, {step_col} AS s FROM (
+{events_sql.strip()}
+  ) WHERE {ts_col} IS NOT NULL AND {step_col} IS NOT NULL
+), et_n AS (
+  SELECT s, lead(s) OVER (PARTITION BY u ORDER BY t, s) AS nxt
+  FROM et_in
+)
+SELECT s AS from_step, nxt AS to_step, CAST(count(*) AS BIGINT) AS n
+FROM et_n WHERE nxt IS NOT NULL GROUP BY 1, 2"""
+
+
+def time_weighted_avg(obs: DataFrame, key_cols: list[str], ts_col: str,
+                      value_col: str, end_ts) -> DataFrame:
+    """Duration-weighted average per key (TWAP): each observation
+    holds its value until the next one; the last holds until
+    `end_ts` (a literal or Column). Integer-exact: value * seconds
+    summed as DECIMAL(38,0), floor-divided at the end; rows at or
+    after end_ts contribute zero duration.
+
+    Output: (key..., twap, dur_total). One key shuffle + one ordered
+    lead window + one mergeable groupBy on the same key — the second
+    agg re-uses the window's partitioning (no extra exchange)."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    end = end_ts if isinstance(end_ts, Column) else F.lit(end_ts)
+    # ties on timestamp order by value too — otherwise WHICH of two
+    # same-instant observations carries the interval is engine-
+    # dependent (one gets zero duration, the other the full span)
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, value_col)
+    nxt = F.coalesce(F.lead(ts_col).over(w), end.cast("timestamp"))
+    dur = (F.unix_timestamp(nxt) - F.unix_timestamp(F.col(ts_col)))
+    dur = F.greatest(dur, F.lit(0)).cast("decimal(38,0)")
+    wsum = (obs.filter(F.col(value_col).isNotNull()
+                       & F.col(ts_col).isNotNull())
+            .withColumn("_dur", dur)
+            .groupBy(*key_cols)
+            .agg(F.sum(F.col(value_col).cast("decimal(38,0)")
+                       * F.col("_dur")).alias("_vd"),
+                 F.sum("_dur").alias("_d")))
+    quot = (F.col("_vd") - ((F.col("_vd") % F.col("_d"))
+                            + F.col("_d")) % F.col("_d")) / F.col("_d")
+    return (wsum.filter(F.col("_d") > 0)
+            .select(*key_cols,
+                    quot.cast("long").alias("twap"),
+                    F.col("_d").cast("long").alias("dur_total")))
+
+
+def time_weighted_avg_sql(obs_sql: str, key_cols: list[str],
+                          ts_col: str, value_col: str,
+                          end_ts: str) -> str:
+    """DuckDB twin of time_weighted_avg: same lead recurrence in
+    HUGEINT, floor division via the same non-negative-mod form
+    (DuckDB // truncates toward zero; the pmod correction makes it
+    floor, matching Spark's decimal divide + floor cast)."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    keys = ", ".join(key_cols)
+    return f"""WITH twa_in AS MATERIALIZED (
+  SELECT * FROM (
+{obs_sql.strip()}
+  ) WHERE {value_col} IS NOT NULL AND {ts_col} IS NOT NULL
+), twa_d AS (
+  SELECT {keys},
+    CAST(greatest(date_diff('second', {ts_col},
+      coalesce(lead({ts_col}) OVER (PARTITION BY {keys}
+                                    ORDER BY {ts_col}, {value_col}),
+               TIMESTAMP '{end_ts}')), 0) AS HUGEINT) AS dur,
+    CAST({value_col} AS HUGEINT) AS v
+  FROM twa_in
+), twa_s AS (
+  SELECT {keys}, CAST(sum(v * dur) AS HUGEINT) AS vd,
+         CAST(sum(dur) AS HUGEINT) AS d
+  FROM twa_d GROUP BY {keys}
+)
+SELECT {keys},
+  CAST((vd - (((vd % d) + d) % d)) // d AS BIGINT) AS twap,
+  CAST(d AS BIGINT) AS dur_total
+FROM twa_s WHERE d > 0"""

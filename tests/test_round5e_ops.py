@@ -496,3 +496,76 @@ def test_edj_validation(spark):
         edit_distance_join(df, 1, q=1)
     with pytest.raises(ValueError, match="max_dist"):
         edit_distance_join_sql("SELECT 1", 0)
+
+
+# ---------------------------------------------------------------------------
+# event_transitions / time_weighted_avg (operators/temporal.py)
+# ---------------------------------------------------------------------------
+
+from biocypher_metta_spark.operators.temporal import (  # noqa: E402
+    event_transitions,
+    event_transitions_sql,
+    time_weighted_avg,
+    time_weighted_avg_sql,
+)
+
+
+def test_transitions_by_hand_and_twin(spark):
+    rows = [(1, _ts(0), "a"), (1, _ts(1), "b"), (1, _ts(2), "a"),
+            (2, _ts(0), "b"), (2, _ts(1), "b"),
+            (3, _ts(0), "a"),                      # single event: none
+            (4, _ts(0), None), (4, _ts(1), "a")]   # null step dropped
+    df = spark.createDataFrame(rows, "u: long, t: timestamp, s: string")
+    got = sorted(tuple(r) for r in
+                 event_transitions(df, "u", "t", "s").collect())
+    assert got == [("a", "b", 1), ("b", "a", 1), ("b", "b", 1)]
+    vals = ", ".join(
+        f"({u}, TIMESTAMP '{t}', " +
+        ("NULL" if s is None else f"'{s}'") + ")" for u, t, s in rows)
+    con = duckdb.connect()
+    want = sorted(tuple(r) for r in con.execute(event_transitions_sql(
+        f"SELECT * FROM (VALUES {vals}) t(u, t, s)",
+        "u", "t", "s")).fetchall())
+    assert got == want
+
+
+def test_twap_by_hand(spark):
+    rows = [(1, datetime(2024, 1, 1, 0), 100),
+            (1, datetime(2024, 1, 1, 1), 400)]
+    df = spark.createDataFrame(rows, "k: long, t: timestamp, v: long")
+    # 1h at 100, 1h at 400 until the 02:00 horizon -> 250 over 7200s
+    got = [tuple(r) for r in time_weighted_avg(
+        df, ["k"], "t", "v", "2024-01-01 02:00:00").collect()]
+    assert got == [(1, 250, 7200)]
+
+
+def test_twap_ties_negatives_and_twin_randomized(spark):
+    rng = random.Random(97)
+    rows = []
+    for k in range(8):
+        for _ in range(rng.randrange(0, 25)):
+            rows.append((k, _ts(rng.randrange(0, 2000)),
+                         None if rng.random() < 0.15
+                         else rng.randrange(-500, 500)))
+    rows += [(9, _ts(5), 10), (9, _ts(5), 20)]   # exact tie
+    df = spark.createDataFrame(rows, "k: long, t: timestamp, v: long")
+    end = "2024-01-03 00:00:00"
+    got = sorted(tuple(r) for r in time_weighted_avg(
+        df, ["k"], "t", "v", end).collect())
+    vals = ", ".join(
+        f"({k}, TIMESTAMP '{t}', " +
+        ("NULL" if v is None else str(v)) + ")" for k, t, v in rows)
+    con = duckdb.connect()
+    want = sorted(tuple(r) for r in con.execute(time_weighted_avg_sql(
+        f"SELECT * FROM (VALUES {vals}) t(k, t, v)",
+        ["k"], "t", "v", end)).fetchall())
+    assert got == want
+
+
+def test_twap_validation(spark):
+    df = spark.createDataFrame([(1, _ts(0), 1)],
+                               "k: long, t: timestamp, v: long")
+    with pytest.raises(ValueError, match="key_cols"):
+        time_weighted_avg(df, [], "t", "v", "2024-01-01 00:00:00")
+    with pytest.raises(ValueError, match="key_cols"):
+        time_weighted_avg_sql("SELECT 1", [], "t", "v", "2024-01-01")
