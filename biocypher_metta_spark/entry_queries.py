@@ -4593,6 +4593,31 @@ REL_TWAP_SQL = _twap_sql(
     ["user_id"], "ts", "cents", _TWAP_END)
 
 
+def rel_funnel_windowed(spark, sf_dir):
+    """Windowed funnel (temporal.funnel_stages_windowed, 4h window —
+    the ClickHouse windowFunnel semantics): the exact latest-start DP
+    fold, where greedy-earliest would undercount (a later first step
+    can open a better window). Oracle: candidate-start chained-join
+    spelling grouped by (user, t0)."""
+    from biocypher_metta_spark.operators.temporal import (
+        funnel_stages_windowed,
+    )
+
+    return funnel_stages_windowed(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        ["signup", "view", "click", "purchase"], 4 * 3600)
+
+
+from biocypher_metta_spark.operators.temporal import (  # noqa: E402
+    funnel_stages_windowed_sql as _wfunnel_sql,
+)
+
+REL_FUNNEL_WINDOWED_SQL = _wfunnel_sql(
+    "SELECT user_id, ts, event_type FROM events",
+    "user_id", "ts", "event_type",
+    ["signup", "view", "click", "purchase"], 4 * 3600)
+
+
 def rel_outlier_flags(spark, sf_dir):
     """Integer-exact z-score anomaly flags (stats.outlier_flags,
     z = 3.0): order cents per customer bucket with every 101st order
@@ -5240,6 +5265,7 @@ QUERIES.update({
     "rel_event_transitions": (rel_event_transitions,
                               REL_EVENT_TRANSITIONS_SQL),
     "rel_twap": (rel_twap, REL_TWAP_SQL),
+    "rel_funnel_windowed": (rel_funnel_windowed, REL_FUNNEL_WINDOWED_SQL),
     "doc_bpe_train": (doc_bpe_train, DOC_BPE_TRAIN_SQL),
     "doc_bpe_encode": (doc_bpe_encode, DOC_BPE_ENCODE_SQL),
     "rel_fk_check": (rel_fk_check, REL_FK_CHECK_SQL),
@@ -5398,6 +5424,7 @@ CK_COLUMNS = {
     "rel_fuzzy_join": ["dist", "id_a", "id_b"],
     "rel_event_transitions": ["from_step", "n", "to_step"],
     "rel_twap": ["dur_total", "twap", "user_id"],
+    "rel_funnel_windowed": ["stage", "user_id"],
     "doc_bpe_train": ["merge_rank", "n", "sym_a", "sym_b"],
     "doc_bpe_encode": ["n", "token"],
     "rel_fk_check": ["cust_fk", "o_orderkey"],
@@ -5439,7 +5466,8 @@ CK_COMPOSITES = {
                           "rel_session_window", "rel_scd2_intervals",
                           "rel_gapfill_locf", "rel_ewma",
                           "rel_funnel", "rel_outlier_flags",
-                          "rel_event_transitions", "rel_twap"],
+                          "rel_event_transitions", "rel_twap",
+                          "rel_funnel_windowed"],
     "rel_range_family": ["rel_range_join", "rel_interval_overlap",
                          "rel_interval_merge"],
     "kg_peregrine_checks": ["kg_peregrine_enhancers", "kg_peregrine_edges"],

@@ -610,3 +610,116 @@ SELECT {keys},
   CAST((vd - (((vd % d) + d) % d)) // d AS BIGINT) AS twap,
   CAST(d AS BIGINT) AS dur_total
 FROM twa_s WHERE d > 0"""
+
+
+def funnel_stages_windowed(events: DataFrame, user_col: str,
+                           ts_col: str, step_col: str,
+                           steps: list[str],
+                           within_seconds: int) -> DataFrame:
+    """Windowed ordered funnel (the ClickHouse windowFunnel
+    semantics): per user, the longest prefix of `steps` completable
+    in timestamp order with EVERY step inside `within_seconds` of
+    the chain's FIRST step. Greedy-earliest is NOT exact here (a
+    later first-step event can open a better window), so this runs
+    the exact DP: scanning events in (ts, step_index) order, keep
+    for each level the LATEST chain-start timestamp that reaches it
+    — a later start dominates (strictly more window left), so one
+    long per level is a complete state. The scan is an F.aggregate
+    fold over the per-user sorted array (JVM codegen), accumulator =
+    array of k start-timestamps.
+
+    Output: (user_col, stage), stage in [1, len(steps)], rows only
+    for users whose steps[0] occurs. Same one-shuffle scale shape as
+    funnel_stages: non-funnel events drop map-side.
+    """
+    if not steps or len(set(steps)) != len(steps):
+        raise ValueError("steps must be non-empty and distinct")
+    if within_seconds < 0:
+        raise ValueError(f"within_seconds must be >= 0, "
+                         f"got {within_seconds}")
+    k = len(steps)
+    t_win = within_seconds * 1_000_000  # epoch micros
+    idx = F.element_at(
+        F.create_map(*[F.lit(x) for s, i in
+                       ((s, i) for i, s in enumerate(steps))
+                       for x in (s, i)]),
+        F.col(step_col))
+    # cast NTZ -> LTZ first: the session tz is pinned UTC
+    # (session.py), so naive parquet timestamps read as UTC micros —
+    # exactly DuckDB's epoch_us() on the same naive value
+    ev = (events
+          .select(F.col(user_col).alias("_u"),
+                  F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+                  .alias("_t"),
+                  idx.alias("_si"))
+          .filter(F.col("_si").isNotNull() & F.col("_t").isNotNull()))
+    per = ev.groupBy("_u").agg(
+        F.sort_array(F.collect_list(F.struct("_t", "_si"))).alias("_evs"))
+
+    def step_fn(acc, x):
+        def upd(s, l):
+            prev = F.element_at(acc, l)  # 1-based: acc[l-1]
+            return (F.when(x["_si"] == l,
+                           F.when(l == F.lit(0),
+                                  F.greatest(s, x["_t"]))
+                           .otherwise(F.when(
+                               prev.isNotNull()
+                               & (prev >= x["_t"] - F.lit(t_win)),
+                               F.greatest(s, prev)).otherwise(s)))
+                    .otherwise(s))
+        return F.transform(acc, upd)
+
+    stage = F.aggregate(
+        "_evs",
+        F.array_repeat(F.lit(None).cast("long"), k),
+        step_fn,
+        lambda acc: F.size(F.filter(acc, lambda s: s.isNotNull())))
+    return (per.select(F.col("_u").alias(user_col),
+                       stage.cast("int").alias("stage"))
+            .filter(F.col("stage") >= 1))
+
+
+def funnel_stages_windowed_sql(events_sql: str, user_col: str,
+                               ts_col: str, step_col: str,
+                               steps: list[str],
+                               within_seconds: int) -> str:
+    """DuckDB twin of funnel_stages_windowed: the CANDIDATE-START
+    spelling — every steps[0] event opens a chain keyed (user, t0);
+    for a FIXED start, taking the minimal next timestamp at each
+    level is optimal, so each level is one grouped min-join; stage =
+    the deepest level any start reaches. A completely different
+    mechanism from the per-user DP fold."""
+    if not steps or len(set(steps)) != len(steps):
+        raise ValueError("steps must be non-empty and distinct")
+    if within_seconds < 0:
+        raise ValueError("within_seconds must be >= 0")
+    for s in steps:
+        if not s.replace("_", "").replace("-", "").isalnum():
+            raise ValueError(f"step name {s!r} must be alphanumeric")
+    w_us = within_seconds * 1_000_000
+    ctes = [f"""wf_ev AS MATERIALIZED (
+  SELECT {user_col} AS u, epoch_us({ts_col}) AS t, {step_col} AS s
+  FROM (
+{events_sql.strip()}
+  ) WHERE {ts_col} IS NOT NULL
+)""",
+            f"""wf_c0 AS (
+  SELECT u, t AS t0, t AS tp FROM wf_ev WHERE s = '{steps[0]}'
+)"""]
+    for i in range(1, len(steps)):
+        ctes.append(f"""wf_c{i} AS (
+  SELECT e.u, p.t0, min(e.t) AS tp
+  FROM wf_ev e JOIN wf_c{i - 1} p
+    ON e.u = p.u AND e.t >= p.tp AND e.t <= p.t0 + {w_us}
+  WHERE e.s = '{steps[i]}'
+  GROUP BY 1, 2
+)""")
+    cases = " ".join(
+        f"""WHEN EXISTS (SELECT 1 FROM wf_c{i} c
+             WHERE c.u = wf_u.u) THEN {i + 1}"""
+        for i in range(len(steps) - 1, 0, -1))
+    case = f"CASE {cases} ELSE 1 END" if cases else "1"
+    return (f"WITH {', '.join(ctes)},\n"
+            f"wf_u AS (SELECT DISTINCT u FROM wf_c0)\n"
+            f"SELECT u AS {user_col}, CAST({case} AS INT) AS stage\n"
+            f"FROM wf_u")

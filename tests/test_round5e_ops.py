@@ -569,3 +569,72 @@ def test_twap_validation(spark):
         time_weighted_avg(df, [], "t", "v", "2024-01-01 00:00:00")
     with pytest.raises(ValueError, match="key_cols"):
         time_weighted_avg_sql("SELECT 1", [], "t", "v", "2024-01-01")
+
+
+# ---------------------------------------------------------------------------
+# funnel_stages_windowed (operators/temporal.py)
+# ---------------------------------------------------------------------------
+
+from biocypher_metta_spark.operators.temporal import (  # noqa: E402
+    funnel_stages_windowed,
+    funnel_stages_windowed_sql,
+)
+
+
+def _wf_run(spark, rows, steps, w):
+    df = spark.createDataFrame(rows, "u: long, t: timestamp, s: string")
+    return sorted(tuple(r) for r in funnel_stages_windowed(
+        df, "u", "t", "s", steps, w).collect())
+
+
+def _wf_duck(rows, steps, w):
+    vals = ", ".join(f"({u}, TIMESTAMP '{t}', '{s}')" for u, t, s in rows)
+    con = duckdb.connect()
+    return sorted(tuple(r) for r in con.execute(funnel_stages_windowed_sql(
+        f"SELECT * FROM (VALUES {vals}) t(u, t, s)",
+        "u", "t", "s", steps, w)).fetchall())
+
+
+def test_wfunnel_greedy_trap_needs_later_start(spark):
+    steps = ["a", "b", "c"]
+    rows = [(1, _ts(0), "a"), (1, _ts(100), "a"),
+            (1, _ts(101), "b"), (1, _ts(102), "c"),
+            # u2: full chain but c outside the 3-min window of a
+            (2, _ts(0), "a"), (2, _ts(1), "b"), (2, _ts(10), "c")]
+    got = _wf_run(spark, rows, steps, 3 * 60)
+    assert got == [(1, 3), (2, 2)]
+    assert got == _wf_duck(rows, steps, 3 * 60)
+
+
+def test_wfunnel_same_ts_and_zero_window(spark):
+    steps = ["a", "b"]
+    rows = [(1, _ts(5), "a"), (1, _ts(5), "b"),   # same instant -> 2
+            (2, _ts(5), "a"), (2, _ts(6), "b")]   # 60s apart, window 0
+    got = _wf_run(spark, rows, steps, 0)
+    assert got == [(1, 2), (2, 1)]
+    assert got == _wf_duck(rows, steps, 0)
+
+
+def test_wfunnel_matches_duckdb_twin_randomized(spark):
+    rng = random.Random(101)
+    steps = ["s0", "s1", "s2", "s3"]
+    pool = steps + ["zz"]
+    rows = []
+    for u in range(40):
+        for _ in range(rng.randrange(0, 14)):
+            rows.append((u, _ts(rng.randrange(0, 500)),
+                         pool[rng.randrange(len(pool))]))
+    rows.append((999, _ts(0), "s0"))
+    for w in (0, 600, 6000):
+        assert _wf_run(spark, rows, steps, w) == _wf_duck(rows, steps, w)
+
+
+def test_wfunnel_validation(spark):
+    df = spark.createDataFrame([(1, _ts(0), "a")],
+                               "u: long, t: timestamp, s: string")
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_stages_windowed(df, "u", "t", "s", ["a", "a"], 10)
+    with pytest.raises(ValueError, match="within_seconds"):
+        funnel_stages_windowed(df, "u", "t", "s", ["a"], -1)
+    with pytest.raises(ValueError, match="alphanumeric"):
+        funnel_stages_windowed_sql("SELECT 1", "u", "t", "s", ["a'b"], 1)
