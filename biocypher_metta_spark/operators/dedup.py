@@ -672,39 +672,73 @@ def set_similarity_join(df: DataFrame, tau_permille: int,
                .agg(F.sort_array(F.collect_list(
                    F.struct(F.col("_f"), F.col("tok")))).alias("_ord"),
                    F.count(F.lit(1)).cast("long").alias("_n")))
+    # Boilerplate collapse (templated/near-dup corpora): docs with an
+    # IDENTICAL token set verify against each other trivially
+    # (Jaccard = 1000), so group by the set first — the quadratic
+    # prefix join then runs once per DISTINCT SET, and same-set pairs
+    # are emitted directly (output-bound: they are all true pairs at
+    # any tau). On diverse corpora this costs one extra cheap groupBy.
+    sets = (per_doc
+            .groupBy("_ord", "_n")
+            .agg(F.collect_list("id").alias("_ids")))
+    skey = F.md5(F.concat_ws("\x1f",
+                             F.transform("_ord", lambda x: x["tok"])))
     # ceil(tau*n/1000) in integers; prefix keeps the rarest tokens
     pref_len = (F.col("_n")
                 - ((F.col("_n") * tau_permille + 999) / 1000)
                 .cast("long") + 1)
-    docs = per_doc.select(
-        "id", "_n",
+    docs = sets.select(
+        skey.alias("_k"), "_n", "_ids",
         F.transform("_ord", lambda x: x["tok"]).alias("_toks"),
         F.slice(F.transform("_ord", lambda x: x["tok"]),
                 F.lit(1), pref_len).alias("_prefix"))
-    pa = docs.select(F.col("id").alias("_ida"),
-                     F.explode("_prefix").alias("tok"))
-    pb = docs.select(F.col("id").alias("_idb"),
-                     F.explode("_prefix").alias("tok"))
-    cand = (pa.join(pb, "tok")
-            .filter(F.col("_ida") < F.col("_idb"))
-            .select("_ida", "_idb").distinct())
-    j = (cand
-         .join(docs.select(F.col("id").alias("_ida"),
-                           F.col("_toks").alias("_ta"),
-                           F.col("_n").alias("_na")), "_ida")
-         .join(docs.select(F.col("id").alias("_idb"),
-                           F.col("_toks").alias("_tb"),
-                           F.col("_n").alias("_nb")), "_idb"))
-    inter = F.size(F.array_intersect("_ta", "_tb")).cast("long")
-    out = j.select(
-        F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"),
-        inter.alias("n_common"),
-        (F.col("_na") + F.col("_nb") - inter).alias("_u"))
-    return (out.filter(F.lit(1000) * F.col("n_common")
-                       >= F.lit(tau_permille) * F.col("_u"))
+    gid = docs.select("_k", "_n", F.explode("_ids").alias("id"))
+    same = (gid.select("_k", F.col("id").alias("id_a"),
+                       F.col("_n").alias("n_common"))
+            .join(gid.select("_k", F.col("id").alias("id_b")), "_k")
+            .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "n_common",
-                    F.floor(F.lit(1000) * F.col("n_common") / F.col("_u"))
-                    .cast("long").alias("jaccard_permille")))
+                    F.lit(1000).cast("long").alias("jaccard_permille")))
+    pa = docs.select(F.col("_k").alias("_ka"),
+                     F.col("_n").alias("_pna"),
+                     F.explode("_prefix").alias("tok"))
+    pb = docs.select(F.col("_k").alias("_kb"),
+                     F.col("_n").alias("_pnb"),
+                     F.explode("_prefix").alias("tok"))
+    # PPJoin length filter: J >= tau forces |A| and |B| within a tau
+    # size ratio (J <= min/max) — applied IN the candidate join,
+    # before the distinct and the array verify
+    cand = (pa.join(pb, "tok")
+            .filter(F.col("_ka") < F.col("_kb"))
+            .filter((F.lit(1000) * F.col("_pna")
+                     >= F.lit(tau_permille) * F.col("_pnb"))
+                    & (F.lit(1000) * F.col("_pnb")
+                       >= F.lit(tau_permille) * F.col("_pna")))
+            .select("_ka", "_kb").distinct())
+    j = (cand
+         .join(docs.select(F.col("_k").alias("_ka"),
+                           F.col("_toks").alias("_ta"),
+                           F.col("_n").alias("_na")), "_ka")
+         .join(docs.select(F.col("_k").alias("_kb"),
+                           F.col("_toks").alias("_tb"),
+                           F.col("_n").alias("_nb")), "_kb"))
+    inter = F.size(F.array_intersect("_ta", "_tb")).cast("long")
+    setp = (j.select("_ka", "_kb", inter.alias("n_common"),
+                     (F.col("_na") + F.col("_nb") - inter).alias("_u"))
+            .filter(F.lit(1000) * F.col("n_common")
+                    >= F.lit(tau_permille) * F.col("_u")))
+    cross = (setp
+             .join(gid.select(F.col("_k").alias("_ka"),
+                              F.col("id").alias("_ia")), "_ka")
+             .join(gid.select(F.col("_k").alias("_kb"),
+                              F.col("id").alias("_ib")), "_kb")
+             .select(F.least("_ia", "_ib").alias("id_a"),
+                     F.greatest("_ia", "_ib").alias("id_b"),
+                     "n_common",
+                     F.floor(F.lit(1000) * F.col("n_common")
+                             / F.col("_u"))
+                     .cast("long").alias("jaccard_permille")))
+    return same.unionByName(cross)
 
 
 def set_similarity_join_sql(docs_sql: str, tau_permille: int,

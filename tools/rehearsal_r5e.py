@@ -192,6 +192,93 @@ def run_bpe_encode(spark, n: int) -> dict:
             "sec": round(time.time() - t0, 2)}
 
 
+def run_outlier_flags(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.stats import outlier_flags
+
+    d = spark.range(n).select(
+        (F.col("id") % 2000).alias("g"),
+        F.col("id").alias("rid"),
+        (((F.col("id") * 2654435761) % 1000)
+         * F.when(F.col("id") % 997 == 0, 500).otherwise(1))
+        .alias("v"))
+    t0 = time.time()
+    out = outlier_flags(d, ["g"], "v", 3000).count()
+    return {"rows_in": n, "flags_out": out,
+            "sec": round(time.time() - t0, 2)}
+
+
+def run_transitions(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.temporal import event_transitions
+
+    users = max(n // 300, 10)
+    d = spark.range(n).select(
+        (F.col("id") % users).alias("u"),
+        F.timestamp_seconds((F.col("id") * 2654435761) % 10_000_000)
+        .alias("t"),
+        F.concat(F.lit("e"), ((F.col("id") * 40503) % 8).cast("string"))
+        .alias("s"))
+    t0 = time.time()
+    out = event_transitions(d, "u", "t", "s").count()
+    return {"events_in": n, "pairs_out": out,
+            "sec": round(time.time() - t0, 2)}
+
+
+def run_twap(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.temporal import time_weighted_avg
+
+    keys = max(n // 500, 10)
+    d = spark.range(n).select(
+        (F.col("id") % keys).alias("k"),
+        F.timestamp_seconds((F.col("id") * 2654435761) % 10_000_000)
+        .alias("t"),
+        ((F.col("id") * 48271) % 100_000).alias("v"))
+    t0 = time.time()
+    out = time_weighted_avg(d, ["k"], "t", "v",
+                            "2024-12-31 00:00:00").count()
+    return {"obs_in": n, "keys_out": out,
+            "sec": round(time.time() - t0, 2)}
+
+
+def run_funnel_windowed(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.temporal import (
+        funnel_stages_windowed,
+    )
+
+    users = max(n // 200, 10)
+    d = spark.range(n).select(
+        (F.col("id") % users).alias("u"),
+        F.timestamp_seconds((F.col("id") * 2654435761) % 10_000_000)
+        .alias("t"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in
+                      ["s0", "s1", "s2", "s3", "zz", "yy"]]),
+            (((F.col("id") * 40503) % 6) + 1).cast("int")).alias("s"))
+    t0 = time.time()
+    out = funnel_stages_windowed(d, "u", "t", "s",
+                                 ["s0", "s1", "s2", "s3"],
+                                 24 * 3600).count()
+    return {"events_in": n, "users_out": out,
+            "sec": round(time.time() - t0, 2)}
+
+
+def run_fuzzy_join(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.dedup import edit_distance_join
+
+    # entity-structured names (id div 8 shares a stem; the last token
+    # varies) — near-dup pairs grow with entity COUNT, never n^2
+    e = F.expr("id div 8")
+    d = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("rec"),
+                 F.lpad(e.cast("string"), 9, "0"),
+                 F.lit("x"), (F.col("id") % 8).cast("string"))
+        .alias("text"))
+    t0 = time.time()
+    out = edit_distance_join(d, 2).count()
+    return {"strings_in": n, "pairs_out": out,
+            "sec": round(time.time() - t0, 2)}
+
+
 def main():
     spark = get_spark("rehearsal-r5e")
     spark.sparkContext.setLogLevel("ERROR")
@@ -204,6 +291,11 @@ def main():
         "retention": (run_retention, 20_000_000),
         "bpe_train": (run_bpe_train, 300_000),
         "bpe_encode": (run_bpe_encode, 300_000),
+        "outlier_flags": (run_outlier_flags, 20_000_000),
+        "transitions": (run_transitions, 20_000_000),
+        "twap": (run_twap, 20_000_000),
+        "funnel_windowed": (run_funnel_windowed, 10_000_000),
+        "fuzzy_join": (run_fuzzy_join, 300_000),
     }
     only = set(sys.argv[1:])
     art = REPO / "tools" / "rehearsal_r5e.json"
