@@ -778,91 +778,120 @@ WHERE 1000 * n_common >= {tau_permille} * (na.n + nb.n - n_common)"""
 
 def edit_distance_join(df: DataFrame, max_dist: int,
                        str_col: str = "text",
-                       id_col: str = "doc_id",
-                       q: int = 2) -> DataFrame:
+                       id_col: str = "doc_id") -> DataFrame:
     """EXACT all-pairs edit-distance join: every pair of rows whose
-    strings are within Levenshtein distance `max_dist` — the Ed-Join
-    family [Xiao et al. VLDB'08], the string-metric sibling of
-    set_similarity_join above. No misses, no false positives.
+    strings are within Levenshtein distance `max_dist` — the PassJoin
+    partition scheme [Li et al., VLDB'11], the string-metric sibling
+    of set_similarity_join above. No misses, no false positives.
 
-    The pruning lemma: pad each string with q-1 sentinel chars on
-    both ends and take its positional q-grams encoded as (gram, k-th
-    occurrence) — a SET realizing MULTISET intersection. One edit
-    changes at most q grams of the multiset, so for A within distance
-    d of B, |A ∩ B| >= |B| - q*d; when B has MORE than q*d grams, at
-    least one of B's (q*d + 1) RAREST grams (global (freq, gram)
-    order, realized per row by sort_array — no rank window) appears
-    somewhere in A. Candidates therefore come from joining each
-    string's rare-gram prefix against the full gram index (tiny
-    selective side vs full side — never all pairs), deduped by
-    unordered pair; the exact verify is a length filter plus
-    levenshtein <= d on the survivors only.
+    The pruning lemma: split every string into d+1 contiguous
+    segments. Each of the d edits touches at most one segment (indels
+    SHIFT later segments but do not edit them), so for A within
+    distance d of B at least one of A's segments survives UNEDITED
+    and appears in B verbatim, shifted by at most the net indels
+    (<= d). Candidates therefore come from an equi-join between A's
+    (segment value, slot, |A|) triples and B's enumerated substrings
+    at compatible (slot, partner-length, +-d position window) — the
+    exact verify is a length filter plus levenshtein on survivors.
 
-    The lemma is VACUOUS for strings with <= q*d grams (length <
-    q*d - q + 2), so short strings take a dedicated complete path:
-    their DISTINCT VALUES (corpus-independent, bounded by
-    alphabet^maxlen) pair through a length-band equi-join + exact
-    verify, then expand back to ids; identical short values pair by
-    a self-join on the value. Long/short mixed pairs are covered by
-    the LONG side's pigeonhole. Everything unions and dedups.
+    Why segments and not q-gram prefixes (the Ed-Join alternative):
+    on low-entropy alphabets (numeric ids, codes) the 2-gram space
+    has ~100 values, so at corpus scale every "rare" gram still
+    collides tens of thousands of times and the candidate join
+    explodes — measured running a 32-thread box out of shuffle disk
+    at 300k digit strings. Segment values are length-L/(d+1)
+    substrings: their selectivity GROWS with string length instead of
+    saturating with the alphabet.
 
-    Output: (id_a < id_b, dist). Degenerate corpora where every
-    string shares its rarest grams degrade toward the true pair
-    count — the honest floor for an EXACT join (LSH/set-similarity
-    are the approximate escape hatches).
+    Operating envelope: candidate volume is the product of segment-
+    bucket collision rates, so a corpus where a LITERAL SHARED PREFIX
+    occupies a whole segment slot ("Customer#0000...", "rec...")
+    degrades that slot to alphabet-of-the-remainder entropy — at
+    millions of rows the slot-0 bucket join dominates (measured: OOM
+    at 1M strings sharing a 3-char literal prefix). Strip shared
+    boilerplate prefixes first (they carry no distance information)
+    or fall back to the LSH/set-similarity path; this is the exact-
+    join analogue of stopwords poisoning prefix filtering.
+
+    Strings too short to carry d+1 non-degenerate segments
+    (len <= 2d) take a dedicated complete path over their BOUNDED
+    distinct values (length-band equi-join + exact verify, expanded
+    back to ids); identical short values pair by a self-join on the
+    value. Long/short mixed pairs are covered by the substring
+    enumeration spanning partner lengths down to len-d. Everything
+    unions and dedups.
+
+    Output: (id_a < id_b, dist), output-bound on true pairs plus
+    segment collisions.
     """
     if max_dist < 1:
         raise ValueError(f"max_dist must be >= 1, got {max_dist}")
-    if q < 2:
-        raise ValueError(f"q must be >= 2, got {q}")
     d = max_dist
-    pad = "\x01" * (q - 1)
+    k = d + 1  # number of segments
     base = (df.select(F.col(id_col).alias("id"),
                       F.col(str_col).alias("s"))
             .filter(F.col("s").isNotNull()))
-    padded = F.concat(F.lit(pad), F.col("s"), F.lit(pad))
-    n_grams = F.length(padded) - (q - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: padded.substr(i, F.lit(q)))
+    slen = F.length("s")
 
-    # ---- long path: prefix filtering over positional grams --------
-    # The gram INDEX covers every string (for a long A within d of a
-    # short B, |A ∩ B| >= |A| - q*d >= 1 needs B findable); only the
-    # PREFIX side is restricted to strings where the pigeonhole bites
-    # (> q*d grams). Occurrence indices are computed MAP-ONLY with
-    # array lambdas (count of equal grams up to here) — O(len^2) per
-    # string, which for name/title-sized strings beats shipping the
-    # gram index through a (id, gram) window shuffle.
-    pg_arr = F.transform(
-        grams,
-        lambda x, i: F.concat(
-            x, F.lit("\x02"),
-            F.size(F.filter(grams,
-                            lambda y, j: (y == x) & (j <= i)))
-            .cast("string")))
-    g = base.select("id", F.explode(pg_arr).alias("pg"))
-    freq = g.groupBy("pg").agg(F.count(F.lit(1)).alias("_f"))
-    ordered = (g.join(freq, "pg")
-               .groupBy("id")
-               .agg(F.sort_array(F.collect_list(
-                   F.struct(F.col("_f"), F.col("pg")))).alias("_ord")))
-    pref = (ordered
-            .filter(F.size("_ord") > q * d)
-            .select(
-                "id",
-                F.slice(F.transform("_ord", lambda x: x["pg"]),
-                        1, q * d + 1).alias("_prefix")))
-    pa = pref.select(F.col("id").alias("_ida"),
-                     F.explode("_prefix").alias("pg"))
-    cand_long = (pa.join(g.select(F.col("id").alias("_idb"), "pg"), "pg")
+    # ---- long path: PassJoin segment <-> substring join -----------
+    longs = base.filter(slen > 2 * d)
+    # even split: slot j (0-based) of a length-L string starts at
+    # 1 + j*floor(L/k) + min(j, L mod k) and has length
+    # floor(L/k) + (1 if j < L mod k else 0)
+    jj = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    segs = longs.select("id", slen.alias("_la"), "s", jj)
+    seg_start = (F.lit(1) + F.col("j") * (F.col("_la") / k).cast("long")
+                 + F.least(F.col("j"), F.col("_la") % k))
+    seg_len = ((F.col("_la") / k).cast("long")
+               + F.when(F.col("j") < F.col("_la") % k, 1).otherwise(0))
+    segs = segs.select(
+        "id", "_la", "j",
+        F.col("s").substr(seg_start.cast("int"),
+                          seg_len.cast("int")).alias("val"))
+    # probe side: for every string B, every partner length la in
+    # [len-d, len+d] (capped below at the long-path floor), every
+    # slot, every start within +-d of the slot's position in la
+    la = F.explode(F.sequence(slen - d, slen + d)).alias("_la")
+    probe = (base.select("id", F.col("s"), slen.alias("_lb"))
+             .select("id", "s", "_lb", la)
+             .filter(F.col("_la") > 2 * d)
+             .select("id", "s", "_lb", "_la",
+                     F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+                     .alias("j")))
+    p_start = (F.lit(1) + F.col("j") * (F.col("_la") / k).cast("long")
+               + F.least(F.col("j"), F.col("_la") % k))
+    p_len = ((F.col("_la") / k).cast("long")
+             + F.when(F.col("j") < F.col("_la") % k, 1).otherwise(0))
+    # Spark's sequence(a, b) DESCENDS when a > b — guard the window
+    # to hi >= lo before exploding, or empty windows emit garbage
+    lo = F.greatest(p_start - d, F.lit(1))
+    hi = F.least(p_start + d, F.col("_lb") - p_len + 1)
+    probe = (probe
+             .select("id", "s", "_la", "j", p_len.alias("_pl"),
+                     lo.alias("_lo"), hi.alias("_hi"))
+             .filter(F.col("_hi") >= F.col("_lo"))
+             .select("id", "s", "_la", "j", "_pl",
+                     F.explode(F.sequence("_lo", "_hi")).alias("_st"))
+             .select("id", "_la", "j",
+                     F.col("s").substr(F.col("_st").cast("int"),
+                                       F.col("_pl").cast("int"))
+                     .alias("val")))
+    # merge hint: BOTH sides of the segment join scale with the
+    # corpus (segs ~ (d+1) rows/string, probe ~ O(d^2) rows/string) —
+    # a size misestimate promoting either to a broadcast build blows
+    # the heap (same failure mode line_dedup documents for `firsts`)
+    cand_long = (segs.select(F.col("id").alias("_ida"), "_la", "j", "val")
+                 .hint("merge")
+                 .join(probe.select(F.col("id").alias("_idb"),
+                                    "_la", "j", "val"),
+                       ["val", "j", "_la"])
                  .filter(F.col("_ida") != F.col("_idb"))
                  .select(F.least("_ida", "_idb").alias("_ida"),
                          F.greatest("_ida", "_idb").alias("_idb"))
                  .distinct())
 
     # ---- short path: bounded distinct values, complete ------------
-    shorts = base.filter(n_grams <= q * d)
+    shorts = base.filter(slen <= 2 * d)
     sv = shorts.select("s").distinct()
     sv_probe = sv.select(
         "s", F.explode(F.sequence(F.length("s"),
@@ -888,7 +917,19 @@ def edit_distance_join(df: DataFrame, max_dist: int,
               .join(shorts.select("s", F.col("id").alias("_ib")), "s")
               .filter(F.col("_ia") < F.col("_ib"))
               .select("_ia", "_ib"))
-    cand_short = (cand_sv.union(same_v)
+    # short x long pairs: a short A (len <= 2d) within d of a long B
+    # (len > 2d) forces len(B) <= len(A) + d <= 3d — join the bounded
+    # short values against the bounded-length longs by length band
+    nearlong = (base.filter((slen > 2 * d) & (slen <= 3 * d))
+                .select(F.col("id").alias("_ib"),
+                        F.col("s").alias("_s2"),
+                        F.length("s").alias("_ll")))
+    mixed = (sv_probe
+             .join(nearlong, sv_probe["_lk"] == nearlong["_ll"])
+             .filter(F.levenshtein("s", "_s2") <= d)
+             .join(ids_of, "s")
+             .select(F.explode("_ids").alias("_ia"), "_ib"))
+    cand_short = (cand_sv.union(same_v).union(mixed)
                   .select(F.least("_ia", "_ib").alias("_ida"),
                           F.greatest("_ia", "_ib").alias("_idb"))
                   .distinct())
@@ -896,6 +937,7 @@ def edit_distance_join(df: DataFrame, max_dist: int,
     # ---- verify + union --------------------------------------------
     cand = cand_long.union(cand_short).distinct()
     j = (cand
+         .hint("merge")
          .join(base.select(F.col("id").alias("_ida"),
                            F.col("s").alias("_sa")), "_ida")
          .join(base.select(F.col("id").alias("_idb"),

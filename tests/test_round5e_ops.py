@@ -492,8 +492,6 @@ def test_edj_validation(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id: long, text: string")
     with pytest.raises(ValueError, match="max_dist"):
         edit_distance_join(df, 0)
-    with pytest.raises(ValueError, match="q must"):
-        edit_distance_join(df, 1, q=1)
     with pytest.raises(ValueError, match="max_dist"):
         edit_distance_join_sql("SELECT 1", 0)
 

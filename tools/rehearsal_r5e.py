@@ -264,13 +264,21 @@ def run_funnel_windowed(spark, n: int) -> dict:
 def run_fuzzy_join(spark, n: int) -> dict:
     from biocypher_metta_spark.operators.dedup import edit_distance_join
 
-    # entity-structured names (id div 8 shares a stem; the last token
-    # varies) — near-dup pairs grow with entity COUNT, never n^2
-    e = F.expr("id div 8")
+    # entity-structured names (id div 8 shares a stem; the last char
+    # varies) — near-dup pairs grow with entity COUNT, never n^2.
+    # Two corpus-design lessons are baked in, both measured the hard
+    # way in earlier drafts of this leg: (1) sequential numeric stems
+    # put every entity within distance 2 of hundreds of neighbors
+    # (dense near-neighbor space -> output explosion, disk-full at
+    # 10N); (2) a literal shared prefix ("rec") makes segment slot 0
+    # low-entropy and its bucket join quadratic (heap OOM at 1M) —
+    # the operator docstring now documents that envelope. Stems here
+    # are hash-scattered LETTERS with no shared literal prefix.
+    e = F.expr("(id div 8) * 2654435761 % 1000000000000")
     d = spark.range(n).select(
         F.col("id").alias("doc_id"),
-        F.concat(F.lit("rec"),
-                 F.lpad(e.cast("string"), 9, "0"),
+        F.concat(F.translate(F.lpad(e.cast("string"), 12, "0"),
+                             "0123456789", "qwertyuiopa"),
                  F.lit("x"), (F.col("id") % 8).cast("string"))
         .alias("text"))
     t0 = time.time()
@@ -295,7 +303,7 @@ def main():
         "transitions": (run_transitions, 20_000_000),
         "twap": (run_twap, 20_000_000),
         "funnel_windowed": (run_funnel_windowed, 10_000_000),
-        "fuzzy_join": (run_fuzzy_join, 300_000),
+        "fuzzy_join": (run_fuzzy_join, 100_000),
     }
     only = set(sys.argv[1:])
     art = REPO / "tools" / "rehearsal_r5e.json"
