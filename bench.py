@@ -121,7 +121,8 @@ def main() -> None:
              "web_domain_cap", "doc_bm25_topk", "doc_cms_topfreq",
              "kg_pagerank", "emb_semantic_dedup", "doc_bm25_join",
              "doc_ngram_excise", "rel_grouping_sets", "doc_chunk_fixed",
-             "web_canonical_url", "emb_kmeans", "kg_triangles",
+             "web_canonical_url", "emb_kmeans", "emb_pq_topk",
+             "kg_triangles",
              "rel_bloom_prefilter", "rel_changelog_compact",
              "rel_scd2_intervals", "rel_salted_join", "kg_kcore",
              "kg_lpa", "rel_gapfill_locf", "rel_pivot",
@@ -133,7 +134,7 @@ def main() -> None:
              "rel_dq_profile", "rel_fk_check", "rel_retention",
              "doc_bpe_train", "doc_bpe_encode", "rel_outlier_flags",
              "rel_fuzzy_join", "rel_event_transitions", "rel_twap",
-             "rel_funnel_windowed"]
+             "rel_funnel_windowed", "doc_rrf_fusion"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):

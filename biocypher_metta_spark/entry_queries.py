@@ -3982,6 +3982,76 @@ def _kmeans_gate_sql():
 EMB_KMEANS_SQL = _kmeans_gate_sql()
 QUERIES["emb_kmeans"] = (emb_kmeans, EMB_KMEANS_SQL)
 
+# Deterministic PQ gate query: 16 coords in [-0.9, 0.9], no RNG.
+_PQ_QUERY = [((i * 37) % 19 - 9) / 10.0 for i in range(16)]
+
+
+def emb_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/pq.py): per-subspace
+    integer-Lloyd codebooks (m=4 subspaces of 4 coords, k=4, 2
+    rounds) over the real embeddings table, corpus encoded to 4
+    codes/vector, then ADC top-25 for a literal query via broadcast
+    LUT lookups. The oracle trains its OWN codebooks from the same
+    recipe (unrolled per-subspace CTEs) and cuts the same top-k —
+    two engines agreeing on model + codes + distances + cut."""
+    from biocypher_metta_spark.operators.pq import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(emb, _PQ_QUERY, m=4, k=4, dim=16, topk=25,
+                   iterations=2)
+
+
+def _pq_gate_sql():
+    from biocypher_metta_spark.operators.pq import pq_topk_sql
+
+    return pq_topk_sql(_PQ_QUERY, m=4, k=4, dim=16, topk=25,
+                       iterations=2)
+
+
+EMB_PQ_SQL = _pq_gate_sql()
+QUERIES["emb_pq_topk"] = (emb_pq_topk, EMB_PQ_SQL)
+
+
+def doc_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: the lexical leg (integer BM25 top-40 for the
+    fixed 3-token query) and the vector leg (exact quantized-dot top-40
+    for vec 0's embedding, the emb_dot_topk scorer) fused by reciprocal
+    rank fusion (retrieval.rrf_fuse) — doc_id and vec_id share the id
+    space in the testdata, making this the full hybrid-search story on
+    real tables.  The oracle fuses the SAME two leg queries but ranks
+    via row_number windows instead of the engine's sort_array order
+    realization."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = retrieval_ops.bm25_topk(docs, _BM25_GATE_Q, k=40)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qvec = list(qrow[0]) if qrow else []
+    vec = sim_ops.quantized_dot_topk(
+        emb.filter(F.col("vec_id") != 0), qvec, k=40)
+    return retrieval_ops.rrf_fuse(
+        [(lex, "doc_id", "score", True), (vec, "vec_id", "dot", True)],
+        topk=20, k=60)
+
+
+_RRF_VEC_LEG_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       CAST(list_sum(list_transform(list_zip(e.embedding, q.qv),
+            p -> round(CAST(p[1] AS DOUBLE) * 1000)
+                 * round(CAST(p[2] AS DOUBLE) * 1000))) AS BIGINT) AS dot
+FROM embeddings e, q
+WHERE e.vec_id != 0
+ORDER BY dot DESC, vec_id
+LIMIT 40
+"""
+
+DOC_RRF_SQL = retrieval_ops.rrf_fuse_sql(
+    [(retrieval_ops.bm25_topk_sql(_BM25_GATE_Q, k=40), "doc_id", "score",
+      True),
+     (_RRF_VEC_LEG_SQL, "vec_id", "dot", True)],
+    topk=20, k=60)
+QUERIES["doc_rrf_fusion"] = (doc_rrf_fusion, DOC_RRF_SQL)
+
 
 EMB_SEMANTIC_DEDUP_SQL = f"""
 WITH RECURSIVE ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
@@ -5446,6 +5516,8 @@ CK_COLUMNS = {
                            "n_common"],
     "emb_semantic_dedup": ["keep", "rep_id", "vec_id"],
     "emb_kmeans": ["cluster", "vec_id"],
+    "emb_pq_topk": ["adc_dist", "vec_id"],
+    "doc_rrf_fusion": ["doc_id", "rrf_score"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
@@ -5484,9 +5556,11 @@ CK_COMPOSITES = {
                             "doc_cms_topfreq", "doc_bm25_join",
                             "doc_ngram_excise", "doc_chunk_fixed",
                             "web_canonical_url", "doc_weighted_sample",
-                            "doc_strip_markup", "web_link_edges"],
+                            "doc_strip_markup", "web_link_edges",
+                            "doc_rrf_fusion"],
     "kg_graph_checks": ["kg_pagerank", "emb_semantic_dedup",
-                        "emb_kmeans", "kg_triangles", "kg_kcore",
+                        "emb_kmeans", "emb_pq_topk",
+                        "kg_triangles", "kg_kcore",
                         "kg_lpa", "kg_cooccurrence", "kg_jaccard_links",
                         "kg_bfs", "kg_survivorship",
                         "kg_entity_resolution"],

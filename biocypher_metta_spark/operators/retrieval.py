@@ -271,3 +271,102 @@ WITH q(query_id, token) AS (
 )
 SELECT query_id, {id_col}, score, rank FROM ranked WHERE rank <= {k}
 """
+
+
+def rrf_fuse(rankings, topk: int, k: int = 60, scale: int = 10 ** 9,
+             id_col: str = "doc_id", out_col: str = "rrf_score",
+             max_candidates: int = 1_000_000):
+    """Reciprocal Rank Fusion [Cormack & Clarke, SIGIR'09] over bounded
+    candidate lists — the hybrid-retrieval combiner that joins the
+    lexical (bm25_topk) and vector (similarity.dot_topk / pq.pq_adc_topk)
+    legs into one ranking without comparable scores: each list
+    contributes floor(scale / (k + rank)) per document and the fused
+    score is the sum (a document absent from a list contributes 0, the
+    standard RRF convention).  Integer throughout — rank is exact, the
+    contribution is one floor division — so a DuckDB twin matches
+    bit-for-bit.
+
+    `rankings` is a list of (df, id_col_in_df, score_col, descending)
+    tuples.  Ranks are derived deterministically: position in the
+    (score, id) total order (descending=True means higher score is
+    rank 1; ties break to the LOWER id in both directions).
+
+    Scale shape: RRF inputs are top-R CANDIDATE LISTS (the output of a
+    retrieval leg), never corpora — this is inherent to the semantics,
+    and enforced: each list is counted (cheap on bounded inputs) and
+    > max_candidates raises.  Ranking therefore uses the bounded
+    sort_array(collect_list(struct)) pattern (one HashAggregate — the
+    plan-audit-legitimate single-partition shape) rather than a global
+    rank window over an unbounded input; the fusion is one uniform-key
+    groupBy over at most len(rankings) * R rows and a bounded
+    TakeOrdered.
+    """
+    from pyspark.sql import functions as F
+
+    if topk < 1:
+        raise ValueError(f"topk must be >= 1, got {topk}")
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    legs = []
+    for i, (df, idc, score_col, desc) in enumerate(rankings):
+        n = df.limit(max_candidates + 1).count()
+        if n > max_candidates:
+            raise ValueError(
+                f"ranking {i} has > max_candidates={max_candidates} rows; "
+                f"RRF fuses candidate LISTS — cut each leg to its top-R "
+                f"before fusing")
+        key = F.col(score_col).cast("long")
+        key = (-key) if desc else key
+        lst = (df.select(F.struct(key.alias("_k"),
+                                  F.col(idc).cast("long").alias("_id"))
+                         .alias("_s"))
+               .agg(F.sort_array(F.collect_list("_s")).alias("_l")))
+        legs.append(lst.select(
+            F.posexplode("_l").alias("_pos", "_s")).select(
+            F.col("_s._id").alias(id_col),
+            F.expr(f"CAST({scale} AS BIGINT) div (_pos + 1 + {k})")
+            .alias("_contrib")))
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionByName(leg)
+    return (u.groupBy(id_col)
+            .agg(F.sum("_contrib").cast("long").alias(out_col))
+            .orderBy(F.col(out_col).desc(), F.col(id_col).asc())
+            .limit(topk))
+
+
+def rrf_fuse_sql(ranking_sqls, topk: int, k: int = 60,
+                 scale: int = 10 ** 9, id_col: str = "doc_id",
+                 out_col: str = "rrf_score") -> str:
+    """DuckDB twin of rrf_fuse.  `ranking_sqls` is a list of
+    (sql, id_col_in_sql, score_col, descending) — each sql a complete
+    query (nested WITH is fine inside the FROM subquery).  The twin
+    ranks via row_number() windows (a different mechanism than the
+    engine's sort_array order realization) and fuses with the same
+    integer floor-division contribution."""
+    if topk < 1:
+        raise ValueError(f"topk must be >= 1, got {topk}")
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    if not ranking_sqls:
+        raise ValueError("ranking_sqls must be non-empty")
+    ctes = []
+    for i, (sql, idc, score_col, desc) in enumerate(ranking_sqls):
+        order = "DESC" if desc else "ASC"
+        ctes.append(f"""rrf_leg{i} AS (
+  SELECT CAST({idc} AS BIGINT) AS id,
+         CAST({scale} AS BIGINT) // (row_number() OVER (
+           ORDER BY {score_col} {order}, {idc} ASC) + {k}) AS contrib
+  FROM ({sql}) AS rrf_in{i}
+)""")
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT id, contrib FROM rrf_leg{i}"
+        for i in range(len(ranking_sqls)))
+    return f"""WITH {", ".join(ctes)}
+SELECT id AS {id_col}, CAST(sum(contrib) AS BIGINT) AS {out_col}
+FROM ({union}) AS rrf_all
+GROUP BY id
+ORDER BY {out_col} DESC, id ASC
+LIMIT {topk}"""

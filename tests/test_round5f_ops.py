@@ -1,0 +1,200 @@
+"""Round-5f operators: product quantization (operators/pq.py)."""
+
+import random
+
+import duckdb
+import pytest
+
+from biocypher_metta_spark.operators.pq import (
+    pq_adc_topk,
+    pq_encode,
+    pq_topk,
+    pq_topk_sql,
+    pq_train,
+)
+
+_EMB_SCHEMA = "vec_id: long, embedding: array<float>"
+
+
+def _duck(rows, query, m, k, dim, topk, iterations):
+    vals = ", ".join(
+        f"({rid}, ARRAY[{', '.join(repr(float(x)) for x in vec)}]"
+        f"::FLOAT[])" for rid, vec in rows)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"(VALUES {vals}) t(vec_id, embedding)")
+    sql = pq_topk_sql(query, m=m, k=k, dim=dim, topk=topk,
+                      iterations=iterations)
+    return [tuple(r) for r in con.execute(sql).fetchall()]
+
+
+def _spark_run(spark, rows, query, m, k, dim, topk, iterations):
+    df = spark.createDataFrame(rows, _EMB_SCHEMA)
+    return [tuple(r) for r in pq_topk(
+        df, query, m=m, k=k, dim=dim, topk=topk,
+        iterations=iterations).collect()]
+
+
+def test_pq_hand_case(spark):
+    # m=2 subspaces of 1 coord, k=2, 1 round. Seeds = rows 0, 1 =
+    # (0, 0) and (1000, 1000) quantized; both subspaces split the
+    # values {0, 10} | {990, 1000}.
+    rows = [(0, [0.0, 0.0]),
+            (1, [10.0, 10.0]),
+            (2, [0.1, 9.9]),
+            (3, [9.9, 0.1]),
+            (4, [10.0, 0.0])]
+    df = spark.createDataFrame(rows, _EMB_SCHEMA)
+    books = pq_train(df, m=2, k=2, dim=2, iterations=1)
+    # sub 0 values [0,1000,10,990,1000]: c0={0,10} -> floor(10/2)=5,
+    # c1={1000,990,1000} -> floor(2990/3)=996
+    assert books[0] == [[5], [996]]
+    # sub 1 values [0,1000,990,10,0]: c0={0,10,0} -> floor(10/3)=3,
+    # c1={1000,990} -> floor(1990/2)=995
+    assert books[1] == [[3], [995]]
+    codes = {r["vec_id"]: list(r["codes"])
+             for r in pq_encode(df, books, dim=2).collect()}
+    assert codes == {0: [0, 0], 1: [1, 1], 2: [0, 1],
+                     3: [1, 0], 4: [1, 0]}
+    # query (0, 0): LUT0 = [25, 992016], LUT1 = [9, 990025]
+    top = pq_adc_topk(pq_encode(df, books, dim=2), [0.0, 0.0],
+                      books, topk=5).collect()
+    assert [(r["vec_id"], r["adc_dist"]) for r in top] == [
+        (0, 25 + 9), (2, 25 + 990025),
+        (3, 992016 + 9), (4, 992016 + 9),
+        (1, 992016 + 990025)]
+
+
+def test_pq_randomized_twin(spark):
+    rng = random.Random(57)
+    rows = [(i, [round(rng.uniform(-1, 1), 3) for _ in range(12)])
+            for i in range(60)]
+    query = [round(rng.uniform(-1, 1), 3) for _ in range(12)]
+    for m, k, it in [(3, 4, 2), (4, 2, 3), (2, 5, 1)]:
+        got = _spark_run(spark, rows, query, m, k, 12, 15, it)
+        exp = _duck(rows, query, m, k, 12, 15, it)
+        assert got == exp, (m, k, it)
+
+
+def test_pq_exact_when_codebook_covers(spark):
+    # k >= number of distinct vectors: every vector becomes its own
+    # codeword after enough rounds, so ADC == exact quantized
+    # distance for all rows.
+    rows = [(0, [1.0, 2.0]), (1, [5.0, 6.0]), (2, [-3.0, 0.5]),
+            (3, [8.0, -2.0])]
+    df = spark.createDataFrame(rows, _EMB_SCHEMA)
+    q = [0.0, 0.0]
+    got = {r["vec_id"]: r["adc_dist"]
+           for r in pq_topk(df, q, m=1, k=4, dim=2, topk=4,
+                            iterations=3).collect()}
+    exact = {rid: sum(round(x * 100) ** 2 for x in vec)
+             for rid, vec in rows}
+    assert got == exact
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    rng = random.Random(11)
+    rows = [(i, [round(rng.uniform(-1, 1), 3) for _ in range(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, _EMB_SCHEMA)
+    books = pq_train(df, m=4, k=3, dim=8, iterations=2)
+    assert len(books) == 4 and all(len(b) == 3 for b in books)
+    assert all(len(c) == 2 for b in books for c in b)
+    codes = pq_encode(df, books, dim=8)
+    rows1 = sorted(tuple(r) for r in codes.collect())
+    rows2 = sorted(tuple(r) for r in codes.collect())
+    assert rows1 == rows2
+    assert all(0 <= c < 3 for _, cs in rows1 for c in cs)
+    assert pq_train(df, m=4, k=3, dim=8, iterations=2) == books
+
+
+def test_pq_validation():
+    import pyspark.sql  # noqa: F401  (no session needed for raises)
+
+    with pytest.raises(ValueError, match="multiple of m"):
+        pq_topk_sql([0.0] * 8, m=3, k=2, dim=8, topk=5)
+    with pytest.raises(ValueError, match="k must be"):
+        pq_topk_sql([0.0] * 8, m=2, k=0, dim=8, topk=5)
+    with pytest.raises(ValueError, match="topk"):
+        pq_topk_sql([0.0] * 8, m=2, k=2, dim=8, topk=0)
+    with pytest.raises(ValueError, match="coords"):
+        pq_topk_sql([0.0] * 4, m=2, k=2, dim=8, topk=5)
+    with pytest.raises(ValueError, match="iterations"):
+        pq_topk_sql([0.0] * 8, m=2, k=2, dim=8, topk=5, iterations=0)
+
+
+def test_pq_train_needs_k_rows(spark):
+    df = spark.createDataFrame([(0, [1.0, 2.0])], _EMB_SCHEMA)
+    with pytest.raises(ValueError, match="at least k"):
+        pq_train(df, m=1, k=3, dim=2, iterations=1)
+
+
+# ---------------------------------------------------------------- RRF
+
+from biocypher_metta_spark.operators.retrieval import (  # noqa: E402
+    rrf_fuse,
+    rrf_fuse_sql,
+)
+
+
+def _rrf_duck(legs, topk, k, scale=10 ** 9):
+    """legs: list of (rows, id_name, score_name, desc)."""
+    con = duckdb.connect()
+    sqls = []
+    for rows, idn, sn, desc in legs:
+        vals = ", ".join(f"({i}, {s})" for i, s in rows)
+        sqls.append((f"SELECT * FROM (VALUES {vals}) t({idn}, {sn})",
+                     idn, sn, desc))
+    sql = rrf_fuse_sql(sqls, topk=topk, k=k, scale=scale)
+    return [tuple(r) for r in con.execute(sql).fetchall()]
+
+
+def test_rrf_hand_case(spark):
+    # leg A desc: ranks 1..4 = docs 1,2,3,4 (tie 90 breaks to lower id)
+    # leg B asc:  ranks 1..4 = docs 2,1,5,4 (tie 7 breaks to lower id)
+    a = [(1, 100), (2, 90), (3, 90), (4, 10)]
+    b = [(2, 5), (5, 7), (1, 7), (4, 20)]
+    dfa = spark.createDataFrame(a, "doc_id: long, score: long")
+    dfb = spark.createDataFrame(b, "doc_id: long, dist: long")
+    got = [tuple(r) for r in rrf_fuse(
+        [(dfa, "doc_id", "score", True), (dfb, "doc_id", "dist", False)],
+        topk=10, k=3, scale=1000).collect()]
+    # contributions 1000 div (3 + rank): 250, 200, 166, 142
+    assert got == [(1, 450), (2, 450), (4, 284), (3, 166), (5, 166)]
+    exp = _rrf_duck([(a, "doc_id", "score", True),
+                     (b, "doc_id", "dist", False)], topk=10, k=3,
+                    scale=1000)
+    assert got == exp
+
+
+def test_rrf_randomized_twin(spark):
+    rng = random.Random(91)
+    for trial in range(3):
+        legs = []
+        for _ in range(rng.randint(2, 4)):
+            n = rng.randint(5, 30)
+            ids = rng.sample(range(100), n)
+            rows = [(i, rng.randint(-50, 50)) for i in ids]
+            legs.append((rows, "id", "s", rng.random() < 0.5))
+        dfs = [(spark.createDataFrame(rows, "id: long, s: long"),
+                "id", "s", desc) for rows, _, _, desc in legs]
+        topk, k = rng.randint(1, 40), rng.randint(0, 100)
+        got = [tuple(r) for r in
+               rrf_fuse(dfs, topk=topk, k=k).collect()]
+        exp = _rrf_duck(legs, topk=topk, k=k)
+        assert got == exp, trial
+
+
+def test_rrf_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "id: long, s: long")
+    with pytest.raises(ValueError, match="topk"):
+        rrf_fuse([(df, "id", "s", True)], topk=0)
+    with pytest.raises(ValueError, match="k must be"):
+        rrf_fuse([(df, "id", "s", True)], topk=5, k=-1)
+    with pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([], topk=5)
+    with pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse_sql([], topk=5)
+    with pytest.raises(ValueError, match="candidate"):
+        big = spark.range(20).selectExpr("id", "id AS s")
+        rrf_fuse([(big, "id", "s", True)], topk=5, max_candidates=10)
