@@ -4053,6 +4053,27 @@ DOC_RRF_SQL = retrieval_ops.rrf_fuse_sql(
 QUERIES["doc_rrf_fusion"] = (doc_rrf_fusion, DOC_RRF_SQL)
 
 
+def kg_hits(spark, sf_dir):
+    """Max-normalized integer HITS (graph.hits, 3 rounds) over an edge
+    table synthesized from doc_ids: src = id % 73, dst = (id*11 + 5) %
+    97 — hub-heavy low ids (73 sources feeding 97 targets) plus ids
+    73..96 appearing only as dst (pure authorities, hub_fp 0), so both
+    mutual-recursion directions and the zero-degree floor are live.
+    Oracle: the unrolled-CTE twin generated from the same recurrence
+    (graph.hits_sql, HUGEINT where the engine runs DECIMAL(38,0))."""
+    ids = _ids(spark, sf_dir)
+    edges = ids.select((F.col("i") % 73).alias("src"),
+                       ((F.col("i") * 11 + 5) % 97).alias("dst"))
+    return graph_ops.hits(edges, iterations=3)
+
+
+KG_HITS_SQL = graph_ops.hits_sql(
+    "SELECT CAST(doc_id AS BIGINT) % 73 AS src, "
+    "(CAST(doc_id AS BIGINT) * 11 + 5) % 97 AS dst FROM documents",
+    iterations=3)
+QUERIES["kg_hits"] = (kg_hits, KG_HITS_SQL)
+
+
 EMB_SEMANTIC_DEDUP_SQL = f"""
 WITH RECURSIVE ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
 v AS (
@@ -5518,6 +5539,7 @@ CK_COLUMNS = {
     "emb_kmeans": ["cluster", "vec_id"],
     "emb_pq_topk": ["adc_dist", "vec_id"],
     "doc_rrf_fusion": ["doc_id", "rrf_score"],
+    "kg_hits": ["auth_fp", "hub_fp", "id"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
@@ -5558,7 +5580,7 @@ CK_COMPOSITES = {
                             "web_canonical_url", "doc_weighted_sample",
                             "doc_strip_markup", "web_link_edges",
                             "doc_rrf_fusion"],
-    "kg_graph_checks": ["kg_pagerank", "emb_semantic_dedup",
+    "kg_graph_checks": ["kg_pagerank", "kg_hits", "emb_semantic_dedup",
                         "emb_kmeans", "emb_pq_topk",
                         "kg_triangles", "kg_kcore",
                         "kg_lpa", "kg_cooccurrence", "kg_jaccard_links",

@@ -735,3 +735,140 @@ def bfs_distances_sql(edges_sql: str, sources_sql: str,
 )
 SELECT node, CAST(min(dist) AS INTEGER) AS dist
 FROM bfs_walk GROUP BY node"""
+
+
+def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
+         iterations: int = 3, scale: int = 10 ** 6) -> DataFrame:
+    """HITS hubs & authorities [Kleinberg JACM'99] — the directed-web
+    complement to pagerank() (one stationary importance score there;
+    here the mutual recursion "good hubs point at good authorities"),
+    the classic ranking for link-graph corpora (web_link_edges ->
+    canonical_url -> hits).  Returns (id, hub_fp, auth_fp), fixed-point
+    in [0, scale].
+
+    Cross-engine exactness: classic HITS L2-normalizes each round —
+    irreproducible floats.  This is the documented MAX-normalized
+    integer variant (normalizing by the max instead of the L2 norm
+    rescales uniformly per round, so each round's RANKING is identical
+    to the float recursion's up to floor quantization):
+
+        a_raw[v] = sum over u->v of h[u]
+        a[v]     = (a_raw[v] * scale) DIV greatest(max_v a_raw, 1)
+        h_raw[u] = sum over u->v of a[v]
+        h[u]     = (h_raw[u] * scale) DIV greatest(max_u h_raw, 1)
+
+    with h initialized to `scale`.  The normalization products run in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB twin) — exact integer
+    arithmetic with identical truncation on non-negative operands, the
+    outlier_flags headroom pattern — so there is NO int64 ceiling on
+    a_raw * scale and no 2^53 float-division hazard.
+
+    Scale shape: per round two edge-sized equi-joins (scores onto
+    src / onto dst) each followed by a groupBy on the opposite endpoint
+    (map-side combine absorbs hub/authority skew — exactly the
+    celebrity-key shape this op exists to rank) and ONE single-row max
+    aggregate attached as a cross join (bounded scalar, the pagerank
+    dangling-mass pattern); localCheckpoint per round cuts lineage.
+    Zero in-degree (resp. out-degree) nodes hold score 0 from round 1
+    on — every node appears in the output.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct()
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("src").alias("id"))
+             .union(e.select(F.col("dst").alias("id")))
+             .distinct()
+             .localCheckpoint(eager=True))
+
+    spark = edges.sparkSession
+    # the single-row max rides in as a SCALAR SUBQUERY (the pagerank
+    # dangling-mass pattern) — a crossJoin of the 1-row frame would
+    # plan as BroadcastNestedLoopJoin and trip the plan audit
+    norm_sql = """
+        SELECT n.id AS id,
+               CAST((CAST(coalesce(r.raw, 0) AS DECIMAL(38,0))
+                     * {scale})
+                    DIV greatest((SELECT mx FROM {{mx}}), 1)
+                    AS BIGINT) AS s
+        FROM {{nodes}} AS n LEFT JOIN {{raw}} AS r ON n.id = r.id
+        """.format(scale=scale)
+
+    h = nodes.select("id", F.lit(scale).cast("long").alias("s"))
+    a = None
+    for _ in range(iterations):
+        a_raw = (h.join(e, h["id"] == e["src"])
+                 .groupBy(F.col("dst").alias("id"))
+                 .agg(F.sum("s").cast("long").alias("raw")))
+        mx_a = a_raw.agg(F.coalesce(F.max("raw"), F.lit(0))
+                         .cast("long").alias("mx"))
+        a = spark.sql(norm_sql, nodes=nodes, raw=a_raw,
+                      mx=mx_a).localCheckpoint(eager=True)
+        h_raw = (a.join(e, a["id"] == e["dst"])
+                 .groupBy(F.col("src").alias("id"))
+                 .agg(F.sum("s").cast("long").alias("raw")))
+        mx_h = h_raw.agg(F.coalesce(F.max("raw"), F.lit(0))
+                         .cast("long").alias("mx"))
+        h = spark.sql(norm_sql, nodes=nodes, raw=h_raw,
+                      mx=mx_h).localCheckpoint(eager=True)
+    return (h.withColumnRenamed("s", "hub_fp")
+            .join(a.withColumnRenamed("s", "auth_fp"), "id")
+            .select("id", "hub_fp", "auth_fp"))
+
+
+def hits_sql(edges_sql: str, src: str = "src", dst: str = "dst",
+             iterations: int = 3, scale: int = 10 ** 6) -> str:
+    """DuckDB twin of hits(), iterations unrolled as CTEs and GENERATED
+    from the same recurrence (HUGEINT where the engine uses
+    DECIMAL(38,0)); ht_ prefix avoids caller-table collisions."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    parts = [f"""WITH ht_raw AS (
+{edges_sql.strip()}
+), ht_e AS (
+  SELECT DISTINCT {src} AS src, {dst} AS dst FROM ht_raw
+  WHERE {src} IS NOT NULL AND {dst} IS NOT NULL
+), ht_nodes AS (
+  SELECT src AS id FROM ht_e UNION SELECT dst FROM ht_e
+), ht_h0 AS (
+  SELECT id, CAST({scale} AS BIGINT) AS s FROM ht_nodes
+)"""]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(f""", ht_araw{i} AS (
+  SELECT ht_e.dst AS id, CAST(sum(s) AS BIGINT) AS raw
+  FROM ht_h{p} JOIN ht_e ON ht_h{p}.id = ht_e.src
+  GROUP BY 1
+), ht_amx{i} AS (
+  SELECT CAST(coalesce(max(raw), 0) AS BIGINT) AS mx FROM ht_araw{i}
+), ht_a{i} AS (
+  SELECT ht_nodes.id,
+         CAST(CAST(coalesce(raw, 0) AS HUGEINT) * {scale}
+              // greatest(mx, 1) AS BIGINT) AS s
+  FROM ht_nodes LEFT JOIN ht_araw{i} ON ht_nodes.id = ht_araw{i}.id,
+       ht_amx{i}
+), ht_hraw{i} AS (
+  SELECT ht_e.src AS id, CAST(sum(s) AS BIGINT) AS raw
+  FROM ht_a{i} JOIN ht_e ON ht_a{i}.id = ht_e.dst
+  GROUP BY 1
+), ht_hmx{i} AS (
+  SELECT CAST(coalesce(max(raw), 0) AS BIGINT) AS mx FROM ht_hraw{i}
+), ht_h{i} AS (
+  SELECT ht_nodes.id,
+         CAST(CAST(coalesce(raw, 0) AS HUGEINT) * {scale}
+              // greatest(mx, 1) AS BIGINT) AS s
+  FROM ht_nodes LEFT JOIN ht_hraw{i} ON ht_nodes.id = ht_hraw{i}.id,
+       ht_hmx{i}
+)""")
+    parts.append(f"""
+SELECT ht_h{iterations}.id, ht_h{iterations}.s AS hub_fp,
+       ht_a{iterations}.s AS auth_fp
+FROM ht_h{iterations} JOIN ht_a{iterations}
+  ON ht_h{iterations}.id = ht_a{iterations}.id""")
+    return "".join(parts)

@@ -198,3 +198,72 @@ def test_rrf_validation(spark):
     with pytest.raises(ValueError, match="candidate"):
         big = spark.range(20).selectExpr("id", "id AS s")
         rrf_fuse([(big, "id", "s", True)], topk=5, max_candidates=10)
+
+
+# --------------------------------------------------------------- HITS
+
+from biocypher_metta_spark.operators.graph import hits, hits_sql  # noqa: E402
+
+
+def _hits_duck(edges, iterations, scale=10 ** 6):
+    vals = ", ".join(f"({s},{d})" for s, d in edges)
+    con = duckdb.connect()
+    sql = hits_sql(f"SELECT * FROM (VALUES {vals}) t(src, dst)",
+                   iterations=iterations, scale=scale)
+    return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+
+def test_hits_star(spark):
+    # 0 -> {1,2,3}: node 0 is the pure hub, 1-3 pure authorities;
+    # stable from round 1 (max-normalization pins both at scale).
+    df = spark.createDataFrame([(0, 1), (0, 2), (0, 3)],
+                               "src: long, dst: long")
+    got = sorted(tuple(r) for r in hits(df, iterations=2).collect())
+    s = 10 ** 6
+    assert got == [(0, s, 0), (1, 0, s), (2, 0, s), (3, 0, s)]
+    assert got == _hits_duck([(0, 1), (0, 2), (0, 3)], 2)
+
+
+def test_hits_bipartite_weighting(spark):
+    # hubs 0,1 -> authority 10; hub 1 also -> 11. Authority 10 has two
+    # in-hubs so a[10] = max; hub 1 covers both authorities so h[1] = max.
+    edges = [(0, 10), (1, 10), (1, 11)]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    byid = {r[0]: (r[1], r[2])
+            for r in hits(df, iterations=3).collect()}
+    s = 10 ** 6
+    assert byid[10][1] == s and byid[11][1] < s  # authority order
+    assert byid[1][0] == s and byid[0][0] < s    # hub order
+    got = sorted((i, h, a) for i, (h, a) in byid.items())
+    assert got == _hits_duck(edges, 3)
+
+
+def test_hits_randomized_twin(spark):
+    rng = random.Random(37)
+    for trial in range(4):
+        edges = list({(rng.randrange(15), rng.randrange(15))
+                      for _ in range(rng.randint(4, 60))})
+        it = rng.randint(1, 4)
+        df = spark.createDataFrame(edges, "src: long, dst: long")
+        got = sorted(tuple(r) for r in hits(df, iterations=it).collect())
+        assert got == _hits_duck(edges, it), trial
+
+
+def test_hits_self_loop_and_nulls(spark):
+    # self-loop node is both its own hub and authority; null-endpoint
+    # EDGES drop entirely (their other endpoint never enters the node set)
+    df = spark.createDataFrame([(5, 5), (None, 1), (2, None)],
+                               "src: long, dst: long")
+    got = sorted(tuple(r) for r in hits(df, iterations=2).collect())
+    s = 10 ** 6
+    assert got == [(5, s, s)]
+
+
+def test_hits_validation(spark):
+    df = spark.createDataFrame([(0, 1)], "src: long, dst: long")
+    with pytest.raises(ValueError, match="iterations"):
+        hits(df, iterations=0)
+    with pytest.raises(ValueError, match="scale"):
+        hits(df, scale=0)
+    with pytest.raises(ValueError, match="iterations"):
+        hits_sql("SELECT 1 AS src, 2 AS dst", iterations=0)
