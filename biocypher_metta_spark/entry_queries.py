@@ -4074,6 +4074,44 @@ KG_HITS_SQL = graph_ops.hits_sql(
 QUERIES["kg_hits"] = (kg_hits, KG_HITS_SQL)
 
 
+def rel_zorder_key(spark, sf_dir):
+    """Morton interleave keys (operators/zorder.zorder_key, 12 bits x
+    2 dims) over orders quantized to a 4096^2 grid — the data-skipping
+    layout key whose sort groups rows close in BOTH dimensions into the
+    same parquet row group (the Iceberg/Delta ZORDER transform on the
+    sandbox's plain-parquet catalog).  check_range=False: the modulo
+    proves the domain.  Oracle: the identical bit arithmetic as one SQL
+    expression (zorder_key_sql) — the gate pins the exact curve, the
+    locality property is pinned by the 8x8-block unit test."""
+    from biocypher_metta_spark.operators import zorder as z_ops
+
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        (F.col("o_custkey") % 4096).cast("long").alias("_x"),
+        ((F.col("o_orderkey") * 3 + 1) % 4096).cast("long").alias("_y"))
+        .select("o_orderkey",
+                z_ops.zorder_key(["_x", "_y"], bits=12,
+                                 check_range=False).alias("zkey")))
+
+
+def _zorder_gate_sql():
+    from biocypher_metta_spark.operators import zorder as z_ops
+
+    expr = z_ops.zorder_key_sql(["_x", "_y"], bits=12)
+    return f"""
+WITH zq AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(o_custkey % 4096 AS BIGINT) AS _x,
+         CAST((o_orderkey * 3 + 1) % 4096 AS BIGINT) AS _y
+  FROM orders
+)
+SELECT o_orderkey, CAST({expr} AS BIGINT) AS zkey FROM zq"""
+
+
+QUERIES["rel_zorder_key"] = (rel_zorder_key, _zorder_gate_sql())
+
+
 EMB_SEMANTIC_DEDUP_SQL = f"""
 WITH RECURSIVE ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
 v AS (
@@ -5540,6 +5578,7 @@ CK_COLUMNS = {
     "emb_pq_topk": ["adc_dist", "vec_id"],
     "doc_rrf_fusion": ["doc_id", "rrf_score"],
     "kg_hits": ["auth_fp", "hub_fp", "id"],
+    "rel_zorder_key": ["o_orderkey", "zkey"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
@@ -5550,7 +5589,7 @@ CK_COMPOSITES = {
                         "rel_shuffle_join_agg", "rel_bloom_prefilter",
                         "rel_salted_join", "rel_bucketed_join",
                         "rel_snapshot_diff", "rel_fk_check",
-                        "rel_fuzzy_join"],
+                        "rel_fuzzy_join", "rel_zorder_key"],
     "rel_agg_checks": ["rel_collect_ordered", "rel_distinct_dedup",
                        "rel_union_adapters", "rel_pricing_summary",
                        "rel_histogram_quantiles", "rel_grouping_sets",

@@ -60,18 +60,24 @@ def _sub(col, s: int, d: int):
     return F.slice(col, s * d + 1, d)
 
 
-def _argmin(subvec, cents) -> F.Column:
+def _argmin(elems, cents) -> F.Column:
     """Index (0-based, lowest on ties) of the nearest centroid in
-    `cents` (list of d-int lists) to the d-long array column."""
-    dists = F.array(*[
-        F.aggregate(
-            F.zip_with(subvec,
-                       F.array(*[F.lit(int(c)).cast("long")
-                                 for c in cent]),
-                       lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"), lambda acc, v: acc + v)
-        for cent in cents])
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+    `cents` (list of d-int lists) to the point given by `elems` (d
+    long columns).  The distance sums are UNROLLED plain column
+    arithmetic — zip_with/aggregate higher-order functions are
+    evaluated interpreted per element and measured 4x slower on the
+    2M-vector rehearsal leg; element arithmetic stays inside
+    whole-stage codegen."""
+    dists = []
+    for cent in cents:
+        t = None
+        for e, cj in zip(elems, cent):
+            diff = e - F.lit(int(cj)).cast("long")
+            sq = diff * diff
+            t = sq if t is None else t + sq
+        dists.append(t)
+    arr = F.array(*dists)
+    return (F.array_position(arr, F.array_min(arr)) - 1).cast("long")
 
 
 def pq_train(emb: DataFrame, m: int, k: int, dim: int,
@@ -99,7 +105,8 @@ def pq_train(emb: DataFrame, m: int, k: int, dim: int,
     for _ in range(iterations):
         stacked = q.select(F.explode(F.array(*[
             F.struct(F.lit(s).alias("_s"),
-                     _argmin(_sub(F.col("_q"), s, d), books[s])
+                     _argmin([F.element_at(F.col("_q"), s * d + j + 1)
+                              for j in range(d)], books[s])
                      .alias("_cl"),
                      _sub(F.col("_q"), s, d).alias("_v"))
             for s in range(m)])).alias("_e"))
@@ -127,10 +134,14 @@ def pq_encode(emb: DataFrame, codebooks: list[list[list[int]]],
     to its per-subspace nearest-codeword indices.  Map-only."""
     m = len(codebooks)
     d = _validate(m, len(codebooks[0]), dim, 1)
-    q = _quant(vec_col, dim, quant_scale)
+    # quantize each needed element directly (round(element*scale)) —
+    # building the transformed array and slicing it back out would put
+    # an interpreted higher-order transform in the hot scan
+    elems = [F.round(F.element_at(F.col(vec_col), j + 1).cast("double")
+                     * quant_scale).cast("long") for j in range(dim)]
     return emb.select(
         F.col(id_col),
-        F.array(*[_argmin(_sub(q, s, d), codebooks[s])
+        F.array(*[_argmin(elems[s * d:(s + 1) * d], codebooks[s])
                   for s in range(m)]).alias("codes"))
 
 

@@ -267,3 +267,90 @@ def test_hits_validation(spark):
         hits(df, scale=0)
     with pytest.raises(ValueError, match="iterations"):
         hits_sql("SELECT 1 AS src, 2 AS dst", iterations=0)
+
+
+# ------------------------------------------------------------- zorder
+
+from biocypher_metta_spark.operators.zorder import (  # noqa: E402
+    zorder_key,
+    zorder_key_sql,
+    zorder_layout,
+)
+
+
+def _ref_z(vals, bits):
+    z = 0
+    for i, v in enumerate(vals):
+        for b in range(bits):
+            z |= ((v >> b) & 1) << (b * len(vals) + i)
+    return z
+
+
+def test_zorder_matches_reference_and_twin(spark):
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, "x: long, y: long")
+    got = {(r["x"], r["y"]): r["z"] for r in df.select(
+        "x", "y", zorder_key(["x", "y"], bits=3).alias("z")).collect()}
+    assert got == {(x, y): _ref_z([x, y], 3) for x, y in rows}
+    con = duckdb.connect()
+    vals = ", ".join(f"({x},{y})" for x, y in rows)
+    expr = zorder_key_sql(["x", "y"], bits=3)
+    exp = {(x, y): z for x, y, z in con.execute(
+        f"SELECT x, y, {expr} FROM (VALUES {vals}) t(x,y)").fetchall()}
+    assert got == exp
+
+
+def test_zorder_three_dims(spark):
+    rows = [(x, y, w) for x in range(4) for y in range(4)
+            for w in range(4)]
+    df = spark.createDataFrame(rows, "x: long, y: long, w: long")
+    got = sorted(r["z"] for r in df.select(
+        zorder_key(["x", "y", "w"], bits=2).alias("z")).collect())
+    assert got == list(range(64))  # 3x2-bit morton is a bijection
+
+
+def test_zorder_locality_blocks():
+    # the property the layout exists for: on a 64x64 grid, every
+    # 64-point chunk of the z-sorted order is an EXACT 8x8 block —
+    # both dims bounded at 8, vs 64 on one dim for row-major order
+    pts = sorted(((x, y) for x in range(64) for y in range(64)),
+                 key=lambda p: _ref_z(list(p), 6))
+    for c in range(64):
+        chunk = pts[c * 64:(c + 1) * 64]
+        xs = [p[0] for p in chunk]
+        ys = [p[1] for p in chunk]
+        assert max(xs) - min(xs) == 7 and max(ys) - min(ys) == 7
+
+
+def test_zorder_range_guard_and_validation(spark):
+    df = spark.createDataFrame([(9, 1)], "x: long, y: long")
+    with pytest.raises(Exception, match="out of"):
+        df.select(zorder_key(["x", "y"], bits=3)).collect()
+    # negative values also refused
+    dfn = spark.createDataFrame([(-1, 1)], "x: long, y: long")
+    with pytest.raises(Exception, match="out of"):
+        dfn.select(zorder_key(["x", "y"], bits=3)).collect()
+    with pytest.raises(ValueError, match="63"):
+        zorder_key(["a", "b"], bits=32)
+    with pytest.raises(ValueError, match="non-empty"):
+        zorder_key_sql([], bits=4)
+    with pytest.raises(ValueError, match="bits"):
+        zorder_key(["a"], bits=0)
+    with pytest.raises(ValueError, match="n_chunks"):
+        zorder_layout(df, ["x"], bits=3, n_chunks=0)
+
+
+def test_zorder_layout_sorted_within_partitions(spark):
+    rows = [((i * 29) % 32, (i * 13) % 32) for i in range(200)]
+    df = spark.createDataFrame(rows, "x: long, y: long")
+    out = zorder_layout(df, ["x", "y"], bits=5, n_chunks=4)
+    assert set(out.columns) == {"x", "y"}
+    assert out.count() == 200
+    # every partition's rows are ordered by the morton key
+    from pyspark.sql import functions as F
+    chk = out.select("x", "y", F.spark_partition_id().alias("p")).collect()
+    by_p = {}
+    for r in chk:
+        by_p.setdefault(r["p"], []).append(_ref_z([r["x"], r["y"]], 5))
+    for p, zs in by_p.items():
+        assert zs == sorted(zs), p
