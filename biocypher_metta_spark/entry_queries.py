@@ -4112,6 +4112,48 @@ SELECT o_orderkey, CAST({expr} AS BIGINT) AS zkey FROM zq"""
 QUERIES["rel_zorder_key"] = (rel_zorder_key, _zorder_gate_sql())
 
 
+def emb_mmr_rerank(spark, sf_dir):
+    """Diversity re-ranking capstone of the retrieval ladder: exact
+    quantized-dot top-60 for the fixed literal query (the _PQ_QUERY
+    vector), candidates joined back to their embeddings, then MMR
+    greedy selection of 15 (operators/mmr.mmr_rerank, lambda=0.7,
+    Arrow-batched numpy over the bounded list).  The oracle re-derives
+    the same candidate cut in SQL and replays the greedy with the k
+    steps unrolled as CTEs — two engines agreeing on the whole
+    trajectory, not just the final set."""
+    from biocypher_metta_spark.operators import mmr as mmr_ops
+
+    emb = _t(spark, sf_dir, "embeddings")
+    top = sim_ops.quantized_dot_topk(emb, _PQ_QUERY, k=60)
+    cands = top.select("vec_id").join(emb, "vec_id")
+    return mmr_ops.mmr_rerank(cands, _PQ_QUERY, k=15, dim=16,
+                              lambda_permille=700)
+
+
+def _mmr_gate_sql():
+    from biocypher_metta_spark.operators import mmr as mmr_ops
+
+    # the candidate cut: same integer dot (scale 1000, the
+    # quantized_dot_topk convention) against the literal query
+    qq = [round(float(x) * 1000) for x in _PQ_QUERY]
+    dot = " + ".join(
+        f"CAST(round(CAST(embedding[{j + 1}] AS DOUBLE) * 1000) "
+        f"AS BIGINT) * {qq[j]}" for j in range(16))
+    cands = f"""
+SELECT e.vec_id, e.embedding
+FROM embeddings e JOIN (
+  SELECT vec_id FROM (
+    SELECT vec_id, CAST({dot} AS BIGINT) AS dot FROM embeddings
+    ORDER BY dot DESC, vec_id LIMIT 60
+  ) AS mmr_top
+) AS mmr_ids USING (vec_id)"""
+    return mmr_ops.mmr_rerank_sql(cands, _PQ_QUERY, k=15, dim=16,
+                                  lambda_permille=700)
+
+
+QUERIES["emb_mmr_rerank"] = (emb_mmr_rerank, _mmr_gate_sql())
+
+
 EMB_SEMANTIC_DEDUP_SQL = f"""
 WITH RECURSIVE ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
 v AS (
@@ -5579,6 +5621,7 @@ CK_COLUMNS = {
     "doc_rrf_fusion": ["doc_id", "rrf_score"],
     "kg_hits": ["auth_fp", "hub_fp", "id"],
     "rel_zorder_key": ["o_orderkey", "zkey"],
+    "emb_mmr_rerank": ["mmr_rank", "mmr_score", "vec_id"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
@@ -5618,7 +5661,7 @@ CK_COMPOSITES = {
                             "doc_ngram_excise", "doc_chunk_fixed",
                             "web_canonical_url", "doc_weighted_sample",
                             "doc_strip_markup", "web_link_edges",
-                            "doc_rrf_fusion"],
+                            "doc_rrf_fusion", "emb_mmr_rerank"],
     "kg_graph_checks": ["kg_pagerank", "kg_hits", "emb_semantic_dedup",
                         "emb_kmeans", "emb_pq_topk",
                         "kg_triangles", "kg_kcore",

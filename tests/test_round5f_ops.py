@@ -354,3 +354,102 @@ def test_zorder_layout_sorted_within_partitions(spark):
         by_p.setdefault(r["p"], []).append(_ref_z([r["x"], r["y"]], 5))
     for p, zs in by_p.items():
         assert zs == sorted(zs), p
+
+
+# ---------------------------------------------------------------- MMR
+
+from biocypher_metta_spark.operators.mmr import (  # noqa: E402
+    mmr_rerank,
+    mmr_rerank_sql,
+)
+
+_VEC_SCHEMA = "vec_id: long, embedding: array<float>"
+
+
+def _mmr_duck(rows, query, k, dim, lam):
+    vals = ", ".join(
+        f"({i}, ARRAY[{', '.join(repr(float(x)) for x in v)}]::FLOAT[])"
+        for i, v in rows)
+    con = duckdb.connect()
+    sql = mmr_rerank_sql(
+        f"SELECT * FROM (VALUES {vals}) t(vec_id, embedding)",
+        query, k=k, dim=dim, lambda_permille=lam)
+    return [tuple(r) for r in con.execute(sql).fetchall()]
+
+
+def test_mmr_prefers_diversity(spark):
+    # near-dup of the best hit is DEMOTED below an orthogonal doc:
+    # plain top-3 for q=(1,0) is [1, 2, 3]; MMR at lambda=0.5 is
+    # [1, 2-vs-3 tie -> 2, 3] with the dup's objective crushed to 0
+    rows = [(1, [1.0, 0.0]), (2, [0.99, 0.0]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, _VEC_SCHEMA)
+    got = [tuple(r) for r in mmr_rerank(
+        df, [1.0, 0.0], k=3, dim=2, lambda_permille=500).collect()]
+    assert got[0] == (1, 1, 500 * 10000)
+    assert [g[0] for g in got] == [1, 2, 3]
+    # dup's step-2 objective is rel-sim = 0, not ~rel
+    assert got[1][2] == 0
+    assert got == _mmr_duck(rows, [1.0, 0.0], 3, 2, 500)
+
+
+def test_mmr_lambda_extremes(spark):
+    rows = [(i, [round(((i * 7 + j) % 11 - 5) / 5.0, 2)
+                 for j in range(4)]) for i in range(20)]
+    df = spark.createDataFrame(rows, _VEC_SCHEMA)
+    q = [0.5, -0.2, 0.8, 0.1]
+    # lambda=1000: pure relevance — equals dot-product order
+    got = [r[0] for r in mmr_rerank(
+        df, q, k=6, dim=4, lambda_permille=1000).collect()]
+    qq = [round(x * 100) for x in q]
+    rel = {i: sum(round(v[j] * 100) * qq[j] for j in range(4))
+           for i, v in rows}
+    exp = [i for i, _ in sorted(rel.items(),
+                                key=lambda kv: (-kv[1], kv[0]))[:6]]
+    assert got == exp
+    # both extremes match the twin
+    for lam in (0, 1000):
+        g = [tuple(r) for r in mmr_rerank(
+            df, q, k=5, dim=4, lambda_permille=lam).collect()]
+        assert g == _mmr_duck(rows, q, 5, 4, lam), lam
+
+
+def test_mmr_randomized_twin(spark):
+    rng = random.Random(19)
+    for trial in range(3):
+        n = rng.randint(3, 35)
+        rows = [(i, [round(rng.uniform(-1, 1), 2) for _ in range(5)])
+                for i in range(n)]
+        q = [round(rng.uniform(-1, 1), 2) for _ in range(5)]
+        k, lam = rng.randint(1, 10), rng.randint(0, 1000)
+        df = spark.createDataFrame(rows, _VEC_SCHEMA)
+        got = [tuple(r) for r in mmr_rerank(
+            df, q, k=k, dim=5, lambda_permille=lam).collect()]
+        assert got == _mmr_duck(rows, q, k, dim=5, lam=lam), trial
+
+
+def test_mmr_k_exceeds_candidates(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, _VEC_SCHEMA)
+    got = mmr_rerank(df, [1.0, 1.0], k=10, dim=2).collect()
+    assert len(got) == 2  # stops at the list, same as the twin
+    assert got == [tuple(r) for r in got]  # smoke shape
+    assert len(_mmr_duck(rows, [1.0, 1.0], 10, 2, 700)) == 2
+
+
+def test_mmr_validation_and_null_vector(spark):
+    df = spark.createDataFrame([(1, [1.0, 0.0])], _VEC_SCHEMA)
+    with pytest.raises(ValueError, match="k must be"):
+        mmr_rerank(df, [1.0, 0.0], k=0, dim=2)
+    with pytest.raises(ValueError, match="lambda"):
+        mmr_rerank(df, [1.0, 0.0], k=1, dim=2, lambda_permille=1001)
+    with pytest.raises(ValueError, match="coords"):
+        mmr_rerank(df, [1.0], k=1, dim=2)
+    with pytest.raises(ValueError, match="max_candidates"):
+        big = spark.range(30).selectExpr(
+            "id AS vec_id", "array(1.0f, 2.0f) AS embedding")
+        mmr_rerank(big, [1.0, 0.0], k=1, dim=2, max_candidates=10)
+    bad = spark.createDataFrame([(1, [1.0, 0.0]), (2, None)], _VEC_SCHEMA)
+    with pytest.raises(Exception, match="NULL or"):
+        mmr_rerank(bad, [1.0, 0.0], k=2, dim=2).collect()
+    with pytest.raises(ValueError, match="dim"):
+        mmr_rerank_sql("SELECT 1", [1.0], k=1, dim=0)
