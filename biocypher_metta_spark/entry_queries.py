@@ -4124,7 +4124,11 @@ def emb_mmr_rerank(spark, sf_dir):
     from biocypher_metta_spark.operators import mmr as mmr_ops
 
     emb = _t(spark, sf_dir, "embeddings")
-    top = sim_ops.quantized_dot_topk(emb, _PQ_QUERY, k=60)
+    # the query is 16-dim, the table 64-dim: slice the scored leg (the
+    # pq_topk dim= convention) — quantized_dot_topk raises on mismatch
+    emb16 = emb.select("vec_id", F.slice("embedding", 1, 16)
+                       .alias("embedding"))
+    top = sim_ops.quantized_dot_topk(emb16, _PQ_QUERY, k=60)
     cands = top.select("vec_id").join(emb, "vec_id")
     return mmr_ops.mmr_rerank(cands, _PQ_QUERY, k=15, dim=16,
                               lambda_permille=700)

@@ -138,6 +138,12 @@ def mmr_rerank_sql(cands_sql: str, query: list[float], k: int, dim: int,
     the arg-max row by (score DESC, id ASC).  A different mechanism
     (SQL window argmax per step) than the engine's numpy fold.
 
+    Every mmr_sel{i} is MATERIALIZED: step i references ALL previous
+    selections, so letting the planner inline them re-evaluates step
+    j once per downstream reference — exponential blowup that hangs
+    already at k=15 (observed; materialization makes it k linear
+    one-row scans).
+
     If the candidate list has fewer than k rows the trailing CTEs are
     empty and the output simply stops early (same as the engine)."""
     _validate(k, dim, lambda_permille)
@@ -157,7 +163,7 @@ def mmr_rerank_sql(cands_sql: str, query: list[float], k: int, dim: int,
   SELECT id, {", ".join(f"q{j}" for j in range(dim))},
          CAST({rel} AS BIGINT) AS rel
   FROM mmr_cand
-), mmr_sel1 AS (
+), mmr_sel1 AS MATERIALIZED (
   SELECT id, {", ".join(f"q{j}" for j in range(dim))}, rel,
          CAST({lam} * rel AS BIGINT) AS score
   FROM mmr_scored ORDER BY {lam} * rel DESC, id ASC LIMIT 1
@@ -171,7 +177,7 @@ def mmr_rerank_sql(cands_sql: str, query: list[float], k: int, dim: int,
         joins = "".join(f" CROSS JOIN mmr_sel{j} AS s{j}"
                         for j in range(1, i))
         excl = " AND ".join(f"c.id != s{j}.id" for j in range(1, i))
-        parts.append(f""", mmr_sel{i} AS (
+        parts.append(f""", mmr_sel{i} AS MATERIALIZED (
   SELECT c.id, {", ".join(f"c.q{j} AS q{j}" for j in range(dim))},
          c.rel,
          CAST({lam} * c.rel - {mu} * ({msim}) AS BIGINT) AS score

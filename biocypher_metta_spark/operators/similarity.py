@@ -33,13 +33,25 @@ def quantized_dot_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
                        vec_col: str = "embedding") -> DataFrame:
     """Top-k by exact integer dot product with a constant query vector.
     Map-only scoring + a single global top-k (sort spilled safely); ties
-    broken by id for determinism."""
+    broken by id for determinism.
+
+    Rows whose vector length differs from the query raise: zip_with
+    NULL-pads the shorter side, so a silent mismatch turns every dot
+    NULL and the "top-k" degenerates to first-k-by-id (observed with a
+    16-dim query on a 64-dim table) — slice the table upstream
+    (F.slice) when scoring a prefix is intended."""
     # quantize the query with F.round too (Python round is banker's —
     # would diverge from SQL HALF_UP on exact .5)
     q = quantize(F.array(*[F.lit(float(v)) for v in query_vec]))
+    dim = len(query_vec)
     scored = emb.select(
         F.col(id_col),
-        int_dot(quantize(F.col(vec_col)), q).alias("dot"),
+        F.when(F.col(vec_col).isNull() | (F.size(vec_col) != dim),
+               F.raise_error(F.concat(
+                   F.lit(f"quantized_dot_topk: NULL or non-{dim}-dim "
+                         f"vector at {id_col}="),
+                   F.col(id_col).cast("string"))))
+        .otherwise(int_dot(quantize(F.col(vec_col)), q)).alias("dot"),
     )
     return scored.orderBy(F.col("dot").desc(), F.col(id_col)).limit(k)
 

@@ -453,3 +453,39 @@ def test_mmr_validation_and_null_vector(spark):
         mmr_rerank(bad, [1.0, 0.0], k=2, dim=2).collect()
     with pytest.raises(ValueError, match="dim"):
         mmr_rerank_sql("SELECT 1", [1.0], k=1, dim=0)
+
+
+def test_mmr_wider_table_vectors_sliced(spark):
+    # table vectors LONGER than dim: mmr scores the first dim coords
+    # (the pq_topk dim= convention) — the extra coords, which would
+    # flip the order if counted, must not leak into rel or sim
+    rows = [(1, [1.0, 0.0, -9.0, -9.0]), (2, [0.99, 0.0, 9.0, 9.0]),
+            (3, [0.0, 1.0, 9.0, -9.0])]
+    df = spark.createDataFrame(rows, _VEC_SCHEMA)
+    # lambda=400 makes the near-dup's redundancy outweigh relevance:
+    # [1, 3, 2] on the 2-dim prefix; counting the planted wide coords
+    # would instead rank 2 or 3 first (their tails dominate)
+    got = [tuple(r) for r in mmr_rerank(
+        df, [1.0, 0.0], k=3, dim=2, lambda_permille=400).collect()]
+    assert [g[0] for g in got] == [1, 3, 2]
+    two = [(i, v[:2]) for i, v in rows]
+    assert got == _mmr_duck(two, [1.0, 0.0], 3, 2, 400)
+
+
+def test_quantized_dot_topk_dim_mismatch_raises(spark):
+    # regression: zip_with NULL-pads a length mismatch, silently
+    # turning every dot NULL and the top-k into first-k-by-id — the
+    # emb_mmr_rerank gate shipped exactly this bug (16-dim query on
+    # the 64-dim table) before the guard
+    from biocypher_metta_spark.operators.similarity import (
+        quantized_dot_topk)
+
+    wide = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [0.5, 0.5, 0.5, 0.5])],
+        _VEC_SCHEMA)
+    with pytest.raises(Exception, match="non-2-dim"):
+        quantized_dot_topk(wide, [1.0, 0.0], k=2).collect()
+    nulled = spark.createDataFrame([(1, [1.0, 0.0]), (2, None)],
+                                   _VEC_SCHEMA)
+    with pytest.raises(Exception, match="NULL or"):
+        quantized_dot_topk(nulled, [1.0, 0.0], k=2).collect()

@@ -106,6 +106,63 @@ def count_candidates(queries, corpus, dim, n_planes, probe_bits):
     return probes * (own or 0.0)
 
 
+def pq_recall(spark, corpus, dim: int, corpus_n: int, dist: str,
+              n_q: int = 20, rerank_r: int = 50):
+    """Recall@k of the PQ path, measured against PQ's OWN metric —
+    exact quantized L2 over the full corpus (ADC estimates distance to
+    the assigned centroid, so measuring it against dot-product truth
+    would conflate metric mismatch with quantization loss).  Two rows:
+    ADC top-k alone (the compressed-domain floor) and ADC top-R +
+    exact rerank (the documented production recipe)."""
+    from biocypher_metta_spark.operators.pq import (
+        pq_adc_topk, pq_encode, pq_train)
+
+    m = 4 if dim % 4 == 0 else 2
+    t0 = time.time()
+    books = pq_train(corpus, m=m, k=16, dim=dim, iterations=2)
+    codes = pq_encode(corpus, books, dim=dim).cache()
+    codes.count()
+    t_build = time.time() - t0
+    qrows = synth_vectors(spark, n_q, dim, "q_id", "pq_q").collect()
+
+    def _l2_topk(q, k):
+        qq = [round(float(x) * QUANT) for x in q]
+        terms = " + ".join(
+            f"(CAST(round(CAST(embedding[{j + 1}] AS DOUBLE) * {QUANT}) "
+            f"AS BIGINT) - ({qq[j]})) * "
+            f"(CAST(round(CAST(embedding[{j + 1}] AS DOUBLE) * {QUANT}) "
+            f"AS BIGINT) - ({qq[j]}))" for j in range(dim))
+        return (corpus.select("vec_id", F.expr(terms).alias("_d"))
+                .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+                .limit(k))
+
+    hit_adc = hit_rr = total = 0
+    t0 = time.time()
+    for r in qrows:
+        q = [float(x) for x in r["embedding"]]
+        truth = {x["vec_id"] for x in _l2_topk(q, K).collect()}
+        adc = pq_adc_topk(codes, q, books, topk=K)
+        got_adc = {x["vec_id"] for x in adc.collect()}
+        cand = pq_adc_topk(codes, q, books, topk=rerank_r)
+        rr = (_l2_topk(q, corpus_n)  # exact distances...
+              .join(cand.select("vec_id"), "vec_id")  # ...on survivors
+              .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+              .limit(K))
+        got_rr = {x["vec_id"] for x in rr.collect()}
+        hit_adc += len(got_adc & truth)
+        hit_rr += len(got_rr & truth)
+        total += len(truth)
+    codes.unpersist()
+    for label, hits in (("pq_adc", hit_adc),
+                        (f"pq_adc{rerank_r}_rerank", hit_rr)):
+        print(json.dumps({
+            "dist": dist, "corpus": corpus_n, "queries": n_q,
+            "dim": dim, "index": label, "m": m, "codebook_k": 16,
+            "k": K, "recall": round(hits / total, 4),
+            "build_sec": round(t_build, 2),
+            "sec": round(time.time() - t0, 2)}), flush=True)
+
+
 def main():
     corpus_n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 100
@@ -113,8 +170,18 @@ def main():
               (sys.argv[3] if len(sys.argv) > 3 else "6,8").split(",")]
     dims = [int(x) for x in
             (sys.argv[4] if len(sys.argv) > 4 else "16,32").split(",")]
+    pq_only = "pq" in sys.argv[5:]
     probe_sweep = [2] if max(planes) >= 16 else [0, 1, 2]
     spark = get_spark("knn-recall", master="local[32]")
+    if pq_only:
+        for dist in ("uniform", "clustered"):
+            gen = synth_vectors if dist == "uniform" else synth_clustered
+            for dim in dims:
+                corpus = gen(spark, corpus_n, dim, "vec_id", "c").cache()
+                pq_recall(spark, corpus, dim, corpus_n, dist)
+                corpus.unpersist()
+        spark.stop()
+        return
     for dist in ("uniform", "clustered"):
         gen = synth_vectors if dist == "uniform" else synth_clustered
         for dim in dims:
