@@ -29,6 +29,14 @@ is `similarity.dot_topk` over the ADC survivors — composable here by
 construction.  The gate checks the PQ machinery itself bit-for-bit
 against an independently trained SQL twin, not a recall claim.
 
+Sizing rule (measured, BENCH.md round-5 PQ table): codebook capacity
+is the whole game — at 10^6 uniform rows, gate-sized m=4 x k=16 is
+recall@10 0.18 even with rerank-50, while m=8 x k=64 reaches 0.995;
+production sizes are m=8-16, k=256.  Regime rule: a clustered corpus
+queried from OFF-cluster is PQ's adversarial case (capacity is spent
+within clusters; 0.44 recall even at 8 x 64) — prefer IVF partition
+pruning or exact quantized_dot_topk there.
+
 Overflow bound (same as kmeans.py): per-coordinate diff <=
 2*max|v|*quant_scale, squared and summed over dim/m coords must fit
 int64; the ADC sum adds log2(m) bits on top.

@@ -107,7 +107,8 @@ def count_candidates(queries, corpus, dim, n_planes, probe_bits):
 
 
 def pq_recall(spark, corpus, dim: int, corpus_n: int, dist: str,
-              n_q: int = 20, rerank_r: int = 50):
+              n_q: int = 20, rerank_r: int = 50, m: int = 0,
+              book_k: int = 16):
     """Recall@k of the PQ path, measured against PQ's OWN metric —
     exact quantized L2 over the full corpus (ADC estimates distance to
     the assigned centroid, so measuring it against dot-product truth
@@ -117,9 +118,9 @@ def pq_recall(spark, corpus, dim: int, corpus_n: int, dist: str,
     from biocypher_metta_spark.operators.pq import (
         pq_adc_topk, pq_encode, pq_train)
 
-    m = 4 if dim % 4 == 0 else 2
+    m = m or (4 if dim % 4 == 0 else 2)
     t0 = time.time()
-    books = pq_train(corpus, m=m, k=16, dim=dim, iterations=2)
+    books = pq_train(corpus, m=m, k=book_k, dim=dim, iterations=2)
     codes = pq_encode(corpus, books, dim=dim).cache()
     codes.count()
     t_build = time.time() - t0
@@ -127,10 +128,12 @@ def pq_recall(spark, corpus, dim: int, corpus_n: int, dist: str,
 
     def _l2_topk(q, k):
         qq = [round(float(x) * QUANT) for x in q]
+        # Spark SQL bracket indexing is 0-based (element_at is the
+        # 1-based one) — embedding[dim] would throw INVALID_ARRAY_INDEX
         terms = " + ".join(
-            f"(CAST(round(CAST(embedding[{j + 1}] AS DOUBLE) * {QUANT}) "
+            f"(CAST(round(CAST(embedding[{j}] AS DOUBLE) * {QUANT}) "
             f"AS BIGINT) - ({qq[j]})) * "
-            f"(CAST(round(CAST(embedding[{j + 1}] AS DOUBLE) * {QUANT}) "
+            f"(CAST(round(CAST(embedding[{j}] AS DOUBLE) * {QUANT}) "
             f"AS BIGINT) - ({qq[j]}))" for j in range(dim))
         return (corpus.select("vec_id", F.expr(terms).alias("_d"))
                 .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
@@ -157,7 +160,7 @@ def pq_recall(spark, corpus, dim: int, corpus_n: int, dist: str,
                         (f"pq_adc{rerank_r}_rerank", hit_rr)):
         print(json.dumps({
             "dist": dist, "corpus": corpus_n, "queries": n_q,
-            "dim": dim, "index": label, "m": m, "codebook_k": 16,
+            "dim": dim, "index": label, "m": m, "codebook_k": book_k,
             "k": K, "recall": round(hits / total, 4),
             "build_sec": round(t_build, 2),
             "sec": round(time.time() - t0, 2)}), flush=True)
@@ -170,7 +173,15 @@ def main():
               (sys.argv[3] if len(sys.argv) > 3 else "6,8").split(",")]
     dims = [int(x) for x in
             (sys.argv[4] if len(sys.argv) > 4 else "16,32").split(",")]
-    pq_only = "pq" in sys.argv[5:]
+    # "pq" = gate-sized codebooks (m auto, k=16); "pq:M:K" overrides —
+    # the sweep's knob for showing recall scale with codebook capacity
+    pq_only, pq_m, pq_k = False, 0, 16
+    for a in sys.argv[5:]:
+        if a == "pq" or a.startswith("pq:"):
+            pq_only = True
+            if ":" in a:
+                _, m_s, k_s = a.split(":")
+                pq_m, pq_k = int(m_s), int(k_s)
     probe_sweep = [2] if max(planes) >= 16 else [0, 1, 2]
     spark = get_spark("knn-recall", master="local[32]")
     if pq_only:
@@ -178,7 +189,8 @@ def main():
             gen = synth_vectors if dist == "uniform" else synth_clustered
             for dim in dims:
                 corpus = gen(spark, corpus_n, dim, "vec_id", "c").cache()
-                pq_recall(spark, corpus, dim, corpus_n, dist)
+                pq_recall(spark, corpus, dim, corpus_n, dist,
+                          m=pq_m, book_k=pq_k)
                 corpus.unpersist()
         spark.stop()
         return
