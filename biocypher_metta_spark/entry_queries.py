@@ -4158,6 +4158,55 @@ FROM embeddings e JOIN (
 QUERIES["emb_mmr_rerank"] = (emb_mmr_rerank, _mmr_gate_sql())
 
 
+def doc_retrieval_ladder(spark, sf_dir):
+    """The full 3-stage hybrid-retrieval ladder as ONE composition:
+    lexical leg (integer BM25 top-40 on documents.text) + compressed
+    vector leg (PQ train->encode->ADC top-40 on embeddings, the
+    emb_pq_topk recipe) -> reciprocal-rank fusion top-30 -> candidates
+    joined back to their vectors -> MMR diverse selection of 10.
+    Every stage is an independently-gated operator; this gate proves
+    they compose cross-engine END-TO-END (the oracle chains the
+    bm25/PQ/rrf/mmr SQL twins — different ranking mechanisms at every
+    stage — and must reproduce the exact final selection trajectory)."""
+    from biocypher_metta_spark.operators import mmr as mmr_ops
+    from biocypher_metta_spark.operators.pq import pq_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = retrieval_ops.bm25_topk(docs, _BM25_GATE_Q, k=40)
+    pqleg = pq_topk(emb, _PQ_QUERY, m=4, k=4, dim=16, topk=40,
+                    iterations=2)
+    fused = retrieval_ops.rrf_fuse(
+        [(lex, "doc_id", "score", True),
+         (pqleg, "vec_id", "adc_dist", False)], topk=30)
+    # doc_id and vec_id share the id space in the testdata; candidates
+    # without a vector (bm25-only ids past the embeddings table) drop
+    # in BOTH engines (inner join)
+    cands = fused.select(F.col("doc_id").alias("vec_id")).join(emb,
+                                                               "vec_id")
+    return mmr_ops.mmr_rerank(cands, _PQ_QUERY, k=10, dim=16,
+                              lambda_permille=700)
+
+
+def _ladder_gate_sql():
+    from biocypher_metta_spark.operators import mmr as mmr_ops
+    from biocypher_metta_spark.operators.pq import pq_topk_sql
+
+    legs = [(retrieval_ops.bm25_topk_sql(_BM25_GATE_Q, k=40),
+             "doc_id", "score", True),
+            (pq_topk_sql(_PQ_QUERY, m=4, k=4, dim=16, topk=40,
+                         iterations=2), "vec_id", "adc_dist", False)]
+    rrf_sql = retrieval_ops.rrf_fuse_sql(legs, topk=30)
+    cands_sql = (f"SELECT e.vec_id, e.embedding FROM embeddings e "
+                 f"JOIN ({rrf_sql}) r ON e.vec_id = r.doc_id")
+    return mmr_ops.mmr_rerank_sql(cands_sql, _PQ_QUERY, k=10, dim=16,
+                                  lambda_permille=700)
+
+
+QUERIES["doc_retrieval_ladder"] = (doc_retrieval_ladder,
+                                   _ladder_gate_sql())
+
+
 EMB_SEMANTIC_DEDUP_SQL = f"""
 WITH RECURSIVE ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
 v AS (
@@ -5626,6 +5675,7 @@ CK_COLUMNS = {
     "kg_hits": ["auth_fp", "hub_fp", "id"],
     "rel_zorder_key": ["o_orderkey", "zkey"],
     "emb_mmr_rerank": ["mmr_rank", "mmr_score", "vec_id"],
+    "doc_retrieval_ladder": ["mmr_rank", "mmr_score", "vec_id"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
@@ -5665,7 +5715,8 @@ CK_COMPOSITES = {
                             "doc_ngram_excise", "doc_chunk_fixed",
                             "web_canonical_url", "doc_weighted_sample",
                             "doc_strip_markup", "web_link_edges",
-                            "doc_rrf_fusion", "emb_mmr_rerank"],
+                            "doc_rrf_fusion", "emb_mmr_rerank",
+                            "doc_retrieval_ladder"],
     "kg_graph_checks": ["kg_pagerank", "kg_hits", "emb_semantic_dedup",
                         "emb_kmeans", "emb_pq_topk",
                         "kg_triangles", "kg_kcore",

@@ -489,3 +489,21 @@ def test_quantized_dot_topk_dim_mismatch_raises(spark):
                                    _VEC_SCHEMA)
     with pytest.raises(Exception, match="NULL or"):
         quantized_dot_topk(nulled, [1.0, 0.0], k=2).collect()
+
+
+def test_retrieval_ladder_gate_matches_twin(spark):
+    # the 3-stage composition (bm25 + PQ -> RRF -> MMR) end-to-end vs
+    # the chained SQL twins — the trajectory, not just the final set
+    from biocypher_metta_spark import entry_queries as eq
+
+    sf = "/root/testdata/sf0.001"
+    fn, sql = eq.QUERIES["doc_retrieval_ladder"]
+    got = sorted(tuple(r) for r in fn(spark, sf).collect())
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM '{sf}/{t}.parquet'")
+    exp = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == exp
+    assert len(got) == 10
+    assert {r[1] for r in got} == set(range(1, 11))
