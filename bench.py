@@ -135,7 +135,8 @@ def main() -> None:
              "doc_bpe_train", "doc_bpe_encode", "rel_outlier_flags",
              "rel_fuzzy_join", "rel_event_transitions", "rel_twap",
              "rel_funnel_windowed", "doc_rrf_fusion", "kg_hits",
-             "rel_zorder_key", "emb_mmr_rerank", "doc_retrieval_ladder"]
+             "rel_zorder_key", "emb_mmr_rerank", "doc_retrieval_ladder",
+             "kg_scc"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):

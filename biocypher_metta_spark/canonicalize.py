@@ -163,6 +163,72 @@ def transitive_closure(edges: DataFrame, src: str = "src",
     return cur.select(F.col("s").alias(src), F.col("d").alias(dst))
 
 
+def strongly_connected(edges: DataFrame, src: str = "src",
+                       dst: str = "dst",
+                       max_iter: int = 20) -> DataFrame:
+    """SCC labels from mutual reachability: scc(u) = min(u, min{v :
+    u ->* v AND v ->* u}) — every node of the edge set gets a row
+    (node, scc); a node on no cycle labels itself (trivial SCC).
+
+    The KG use case is CYCLE DETECTION in supposed-DAG hierarchies
+    (is_a/subClassOf loops are data-quality errors the reference's
+    driver-side ontology walk would spin on): any scc shared by more
+    than one node names a loop, and the label is a canonical
+    representative for collapsing it.
+
+    Built on transitive_closure (path doubling, ceil(log2 D) shuffle
+    rounds) plus ONE pair-keyed self-join — (u,v) matches (v,u), an
+    equi-join on both columns, output bounded by the closure size —
+    and a node-keyed min aggregation.  Scale caveat is the closure's
+    (documented there): output-bound, quadratic on one giant cycle —
+    the intended domain is sparse near-DAGs where cycles are small
+    anomalies, exactly where closure size stays near-linear.
+    """
+    c = transitive_closure(edges, src, dst, max_iter)
+    mutual = (c.alias("a")
+              .join(c.alias("b"),
+                    (F.col("a." + src) == F.col("b." + dst))
+                    & (F.col("a." + dst) == F.col("b." + src)))
+              .select(F.col("a." + src).alias("n"),
+                      F.col("a." + dst).alias("m")))
+    nodes = (edges.select(F.col(src).alias("n"))
+             .unionByName(edges.select(F.col(dst).alias("n")))
+             .distinct())
+    return (nodes.join(mutual, "n", "left")
+            .groupBy("n")
+            .agg(F.least(F.col("n"), F.coalesce(F.min("m"), F.col("n")))
+                 .alias("scc"))
+            .select(F.col("n").alias("node"), "scc"))
+
+
+def strongly_connected_sql(edges_sql: str, src: str = "src",
+                           dst: str = "dst") -> str:
+    """DuckDB twin of strongly_connected: recursive-CTE closure
+    (semi-naive iteration — a different strategy than the engine's
+    path doubling; UNION's dedup is the fixed point, so cycles
+    terminate), the same mutual self-join, the same node-min label."""
+    return f"""WITH RECURSIVE scc_e AS (
+  SELECT {src} AS s, {dst} AS d FROM ({edges_sql.strip()}) AS scc_in
+  WHERE {src} <> {dst}
+), scc_r AS (
+  SELECT s, d FROM scc_e
+  UNION
+  SELECT scc_r.s, scc_e.d FROM scc_r JOIN scc_e ON scc_r.d = scc_e.s
+  WHERE scc_r.s <> scc_e.d
+), scc_m AS (
+  SELECT a.s AS n, a.d AS m
+  FROM scc_r AS a JOIN scc_r AS b ON a.s = b.d AND a.d = b.s
+), scc_n AS (
+  SELECT {src} AS n FROM ({edges_sql.strip()}) AS scc_in1
+  UNION
+  SELECT {dst} AS n FROM ({edges_sql.strip()}) AS scc_in2
+)
+SELECT scc_n.n AS node,
+       least(scc_n.n, coalesce(min(scc_m.m), scc_n.n)) AS scc
+FROM scc_n LEFT JOIN scc_m ON scc_n.n = scc_m.n
+GROUP BY scc_n.n"""
+
+
 def survivorship_merge(records: DataFrame, cluster_col: str,
                        precedence_cols: list[str],
                        field_cols: list[str]) -> DataFrame:

@@ -4074,6 +4074,41 @@ KG_HITS_SQL = graph_ops.hits_sql(
 QUERIES["kg_hits"] = (kg_hits, KG_HITS_SQL)
 
 
+def kg_scc(spark, sf_dir):
+    """SCC labels / cycle detection (canonicalize.strongly_connected —
+    mutual reachability over the path-doubled closure) on a planted
+    near-DAG: 40 six-node cycles (node c = i % 240 points to the next
+    position in its block of 6) plus 120 trivial tail nodes (240 + i %
+    120 each pointing into a cycle) — so nontrivial SCCs, their
+    canonical minima, and self-labeled DAG nodes are all live.  Twin:
+    recursive-CTE closure (semi-naive, UNION fixed point) + the same
+    mutual join and node-min."""
+    from biocypher_metta_spark.canonicalize import strongly_connected
+
+    ids = _ids(spark, sf_dir)
+    c = F.col("i") % 240
+    cyc = ids.select(c.alias("src"),
+                     ((c - c % 6) + (c % 6 + 1) % 6).alias("dst"))
+    t = F.col("i") % 120 + 240
+    tail = ids.select(t.alias("src"), (t - 240).alias("dst"))
+    return strongly_connected(cyc.unionByName(tail))
+
+
+from biocypher_metta_spark.canonicalize import strongly_connected_sql
+
+KG_SCC_SQL = strongly_connected_sql("""
+SELECT CAST(doc_id AS BIGINT) % 240 AS src,
+       (CAST(doc_id AS BIGINT) % 240 - CAST(doc_id AS BIGINT) % 240 % 6)
+       + (CAST(doc_id AS BIGINT) % 240 % 6 + 1) % 6 AS dst
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS BIGINT) % 120 + 240 AS src,
+       CAST(doc_id AS BIGINT) % 120 AS dst
+FROM documents""")
+
+QUERIES["kg_scc"] = (kg_scc, KG_SCC_SQL)
+
+
 def rel_zorder_key(spark, sf_dir):
     """Morton interleave keys (operators/zorder.zorder_key, 12 bits x
     2 dims) over orders quantized to a 4096^2 grid — the data-skipping
@@ -5662,6 +5697,7 @@ CK_COLUMNS = {
     "rel_snapshot_diff": ["cents_new", "cents_old", "change", "k",
                           "o_orderstatus_new", "o_orderstatus_old"],
     "kg_bfs": ["dist", "node"],
+    "kg_scc": ["node", "scc"],
     "kg_jaccard_links": ["jaccard_permille", "n_common", "node_a",
                          "node_b"],
     "doc_lm_train": ["bigram", "n"],
@@ -5722,7 +5758,7 @@ CK_COMPOSITES = {
                         "kg_triangles", "kg_kcore",
                         "kg_lpa", "kg_cooccurrence", "kg_jaccard_links",
                         "kg_bfs", "kg_survivorship",
-                        "kg_entity_resolution"],
+                        "kg_entity_resolution", "kg_scc"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",

@@ -102,10 +102,28 @@ def run_mmr(spark, r: int) -> dict:
             "sec": round(time.time() - t0, 2)}
 
 
+def run_scc(spark, n: int) -> dict:
+    from biocypher_metta_spark.canonicalize import strongly_connected
+
+    # the kg_scc gate shape scaled: n/6 six-node cycles + n/2 tails;
+    # closure stays linear (6 ancestors per cycle node, 7 per tail)
+    blocks = (n // 6) * 6
+    c = F.col("id") % blocks
+    cyc = spark.range(n).select(
+        c.alias("src"), ((c - c % 6) + (c % 6 + 1) % 6).alias("dst"))
+    t = F.col("id") % (n // 2) + blocks
+    tail = spark.range(n).select(t.alias("src"), (t - blocks).alias("dst"))
+    t0 = time.time()
+    rows = strongly_connected(cyc.unionByName(tail)).count()
+    return {"edge_rows": 2 * n, "rows": rows,
+            "sec": round(time.time() - t0, 2)}
+
+
 def main():
     spark = get_spark("rehearsal-r5g")
     spark.sparkContext.setLogLevel("ERROR")
-    ops = {"hits": (run_hits, 2_000_000),
+    ops = {"scc": (run_scc, 600_000),
+           "hits": (run_hits, 2_000_000),
            "zorder": (run_zorder, 2_000_000),
            "rrf": (run_rrf, 20_000),
            "mmr": (run_mmr, 10_000)}
