@@ -4109,6 +4109,24 @@ FROM documents""")
 QUERIES["kg_scc"] = (kg_scc, KG_SCC_SQL)
 
 
+def emb_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss reduction (similarity.random_projection):
+    the 64-dim embeddings table projected to 8 integer components
+    through the deterministic sparse Achlioptas matrix — the cheap
+    map-only pre-reduction before LSH blocking / sketching at high
+    dim.  Twin: the identical literal coefficient matrix (shared
+    pure-Python generator) as one flat SELECT."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.random_projection(emb, dim=64, out_dim=8)
+
+
+EMB_RANDOM_PROJECTION_SQL = sim_ops.random_projection_sql(
+    "SELECT vec_id, embedding FROM embeddings", dim=64, out_dim=8)
+
+QUERIES["emb_random_projection"] = (emb_random_projection,
+                                    EMB_RANDOM_PROJECTION_SQL)
+
+
 def rel_zorder_key(spark, sf_dir):
     """Morton interleave keys (operators/zorder.zorder_key, 12 bits x
     2 dims) over orders quantized to a 4096^2 grid — the data-skipping
@@ -5698,6 +5716,8 @@ CK_COLUMNS = {
                           "o_orderstatus_new", "o_orderstatus_old"],
     "kg_bfs": ["dist", "node"],
     "kg_scc": ["node", "scc"],
+    "emb_random_projection": ["p0", "p1", "p2", "p3", "p4", "p5",
+                              "p6", "p7", "vec_id"],
     "kg_jaccard_links": ["jaccard_permille", "n_common", "node_a",
                          "node_b"],
     "doc_lm_train": ["bigram", "n"],
@@ -5758,7 +5778,8 @@ CK_COMPOSITES = {
                         "kg_triangles", "kg_kcore",
                         "kg_lpa", "kg_cooccurrence", "kg_jaccard_links",
                         "kg_bfs", "kg_survivorship",
-                        "kg_entity_resolution", "kg_scc"],
+                        "kg_entity_resolution", "kg_scc",
+                        "emb_random_projection"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",

@@ -371,3 +371,88 @@ def ivf_knn_join(queries: DataFrame, corpus: DataFrame,
     return (joined.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(q_id, c_id, "dot", "rank"))
+
+
+def projection_coefficients(dim: int, out_dim: int,
+                            seed: int = 7) -> list[list[int]]:
+    """Deterministic sparse Achlioptas coefficients [Achlioptas,
+    JCSS'03]: entry (j, i) is +1 / -1 / 0 with probability 1/6, 1/6,
+    2/3 — the database-friendly Johnson-Lindenstrauss matrix (2/3 of
+    the multiply-adds vanish; distances are preserved in expectation
+    up to the constant sqrt(3)/sqrt(out_dim), which rank/threshold
+    consumers never need).  Generated by the same pure-Python LCG as
+    _hyperplane — engine-independent by construction, so the Spark
+    projection and its SQL twin share ONE literal matrix and cannot
+    drift."""
+    if dim < 1 or out_dim < 1:
+        raise ValueError(f"dim and out_dim must be >= 1, "
+                         f"got dim={dim}, out_dim={out_dim}")
+    coefs = []
+    x = (seed * 2654435761) % (1 << 32)
+    for _ in range(out_dim):
+        row = []
+        for _ in range(dim):
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            r = (x >> 16) % 6
+            row.append(1 if r == 0 else (-1 if r == 1 else 0))
+        coefs.append(row)
+    return coefs
+
+
+def random_projection(emb: DataFrame, dim: int, out_dim: int,
+                      seed: int = 7, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      quant_scale: int = QUANT_SCALE) -> DataFrame:
+    """Johnson-Lindenstrauss reduction of an embedding column to
+    out_dim integer components (id_col, p0..p{out_dim-1}): p_j =
+    sum_i coef[j][i] * round(v_i * quant_scale) over the sparse
+    {-1,0,+1} Achlioptas matrix — EXACT integer arithmetic, so the
+    SQL twin matches bit-for-bit and downstream blocking (LSH on the
+    reduced vectors, dedup sketches, cheap pre-filters before exact
+    rescoring) is reproducible across engines.
+
+    Map-only: the coefficients fold into the projection as literals
+    (~dim/3 add/subtract terms per output, whole-stage codegen, no
+    shuffle, no UDF).  Rows with a NULL or short vector raise — the
+    quantized_dot_topk contract; slice upstream to project a prefix.
+
+    Overflow: |p_j| <= dim * quant_scale * max|v| — at dim 4096,
+    scale 1000, |v| <= 1 that is ~4e6, vast int64 headroom."""
+    coefs = projection_coefficients(dim, out_dim, seed)
+    q = [F.round(F.element_at(F.col(vec_col), i + 1).cast("double")
+                 * quant_scale).cast("long") for i in range(dim)]
+    cols = []
+    for j, row in enumerate(coefs):
+        terms = [q[i] if c == 1 else (-q[i])
+                 for i, c in enumerate(row) if c]
+        expr = terms[0] if terms else F.lit(0).cast("long")
+        for t in terms[1:]:
+            expr = expr + t
+        cols.append(
+            F.when(F.col(vec_col).isNull() | (F.size(vec_col) < dim),
+                   F.raise_error(F.concat(
+                       F.lit(f"random_projection: NULL or <{dim}-dim "
+                             f"vector at {id_col}="),
+                       F.col(id_col).cast("string"))))
+            .otherwise(expr).alias(f"p{j}"))
+    return emb.select(F.col(id_col), *cols)
+
+
+def random_projection_sql(table_sql: str, dim: int, out_dim: int,
+                          seed: int = 7, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          quant_scale: int = QUANT_SCALE) -> str:
+    """DuckDB twin of random_projection — the SAME literal coefficient
+    matrix (shared generator), the same quantize-then-signed-sum, as
+    one flat SELECT (1-based list indexing on the DuckDB side)."""
+    coefs = projection_coefficients(dim, out_dim, seed)
+    qs = [f"CAST(round(CAST({vec_col}[{i + 1}] AS DOUBLE) "
+          f"* {quant_scale}) AS BIGINT)" for i in range(dim)]
+    outs = []
+    for j, row in enumerate(coefs):
+        terms = [(f"+ {qs[i]}" if c == 1 else f"- {qs[i]}")
+                 for i, c in enumerate(row) if c]
+        body = " ".join(terms).lstrip("+ ") if terms else "0"
+        outs.append(f"CAST({body} AS BIGINT) AS p{j}")
+    return (f"SELECT {id_col}, {', '.join(outs)} "
+            f"FROM ({table_sql.strip()}) AS rp_in")

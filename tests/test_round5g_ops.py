@@ -82,3 +82,71 @@ def test_scc_non_convergence_raises(spark):
                                "src: long, dst: long")
     with pytest.raises(RuntimeError, match="fixed point"):
         strongly_connected(df, max_iter=2)
+
+
+# ------------------------------------------------- random projection
+
+from biocypher_metta_spark.operators.similarity import (  # noqa: E402
+    projection_coefficients,
+    random_projection,
+    random_projection_sql,
+)
+
+_VEC = "vec_id: long, embedding: array<float>"
+
+
+def test_projection_hand_and_twin(spark):
+    rng = random.Random(3)
+    rows = [(i, [round(rng.uniform(-1, 1), 3) for _ in range(10)])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, _VEC)
+    got = sorted(tuple(r) for r in
+                 random_projection(df, dim=10, out_dim=4).collect())
+    vals = ", ".join(
+        f"({i}, ARRAY[{', '.join(repr(float(x)) for x in v)}]::FLOAT[])"
+        for i, v in rows)
+    sql = random_projection_sql(
+        f"SELECT * FROM (VALUES {vals}) t(vec_id, embedding)",
+        dim=10, out_dim=4)
+    assert got == sorted(tuple(r) for r in
+                         duckdb.connect().execute(sql).fetchall())
+    # hand-fold row 0 through the shared coefficient matrix
+    co = projection_coefficients(10, 4)
+    i, v = rows[0]
+    q = [round(float(x) * 1000) for x in v]
+    assert got[0] == tuple(
+        [i] + [sum(c * q[x] for x, c in enumerate(row)) for row in co])
+
+
+def test_projection_linearity_and_prefix(spark):
+    # exact-integer linearity on exactly-representable values, and
+    # prefix semantics for vectors longer than dim
+    co = projection_coefficients(6, 3)
+    df = spark.createDataFrame(
+        [(1, [0.5] * 6), (2, [1.0] * 6), (3, [0.25] * 8)], _VEC)
+    got = {r["vec_id"]: tuple(r)[1:] for r in
+           random_projection(df, dim=6, out_dim=3).collect()}
+    assert got[1] == tuple(sum(c * 500 for c in row) for row in co)
+    assert got[2] == tuple(2 * x for x in got[1])
+    assert got[3] == tuple(sum(c * 250 for c in row) for row in co)
+
+
+def test_projection_sparsity_is_achlioptas(spark):
+    # ~1/3 of entries nonzero, both signs present, deterministic
+    co = projection_coefficients(300, 4)
+    flat = [c for row in co for c in row]
+    nz = sum(1 for c in flat if c)
+    assert 0.25 < nz / len(flat) < 0.42
+    assert {1, -1} <= set(flat)
+    assert co == projection_coefficients(300, 4)
+    assert co != projection_coefficients(300, 4, seed=11)
+
+
+def test_projection_validation(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0]), (2, None)], _VEC)
+    with pytest.raises(Exception, match="NULL or"):
+        random_projection(df, dim=2, out_dim=2).collect()
+    with pytest.raises(ValueError, match=">= 1"):
+        projection_coefficients(0, 3)
+    with pytest.raises(ValueError, match=">= 1"):
+        random_projection_sql("SELECT 1", dim=4, out_dim=0)
