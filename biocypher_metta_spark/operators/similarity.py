@@ -417,25 +417,36 @@ def random_projection(emb: DataFrame, dim: int, out_dim: int,
     quantized_dot_topk contract; slice upstream to project a prefix.
 
     Overflow: |p_j| <= dim * quant_scale * max|v| — at dim 4096,
-    scale 1000, |v| <= 1 that is ~4e6, vast int64 headroom."""
+    scale 1000, |v| <= 1 that is ~4e6, vast int64 headroom.
+
+    Codegen note: the quantized array is hoisted into ONE guarded
+    intermediate column and the outputs read it via element_at —
+    inlining round(element*scale) into every signed term (~out_dim/3
+    uses per coord, further duplicated by downstream hashing) was measured
+    to blow the generated projection method past janino's limits
+    (12.5k-line method, compile failure, interpreted fallback)."""
     coefs = projection_coefficients(dim, out_dim, seed)
-    q = [F.round(F.element_at(F.col(vec_col), i + 1).cast("double")
-                 * quant_scale).cast("long") for i in range(dim)]
+    quant = F.transform(
+        F.slice(F.col(vec_col), 1, dim),
+        lambda x: F.round(x.cast("double") * quant_scale).cast("long"))
+    prepared = emb.select(
+        F.col(id_col),
+        F.when(F.col(vec_col).isNull() | (F.size(vec_col) < dim),
+               F.raise_error(F.concat(
+                   F.lit(f"random_projection: NULL or <{dim}-dim "
+                         f"vector at {id_col}="),
+                   F.col(id_col).cast("string"))))
+        .otherwise(quant).alias("_q"))
     cols = []
     for j, row in enumerate(coefs):
-        terms = [q[i] if c == 1 else (-q[i])
+        terms = [F.element_at("_q", i + 1) if c == 1
+                 else (-F.element_at("_q", i + 1))
                  for i, c in enumerate(row) if c]
         expr = terms[0] if terms else F.lit(0).cast("long")
         for t in terms[1:]:
             expr = expr + t
-        cols.append(
-            F.when(F.col(vec_col).isNull() | (F.size(vec_col) < dim),
-                   F.raise_error(F.concat(
-                       F.lit(f"random_projection: NULL or <{dim}-dim "
-                             f"vector at {id_col}="),
-                       F.col(id_col).cast("string"))))
-            .otherwise(expr).alias(f"p{j}"))
-    return emb.select(F.col(id_col), *cols)
+        cols.append(expr.alias(f"p{j}"))
+    return prepared.select(F.col(id_col), *cols)
 
 
 def random_projection_sql(table_sql: str, dim: int, out_dim: int,
