@@ -4127,6 +4127,32 @@ QUERIES["emb_random_projection"] = (emb_random_projection,
                                     EMB_RANDOM_PROJECTION_SQL)
 
 
+def emb_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ (pq.ivfpq_topk) — the canonical big-corpus ANN
+    composition: integer-Lloyd coarse quantizer (8 cells, 2 rounds)
+    prunes to the query's 3 nearest cells, global PQ codebooks
+    (m=4, k=4) ADC-score only the survivors, top-20.  The oracle
+    composes FOUR generated twins (kmeans assign + centroid model,
+    cell ranking by the same integer distance, the PQ twin's
+    restrict hook) and must agree on cells, codes, distances, and
+    the cut."""
+    from biocypher_metta_spark.operators.pq import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb, _PQ_QUERY, n_cells=8, m=4, k=4, dim=16,
+                      topk=20, n_probe=3)
+
+
+def _ivfpq_gate_sql():
+    from biocypher_metta_spark.operators.pq import ivfpq_topk_sql
+
+    return ivfpq_topk_sql(_PQ_QUERY, n_cells=8, m=4, k=4, dim=16,
+                          topk=20, n_probe=3)
+
+
+QUERIES["emb_ivfpq_topk"] = (emb_ivfpq_topk, _ivfpq_gate_sql())
+
+
 def rel_zorder_key(spark, sf_dir):
     """Morton interleave keys (operators/zorder.zorder_key, 12 bits x
     2 dims) over orders quantized to a 4096^2 grid — the data-skipping
@@ -5718,6 +5744,7 @@ CK_COLUMNS = {
     "kg_scc": ["node", "scc"],
     "emb_random_projection": ["p0", "p1", "p2", "p3", "p4", "p5",
                               "p6", "p7", "vec_id"],
+    "emb_ivfpq_topk": ["adc_dist", "vec_id"],
     "kg_jaccard_links": ["jaccard_permille", "n_common", "node_a",
                          "node_b"],
     "doc_lm_train": ["bigram", "n"],
@@ -5779,7 +5806,7 @@ CK_COMPOSITES = {
                         "kg_lpa", "kg_cooccurrence", "kg_jaccard_links",
                         "kg_bfs", "kg_survivorship",
                         "kg_entity_resolution", "kg_scc",
-                        "emb_random_projection"],
+                        "emb_random_projection", "emb_ivfpq_topk"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",

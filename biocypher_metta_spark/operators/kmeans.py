@@ -50,6 +50,19 @@ def kmeans_assign(emb: DataFrame, k: int = 4, dim: int = 8,
 
     Empty clusters keep their previous centroid (deterministic, and
     what the unrolled SQL twin's LEFT JOIN + coalesce does)."""
+    assign_df, _cents = kmeans_fit(emb, k, dim, iterations, id_col,
+                                   vec_col, quant_scale)
+    return assign_df
+
+
+def kmeans_fit(emb: DataFrame, k: int = 4, dim: int = 8,
+               iterations: int = 3, id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               quant_scale: int = 100):
+    """kmeans_assign plus the fitted MODEL: returns (assignments,
+    centroids) where centroids is the k x dim list of final integer
+    centroids — the few-KB driver-side artifact an IVF-style consumer
+    (pq.ivfpq_topk's coarse quantizer) ranks cells with."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if iterations < 1:
@@ -86,7 +99,7 @@ def kmeans_assign(emb: DataFrame, k: int = 4, dim: int = 8,
             [int(F_floor_div(got[c][f"_s{j}"], got[c]["_n"]))
              for j in range(dim)] if c in got else cents[c]
             for c in range(k)]
-    return q.select(F.col(id_col), assign(cents))
+    return q.select(F.col(id_col), assign(cents)), cents
 
 
 def F_floor_div(s: int, n: int) -> int:
@@ -100,11 +113,19 @@ def F_floor_div(s: int, n: int) -> int:
 def kmeans_sql(k: int = 4, dim: int = 8, iterations: int = 3,
                table: str = "embeddings", id_col: str = "vec_id",
                vec_col: str = "embedding",
-               quant_scale: int = 100) -> str:
+               quant_scale: int = 100, emit: str = "assign") -> str:
     """DuckDB twin of kmeans_assign with the Lloyd rounds UNROLLED as
     CTEs, GENERATED from the same recipe (init = k smallest ids,
     integer distances, lowest-id tie-break, floor(sum/count) update,
-    empty cluster keeps previous centroid)."""
+    empty cluster keeps previous centroid).
+
+    emit="assign" (default) selects the per-row assignments (the
+    kmeans_assign twin); emit="centroids" selects the final model
+    table (cl, d0..d{dim-1}) instead — the kmeans_fit twin an
+    IVF-style consumer ranks cells against."""
+    if emit not in ("assign", "centroids"):
+        raise ValueError(f"emit must be 'assign' or 'centroids', "
+                         f"got {emit!r}")
     dcols = ", ".join(f"CAST(floor(coalesce(s.s{j} / s.n, p.d{j})) "
                       f"AS BIGINT) AS d{j}" for j in range(dim))
     scols = ", ".join(f"sum(q[{j + 1}]) AS s{j}" for j in range(dim))
@@ -138,6 +159,11 @@ def kmeans_sql(k: int = 4, dim: int = 8, iterations: int = 3,
   ) AS s ON p.cl = s.cl
 )""")
     final = iterations
+    if emit == "centroids":
+        cent_cols = ", ".join(f"d{j}" for j in range(dim))
+        parts.append(f"""
+SELECT cl, {cent_cols} FROM km_c{final}""")
+        return "".join(parts)
     parts.append(f""", km_out AS (
   SELECT id, cl FROM (
     SELECT km_q.id, c.cl,

@@ -202,7 +202,8 @@ def pq_topk_sql(query: list[float], m: int, k: int, dim: int,
                 topk: int, iterations: int = 2,
                 table: str = "embeddings", id_col: str = "vec_id",
                 vec_col: str = "embedding",
-                quant_scale: int = 100) -> str:
+                quant_scale: int = 100,
+                restrict_sql: str | None = None) -> str:
     """DuckDB twin of pq_topk, GENERATED from the same recipe but
     trained and evaluated entirely in SQL: per subspace the Lloyd
     rounds are unrolled as CTEs (operators/kmeans.kmeans_sql's
@@ -211,7 +212,12 @@ def pq_topk_sql(query: list[float], m: int, k: int, dim: int,
     per (subspace, cluster), and the ADC is the m-way join of codes
     to LUTs.  Nothing crosses from the Spark side — a green gate
     means two independent engines trained the same codebooks and cut
-    the same top-k."""
+    the same top-k.
+
+    restrict_sql (the IVF-PQ hook): a query yielding one `id` column;
+    when given, the final ADC cut considers only those ids — training
+    still sees the FULL table, mirroring ivfpq_topk's global
+    codebooks + coarse-pruned scan."""
     d = _validate(m, k, dim, iterations)
     if topk < 1:
         raise ValueError(f"topk must be >= 1, got {topk}")
@@ -277,11 +283,108 @@ def pq_topk_sql(query: list[float], m: int, k: int, dim: int,
         for s in range(1, m))
     first = f"JOIN pq0_lut AS l0 ON c0.cl = l0.cl"
     total = " + ".join(f"l{s}.ld" for s in range(m))
+    where = (f"\nWHERE c0.id IN (SELECT id FROM ({restrict_sql.strip()})"
+             f" AS pq_restrict)" if restrict_sql else "")
     parts.append(f"""
 SELECT c0.id AS {id_col}, CAST({total} AS BIGINT) AS adc_dist
 FROM pq0_code AS c0
 {first}
-{joins}
+{joins}{where}
 ORDER BY adc_dist ASC, c0.id ASC
 LIMIT {topk}""")
     return "".join(parts)
+
+
+def ivfpq_topk(emb: DataFrame, query: list[float], n_cells: int,
+               m: int, k: int, dim: int, topk: int, n_probe: int = 2,
+               coarse_iterations: int = 2, pq_iterations: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               quant_scale: int = 100) -> DataFrame:
+    """IVF-PQ: the canonical big-corpus ANN architecture [Jégou et al.,
+    PAMI'11] — a coarse quantizer prunes the corpus to n_probe cells,
+    PQ ADC scans only the survivors.  Both stages are the engine's
+    existing exact-integer operators composed: coarse = operators/
+    kmeans.kmeans_fit (deterministic integer Lloyd, n_cells), fine =
+    global pq_train/pq_encode/pq_adc_topk over the pruned candidate
+    set.  Codebooks are GLOBAL (raw vectors, not residuals — the
+    residual variant needs per-cell float recentering that would
+    forfeit twin-exactness; at these codebook sizes raw-vector ADC is
+    the same recipe FAISS calls IVFx,PQy with by_residual=false).
+
+    Query-side cell ranking is driver arithmetic on the few-KB model:
+    integer L2 of the quantized query to each centroid, ties to the
+    lower cell id — exactly the twin's ORDER BY dist, cl LIMIT
+    n_probe.
+
+    Scale shape: coarse fit is iterations map-only scans + n_cells-way
+    aggs; assignment is a literal-folded argmin (map-only); the probe
+    filter prunes to ~n_probe/n_cells of the corpus BEFORE encode +
+    ADC (written cell-partitioned, a pruned partition read); ADC adds
+    m LUT lookups/row and a bounded TakeOrdered.  No joins on the
+    query path beyond the bounded top-k."""
+    from biocypher_metta_spark.operators.kmeans import kmeans_fit
+
+    if n_probe < 1 or n_probe > n_cells:
+        raise ValueError(f"n_probe must be in [1, n_cells], "
+                         f"got n_probe={n_probe}, n_cells={n_cells}")
+    d = _validate(m, k, dim, pq_iterations)
+    if len(query) < m * d:
+        raise ValueError(f"query has {len(query)} coords, "
+                         f"codebooks need {m * d}")
+    assign, cents = kmeans_fit(emb, k=n_cells, dim=dim,
+                               iterations=coarse_iterations,
+                               id_col=id_col, vec_col=vec_col,
+                               quant_scale=quant_scale)
+    qq = [round(float(x) * quant_scale) for x in query[:dim]]
+    probe = sorted(range(len(cents)),
+                   key=lambda c: (sum((qq[j] - cents[c][j]) ** 2
+                                      for j in range(dim)), c))[:n_probe]
+    cand_ids = assign.filter(F.col("cluster").isin([int(p) for p in probe]))
+    cand = emb.join(cand_ids.select(F.col(id_col)), id_col)
+    books = pq_train(emb, m, k, dim, pq_iterations, id_col, vec_col,
+                     quant_scale)
+    codes = pq_encode(cand, books, dim, id_col, vec_col, quant_scale)
+    return pq_adc_topk(codes, query, books, topk, id_col, quant_scale)
+
+
+def ivfpq_topk_sql(query: list[float], n_cells: int, m: int, k: int,
+                   dim: int, topk: int, n_probe: int = 2,
+                   coarse_iterations: int = 2, pq_iterations: int = 2,
+                   table: str = "embeddings", id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   quant_scale: int = 100) -> str:
+    """DuckDB twin of ivfpq_topk: the kmeans twin emitted twice (cell
+    assignments + the centroid model, each a self-contained unrolled-
+    CTE query), cells ranked by the same integer distance to the query
+    literal, and the PQ twin's restrict_sql hook pinning the ADC cut
+    to the probed ids — four generated twins composing, zero shared
+    state with the engine."""
+    from biocypher_metta_spark.operators.kmeans import kmeans_sql
+
+    if n_probe < 1 or n_probe > n_cells:
+        raise ValueError(f"n_probe must be in [1, n_cells], "
+                         f"got n_probe={n_probe}, n_cells={n_cells}")
+    d = _validate(m, k, dim, pq_iterations)
+    if len(query) < m * d:
+        raise ValueError(f"query has {len(query)} coords, "
+                         f"codebooks need {m * d}")
+    qq = [round(float(x) * quant_scale) for x in query[:dim]]
+    assign_sql = kmeans_sql(k=n_cells, dim=dim,
+                            iterations=coarse_iterations, table=table,
+                            id_col=id_col, vec_col=vec_col,
+                            quant_scale=quant_scale)
+    cent_sql = kmeans_sql(k=n_cells, dim=dim,
+                          iterations=coarse_iterations, table=table,
+                          id_col=id_col, vec_col=vec_col,
+                          quant_scale=quant_scale, emit="centroids")
+    qdist = " + ".join(f"({qq[j]} - d{j}) * ({qq[j]} - d{j})"
+                       for j in range(dim))
+    restrict = f"""SELECT CAST(a.{id_col} AS BIGINT) AS id
+FROM ({assign_sql}) AS a
+JOIN (
+  SELECT cl FROM ({cent_sql}) AS ivf_cents
+  ORDER BY {qdist}, cl LIMIT {n_probe}
+) AS ivf_probe ON a.cluster = ivf_probe.cl"""
+    return pq_topk_sql(query, m, k, dim, topk, pq_iterations, table,
+                       id_col, vec_col, quant_scale,
+                       restrict_sql=restrict)

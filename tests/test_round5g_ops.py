@@ -150,3 +150,79 @@ def test_projection_validation(spark):
         projection_coefficients(0, 3)
     with pytest.raises(ValueError, match=">= 1"):
         random_projection_sql("SELECT 1", dim=4, out_dim=0)
+
+
+# ------------------------------------------------------------ IVF-PQ
+
+from biocypher_metta_spark.operators.pq import (  # noqa: E402
+    ivfpq_topk,
+    ivfpq_topk_sql,
+    pq_topk,
+)
+
+
+def _ivfpq_duck(rows, query, **kw):
+    vals = ", ".join(
+        f"({i}, ARRAY[{', '.join(repr(float(x)) for x in v)}]::FLOAT[])"
+        for i, v in rows)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"(VALUES {vals}) t(vec_id, embedding)")
+    return [tuple(r) for r in
+            con.execute(ivfpq_topk_sql(query, **kw)).fetchall()]
+
+
+def test_ivfpq_randomized_twin(spark):
+    rng = random.Random(41)
+    rows = [(i, [round(rng.uniform(-1, 1), 3) for _ in range(8)])
+            for i in range(80)]
+    df = spark.createDataFrame(rows, _VEC)
+    q = [round(rng.uniform(-1, 1), 3) for _ in range(8)]
+    for n_cells, n_probe, m, k in [(4, 2, 2, 3), (6, 3, 4, 2)]:
+        got = [tuple(r) for r in ivfpq_topk(
+            df, q, n_cells=n_cells, m=m, k=k, dim=8, topk=12,
+            n_probe=n_probe).collect()]
+        exp = _ivfpq_duck(rows, q, n_cells=n_cells, m=m, k=k, dim=8,
+                          topk=12, n_probe=n_probe)
+        assert got == exp, (n_cells, n_probe, m, k)
+
+
+def test_ivfpq_probe_all_equals_plain_pq(spark):
+    rng = random.Random(43)
+    rows = [(i, [round(rng.uniform(-1, 1), 3) for _ in range(8)])
+            for i in range(50)]
+    df = spark.createDataFrame(rows, _VEC)
+    q = [round(rng.uniform(-1, 1), 3) for _ in range(8)]
+    full = [tuple(r) for r in ivfpq_topk(
+        df, q, n_cells=5, m=2, k=3, dim=8, topk=10,
+        n_probe=5).collect()]
+    plain = [tuple(r) for r in pq_topk(
+        df, q, m=2, k=3, dim=8, topk=10).collect()]
+    assert full == plain
+
+
+def test_ivfpq_pruning_is_real(spark):
+    # two far-apart blobs; probing 1 of 2 cells must exclude the far
+    # blob entirely even though plain PQ would rank some of it
+    near = [(i, [0.1 * (i % 3), 0.1]) for i in range(10)]
+    far = [(100 + i, [50.0 + 0.1 * (i % 3), 50.0]) for i in range(10)]
+    df = spark.createDataFrame(near + far, _VEC)
+    got = [r[0] for r in ivfpq_topk(
+        df, [0.0, 0.0], n_cells=2, m=2, k=2, dim=2, topk=20,
+        n_probe=1, coarse_iterations=3).collect()]
+    assert got and all(i < 100 for i in got)
+    assert got == [r[0] for r in _ivfpq_duck(
+        near + far, [0.0, 0.0], n_cells=2, m=2, k=2, dim=2, topk=20,
+        n_probe=1, coarse_iterations=3)]
+
+
+def test_ivfpq_validation(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0])], _VEC)
+    with pytest.raises(ValueError, match="n_probe"):
+        ivfpq_topk(df, [0.0, 0.0], n_cells=2, m=2, k=2, dim=2,
+                   topk=5, n_probe=3)
+    with pytest.raises(ValueError, match="n_probe"):
+        ivfpq_topk_sql([0.0, 0.0], n_cells=2, m=2, k=2, dim=2,
+                       topk=5, n_probe=0)
+    with pytest.raises(ValueError, match="coords"):
+        ivfpq_topk_sql([0.0], n_cells=2, m=2, k=2, dim=2, topk=5)
