@@ -317,11 +317,20 @@ def ivfpq_topk(emb: DataFrame, query: list[float], n_cells: int,
     n_probe.
 
     Scale shape: coarse fit is iterations map-only scans + n_cells-way
-    aggs; assignment is a literal-folded argmin (map-only); the probe
-    filter prunes to ~n_probe/n_cells of the corpus BEFORE encode +
-    ADC (written cell-partitioned, a pruned partition read); ADC adds
-    m LUT lookups/row and a bounded TakeOrdered.  No joins on the
-    query path beyond the bounded top-k."""
+    aggs; the probe cut joins the corpus to the assignment ids (the
+    assignment side reuses kmeans_fit's checkpointed quantized table,
+    so the argmin is evaluated once, not rebuilt) and prunes to
+    ~n_probe/n_cells of the corpus BEFORE encode + ADC; ADC adds m LUT
+    lookups/row and a bounded TakeOrdered.  A zero-shuffle alternative
+    — folding the assignment argmin into an inline corpus filter — was
+    implemented and REJECTED on measurement (candidate-stage solo at
+    sf0.01: join 0.23s vs inline filter 1.4-2.1s; full gate 3.9s vs
+    6.0-7.2s): the inline expression re-quantizes per (cell, coord)
+    term, 128 duplicated subexpressions/row here, while the join's
+    build side is the already-materialized few-columns id list.  At a
+    cell-partitioned corpus layout the right scale move is partition
+    pruning on a stored cell key (see rel_zorder_key for the layout
+    recipe), not re-deriving cells in the filter."""
     from biocypher_metta_spark.operators.kmeans import kmeans_fit
 
     if n_probe < 1 or n_probe > n_cells:
