@@ -451,3 +451,119 @@ SELECT {cols}
 FROM bf_probe p
 {chr(10).join(joins)}
 WHERE {" AND ".join(conds)}"""
+
+
+def _kmv_minima(df: DataFrame, col: str, k: int) -> DataFrame:
+    """The k smallest distinct portable hashes of `col` — the KMV
+    sketch STATE (same recipe as kmv_distinct's kmin stage)."""
+    return (df.select(portable_hash(F.col(col)).alias("h"))
+            .filter(F.col("h").isNotNull())
+            .distinct()
+            .orderBy("h")
+            .limit(k))
+
+
+def kmv_set_estimate(df_a: DataFrame, col_a: str,
+                     df_b: DataFrame, col_b: str,
+                     k: int = 64) -> DataFrame:
+    """Union / intersection cardinality estimates from two KMV
+    sketches [Beyer et al., SIGMOD'07] — the set-operation face of the
+    mergeable-sketch contract kmv_distinct documents: the k smallest
+    hashes of (minima_A UNION minima_B) ARE the KMV sketch of A UNION B
+    (any hash below the merged threshold survives both cuts), and the
+    fraction of those union minima present in BOTH input sketches
+    estimates the Jaccard, so intersection = fraction * union_estimate.
+
+    One row: (k, n_union_k, theta, union_est, n_inter_k, inter_est).
+    Exact regime: when the merged sketch holds fewer than k hashes both
+    input sketches were exhaustive, so union_est AND inter_est are
+    exact distinct counts, not estimates.
+
+    Cross-engine exactness: every value is an integer except the two
+    IEEE-double divides (2^60/theta, shared with kmv_distinct, and
+    union_est/k for the intersection scale-down), identical
+    round-to-nearest in both engines; operands < 2^53 for any real
+    estimate.
+
+    Scale shape: each sketch is a TakeOrdered over a distinct-hash
+    shuffle (per-partition top-k, tiny driver merge — the kmv_distinct
+    plan); everything after operates on <= 2k rows (the merged minima),
+    joined hash-to-hash — broadcast by size, never data-shaped. The
+    sketch states are reusable: feed kmv_minima_by rows per day/shard
+    and the same merge estimates any pair of groups without rescanning
+    raw data."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    ma = _kmv_minima(df_a, col_a, k)
+    mb = _kmv_minima(df_b, col_b, k)
+    # merged union sketch: k smallest of the two minima sets
+    u = (ma.unionByName(mb).distinct().orderBy("h").limit(k))
+    # membership flags via equi-joins on h, ONE final aggregate — a
+    # two-single-row-agg join would plan the BroadcastNestedLoopJoin
+    # the plan audit forbids
+    flagged = (u.join(ma.withColumn("_ina", F.lit(1)), "h", "left")
+               .join(mb.withColumn("_inb", F.lit(1)), "h", "left"))
+    est = flagged.agg(
+        F.count("*").alias("n_union_k"),
+        F.max("h").alias("theta"),
+        F.sum(F.when(F.col("_ina").isNotNull()
+                     & F.col("_inb").isNotNull(), 1).otherwise(0))
+        .alias("n_inter_k"))
+    union_est = (F.when(F.col("n_union_k") < k, F.col("n_union_k"))
+                 .otherwise(F.floor((k - 1) * (F.lit(HASH_SPACE)
+                                               / F.col("theta"))))
+                 .cast("long"))
+    out = est.select(
+        F.lit(k).alias("k"),
+        F.col("n_union_k").cast("long").alias("n_union_k"),
+        F.col("theta").cast("long").alias("theta"),
+        union_est.alias("union_est"),
+        F.col("n_inter_k").cast("long").alias("n_inter_k"))
+    return out.select(
+        "k", "n_union_k", "theta", "union_est", "n_inter_k",
+        F.when(F.col("n_union_k") < k, F.col("n_inter_k"))
+        .otherwise(F.floor(F.col("n_inter_k")
+                           * (F.col("union_est") / F.lit(float(k)))))
+        .cast("long").alias("inter_est"))
+
+
+def kmv_set_sql(a_sql: str, b_sql: str, k: int = 64) -> str:
+    """DuckDB twin of kmv_set_estimate, GENERATED from the same
+    recipe: `a_sql` / `b_sql` each select one column named `v`."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = "CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT)"
+    return f"""
+WITH ma AS (
+  SELECT DISTINCT {h} AS h FROM ({a_sql.strip()})
+  WHERE v IS NOT NULL ORDER BY h LIMIT {k}
+), mb AS (
+  SELECT DISTINCT {h} AS h FROM ({b_sql.strip()})
+  WHERE v IS NOT NULL ORDER BY h LIMIT {k}
+), u AS (
+  SELECT DISTINCT h FROM (SELECT h FROM ma UNION ALL SELECT h FROM mb)
+  ORDER BY h LIMIT {k}
+), agg AS (
+  SELECT (SELECT count(*) FROM u) AS n_union_k,
+         (SELECT max(h) FROM u) AS theta,
+         (SELECT count(*) FROM u
+          JOIN ma USING (h) JOIN mb USING (h)) AS n_inter_k
+), est AS (
+  SELECT n_union_k, theta, n_inter_k,
+         CASE WHEN n_union_k < {k} THEN n_union_k
+              ELSE CAST(floor({k - 1} *
+                   (CAST(1152921504606846976 AS DOUBLE)
+                    / CAST(theta AS DOUBLE))) AS BIGINT) END AS union_est
+  FROM agg
+)
+SELECT CAST({k} AS INTEGER) AS k,
+       CAST(n_union_k AS BIGINT) AS n_union_k,
+       CAST(theta AS BIGINT) AS theta,
+       CAST(union_est AS BIGINT) AS union_est,
+       CAST(n_inter_k AS BIGINT) AS n_inter_k,
+       CAST(CASE WHEN n_union_k < {k} THEN n_inter_k
+                 ELSE floor(n_inter_k * (CAST(union_est AS DOUBLE)
+                                         / {float(k)})) END
+            AS BIGINT) AS inter_est
+FROM est
+"""

@@ -1,0 +1,89 @@
+"""Round-5h operators: KMV set-operation estimates
+(operators/sketch.kmv_set_estimate) — union/intersection cardinality
+from two mergeable k-minima sketch states [Beyer et al. SIGMOD'07]."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from biocypher_metta_spark.operators.sketch import (
+    kmv_set_estimate,
+    kmv_set_sql,
+)
+
+
+def _strings(spark, lo, hi, prefix="v"):
+    return (spark.range(lo, hi)
+            .select(F.concat(F.lit(prefix), F.col("id")).alias("x")))
+
+
+def _duck(a_lo, a_hi, b_lo, b_hi, k, prefix="v"):
+    sql = kmv_set_sql(
+        f"SELECT '{prefix}' || CAST(range AS VARCHAR) AS v "
+        f"FROM range({a_lo}, {a_hi})",
+        f"SELECT '{prefix}' || CAST(range AS VARCHAR) AS v "
+        f"FROM range({b_lo}, {b_hi})", k=k)
+    return duckdb.connect().execute(sql).fetchall()[0]
+
+
+def test_exact_regime_below_k(spark):
+    # |A u B| = 20 < k: the merged sketch is exhaustive, so union AND
+    # intersection are exact counts, not estimates
+    a, b = _strings(spark, 0, 10, "e"), _strings(spark, 5, 20, "e")
+    row = tuple(kmv_set_estimate(a, "x", b, "x", k=64).collect()[0])
+    assert row[1] == 20 and row[3] == 20        # n_union_k == union_est
+    assert row[4] == 5 and row[5] == 5          # n_inter_k == inter_est
+    assert row == _duck(0, 10, 5, 20, 64, "e")
+
+
+def test_estimate_regime_matches_twin_and_is_close(spark):
+    a, b = _strings(spark, 0, 400), _strings(spark, 200, 700)
+    row = tuple(kmv_set_estimate(a, "x", b, "x", k=64).collect()[0])
+    assert row == _duck(0, 400, 200, 700, 64)
+    # true union 700, inter 200; k=64 KMV standard error ~ 1/sqrt(k)
+    assert abs(row[3] - 700) < 700 * 0.5
+    assert abs(row[5] - 200) < 200 * 1.0 + 64
+
+
+def test_disjoint_sets_estimate_zero_intersection(spark):
+    a, b = _strings(spark, 0, 300, "a"), _strings(spark, 0, 300, "b")
+    row = kmv_set_estimate(a, "x", b, "x", k=32).collect()[0]
+    # disjoint domains: few/no shared minima survive the union cut
+    assert row["inter_est"] <= row["union_est"] * 0.2
+
+
+def test_identical_sets_estimate_equals_union(spark):
+    a, b = _strings(spark, 0, 500), _strings(spark, 0, 500)
+    row = kmv_set_estimate(a, "x", b, "x", k=64).collect()[0]
+    # identical inputs: every union minimum is in both sketches
+    assert row["n_inter_k"] == row["n_union_k"]
+    assert row["inter_est"] == row["union_est"]
+
+
+def test_merge_law_union_sketch_equals_direct(spark):
+    # the k smallest of (minima_A u minima_B) == the KMV sketch of
+    # A u B built directly — the Beyer merge law the estimator rests on
+    from biocypher_metta_spark.operators.sketch import _kmv_minima
+
+    a, b = _strings(spark, 0, 400), _strings(spark, 200, 700)
+    merged = sorted(
+        r["h"] for r in (_kmv_minima(a, "x", 64)
+                         .unionByName(_kmv_minima(b, "x", 64))
+                         .distinct().orderBy("h").limit(64).collect()))
+    direct = sorted(
+        r["h"] for r in _kmv_minima(a.unionByName(b), "x", 64)
+        .collect())
+    assert merged == direct
+
+
+def test_nulls_ignored(spark):
+    a = spark.createDataFrame(
+        [("p1",), (None,), ("p2",), (None,)], "x: string")
+    b = spark.createDataFrame([("p2",), (None,)], "x: string")
+    row = tuple(kmv_set_estimate(a, "x", b, "x", k=8).collect()[0])
+    assert row[1] == 2 and row[3] == 2 and row[5] == 1
+
+
+def test_k_validation():
+    with pytest.raises(ValueError):
+        kmv_set_sql("SELECT 1 AS v", "SELECT 2 AS v", k=1)
