@@ -5361,6 +5361,36 @@ KG_BFS_SQL = graph_ops.bfs_distances_sql(
     _BFS_EDGES_SQL, _BFS_SOURCES_SQL, max_depth=8)
 
 
+def kg_sssp(spark, sf_dir):
+    """Bounded weighted shortest paths (graph.sssp_bounded, Bellman-
+    Ford frontier relaxation, 6 rounds) over the same pseudorandom
+    out-degree-2 cyclic graph as kg_bfs but with deterministic edge
+    weights 1 + (src*3 + dst) % 7 — the weighted sibling: the cheapest
+    path is frequently NOT the fewest-hop path, so the min-combine
+    relaxation earns its keep over plain BFS. Oracle: recursive-CTE
+    (node, cost, hops) walk enumeration + min(cost)
+    (graph.sssp_bounded_sql) — an independent evaluation strategy."""
+    ids = _ids(spark, sf_dir)
+    m = F.col("i") % 5000
+    half = ids.select(m.alias("src"), ((m * 7 + 3) % 5000).alias("dst"))
+    edges = (half.unionAll(
+        ids.select(m.alias("src"), ((m * 3 + 1) % 5000).alias("dst")))
+        .select("src", "dst",
+                (1 + (F.col("src") * 3 + F.col("dst")) % 7).alias("w")))
+    sources = ids.filter("i < 5").select(F.col("i").alias("node"))
+    return graph_ops.sssp_bounded(edges, sources, rounds=6)
+
+
+_SSSP_EDGES_SQL = """SELECT src, dst, 1 + (src * 3 + dst) % 7 AS w FROM (
+  SELECT i % 5000 AS src, ((i % 5000) * 7 + 3) % 5000 AS dst
+    FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+  UNION ALL SELECT i % 5000, ((i % 5000) * 3 + 1) % 5000
+    FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents))"""
+
+KG_SSSP_SQL = graph_ops.sssp_bounded_sql(
+    _SSSP_EDGES_SQL, _BFS_SOURCES_SQL, rounds=6)
+
+
 def doc_bpe_train(spark, sf_dir):
     """Distributed BPE merge learning (bpe.train_bpe, 8 merges) over
     the documents corpus: one corpus-sized word-count shuffle, then
@@ -5609,6 +5639,7 @@ QUERIES.update({
     "rel_snapshot_diff": (rel_snapshot_diff, REL_SNAPSHOT_DIFF_SQL),
     "kg_jaccard_links": (kg_jaccard_links, KG_JACCARD_LINKS_SQL),
     "kg_bfs": (kg_bfs, KG_BFS_SQL),
+    "kg_sssp": (kg_sssp, KG_SSSP_SQL),
     "doc_lm_train": (doc_lm_train, DOC_LM_TRAIN_SQL),
     "kg_streaming_upsert": (kg_streaming_upsert,
                             REL_CHANGELOG_COMPACT_SQL),
@@ -5770,6 +5801,7 @@ CK_COLUMNS = {
     "rel_snapshot_diff": ["cents_new", "cents_old", "change", "k",
                           "o_orderstatus_new", "o_orderstatus_old"],
     "kg_bfs": ["dist", "node"],
+    "kg_sssp": ["cost", "node"],
     "kg_scc": ["node", "scc"],
     "emb_random_projection": ["p0", "p1", "p2", "p3", "p4", "p5",
                               "p6", "p7", "vec_id"],
@@ -5834,7 +5866,7 @@ CK_COMPOSITES = {
                         "emb_kmeans", "emb_pq_topk",
                         "kg_triangles", "kg_kcore",
                         "kg_lpa", "kg_cooccurrence", "kg_jaccard_links",
-                        "kg_bfs", "kg_survivorship",
+                        "kg_bfs", "kg_sssp", "kg_survivorship",
                         "kg_entity_resolution", "kg_scc",
                         "emb_random_projection", "emb_ivfpq_topk"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",

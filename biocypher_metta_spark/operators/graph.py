@@ -872,3 +872,97 @@ SELECT ht_h{iterations}.id, ht_h{iterations}.s AS hub_fp,
 FROM ht_h{iterations} JOIN ht_a{iterations}
   ON ht_h{iterations}.id = ht_a{iterations}.id""")
     return "".join(parts)
+
+
+def sssp_bounded(edges: DataFrame, sources: DataFrame, rounds: int,
+                 src: str = "src", dst: str = "dst",
+                 weight: str = "w") -> DataFrame:
+    """Multi-source WEIGHTED shortest paths, bounded Bellman-Ford:
+    (node, cost) = minimum integer path cost from any source node over
+    paths of AT MOST `rounds` edges — the weighted sibling of
+    bfs_distances (hop counts) for KG edges that carry confidence /
+    latency / length weights. The hop bound is the documented
+    semantics, not an approximation knob: it makes the op total on
+    cyclic graphs (including negative-weight edges — "cheapest
+    <= R-hop path" is well-defined where "cheapest path" is not) and
+    equals true shortest distances whenever rounds >= graph diameter
+    with nonnegative weights.
+
+    Frontier relaxation, NOT full-table rounds: the Bellman-Ford
+    invariant (after round r, cost[v] = min over <= r-edge paths)
+    survives restricting round r's expansion to nodes IMPROVED in
+    round r-1 — any <= r-edge improvement extends an improvement from
+    the previous round. Each round therefore shuffles O(improved x
+    avg-degree) + one min-combine groupBy, settled mass never
+    recirculates, and the loop exits early once no cost improves.
+    Parallel edges collapse to their min weight up front (one
+    distinct-shaped groupBy); per-round localCheckpoint cuts lineage
+    exactly like connected_components; hub out-degree skew lands in
+    the frontier join where AQE's skew split applies.
+
+    Oracle twin (sssp_bounded_sql) is an INDEPENDENT spelling:
+    recursive-CTE enumeration of (node, cost, hops <= rounds) walk
+    tuples with UNION dedup, then min(cost) per node — enumeration +
+    aggregate vs frontier relaxation, same answer by the invariant."""
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"),
+                      F.col(weight).cast("long").alias("w"))
+         .filter(F.col("s").isNotNull() & F.col("d").isNotNull()
+                 & F.col("w").isNotNull())
+         .groupBy("s", "d").agg(F.min("w").alias("w")))
+    e = e.localCheckpoint(eager=True)
+    dist = (sources.select(F.col(sources.columns[0]).alias("node"))
+            .filter(F.col("node").isNotNull())
+            .distinct()
+            .select("node", F.lit(0).cast("long").alias("cost")))
+    dist = dist.localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(rounds):
+        cand = (frontier.join(e, frontier["node"] == e["s"])
+                .select(F.col("d").alias("node"),
+                        (F.col("cost") + F.col("w")).alias("cost"))
+                .groupBy("node").agg(F.min("cost").alias("cost")))
+        improved = (cand.join(dist.withColumnRenamed("cost", "_old"),
+                              "node", "left")
+                    .filter(F.col("_old").isNull()
+                            | (F.col("cost") < F.col("_old")))
+                    .select("node", "cost"))
+        improved = improved.localCheckpoint(eager=True)
+        if improved.isEmpty():
+            break
+        dist = (dist.join(improved.select("node"), "node", "left_anti")
+                .unionByName(improved)
+                .localCheckpoint(eager=True))
+        frontier = improved
+    return dist
+
+
+def sssp_bounded_sql(edges_sql: str, sources_sql: str, rounds: int,
+                     src: str = "src", dst: str = "dst",
+                     weight: str = "w") -> str:
+    """DuckDB twin of sssp_bounded: recursive-CTE walk enumeration —
+    (node, cost, hops) tuples bounded by `rounds` hops, UNION-deduped
+    so cyclic graphs terminate — then min(cost) per node."""
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    return f"""WITH RECURSIVE sp_edges AS MATERIALIZED (
+  SELECT s, d, min(w) AS w FROM (
+    SELECT {src} AS s, {dst} AS d, CAST({weight} AS BIGINT) AS w FROM (
+{edges_sql.strip()}
+    ) WHERE {src} IS NOT NULL AND {dst} IS NOT NULL
+      AND {weight} IS NOT NULL
+  ) GROUP BY s, d
+), sp_walk AS (
+  SELECT node, CAST(0 AS BIGINT) AS cost, 0 AS hops FROM (
+    SELECT DISTINCT node FROM (
+{sources_sql.strip()}
+    ) WHERE node IS NOT NULL
+  )
+  UNION
+  SELECT e.d AS node, w.cost + e.w AS cost, w.hops + 1 AS hops
+  FROM sp_walk w JOIN sp_edges e ON e.s = w.node
+  WHERE w.hops < {rounds}
+)
+SELECT node, CAST(min(cost) AS BIGINT) AS cost
+FROM sp_walk GROUP BY node"""

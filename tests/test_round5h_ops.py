@@ -87,3 +87,87 @@ def test_nulls_ignored(spark):
 def test_k_validation():
     with pytest.raises(ValueError):
         kmv_set_sql("SELECT 1 AS v", "SELECT 2 AS v", k=1)
+
+
+# ---------------------------------------------------------------------------
+# sssp_bounded (operators/graph.py): bounded weighted shortest paths
+# ---------------------------------------------------------------------------
+
+import random
+
+from biocypher_metta_spark.operators.graph import (
+    sssp_bounded,
+    sssp_bounded_sql,
+)
+
+
+def _sssp_duck(edges, sources, rounds):
+    ev = ", ".join(f"({a},{b},{w})" for a, b, w in edges)
+    sv = ", ".join(f"({s})" for s in sources)
+    sql = sssp_bounded_sql(
+        f"SELECT * FROM (VALUES {ev}) t(src,dst,w)",
+        f"SELECT * FROM (VALUES {sv}) t(node)", rounds)
+    return sorted(tuple(r) for r in duckdb.connect().execute(sql)
+                  .fetchall())
+
+
+def _sssp_spark(spark, edges, sources, rounds):
+    e = spark.createDataFrame(edges, "src: long, dst: long, w: long")
+    s = spark.createDataFrame([(x,) for x in sources], "node: long")
+    return sorted(tuple(r) for r in sssp_bounded(e, s, rounds).collect())
+
+
+def test_sssp_weighted_shortcut_beats_fewer_hops(spark):
+    # 1->3 direct costs 25; 1->2->3 costs 20; the 3->4->2 back-path
+    # does NOT improve 2 (21+1 > 10) — relaxation must min-combine
+    e = [(1, 2, 10), (2, 3, 10), (1, 3, 25), (3, 4, 1), (4, 2, 1)]
+    got = _sssp_spark(spark, e, [1], 4)
+    assert got == [(1, 0), (2, 10), (3, 20), (4, 21)]
+    assert got == _sssp_duck(e, [1], 4)
+
+
+def test_sssp_hop_bound_is_the_semantics(spark):
+    # rounds=1: only direct edges; the cheaper 2-hop route to 3 is
+    # out of budget, so the direct w=25 edge wins
+    e = [(1, 2, 10), (2, 3, 10), (1, 3, 25)]
+    got = _sssp_spark(spark, e, [1], 1)
+    assert got == [(1, 0), (2, 10), (3, 25)]
+    assert got == _sssp_duck(e, [1], 1)
+
+
+def test_sssp_negative_edge(spark):
+    # negative weight on an acyclic stretch: "cheapest <= R-hop path"
+    # stays well-defined and both engines agree
+    e = [(1, 2, 5), (2, 3, -3), (1, 3, 4)]
+    got = _sssp_spark(spark, e, [1], 3)
+    assert got == [(1, 0), (2, 5), (3, 2)]
+    assert got == _sssp_duck(e, [1], 3)
+
+
+def test_sssp_parallel_edges_min_collapse(spark):
+    e = [(1, 2, 9), (1, 2, 4), (1, 2, 7)]
+    got = _sssp_spark(spark, e, [1], 2)
+    assert got == [(1, 0), (2, 4)]
+    assert got == _sssp_duck(e, [1], 2)
+
+
+def test_sssp_multi_source_and_cycles_randomized(spark):
+    random.seed(11)
+    e = [(random.randrange(25), random.randrange(25),
+          random.randrange(1, 9)) for _ in range(70)]
+    got = _sssp_spark(spark, e, [0, 1, 2], 5)
+    assert got == _sssp_duck(e, [0, 1, 2], 5)
+    # sources cost 0 even when reachable by longer paths
+    costs = dict(got)
+    assert costs[0] == 0 and costs[1] == 0 and costs[2] == 0
+
+
+def test_sssp_rounds_zero_returns_sources_only(spark):
+    e = [(1, 2, 3)]
+    assert _sssp_spark(spark, e, [1], 0) == [(1, 0)]
+
+
+def test_sssp_rounds_validation():
+    with pytest.raises(ValueError):
+        sssp_bounded_sql("SELECT 1 AS src, 2 AS dst, 1 AS w",
+                         "SELECT 1 AS node", -1)
