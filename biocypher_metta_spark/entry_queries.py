@@ -5391,6 +5391,33 @@ KG_SSSP_SQL = graph_ops.sssp_bounded_sql(
     _SSSP_EDGES_SQL, _BFS_SOURCES_SQL, rounds=6)
 
 
+def kg_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk-style corpus generation
+    (graph.random_walks, walk_len=4, reps=2) over the kg_bfs
+    pseudorandom graph restricted to 512 nodes (so the gate emits a
+    bounded ~5k-row corpus): KG -> reproducible token-sequence
+    training data, every step a pure hash function of (start, rep,
+    step, current) — the bridge between the triple tables the engine
+    materializes and an LLM pretraining pipeline. Oracle: the steps
+    unrolled as generated CTEs from the same hash recipe
+    (graph.random_walks_sql)."""
+    ids = _ids(spark, sf_dir)
+    m = F.col("i") % 512
+    edges = (ids.select(m.alias("src"), ((m * 7 + 3) % 512).alias("dst"))
+             .unionAll(ids.select(m.alias("src"),
+                                  ((m * 3 + 1) % 512).alias("dst"))))
+    return graph_ops.random_walks(edges, walk_len=4, reps=2)
+
+
+_RW_EDGES_SQL = """SELECT i % 512 AS src, ((i % 512) * 7 + 3) % 512 AS dst
+  FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+UNION ALL SELECT i % 512, ((i % 512) * 3 + 1) % 512
+  FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)"""
+
+KG_RANDOM_WALKS_SQL = graph_ops.random_walks_sql(
+    _RW_EDGES_SQL, walk_len=4, reps=2)
+
+
 def doc_bpe_train(spark, sf_dir):
     """Distributed BPE merge learning (bpe.train_bpe, 8 merges) over
     the documents corpus: one corpus-sized word-count shuffle, then
@@ -5640,6 +5667,7 @@ QUERIES.update({
     "kg_jaccard_links": (kg_jaccard_links, KG_JACCARD_LINKS_SQL),
     "kg_bfs": (kg_bfs, KG_BFS_SQL),
     "kg_sssp": (kg_sssp, KG_SSSP_SQL),
+    "kg_random_walks": (kg_random_walks, KG_RANDOM_WALKS_SQL),
     "doc_lm_train": (doc_lm_train, DOC_LM_TRAIN_SQL),
     "kg_streaming_upsert": (kg_streaming_upsert,
                             REL_CHANGELOG_COMPACT_SQL),
@@ -5802,6 +5830,7 @@ CK_COLUMNS = {
                           "o_orderstatus_new", "o_orderstatus_old"],
     "kg_bfs": ["dist", "node"],
     "kg_sssp": ["cost", "node"],
+    "kg_random_walks": ["node", "rep", "start", "step"],
     "kg_scc": ["node", "scc"],
     "emb_random_projection": ["p0", "p1", "p2", "p3", "p4", "p5",
                               "p6", "p7", "vec_id"],
@@ -5866,7 +5895,8 @@ CK_COMPOSITES = {
                         "emb_kmeans", "emb_pq_topk",
                         "kg_triangles", "kg_kcore",
                         "kg_lpa", "kg_cooccurrence", "kg_jaccard_links",
-                        "kg_bfs", "kg_sssp", "kg_survivorship",
+                        "kg_bfs", "kg_sssp", "kg_random_walks",
+                        "kg_survivorship",
                         "kg_entity_resolution", "kg_scc",
                         "emb_random_projection", "emb_ivfpq_topk"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",

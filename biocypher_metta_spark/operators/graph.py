@@ -966,3 +966,127 @@ def sssp_bounded_sql(edges_sql: str, sources_sql: str, rounds: int,
 )
 SELECT node, CAST(min(cost) AS BIGINT) AS cost
 FROM sp_walk GROUP BY node"""
+
+
+def random_walks(edges: DataFrame, walk_len: int, reps: int = 1,
+                 src: str = "src", dst: str = "dst",
+                 seed: str = "w") -> DataFrame:
+    """Deterministic 'random' walks over the directed edge table:
+    `reps` walks of up to `walk_len` steps from every node with an
+    out-edge, each step choosing the neighbor at position
+    portable_hash('<start>:<rep>:<step>:<cur>') % out_degree in the
+    dst-sorted adjacency — the DeepWalk/node2vec (p=q=1) corpus
+    generator [Perozzi et al. KDD'14] re-expressed so the "randomness"
+    is a pure function of (walk identity, step, current node) and any
+    engine regenerates the identical corpus: KG -> token-sequence
+    training data with exact reproducibility instead of seeds-and-hope.
+    Returns (start, rep, step, node) rows; step 0 is the start node;
+    walks stop early at sink nodes.
+
+    Scale shape: the adjacency is positioned ONCE (row_number per src
+    over dst order — one shuffle, window over per-node lists) and
+    localCheckpointed alongside its degree table. Each step is two
+    EQUI-joins: frontier x degree on node (1:1, computes the hash
+    position) then x adjacency on (node, pos) (1:1) — no degree-shaped
+    expansion at hub nodes, unlike joining on a residual pos = hash %
+    deg predicate, which would fan every frontier row out by its full
+    degree before filtering. Frontier rows stay O(#walks) throughout;
+    per-step localCheckpoint cuts lineage. Walk-count scaling is by
+    `reps`, embarrassingly parallel.
+
+    Oracle twin (random_walks_sql) UNROLLS the steps as CTEs generated
+    from the same hash recipe over DuckDB's row_number — independent
+    window/join machinery, identical corpus."""
+    if walk_len < 0:
+        raise ValueError(f"walk_len must be >= 0, got {walk_len}")
+    if reps < 1:
+        raise ValueError(f"reps must be >= 1, got {reps}")
+    from pyspark.sql import Window
+
+    from biocypher_metta_spark.operators.text import portable_hash
+
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+         .distinct())
+    adj = (e.withColumn(
+        "pos", F.row_number().over(Window.partitionBy("s").orderBy("d"))
+        - 1).localCheckpoint(eager=True))
+    deg = (adj.groupBy("s").agg(F.count("*").alias("deg"))
+           .localCheckpoint(eager=True))
+
+    # rep fan-out via a literal-array explode (map-only) — a cross
+    # join against a range would plan the BroadcastNestedLoopJoin the
+    # plan audit forbids
+    walks = (adj.select(F.col("s").alias("start")).distinct()
+             .select("start",
+                     F.explode(F.array(*[F.lit(i).cast("int")
+                                         for i in range(reps)]))
+                     .alias("rep"))
+             .select("start", "rep",
+                     F.lit(0).cast("int").alias("step"),
+                     F.col("start").alias("node")))
+    walks = walks.localCheckpoint(eager=True)
+    frontier = walks
+    for t in range(1, walk_len + 1):
+        h = portable_hash(F.concat_ws(
+            ":", F.col("start").cast("string"),
+            F.col("rep").cast("string"), F.lit(str(t)),
+            F.col("node").cast("string")))
+        stepped = (frontier.join(deg, frontier["node"] == deg["s"])
+                   .select("start", "rep",
+                           F.col("node").alias("cur"),
+                           F.pmod(h, F.col("deg")).alias("pos")))
+        nxt = (stepped.join(adj, (stepped["cur"] == adj["s"])
+                            & (stepped["pos"] == adj["pos"]))
+               .select("start", "rep",
+                       F.lit(t).cast("int").alias("step"),
+                       F.col("d").alias("node")))
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        walks = walks.unionByName(nxt)
+        frontier = nxt
+    return walks
+
+
+def random_walks_sql(edges_sql: str, walk_len: int, reps: int = 1,
+                     src: str = "src", dst: str = "dst") -> str:
+    """DuckDB twin of random_walks, steps UNROLLED as CTEs from the
+    same hash recipe (60-bit md5 prefix of '<start>:<rep>:<step>:
+    <cur>') over row_number adjacency positions."""
+    if walk_len < 0:
+        raise ValueError(f"walk_len must be >= 0, got {walk_len}")
+    if reps < 1:
+        raise ValueError(f"reps must be >= 1, got {reps}")
+    parts = [f"""WITH rw_adj AS MATERIALIZED (
+  SELECT s, d, row_number() OVER (PARTITION BY s ORDER BY d) - 1 AS pos
+  FROM (
+    SELECT DISTINCT {src} AS s, {dst} AS d FROM (
+{edges_sql.strip()}
+    ) WHERE {src} IS NOT NULL AND {dst} IS NOT NULL
+  )
+), rw_deg AS (
+  SELECT s, count(*) AS deg FROM rw_adj GROUP BY s
+), rw_w0 AS (
+  SELECT start, rep, 0 AS step, start AS node
+  FROM (SELECT DISTINCT s AS start FROM rw_adj),
+       (SELECT unnest(range({reps})) AS rep)
+)"""]
+    for t in range(1, walk_len + 1):
+        h = (f"CAST(('0x' || substr(md5(CAST(w.start AS VARCHAR) || ':' "
+             f"|| CAST(w.rep AS VARCHAR) || ':{t}:' "
+             f"|| CAST(w.node AS VARCHAR)), 1, 15)) AS BIGINT)")
+        parts.append(f""", rw_w{t} AS (
+  SELECT w.start, w.rep, {t} AS step, a.d AS node
+  FROM rw_w{t - 1} w
+  JOIN rw_deg g ON g.s = w.node
+  JOIN rw_adj a ON a.s = w.node AND a.pos = {h} % g.deg
+)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT start, rep, step, node FROM rw_w{t}"
+        for t in range(walk_len + 1))
+    parts.append(f"""
+SELECT start, CAST(rep AS INTEGER) AS rep,
+       CAST(step AS INTEGER) AS step, node
+FROM ({union})""")
+    return "".join(parts)

@@ -171,3 +171,81 @@ def test_sssp_rounds_validation():
     with pytest.raises(ValueError):
         sssp_bounded_sql("SELECT 1 AS src, 2 AS dst, 1 AS w",
                          "SELECT 1 AS node", -1)
+
+
+# ---------------------------------------------------------------------------
+# random_walks (operators/graph.py): deterministic walk corpus
+# ---------------------------------------------------------------------------
+
+from biocypher_metta_spark.operators.graph import (
+    random_walks,
+    random_walks_sql,
+)
+
+
+def _rw_duck(edges, walk_len, reps=1):
+    ev = ", ".join(f"({a},{b})" for a, b in edges)
+    sql = random_walks_sql(
+        f"SELECT * FROM (VALUES {ev}) t(src,dst)", walk_len, reps)
+    return sorted(tuple(r) for r in duckdb.connect().execute(sql)
+                  .fetchall())
+
+
+def _rw_spark(spark, edges, walk_len, reps=1):
+    e = spark.createDataFrame(edges, "src: long, dst: long")
+    return sorted(tuple(r)
+                  for r in random_walks(e, walk_len, reps).collect())
+
+
+def test_rw_hand_case_matches_twin(spark):
+    e = [(1, 2), (1, 3), (2, 3), (3, 1)]
+    got = _rw_spark(spark, e, 3)
+    assert got == _rw_duck(e, 3)
+    # every node with an out-edge starts one walk at step 0 = itself
+    assert {(r[0], r[3]) for r in got if r[2] == 0} == {(1, 1), (2, 2),
+                                                        (3, 3)}
+
+
+def test_rw_walk_is_contiguous_and_follows_edges(spark):
+    e = [(i, (i * 5 + 1) % 16) for i in range(16)] + \
+        [(i, (i * 3 + 7) % 16) for i in range(16)]
+    got = _rw_spark(spark, e, 4, reps=2)
+    assert got == _rw_duck(e, 4, reps=2)
+    eset = set(e)
+    byw = {}
+    for start, rep, step, node in got:
+        byw.setdefault((start, rep), {})[step] = node
+    for path in byw.values():
+        assert sorted(path) == list(range(len(path)))  # contiguous
+        for t in range(1, len(path)):
+            assert (path[t - 1], path[t]) in eset      # real edges
+
+
+def test_rw_sink_stops_walk_early(spark):
+    e = [(1, 2)]  # 2 has no out-edges
+    got = _rw_spark(spark, e, 5)
+    assert got == [(1, 0, 0, 1), (1, 0, 1, 2)]
+    assert got == _rw_duck(e, 5)
+
+
+def test_rw_reps_give_distinct_deterministic_paths(spark):
+    e = [(i, j) for i in range(8) for j in range(8) if i != j]
+    got = _rw_spark(spark, e, 3, reps=4)
+    assert got == _rw_duck(e, 3, reps=4)
+    # determinism: rerun is identical
+    assert got == _rw_spark(spark, e, 3, reps=4)
+    # with full out-degree 7 the 4 reps should not all walk one path
+    paths = {}
+    for start, rep, step, node in got:
+        paths.setdefault((start, rep), []).append((step, node))
+    per_start = {}
+    for (start, rep), p in paths.items():
+        per_start.setdefault(start, set()).add(tuple(sorted(p)))
+    assert any(len(v) > 1 for v in per_start.values())
+
+
+def test_rw_validation():
+    with pytest.raises(ValueError):
+        random_walks_sql("SELECT 1 AS src, 2 AS dst", -1)
+    with pytest.raises(ValueError):
+        random_walks_sql("SELECT 1 AS src, 2 AS dst", 2, reps=0)
