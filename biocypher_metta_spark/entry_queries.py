@@ -2430,6 +2430,29 @@ GROUP BY doc_id, n_bigrams
 QUERIES["doc_perplexity"] = (doc_perplexity, DOC_PERPLEXITY_SQL)
 
 
+def doc_dsir_scores(spark, sf_dir):
+    """DSIR-style data selection (text.dsir_scores, [Xie et al.
+    NeurIPS'23], integer likelihood-ratio variant): importance of
+    every document toward the ENGLISH target distribution — target =
+    the lang='en' slice, features = hashed word uni+bigrams into 256
+    buckets, model trained in two bucket-bounded groupBys and shipped
+    back as a literal lookup. The gate's semantic check rides in the
+    values themselves: English docs must out-score the rest per gram
+    for the hash to match, since the twin recomputes the counts,
+    HUGEINT ratio floors, and sums end-to-end in SQL."""
+    d = _docs_par(spark, sf_dir)
+    return text_ops.dsir_scores(
+        d, d.filter(F.col("lang") == "en"), buckets=256, scale=1000)
+
+
+DOC_DSIR_SQL = text_ops.dsir_sql(
+    "SELECT doc_id, text FROM documents",
+    "SELECT doc_id, text FROM documents WHERE lang = 'en'",
+    buckets=256, scale=1000)
+
+QUERIES["doc_dsir_scores"] = (doc_dsir_scores, DOC_DSIR_SQL)
+
+
 def doc_c4_filter(spark, sf_dir):
     """C4-style boilerplate line filtering (the cleaning pass before
     line dedup in the C4 recipe) — map-only, zero shuffles."""
@@ -5726,6 +5749,8 @@ def _ck_sql(name: str, cols: list, sql: str) -> str:
 # DataFrame schema in tests/test_driver_registry.py so the static SQL
 # wrapper can never drift from the Spark side)
 CK_COLUMNS = {
+    "doc_dsir_scores": ["doc_id", "dsir_score", "n_grams",
+                        "score_per_gram"],
     "rel_window_filter": ["l_linenumber", "l_orderkey", "qty"],
     "rel_composite_id": ["composite_id", "o_orderkey"],
     "rel_score_cutoff": ["event_id", "value_milli"],
@@ -5890,6 +5915,7 @@ CK_COMPOSITES = {
                             "web_canonical_url", "doc_weighted_sample",
                             "doc_strip_markup", "web_link_edges",
                             "doc_rrf_fusion", "emb_mmr_rerank",
+                            "doc_dsir_scores",
                             "doc_retrieval_ladder"],
     "kg_graph_checks": ["kg_pagerank", "kg_hits", "emb_semantic_dedup",
                         "emb_kmeans", "emb_pq_topk",

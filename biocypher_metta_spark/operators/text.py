@@ -837,3 +837,146 @@ def bigram_nll_from_counts(rows, alphabet: str = LM_ALPHABET,
     return {a + b: round(-scale * math.log(
         (counts.get(a + b, 0) + 1) / (ctx.get(a, 0) + v)))
         for a in alphabet for b in alphabet}
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance scoring (round 5): data selection for language
+# models via hashed n-gram importance weights [Xie et al., NeurIPS'23].
+# INTEGER likelihood-ratio variant: DSIR proper sums log-ratios; logs of
+# corpus-dependent probabilities cannot be made bit-identical across
+# engines (libm ln + round at knife edges), so the weight here is the
+# linear-domain per-gram likelihood ratio, milli-scaled — the mean
+# ratio E_doc[p_target/p_raw] instead of the geometric mean. Rankings
+# agree wherever one distribution dominates per-doc, and every
+# intermediate is an exact integer in both engines.
+# --------------------------------------------------------------------------
+
+
+def _gram_buckets(text: Column, buckets: int) -> Column:
+    """Hashed feature buckets of word unigrams + bigrams — the DSIR
+    feature space, bucketed by the portable 60-bit hash."""
+    grams = F.concat(tokens(text), shingles(text, 2))
+    return F.transform(
+        grams,
+        lambda g: F.pmod(F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
+                         .cast("long"), F.lit(buckets)))
+
+
+def dsir_scores(raw: DataFrame, target: DataFrame,
+                text_col: str = "text", id_col: str = "doc_id",
+                buckets: int = 256, scale: int = 1000) -> DataFrame:
+    """(id_col, n_grams, dsir_score, score_per_gram): per-document
+    importance of each `raw` doc toward the `target` distribution.
+    Per bucket b with Laplace smoothing,
+
+        s_b = floor(scale * (t_b + 1) * (R + buckets)
+                    / ((r_b + 1) * (T + buckets)))
+
+    (t/r = target/raw bucket counts, T/R totals) — the milli-scaled
+    likelihood ratio of bucket b under the two hashed-gram unigram
+    models; a doc scores the SUM of s over its gram buckets, plus the
+    floor-mean per gram for length-normalized selection (select by
+    score_per_gram >= scale to mean "looks more target than raw").
+
+    Scale shape: the model is TRAINED in two bucket-bounded groupBys
+    (<= `buckets` rows each regardless of corpus size — the CMS/KMV
+    bounded-state property) and pulled to the driver (same legitimacy
+    class as the IVF centroid pull); the ratio arithmetic runs in
+    driver Python on EXACT big ints (never floats), and scoring ships
+    the <= buckets-entry table back as a literal create_map — one
+    map-only corpus scan + one groupBy(doc). Nothing data-sized ever
+    joins the model.
+
+    Oracle twin (dsir_sql) recomputes counts AND ratios in SQL with
+    HUGEINT arithmetic — fully independent of the driver-side fold."""
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+
+    def _counts(df):
+        return (df.select(F.explode(_gram_buckets(F.col(text_col),
+                                                  buckets)).alias("b"))
+                .groupBy("b").agg(F.count("*").alias("n")))
+
+    t_rows = {int(r["b"]): int(r["n"])
+              for r in _counts(target).collect()}
+    r_rows = {int(r["b"]): int(r["n"]) for r in _counts(raw).collect()}
+    big_t = sum(t_rows.values())
+    big_r = sum(r_rows.values())
+    table = {
+        b: (scale * (t_rows.get(b, 0) + 1) * (big_r + buckets))
+        // ((r_rows.get(b, 0) + 1) * (big_t + buckets))
+        for b in range(buckets)}
+
+    lut = F.create_map(*[F.lit(x) for b, s in sorted(table.items())
+                         for x in (b, s)])
+    scored = raw.select(
+        F.col(id_col),
+        F.explode(_gram_buckets(F.col(text_col), buckets)).alias("b"))
+    return (scored
+            .select(id_col, lut[F.col("b")].alias("s"))
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_grams"),
+                 F.sum("s").cast("long").alias("dsir_score"))
+            .select(id_col, "n_grams", "dsir_score",
+                    F.floor(F.col("dsir_score") / F.col("n_grams"))
+                    .cast("long").alias("score_per_gram")))
+
+
+def dsir_sql(raw_sql: str, target_sql: str, text_col: str = "text",
+             id_col: str = "doc_id", buckets: int = 256,
+             scale: int = 1000) -> str:
+    """DuckDB twin of dsir_scores: the same hashed-gram bucket spec and
+    smoothing formula recomputed END-TO-END in SQL (counts, totals,
+    HUGEINT ratio floors, per-doc sums) — no shared state with the
+    driver-side model fold."""
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    grams = f"""
+    SELECT {id_col}, g FROM (
+      SELECT {id_col},
+             unnest(list_concat(
+               toks,
+               list_transform(range(1, CAST(len(toks) AS BIGINT)),
+                              i -> toks[CAST(i AS INT)] || ' ' ||
+                                   toks[CAST(i AS INT) + 1]))) AS g
+      FROM (SELECT {id_col},
+                   regexp_split_to_array(trim({text_col}), '\\s+') AS toks
+            FROM __SRC__))"""
+    return f"""
+WITH raw_grams AS ({grams.replace("__SRC__", f"({raw_sql.strip()})")}
+), tgt_grams AS ({grams.replace("__SRC__", f"({target_sql.strip()})")}
+), raw_b AS (
+  SELECT CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {buckets}
+           AS b, count(*) AS n
+  FROM raw_grams GROUP BY 1
+), tgt_b AS (
+  SELECT CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {buckets}
+           AS b, count(*) AS n
+  FROM tgt_grams GROUP BY 1
+), lut AS (
+  SELECT bb.b,
+         CAST(
+           (CAST({scale} AS HUGEINT)
+            * (coalesce(t.n, 0) + 1)
+            * ((SELECT sum(n) FROM raw_b) + {buckets}))
+           // (CAST(coalesce(r.n, 0) + 1 AS HUGEINT)
+               * ((SELECT sum(n) FROM tgt_b) + {buckets}))
+           AS BIGINT) AS s
+  FROM (SELECT unnest(range({buckets})) AS b) bb
+  LEFT JOIN tgt_b t ON t.b = bb.b
+  LEFT JOIN raw_b r ON r.b = bb.b
+), doc_b AS (
+  SELECT {id_col},
+         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {buckets} AS b
+  FROM raw_grams
+)
+SELECT {id_col},
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(lut.s) AS BIGINT) AS dsir_score,
+       CAST(floor(sum(lut.s) / count(*)) AS BIGINT) AS score_per_gram
+FROM doc_b JOIN lut USING (b)
+GROUP BY {id_col}"""

@@ -249,3 +249,72 @@ def test_rw_validation():
         random_walks_sql("SELECT 1 AS src, 2 AS dst", -1)
     with pytest.raises(ValueError):
         random_walks_sql("SELECT 1 AS src, 2 AS dst", 2, reps=0)
+
+
+# ---------------------------------------------------------------------------
+# dsir_scores (operators/text.py): DSIR-style importance scoring
+# ---------------------------------------------------------------------------
+
+from biocypher_metta_spark.operators.text import dsir_scores, dsir_sql
+
+_DSIR_RAW = [
+    (0, "the cat sat on the mat"),
+    (1, "der hund lief im park herum"),
+    (2, "the dog ran in the park"),
+    (3, "el gato grande duerme mucho hoy"),
+    (4, "a cat and a dog in the house"),
+    (5, "word"),
+]
+_DSIR_TGT = [(100, "the cat and the dog sat"),
+             (101, "a dog ran to the house"),
+             (102, "the mat in the house")]
+
+
+def _dsir_vals(docs):
+    return ("SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, '{t}')" for i, t in docs)
+            + ") t(doc_id, text)")
+
+
+def _dsir_spark(spark, raw, tgt, **kw):
+    r = spark.createDataFrame(raw, "doc_id: long, text: string")
+    t = spark.createDataFrame(tgt, "doc_id: long, text: string")
+    return sorted(tuple(x) for x in dsir_scores(r, t, **kw).collect())
+
+
+def _dsir_duck(raw, tgt, **kw):
+    sql = dsir_sql(_dsir_vals(raw), _dsir_vals(tgt), **kw)
+    return sorted(tuple(r) for r in duckdb.connect().execute(sql)
+                  .fetchall())
+
+
+def test_dsir_cross_engine_exact(spark):
+    got = _dsir_spark(spark, _DSIR_RAW, _DSIR_TGT, buckets=64)
+    assert got == _dsir_duck(_DSIR_RAW, _DSIR_TGT, buckets=64)
+    # every raw doc scored, single-token doc has 1 gram (no bigram)
+    assert len(got) == len(_DSIR_RAW)
+    assert dict((r[0], r[1]) for r in got)[5] == 1
+
+
+def test_dsir_english_target_prefers_english_docs(spark):
+    got = _dsir_spark(spark, _DSIR_RAW, _DSIR_TGT, buckets=64)
+    spg = {r[0]: r[3] for r in got}
+    assert min(spg[0], spg[2], spg[4]) > max(spg[1], spg[3])
+
+
+def test_dsir_identical_corpora_score_near_scale(spark):
+    # raw == target: every ratio is ~1, so per-gram scores sit at
+    # ~scale (floor effects only)
+    got = _dsir_spark(spark, _DSIR_TGT, _DSIR_TGT, buckets=32,
+                      scale=1000)
+    for _, _, _, spg in got:
+        assert 500 <= spg <= 2000
+
+
+def test_dsir_validation():
+    with pytest.raises(ValueError):
+        dsir_sql("SELECT 1 AS doc_id, 'a' AS text",
+                 "SELECT 1 AS doc_id, 'a' AS text", buckets=1)
+    with pytest.raises(ValueError):
+        dsir_sql("SELECT 1 AS doc_id, 'a' AS text",
+                 "SELECT 1 AS doc_id, 'a' AS text", scale=0)
