@@ -5441,6 +5441,25 @@ KG_RANDOM_WALKS_SQL = graph_ops.random_walks_sql(
     _RW_EDGES_SQL, walk_len=4, reps=2)
 
 
+def kg_wl_colors(spark, sf_dir):
+    """Weisfeiler-Leman structural signatures (graph.wl_colors, 2
+    refinement rounds, bounded additive neighborhood digests) over the
+    512-node pseudorandom graph: equal colors = nodes the 2-round WL
+    test cannot tell apart — the structure-level dedup/role primitive
+    complementing kg_entity_resolution's value-level matching. Oracle:
+    rounds unrolled as generated CTEs from the same hash recipe
+    (graph.wl_colors_sql)."""
+    ids = _ids(spark, sf_dir)
+    m = F.col("i") % 512
+    edges = (ids.select(m.alias("src"), ((m * 7 + 3) % 512).alias("dst"))
+             .unionAll(ids.select(m.alias("src"),
+                                  ((m * 3 + 1) % 512).alias("dst"))))
+    return graph_ops.wl_colors(edges, rounds=2)
+
+
+KG_WL_COLORS_SQL = graph_ops.wl_colors_sql(_RW_EDGES_SQL, rounds=2)
+
+
 def doc_bpe_train(spark, sf_dir):
     """Distributed BPE merge learning (bpe.train_bpe, 8 merges) over
     the documents corpus: one corpus-sized word-count shuffle, then
@@ -5691,6 +5710,7 @@ QUERIES.update({
     "kg_bfs": (kg_bfs, KG_BFS_SQL),
     "kg_sssp": (kg_sssp, KG_SSSP_SQL),
     "kg_random_walks": (kg_random_walks, KG_RANDOM_WALKS_SQL),
+    "kg_wl_colors": (kg_wl_colors, KG_WL_COLORS_SQL),
     "doc_lm_train": (doc_lm_train, DOC_LM_TRAIN_SQL),
     "kg_streaming_upsert": (kg_streaming_upsert,
                             REL_CHANGELOG_COMPACT_SQL),
@@ -5856,6 +5876,7 @@ CK_COLUMNS = {
     "kg_bfs": ["dist", "node"],
     "kg_sssp": ["cost", "node"],
     "kg_random_walks": ["node", "rep", "start", "step"],
+    "kg_wl_colors": ["color", "node"],
     "kg_scc": ["node", "scc"],
     "emb_random_projection": ["p0", "p1", "p2", "p3", "p4", "p5",
                               "p6", "p7", "vec_id"],
@@ -5922,6 +5943,7 @@ CK_COMPOSITES = {
                         "kg_triangles", "kg_kcore",
                         "kg_lpa", "kg_cooccurrence", "kg_jaccard_links",
                         "kg_bfs", "kg_sssp", "kg_random_walks",
+                        "kg_wl_colors",
                         "kg_survivorship",
                         "kg_entity_resolution", "kg_scc",
                         "emb_random_projection", "emb_ivfpq_topk"],

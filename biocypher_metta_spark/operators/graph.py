@@ -1090,3 +1090,126 @@ SELECT start, CAST(rep AS INTEGER) AS rep,
        CAST(step AS INTEGER) AS step, node
 FROM ({union})""")
     return "".join(parts)
+
+
+_WL_SUM_MOD = 1 << 40
+
+
+def wl_colors(edges: DataFrame, rounds: int = 2, src: str = "src",
+              dst: str = "dst") -> DataFrame:
+    """Weisfeiler-Leman color refinement over the directed edge table:
+    (node, color) where equal colors after `rounds` refinements mark
+    nodes the R-round WL test cannot distinguish — the structural-role
+    signature KG pipelines use for schema inference and structure-level
+    entity dedup (two entities wired identically get one color however
+    their ids differ). Round 0 colors by (out-degree, in-degree);
+    round t rehashes (previous color, out-neighborhood digest,
+    in-neighborhood digest).
+
+    Bounded-state variant: textbook WL concatenates the SORTED
+    neighbor-color multiset — per-node state that grows with degree
+    and serializes hub nodes (the as-of hot-key problem as an agg).
+    Here the multiset is digested ADDITIVELY instead: sum over
+    neighbors of (neighbor-color hash mod 2^40) — order-free, so a
+    plain groupBy sum with map-side combine absorbs any hub, and
+    int64-safe to ~8M-degree hubs (2^63 / 2^40). Distinct multisets
+    can collide only through the 60-bit rehash / 40-bit summands
+    (negligible at KG scales, and a collision merely coarsens the
+    partition — it never splits a true class, the conservative
+    direction for dedup candidates).
+
+    Scale shape per round: two equi-joins of the one-row-per-node
+    color table to the edge table (colors are the small side; AQE
+    handles hub skew in the edge-side shuffle) + two summing groupBys
+    + one map-only rehash. rounds is typically 2-3 (WL stabilizes in
+    diameter-ish rounds on real graphs).
+
+    Oracle twin (wl_colors_sql) UNROLLS the rounds as generated CTEs
+    over the same hash recipe."""
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    from biocypher_metta_spark.operators.text import portable_hash
+
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+         .distinct()
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("s").alias("node"))
+             .unionByName(e.select(F.col("d").alias("node")))
+             .distinct())
+    outd = e.groupBy(F.col("s").alias("node")).agg(
+        F.count("*").alias("od"))
+    ind = e.groupBy(F.col("d").alias("node")).agg(
+        F.count("*").alias("idg"))
+    colors = (nodes.join(outd, "node", "left").join(ind, "node", "left")
+              .select("node", portable_hash(F.concat_ws(
+                  ":", F.lit("wl0"),
+                  F.coalesce(F.col("od"), F.lit(0)).cast("string"),
+                  F.coalesce(F.col("idg"), F.lit(0)).cast("string")))
+                  .alias("color"))
+              .localCheckpoint(eager=True))
+    for _ in range(rounds):
+        digest = F.pmod(portable_hash(
+            F.concat(F.lit("n"), F.col("color").cast("string"))),
+            F.lit(_WL_SUM_MOD))
+        s_out = (e.join(colors, e["d"] == colors["node"])
+                 .select(F.col("s").alias("node"), digest.alias("g"))
+                 .groupBy("node").agg(F.sum("g").alias("so")))
+        s_in = (e.join(colors, e["s"] == colors["node"])
+                .select(F.col("d").alias("node"), digest.alias("g"))
+                .groupBy("node").agg(F.sum("g").alias("si")))
+        colors = (colors.join(s_out, "node", "left")
+                  .join(s_in, "node", "left")
+                  .select("node", portable_hash(F.concat_ws(
+                      ":", F.lit("wl"), F.col("color").cast("string"),
+                      F.coalesce(F.col("so"), F.lit(0)).cast("string"),
+                      F.coalesce(F.col("si"), F.lit(0)).cast("string")))
+                      .alias("color"))
+                  .localCheckpoint(eager=True))
+    return colors
+
+
+def wl_colors_sql(edges_sql: str, rounds: int = 2, src: str = "src",
+                  dst: str = "dst") -> str:
+    """DuckDB twin of wl_colors, rounds UNROLLED as CTEs from the same
+    60-bit-hash / 40-bit-additive-digest recipe."""
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    h = ("CAST(('0x' || substr(md5({v}), 1, 15)) AS BIGINT)")
+    parts = [f"""WITH wl_edges AS MATERIALIZED (
+  SELECT DISTINCT {src} AS s, {dst} AS d FROM (
+{edges_sql.strip()}
+  ) WHERE {src} IS NOT NULL AND {dst} IS NOT NULL
+), wl_nodes AS (
+  SELECT s AS node FROM wl_edges UNION SELECT d FROM wl_edges
+), wl_c0 AS (
+  SELECT n.node,
+         {h.format(v="'wl0:' || CAST(coalesce(o.od, 0) AS VARCHAR)"
+                     " || ':' || CAST(coalesce(i.idg, 0) AS VARCHAR)")}
+           AS color
+  FROM wl_nodes n
+  LEFT JOIN (SELECT s AS node, count(*) AS od FROM wl_edges
+             GROUP BY s) o ON o.node = n.node
+  LEFT JOIN (SELECT d AS node, count(*) AS idg FROM wl_edges
+             GROUP BY d) i ON i.node = n.node
+)"""]
+    for t in range(1, rounds + 1):
+        dig = h.format(v="'n' || CAST(c.color AS VARCHAR)")
+        parts.append(f""", wl_so{t} AS (
+  SELECT e.s AS node, sum({dig} % {_WL_SUM_MOD}) AS so
+  FROM wl_edges e JOIN wl_c{t - 1} c ON c.node = e.d GROUP BY e.s
+), wl_si{t} AS (
+  SELECT e.d AS node, sum({dig} % {_WL_SUM_MOD}) AS si
+  FROM wl_edges e JOIN wl_c{t - 1} c ON c.node = e.s GROUP BY e.d
+), wl_c{t} AS (
+  SELECT c.node,
+         {h.format(v="'wl:' || CAST(c.color AS VARCHAR) || ':' "
+                     "|| CAST(coalesce(o.so, 0) AS VARCHAR) || ':' "
+                     "|| CAST(coalesce(i.si, 0) AS VARCHAR)")} AS color
+  FROM wl_c{t - 1} c
+  LEFT JOIN wl_so{t} o ON o.node = c.node
+  LEFT JOIN wl_si{t} i ON i.node = c.node
+)""")
+    parts.append(f"""
+SELECT node, color FROM wl_c{rounds}""")
+    return "".join(parts)

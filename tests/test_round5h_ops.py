@@ -318,3 +318,79 @@ def test_dsir_validation():
     with pytest.raises(ValueError):
         dsir_sql("SELECT 1 AS doc_id, 'a' AS text",
                  "SELECT 1 AS doc_id, 'a' AS text", scale=0)
+
+
+# ---------------------------------------------------------------------------
+# wl_colors (operators/graph.py): Weisfeiler-Leman structural signatures
+# ---------------------------------------------------------------------------
+
+from biocypher_metta_spark.operators.graph import wl_colors, wl_colors_sql
+
+
+def _wl_duck(edges, rounds):
+    ev = ", ".join(f"({a},{b})" for a, b in edges)
+    sql = wl_colors_sql(
+        f"SELECT * FROM (VALUES {ev}) t(src,dst)", rounds)
+    return sorted(tuple(r) for r in duckdb.connect().execute(sql)
+                  .fetchall())
+
+
+def _wl_spark(spark, edges, rounds):
+    e = spark.createDataFrame(edges, "src: long, dst: long")
+    return sorted(tuple(r) for r in wl_colors(e, rounds).collect())
+
+
+def test_wl_isomorphic_components_share_colors(spark):
+    # two disjoint directed triangles are isomorphic: their nodes must
+    # land on ONE color; the 2-path splits into distinct roles
+    e = [(1, 2), (2, 3), (3, 1),
+         (11, 12), (12, 13), (13, 11),
+         (21, 22), (22, 23)]
+    got = _wl_spark(spark, e, 2)
+    assert got == _wl_duck(e, 2)
+    c = dict(got)
+    assert len({c[1], c[2], c[3], c[11], c[12], c[13]}) == 1
+    assert len({c[21], c[22], c[23]}) == 3
+    assert c[1] != c[21]
+
+
+def test_wl_star_hub_differs_from_leaves(spark):
+    e = [(0, 1), (0, 2), (0, 3), (0, 4)]
+    got = _wl_spark(spark, e, 2)
+    assert got == _wl_duck(e, 2)
+    c = dict(got)
+    assert len({c[1], c[2], c[3], c[4]}) == 1 and c[0] != c[1]
+
+
+def test_wl_round_zero_is_degree_classes(spark):
+    # rounds=0: color = (out-deg, in-deg) hash only — 1 and 2 both
+    # (1 out, 0 in) collapse; refinement at rounds>=1 separates them
+    # because their successors differ structurally
+    e = [(1, 3), (2, 4), (4, 5)]
+    c0 = dict(_wl_spark(spark, e, 0))
+    assert c0[1] == c0[2]
+    assert _wl_spark(spark, e, 0) == _wl_duck(e, 0)
+    c1 = dict(_wl_spark(spark, e, 1))
+    assert c1[1] != c1[2]
+
+
+def test_wl_refinement_never_splits_true_automorphism(spark):
+    # a 4-cycle is vertex-transitive: every node keeps one shared
+    # color at any depth
+    e = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    for r in (0, 1, 3):
+        got = _wl_spark(spark, e, r)
+        assert got == _wl_duck(e, r)
+        assert len({c for _, c in got}) == 1
+
+
+def test_wl_randomized_cross_engine(spark):
+    random.seed(19)
+    e = list({(random.randrange(30), random.randrange(30))
+              for _ in range(90)})
+    assert _wl_spark(spark, e, 3) == _wl_duck(e, 3)
+
+
+def test_wl_validation():
+    with pytest.raises(ValueError):
+        wl_colors_sql("SELECT 1 AS src, 2 AS dst", -1)
