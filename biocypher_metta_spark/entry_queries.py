@@ -5460,6 +5460,45 @@ def kg_wl_colors(spark, sf_dir):
 KG_WL_COLORS_SQL = graph_ops.wl_colors_sql(_RW_EDGES_SQL, rounds=2)
 
 
+def kg_temporal_reach(spark, sf_dir):
+    """Earliest-arrival reachability over a temporal contact graph
+    (graph.temporal_reachability, 5 hops): contacts derived from the
+    events table (src = user_id, dst = (user_id*7+3) % 50 at the
+    event's second offset from corpus start), seeds = user 0 released
+    at t=0 and user 1 released one day in — static reachability would
+    claim every chain regardless of edge ORDER; the time-respecting
+    constraint (each hop's contact >= arrival at its tail) is what the
+    gate hashes. Timestamps enter as seconds RELATIVE to 2024-01-01 so
+    engine timezone conventions cancel. Oracle: recursive-CTE walk
+    enumeration under the same constraint
+    (graph.temporal_reachability_sql)."""
+    ev = _t(spark, sf_dir, "events")
+    rel = (F.unix_timestamp(F.col("ts"))
+           - F.unix_timestamp(F.lit("2024-01-01 00:00:00")
+                              .cast("timestamp"))).cast("long")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") * 7 + 3) % 50).alias("dst"),
+        rel.alias("t"))
+    sources = spark.createDataFrame(
+        [(0, 0), (1, 86400)], "node: long, t0: long")
+    return graph_ops.temporal_reachability(edges, sources, max_hops=5,
+                                           ts="t")
+
+
+_TREACH_EDGES_SQL = """SELECT user_id AS src,
+       (user_id * 7 + 3) % 50 AS dst,
+       CAST(floor(epoch(ts)) AS BIGINT)
+         - CAST(floor(epoch(TIMESTAMP '2024-01-01 00:00:00')) AS BIGINT)
+         AS t
+FROM events"""
+_TREACH_SOURCES_SQL = ("SELECT * FROM (VALUES (0, 0), (1, 86400)) "
+                       "t(node, t0)")
+
+KG_TEMPORAL_REACH_SQL = graph_ops.temporal_reachability_sql(
+    _TREACH_EDGES_SQL, _TREACH_SOURCES_SQL, max_hops=5, ts="t")
+
+
 def doc_bpe_train(spark, sf_dir):
     """Distributed BPE merge learning (bpe.train_bpe, 8 merges) over
     the documents corpus: one corpus-sized word-count shuffle, then
@@ -5711,6 +5750,7 @@ QUERIES.update({
     "kg_sssp": (kg_sssp, KG_SSSP_SQL),
     "kg_random_walks": (kg_random_walks, KG_RANDOM_WALKS_SQL),
     "kg_wl_colors": (kg_wl_colors, KG_WL_COLORS_SQL),
+    "kg_temporal_reach": (kg_temporal_reach, KG_TEMPORAL_REACH_SQL),
     "doc_lm_train": (doc_lm_train, DOC_LM_TRAIN_SQL),
     "kg_streaming_upsert": (kg_streaming_upsert,
                             REL_CHANGELOG_COMPACT_SQL),
@@ -5877,6 +5917,7 @@ CK_COLUMNS = {
     "kg_sssp": ["cost", "node"],
     "kg_random_walks": ["node", "rep", "start", "step"],
     "kg_wl_colors": ["color", "node"],
+    "kg_temporal_reach": ["arrival", "node"],
     "kg_scc": ["node", "scc"],
     "emb_random_projection": ["p0", "p1", "p2", "p3", "p4", "p5",
                               "p6", "p7", "vec_id"],
@@ -5943,7 +5984,7 @@ CK_COMPOSITES = {
                         "kg_triangles", "kg_kcore",
                         "kg_lpa", "kg_cooccurrence", "kg_jaccard_links",
                         "kg_bfs", "kg_sssp", "kg_random_walks",
-                        "kg_wl_colors",
+                        "kg_wl_colors", "kg_temporal_reach",
                         "kg_survivorship",
                         "kg_entity_resolution", "kg_scc",
                         "emb_random_projection", "emb_ivfpq_topk"],

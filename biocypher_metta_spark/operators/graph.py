@@ -1213,3 +1213,96 @@ def wl_colors_sql(edges_sql: str, rounds: int = 2, src: str = "src",
     parts.append(f"""
 SELECT node, color FROM wl_c{rounds}""")
     return "".join(parts)
+
+
+def temporal_reachability(edges: DataFrame, sources: DataFrame,
+                          max_hops: int, src: str = "src",
+                          dst: str = "dst",
+                          ts: str = "ts") -> DataFrame:
+    """Earliest-arrival reachability over a TEMPORAL edge table
+    (contact (src, dst) at integer time ts): (node, arrival) = the
+    minimum time any information released by a source at its start
+    time can reach the node along a TIME-RESPECTING path — each hop's
+    contact time must be >= the arrival at its tail [Holme & Saramäki,
+    Phys. Rep. 2012]. Static reachability over-counts badly on contact
+    data (a path through yesterday's edge into last week's edge exists
+    statically but carries nothing); this is the diffusion/provenance
+    primitive for event-shaped KGs. `sources` carries (node, t0) start
+    times; `max_hops` bounds rounds (totality on dense contact sets).
+
+    Frontier relaxation, same skeleton as sssp_bounded: a node
+    re-expands only when its arrival IMPROVED last round (any
+    earlier-arrival path extends an improvement), each round = one
+    equi-join of the frontier to edges on the tail + the ts >= arrival
+    residual filter + a min-combine groupBy; per-round localCheckpoint;
+    early exit when nothing improves. Hub out-degree skew lands in the
+    frontier join under AQE, and the min-combine absorbs in-degree
+    skew map-side.
+
+    Oracle twin (temporal_reachability_sql): recursive-CTE enumeration
+    of (node, arrival, hops) tuples with the same time-respecting
+    constraint, UNION-deduped, then min(arrival) — independent
+    enumeration vs relaxation."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"),
+                      F.col(ts).cast("long").alias("t"))
+         .filter(F.col("s").isNotNull() & F.col("d").isNotNull()
+                 & F.col("t").isNotNull())
+         .distinct())
+    e = e.localCheckpoint(eager=True)
+    arr = (sources.select(F.col(sources.columns[0]).alias("node"),
+                          F.col(sources.columns[1]).cast("long")
+                          .alias("arrival"))
+           .filter(F.col("node").isNotNull()
+                   & F.col("arrival").isNotNull())
+           .groupBy("node").agg(F.min("arrival").alias("arrival")))
+    arr = arr.localCheckpoint(eager=True)
+    frontier = arr
+    for _ in range(max_hops):
+        cand = (frontier.join(e, frontier["node"] == e["s"])
+                .filter(F.col("t") >= F.col("arrival"))
+                .select(F.col("d").alias("node"),
+                        F.col("t").alias("arrival"))
+                .groupBy("node").agg(F.min("arrival").alias("arrival")))
+        improved = (cand.join(arr.withColumnRenamed("arrival", "_old"),
+                              "node", "left")
+                    .filter(F.col("_old").isNull()
+                            | (F.col("arrival") < F.col("_old")))
+                    .select("node", "arrival"))
+        improved = improved.localCheckpoint(eager=True)
+        if improved.isEmpty():
+            break
+        arr = (arr.join(improved.select("node"), "node", "left_anti")
+               .unionByName(improved)
+               .localCheckpoint(eager=True))
+        frontier = improved
+    return arr
+
+
+def temporal_reachability_sql(edges_sql: str, sources_sql: str,
+                              max_hops: int, src: str = "src",
+                              dst: str = "dst", ts: str = "ts") -> str:
+    """DuckDB twin of temporal_reachability: recursive-CTE walk
+    enumeration under the time-respecting constraint, then
+    min(arrival) per node."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    return f"""WITH RECURSIVE tr_edges AS MATERIALIZED (
+  SELECT DISTINCT {src} AS s, {dst} AS d, CAST({ts} AS BIGINT) AS t
+  FROM (
+{edges_sql.strip()}
+  ) WHERE {src} IS NOT NULL AND {dst} IS NOT NULL AND {ts} IS NOT NULL
+), tr_walk AS (
+  SELECT node, arrival, 0 AS hops FROM (
+    SELECT node, CAST(min(t0) AS BIGINT) AS arrival FROM (
+{sources_sql.strip()}
+    ) WHERE node IS NOT NULL AND t0 IS NOT NULL GROUP BY node
+  )
+  UNION
+  SELECT e.d AS node, e.t AS arrival, w.hops + 1 AS hops
+  FROM tr_walk w JOIN tr_edges e ON e.s = w.node AND e.t >= w.arrival
+  WHERE w.hops < {max_hops}
+)
+SELECT node, CAST(min(arrival) AS BIGINT) AS arrival
+FROM tr_walk GROUP BY node"""

@@ -394,3 +394,73 @@ def test_wl_randomized_cross_engine(spark):
 def test_wl_validation():
     with pytest.raises(ValueError):
         wl_colors_sql("SELECT 1 AS src, 2 AS dst", -1)
+
+
+# ---------------------------------------------------------------------------
+# temporal_reachability (operators/graph.py): earliest-arrival paths
+# ---------------------------------------------------------------------------
+
+from biocypher_metta_spark.operators.graph import (
+    temporal_reachability,
+    temporal_reachability_sql,
+)
+
+
+def _tr_duck(edges, sources, hops):
+    ev = ", ".join(f"({a},{b},{t})" for a, b, t in edges)
+    sv = ", ".join(f"({n},{t})" for n, t in sources)
+    sql = temporal_reachability_sql(
+        f"SELECT * FROM (VALUES {ev}) t(src,dst,ts)",
+        f"SELECT * FROM (VALUES {sv}) t(node,t0)", hops)
+    return sorted(tuple(r) for r in duckdb.connect().execute(sql)
+                  .fetchall())
+
+
+def _tr_spark(spark, edges, sources, hops):
+    e = spark.createDataFrame(edges, "src: long, dst: long, ts: long")
+    s = spark.createDataFrame(sources, "node: long, t0: long")
+    return sorted(tuple(r)
+                  for r in temporal_reachability(e, s, hops).collect())
+
+
+def test_tr_edge_order_matters(spark):
+    # 2-(t3)->3 happened BEFORE information reached 2 at t5: a static
+    # path that carries nothing; only the t8 contact delivers
+    e = [(1, 2, 5), (2, 3, 3), (2, 3, 8)]
+    got = _tr_spark(spark, e, [(1, 0)], 3)
+    assert got == [(1, 0), (2, 5), (3, 8)]
+    assert got == _tr_duck(e, [(1, 0)], 3)
+
+
+def test_tr_start_time_gates_first_hop(spark):
+    e = [(1, 2, 5), (2, 3, 8)]
+    got = _tr_spark(spark, e, [(1, 6)], 3)
+    assert got == [(1, 6)]  # the t5 contact predates the release
+    assert got == _tr_duck(e, [(1, 6)], 3)
+
+
+def test_tr_multi_source_takes_min_arrival(spark):
+    e = [(1, 3, 10), (2, 3, 4), (3, 4, 6)]
+    got = _tr_spark(spark, e, [(1, 0), (2, 0)], 3)
+    assert got == [(1, 0), (2, 0), (3, 4), (4, 6)]
+    assert got == _tr_duck(e, [(1, 0), (2, 0)], 3)
+
+
+def test_tr_randomized_contacts(spark):
+    random.seed(29)
+    e = [(random.randrange(18), random.randrange(18),
+          random.randrange(100)) for _ in range(120)]
+    srcs = [(0, 10), (5, 0)]
+    assert _tr_spark(spark, e, srcs, 4) == _tr_duck(e, srcs, 4)
+
+
+def test_tr_hops_zero_is_sources_only(spark):
+    e = [(1, 2, 3)]
+    assert _tr_spark(spark, e, [(1, 0)], 0) == [(1, 0)]
+
+
+def test_tr_validation():
+    with pytest.raises(ValueError):
+        temporal_reachability_sql(
+            "SELECT 1 AS src, 2 AS dst, 3 AS ts",
+            "SELECT 1 AS node, 0 AS t0", -1)

@@ -1,6 +1,7 @@
 """10x scale rehearsal for the round-5h operators: KMV set-operation
 estimates, bounded weighted shortest paths, deterministic random
-walks, DSIR importance scoring, WL color refinement.
+walks, DSIR importance scoring, WL color refinement,
+temporal reachability.
 
 Same contract as rehearsal_r5b/c/e/f/g: each op runs at N and 10N in
 one JVM (warmup excluded); the claimed shapes are
@@ -15,6 +16,8 @@ one JVM (warmup excluded); the claimed shapes are
   work);
 * wl — per round two equi-joins + two bounded-state sums:
   ~linear in edges;
+* treach — sssp's frontier shape over contact edges (frontier
+  stays seed-bounded): ~linear in contacts;
 * dsir — model state bounded by `buckets` regardless of corpus (two
   groupBys into <= 256 rows), scoring map-only + one per-doc groupBy:
   ~linear in docs.
@@ -124,6 +127,21 @@ def run_wl(spark, n: int) -> dict:
     return {"nodes": n, "rows": rows, "sec": round(time.time() - t0, 2)}
 
 
+def run_treach(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.graph import temporal_reachability
+
+    m = F.col("id") % (n // 10)
+    edges = spark.range(n).select(
+        m.alias("src"), ((m * 7 + 3) % (n // 10)).alias("dst"),
+        ((F.col("id") * 13 + 5) % 100000).alias("ts"))
+    sources = spark.range(5).select(F.col("id").alias("node"),
+                                    F.lit(0).alias("t0"))
+    t0 = time.time()
+    rows = temporal_reachability(edges, sources, max_hops=5).count()
+    return {"contacts": n, "rows": rows,
+            "sec": round(time.time() - t0, 2)}
+
+
 def main():
     spark = get_spark("rehearsal-r5h", master="local[32]",
                       extra_confs={"spark.sql.shuffle.partitions": "32"})
@@ -131,7 +149,8 @@ def main():
            "sssp": (run_sssp, 500_000),
            "walks": (run_walks, 100_000),
            "dsir": (run_dsir, 100_000),
-           "wl": (run_wl, 500_000)}
+           "wl": (run_wl, 500_000),
+           "treach": (run_treach, 1_000_000)}
     only = set(sys.argv[1:])
     art = REPO / "tools" / "rehearsal_r5h.json"
     prev = json.loads(art.read_text()) if art.exists() else {}
