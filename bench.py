@@ -138,7 +138,8 @@ def main() -> None:
              "rel_zorder_key", "emb_mmr_rerank", "doc_retrieval_ladder",
              "kg_scc", "emb_random_projection", "emb_ivfpq_topk",
              "rel_sketch_setops", "kg_sssp", "kg_random_walks",
-             "doc_dsir_scores", "kg_wl_colors", "kg_temporal_reach"]
+             "doc_dsir_scores", "kg_wl_colors", "kg_temporal_reach",
+             "kg_ppr"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):

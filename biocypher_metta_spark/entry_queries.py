@@ -5499,6 +5499,29 @@ KG_TEMPORAL_REACH_SQL = graph_ops.temporal_reachability_sql(
     _TREACH_EDGES_SQL, _TREACH_SOURCES_SQL, max_hops=5, ts="t")
 
 
+def kg_ppr(spark, sf_dir):
+    """Personalized PageRank (graph.personalized_pagerank, 4 rounds,
+    integer fixed-point) over the 512-node pseudorandom graph with
+    seeds {0, 7, 42}: all teleport AND dangling mass restarts at the
+    seeds, so rank measures importance relative to them — the KG
+    retrieval prior. Nodes outside the seeded component hold rank
+    exactly 0 (pinned by test). Oracle: the iterations unrolled as
+    generated CTEs from the same integer formula
+    (graph.personalized_pagerank_sql)."""
+    ids = _ids(spark, sf_dir)
+    m = F.col("i") % 512
+    edges = (ids.select(m.alias("src"), ((m * 7 + 3) % 512).alias("dst"))
+             .unionAll(ids.select(m.alias("src"),
+                                  ((m * 3 + 1) % 512).alias("dst"))))
+    seeds = spark.createDataFrame([(0,), (7,), (42,)], "id: long")
+    return graph_ops.personalized_pagerank(edges, seeds, iterations=4)
+
+
+KG_PPR_SQL = graph_ops.personalized_pagerank_sql(
+    _RW_EDGES_SQL,
+    "SELECT * FROM (VALUES (0), (7), (42)) t(id)", iterations=4)
+
+
 def doc_bpe_train(spark, sf_dir):
     """Distributed BPE merge learning (bpe.train_bpe, 8 merges) over
     the documents corpus: one corpus-sized word-count shuffle, then
@@ -5751,6 +5774,7 @@ QUERIES.update({
     "kg_random_walks": (kg_random_walks, KG_RANDOM_WALKS_SQL),
     "kg_wl_colors": (kg_wl_colors, KG_WL_COLORS_SQL),
     "kg_temporal_reach": (kg_temporal_reach, KG_TEMPORAL_REACH_SQL),
+    "kg_ppr": (kg_ppr, KG_PPR_SQL),
     "doc_lm_train": (doc_lm_train, DOC_LM_TRAIN_SQL),
     "kg_streaming_upsert": (kg_streaming_upsert,
                             REL_CHANGELOG_COMPACT_SQL),
@@ -5918,6 +5942,7 @@ CK_COLUMNS = {
     "kg_random_walks": ["node", "rep", "start", "step"],
     "kg_wl_colors": ["color", "node"],
     "kg_temporal_reach": ["arrival", "node"],
+    "kg_ppr": ["id", "rank_fp"],
     "kg_scc": ["node", "scc"],
     "emb_random_projection": ["p0", "p1", "p2", "p3", "p4", "p5",
                               "p6", "p7", "vec_id"],
@@ -5984,7 +6009,7 @@ CK_COMPOSITES = {
                         "kg_triangles", "kg_kcore",
                         "kg_lpa", "kg_cooccurrence", "kg_jaccard_links",
                         "kg_bfs", "kg_sssp", "kg_random_walks",
-                        "kg_wl_colors", "kg_temporal_reach",
+                        "kg_wl_colors", "kg_temporal_reach", "kg_ppr",
                         "kg_survivorship",
                         "kg_entity_resolution", "kg_scc",
                         "emb_random_projection", "emb_ivfpq_topk"],

@@ -1306,3 +1306,160 @@ def temporal_reachability_sql(edges_sql: str, sources_sql: str,
 )
 SELECT node, CAST(min(arrival) AS BIGINT) AS arrival
 FROM tr_walk GROUP BY node"""
+
+
+def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
+                          src: str = "src", dst: str = "dst",
+                          iterations: int = 5,
+                          damping_permille: int = 850,
+                          scale: int = 10 ** 12) -> DataFrame:
+    """Personalized PageRank: pagerank() with ALL teleport mass
+    restricted to the seed set — the random surfer restarts at a seed
+    instead of anywhere, so rank_fp measures importance RELATIVE to
+    the seeds: the standard KG retrieval prior ("entities relevant to
+    this query's seed entities") and the local-community scorer
+    [Jeh & Widom, WWW'03]. Same integer fixed-point contract as
+    pagerank (identical overflow bounds, floors are deterministic
+    quantization); init mass and the dangling redistribution also go
+    to seeds only, so all mass stays in the seeded component — nodes
+    the seeds cannot reach hold rank exactly 0.
+
+    Scale shape: identical to pagerank (two data-sized shuffles per
+    round, scalar dangling subquery, map-side combine on the dst agg)
+    plus one broadcast-sized left join to the seed flag per round;
+    seeds not present in the graph are ignored (documented — the twin
+    does the same).
+
+    Twin: personalized_pagerank_sql, generated from this formula."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not 0 < damping_permille < 1000:
+        raise ValueError("damping_permille must be in (0, 1000), "
+                         f"got {damping_permille}")
+    dp = damping_permille
+    spark = edges.sparkSession
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct())
+    e = e.localCheckpoint(eager=True)
+    nodes = (e.select(F.col("src").alias("id"))
+             .union(e.select(F.col("dst").alias("id")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    sd = (seeds.select(F.col(seeds.columns[0]).alias("id"))
+          .filter(F.col("id").isNotNull())
+          .distinct()
+          .join(nodes, "id")
+          .localCheckpoint(eager=True))
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    ed = (e.join(deg, "src")
+          .select("src", "dst", "outdeg")
+          .localCheckpoint(eager=True))
+
+    ns = sd.count()
+    if ns == 0:
+        raise ValueError("no seed appears in the graph")
+    init = math.floor(scale / ns)
+    teleport = math.floor((1000 - dp) * scale / (1000 * ns))
+
+    ranks = (nodes.join(sd.withColumn("_isseed", F.lit(1)), "id", "left")
+             .select("id", F.when(F.col("_isseed").isNotNull(),
+                                  F.lit(init)).otherwise(F.lit(0))
+                     .cast("long").alias("r")))
+    for _ in range(iterations):
+        contrib = (ranks.join(ed, ranks["id"] == ed["src"])
+                   .select(F.col("dst"),
+                           F.floor(F.col("r") / F.col("outdeg"))
+                           .cast("long").alias("c")))
+        s = contrib.groupBy("dst").agg(F.sum("c").cast("long").alias("s"))
+        dang = (ranks.join(deg, ranks["id"] == deg["src"], "left_anti")
+                .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long")
+                     .alias("d")))
+        ranks = spark.sql(
+            f"""
+            SELECT n.id AS id,
+                   CAST(CASE WHEN sd.id IS NOT NULL THEN {teleport}
+                        ELSE 0 END
+                        + floor({dp} * coalesce(s.s, 0) / 1000)
+                        + CASE WHEN sd.id IS NOT NULL THEN
+                            floor({dp} * (SELECT d FROM {{dang}})
+                                  / {1000 * ns})
+                          ELSE 0 END
+                        AS BIGINT) AS r
+            FROM {{nodes}} AS n
+            LEFT JOIN {{s}} AS s ON n.id = s.dst
+            LEFT JOIN {{sd}} AS sd ON n.id = sd.id
+            """,
+            nodes=nodes, s=s, dang=dang, sd=sd) \
+            .localCheckpoint(eager=True)
+    return ranks.select("id", F.col("r").alias("rank_fp"))
+
+
+def personalized_pagerank_sql(edges_sql: str, seeds_sql: str,
+                              src: str = "src", dst: str = "dst",
+                              iterations: int = 5,
+                              damping_permille: int = 850,
+                              scale: int = 10 ** 12) -> str:
+    """DuckDB twin of personalized_pagerank with iterations UNROLLED,
+    generated from the same integer formula. `seeds_sql` yields one
+    column `id`."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not 0 < damping_permille < 1000:
+        raise ValueError("damping_permille must be in (0, 1000), "
+                         f"got {damping_permille}")
+    dp = damping_permille
+    parts = [f"""WITH ppr_raw AS (
+{edges_sql.strip()}
+), ppr_e AS (
+  SELECT DISTINCT {src} AS src, {dst} AS dst FROM ppr_raw
+  WHERE {src} IS NOT NULL AND {dst} IS NOT NULL
+), ppr_nodes AS (
+  SELECT src AS id FROM ppr_e UNION SELECT dst FROM ppr_e
+), ppr_seeds AS (
+  SELECT DISTINCT s.id FROM (
+{seeds_sql.strip()}
+  ) s JOIN ppr_nodes n ON n.id = s.id WHERE s.id IS NOT NULL
+), ppr_deg AS (
+  SELECT src AS id, CAST(count(*) AS BIGINT) AS outdeg
+  FROM ppr_e GROUP BY 1
+), ppr_ns AS (
+  SELECT CAST(count(*) AS BIGINT) AS ns FROM ppr_seeds
+), ppr_r0 AS (
+  SELECT n.id,
+         CASE WHEN sd.id IS NOT NULL
+              THEN CAST(floor({scale} / ppr_ns.ns) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS r
+  FROM ppr_nodes n LEFT JOIN ppr_seeds sd ON n.id = sd.id, ppr_ns
+)"""]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(f""", ppr_s{i} AS (
+  SELECT ppr_e.dst AS id,
+         CAST(sum(CAST(floor(ppr_r{p}.r / ppr_deg.outdeg) AS BIGINT))
+              AS BIGINT) AS s
+  FROM ppr_r{p}
+  JOIN ppr_e ON ppr_r{p}.id = ppr_e.src
+  JOIN ppr_deg ON ppr_e.src = ppr_deg.id
+  GROUP BY 1
+), ppr_d{i} AS (
+  SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang
+  FROM ppr_r{p} WHERE id NOT IN (SELECT id FROM ppr_deg)
+), ppr_r{i} AS (
+  SELECT n.id,
+         CASE WHEN sd.id IS NOT NULL
+              THEN CAST(floor({(1000 - dp) * scale}
+                              / (1000 * ppr_ns.ns)) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END
+         + CAST(floor({dp} * coalesce(ppr_s{i}.s, 0) / 1000) AS BIGINT)
+         + CASE WHEN sd.id IS NOT NULL
+                THEN CAST(floor({dp} * ppr_d{i}.dang
+                                / (1000 * ppr_ns.ns)) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END
+           AS r
+  FROM ppr_nodes n
+  LEFT JOIN ppr_s{i} ON n.id = ppr_s{i}.id
+  LEFT JOIN ppr_seeds sd ON n.id = sd.id, ppr_ns, ppr_d{i}
+)""")
+    parts.append(f"\nSELECT id, r AS rank_fp FROM ppr_r{iterations}")
+    return "".join(parts)

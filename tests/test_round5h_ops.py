@@ -464,3 +464,68 @@ def test_tr_validation():
         temporal_reachability_sql(
             "SELECT 1 AS src, 2 AS dst, 3 AS ts",
             "SELECT 1 AS node, 0 AS t0", -1)
+
+
+# ---------------------------------------------------------------------------
+# personalized_pagerank (operators/graph.py): seed-teleport PageRank
+# ---------------------------------------------------------------------------
+
+from biocypher_metta_spark.operators.graph import (
+    personalized_pagerank,
+    personalized_pagerank_sql,
+)
+
+
+def _ppr_duck(edges, seeds, it=4):
+    ev = ", ".join(f"({a},{b})" for a, b in edges)
+    sv = ", ".join(f"({s})" for s in seeds)
+    sql = personalized_pagerank_sql(
+        f"SELECT * FROM (VALUES {ev}) t(src,dst)",
+        f"SELECT * FROM (VALUES {sv}) t(id)", iterations=it)
+    return sorted(tuple(r) for r in duckdb.connect().execute(sql)
+                  .fetchall())
+
+
+def _ppr_spark(spark, edges, seeds, it=4):
+    e = spark.createDataFrame(edges, "src: long, dst: long")
+    s = spark.createDataFrame([(x,) for x in seeds], "id: long")
+    return sorted(tuple(r) for r in
+                  personalized_pagerank(e, s, iterations=it).collect())
+
+
+def test_ppr_unreached_component_holds_zero(spark):
+    e = [(1, 2), (2, 1), (2, 3), (10, 11), (11, 10)]
+    got = _ppr_spark(spark, e, [1])
+    assert got == _ppr_duck(e, [1])
+    r = dict(got)
+    assert r[10] == 0 and r[11] == 0
+    assert min(r[1], r[2], r[3]) > 0
+
+
+def test_ppr_seed_outranks_downstream_leaf(spark):
+    e = [(1, 2), (2, 1), (2, 3)]
+    r = dict(_ppr_spark(spark, e, [1]))
+    assert r[1] > r[3]
+
+
+def test_ppr_randomized_cross_engine(spark):
+    random.seed(31)
+    e = list({(random.randrange(25), random.randrange(25))
+              for _ in range(80)})
+    assert _ppr_spark(spark, e, [0, 3, 7], it=5) == \
+        _ppr_duck(e, [0, 3, 7], it=5)
+
+
+def test_ppr_seed_absent_from_graph_raises(spark):
+    with pytest.raises(ValueError):
+        _ppr_spark(spark, [(1, 2)], [99])
+
+
+def test_ppr_validation():
+    with pytest.raises(ValueError):
+        personalized_pagerank_sql("SELECT 1 AS src, 2 AS dst",
+                                  "SELECT 1 AS id", iterations=0)
+    with pytest.raises(ValueError):
+        personalized_pagerank_sql("SELECT 1 AS src, 2 AS dst",
+                                  "SELECT 1 AS id",
+                                  damping_permille=1000)

@@ -1,7 +1,7 @@
 """10x scale rehearsal for the round-5h operators: KMV set-operation
 estimates, bounded weighted shortest paths, deterministic random
 walks, DSIR importance scoring, WL color refinement,
-temporal reachability.
+temporal reachability, personalized PageRank.
 
 Same contract as rehearsal_r5b/c/e/f/g: each op runs at N and 10N in
 one JVM (warmup excluded); the claimed shapes are
@@ -18,6 +18,8 @@ one JVM (warmup excluded); the claimed shapes are
   ~linear in edges;
 * treach — sssp's frontier shape over contact edges (frontier
   stays seed-bounded): ~linear in contacts;
+* ppr — pagerank's per-round shape (two data-sized shuffles):
+  ~linear in edges;
 * dsir — model state bounded by `buckets` regardless of corpus (two
   groupBys into <= 256 rows), scoring map-only + one per-doc groupBy:
   ~linear in docs.
@@ -142,6 +144,20 @@ def run_treach(spark, n: int) -> dict:
             "sec": round(time.time() - t0, 2)}
 
 
+def run_ppr(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.graph import personalized_pagerank
+
+    m = F.col("id") % n
+    edges = (spark.range(n)
+             .select(m.alias("src"), ((m * 7 + 3) % n).alias("dst"))
+             .unionAll(spark.range(n).select(
+                 m.alias("src"), ((m * 3 + 1) % n).alias("dst"))))
+    seeds = spark.range(5).select(F.col("id"))
+    t0 = time.time()
+    rows = personalized_pagerank(edges, seeds, iterations=3).count()
+    return {"nodes": n, "rows": rows, "sec": round(time.time() - t0, 2)}
+
+
 def main():
     spark = get_spark("rehearsal-r5h", master="local[32]",
                       extra_confs={"spark.sql.shuffle.partitions": "32"})
@@ -150,7 +166,8 @@ def main():
            "walks": (run_walks, 100_000),
            "dsir": (run_dsir, 100_000),
            "wl": (run_wl, 500_000),
-           "treach": (run_treach, 1_000_000)}
+           "treach": (run_treach, 1_000_000),
+           "ppr": (run_ppr, 500_000)}
     only = set(sys.argv[1:])
     art = REPO / "tools" / "rehearsal_r5h.json"
     prev = json.loads(art.read_text()) if art.exists() else {}
