@@ -5522,6 +5522,104 @@ KG_PPR_SQL = graph_ops.personalized_pagerank_sql(
     "SELECT * FROM (VALUES (0), (7), (42)) t(id)", iterations=4)
 
 
+def kg_schema_validate(spark, sf_dir):
+    """Schema-driven triple validation (operators/validate.py,
+    SHACL-lite over the BioCypher constraint shape): a synthetic KG
+    derived from document ids — 400 nodes cycling gene/ncrna/
+    transcript/protein/pathway, mostly-valid transcribed_to/member_of
+    edges (ncrna sources pass via the ncrna is_a gene hierarchy), plus
+    PLANTED dangling / wrong-src-type / unknown-label edges and the
+    natural duplicates where doc ids wrap past 400 — the validator
+    must emit exactly the planted violation set. Oracle recomputes all
+    five rules with a recursive-CTE closure
+    (validate.validate_triples_sql)."""
+    from biocypher_metta_spark.operators.validate import validate_triples
+
+    ids = _ids(spark, sf_dir)
+    m = F.col("i") % 400
+    lab = F.element_at(
+        F.array(F.lit("gene"), F.lit("ncrna"), F.lit("transcript"),
+                F.lit("protein"), F.lit("pathway")),
+        (m % 5 + 1).cast("int"))
+    nodes = ids.select(F.concat(F.lit("n"), m).alias("id"),
+                       lab.alias("label")).distinct()
+
+    def _edge(cond, s, t, label):
+        return ids.filter(cond).select(
+            s.alias("src"), t.alias("tgt"), F.lit(label).alias("label"))
+
+    nm = F.concat(F.lit("n"), m)
+    edges = (
+        # valid: gene -> transcript (incl. wrap duplicates)
+        _edge(m % 5 == 0, nm, F.concat(F.lit("n"), (m + 2) % 400),
+              "transcribed_to")
+        # valid via is_a: ncrna -> transcript
+        .unionByName(_edge(m % 5 == 1, nm,
+                           F.concat(F.lit("n"), (m + 1) % 400),
+                           "transcribed_to"))
+        # valid: protein -> pathway
+        .unionByName(_edge(m % 5 == 3, nm,
+                           F.concat(F.lit("n"), (m + 1) % 400),
+                           "member_of"))
+        # planted: dangling target
+        .unionByName(_edge(m % 80 == 6, nm,
+                           F.concat(F.lit("zz"), m), "transcribed_to"))
+        # planted: wrong source type (transcript as transcribed_to src)
+        .unionByName(_edge(m % 80 == 12, nm,
+                           F.concat(F.lit("n"), (m + 5) % 400),
+                           "transcribed_to"))
+        # planted: unknown edge label
+        .unionByName(_edge(m % 80 == 24, nm, nm, "annotates")))
+    cons = spark.createDataFrame(
+        [("transcribed_to", "gene", "transcript"),
+         ("translates_to", "transcript", "protein"),
+         ("member_of", "protein", "pathway")],
+        "edge_label: string, src_label: string, tgt_label: string")
+    isa = spark.createDataFrame([("ncrna", "gene")],
+                                "child: string, parent: string")
+    return validate_triples(nodes, edges, cons, isa)
+
+
+def _schema_validate_sql():
+    from biocypher_metta_spark.operators.validate import (
+        validate_triples_sql)
+
+    labels = "['gene', 'ncrna', 'transcript', 'protein', 'pathway']"
+    base = ("SELECT CAST(doc_id AS BIGINT) % 400 AS m FROM documents")
+    nodes = (f"SELECT DISTINCT 'n' || CAST(m AS VARCHAR) AS id, "
+             f"{labels}[CAST(m % 5 AS INT) + 1] AS label FROM ({base})")
+    edges = f"""
+  SELECT 'n' || CAST(m AS VARCHAR) AS src,
+         'n' || CAST((m + 2) % 400 AS VARCHAR) AS tgt,
+         'transcribed_to' AS label FROM ({base}) WHERE m % 5 = 0
+  UNION ALL SELECT 'n' || CAST(m AS VARCHAR),
+         'n' || CAST((m + 1) % 400 AS VARCHAR), 'transcribed_to'
+    FROM ({base}) WHERE m % 5 = 1
+  UNION ALL SELECT 'n' || CAST(m AS VARCHAR),
+         'n' || CAST((m + 1) % 400 AS VARCHAR), 'member_of'
+    FROM ({base}) WHERE m % 5 = 3
+  UNION ALL SELECT 'n' || CAST(m AS VARCHAR),
+         'zz' || CAST(m AS VARCHAR), 'transcribed_to'
+    FROM ({base}) WHERE m % 80 = 6
+  UNION ALL SELECT 'n' || CAST(m AS VARCHAR),
+         'n' || CAST((m + 5) % 400 AS VARCHAR), 'transcribed_to'
+    FROM ({base}) WHERE m % 80 = 12
+  UNION ALL SELECT 'n' || CAST(m AS VARCHAR),
+         'n' || CAST(m AS VARCHAR), 'annotates'
+    FROM ({base}) WHERE m % 80 = 24"""
+    cons = ("SELECT * FROM (VALUES "
+            "('transcribed_to', 'gene', 'transcript'), "
+            "('translates_to', 'transcript', 'protein'), "
+            "('member_of', 'protein', 'pathway')) "
+            "t(edge_label, src_label, tgt_label)")
+    isa = "SELECT * FROM (VALUES ('ncrna', 'gene')) t(child, parent)"
+    return validate_triples_sql(nodes, edges, cons, isa)
+
+
+QUERIES["kg_schema_validate"] = (kg_schema_validate,
+                                 _schema_validate_sql())
+
+
 def doc_bpe_train(spark, sf_dir):
     """Distributed BPE merge learning (bpe.train_bpe, 8 merges) over
     the documents corpus: one corpus-sized word-count shuffle, then
@@ -5943,6 +6041,7 @@ CK_COLUMNS = {
     "kg_wl_colors": ["color", "node"],
     "kg_temporal_reach": ["arrival", "node"],
     "kg_ppr": ["id", "rank_fp"],
+    "kg_schema_validate": ["edge_label", "reason", "src", "tgt"],
     "kg_scc": ["node", "scc"],
     "emb_random_projection": ["p0", "p1", "p2", "p3", "p4", "p5",
                               "p6", "p7", "vec_id"],
@@ -6010,6 +6109,7 @@ CK_COMPOSITES = {
                         "kg_lpa", "kg_cooccurrence", "kg_jaccard_links",
                         "kg_bfs", "kg_sssp", "kg_random_walks",
                         "kg_wl_colors", "kg_temporal_reach", "kg_ppr",
+                        "kg_schema_validate",
                         "kg_survivorship",
                         "kg_entity_resolution", "kg_scc",
                         "emb_random_projection", "emb_ivfpq_topk"],

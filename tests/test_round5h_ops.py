@@ -529,3 +529,81 @@ def test_ppr_validation():
         personalized_pagerank_sql("SELECT 1 AS src, 2 AS dst",
                                   "SELECT 1 AS id",
                                   damping_permille=1000)
+
+
+# ---------------------------------------------------------------------------
+# validate_triples (operators/validate.py): schema-driven validation
+# ---------------------------------------------------------------------------
+
+from biocypher_metta_spark.operators.validate import (
+    validate_triples,
+    validate_triples_sql,
+)
+
+_VT_NODES = [("g1", "gene"), ("g2", "ncrna"), ("t1", "transcript"),
+             ("p1", "protein"), ("x1", "pathway")]
+_VT_CONS = [("transcribed_to", "gene", "transcript"),
+            ("translates_to", "transcript", "protein"),
+            ("member_of", "protein", "pathway")]
+_VT_ISA = [("ncrna", "gene")]
+
+
+def _vt_q(rows, cols):
+    return ("SELECT * FROM (VALUES "
+            + ", ".join("(" + ", ".join(f"'{x}'" for x in r) + ")"
+                        for r in rows) + f") t({cols})")
+
+
+def _vt_spark(spark, edges, isa=_VT_ISA):
+    n = spark.createDataFrame(_VT_NODES, "id: string, label: string")
+    e = spark.createDataFrame(edges, "src: string, tgt: string, "
+                                     "label: string")
+    c = spark.createDataFrame(_VT_CONS, "edge_label: string, "
+                              "src_label: string, tgt_label: string")
+    i = (spark.createDataFrame(isa, "child: string, parent: string")
+         if isa else None)
+    return sorted(tuple(r)
+                  for r in validate_triples(n, e, c, i).collect())
+
+
+def _vt_duck(edges, isa=_VT_ISA):
+    sql = validate_triples_sql(
+        _vt_q(_VT_NODES, "id, label"), _vt_q(edges, "src, tgt, label"),
+        _vt_q(_VT_CONS, "edge_label, src_label, tgt_label"),
+        _vt_q(isa, "child, parent") if isa else None)
+    return sorted(tuple(r) for r in duckdb.connect().execute(sql)
+                  .fetchall())
+
+
+def test_vt_every_rule_fires_once(spark):
+    edges = [("g1", "t1", "transcribed_to"),   # valid
+             ("t1", "p1", "translates_to"),    # valid
+             ("p1", "x1", "member_of"),        # valid
+             ("p1", "x1", "member_of"),        # duplicate
+             ("t1", "g1", "transcribed_to"),   # src_type + tgt_type
+             ("g1", "zz", "transcribed_to"),   # dangling_tgt
+             ("zz", "t1", "transcribed_to"),   # dangling_src
+             ("g1", "t1", "regulates")]        # unknown label
+    got = _vt_spark(spark, edges)
+    assert got == _vt_duck(edges)
+    assert sorted(r[0] for r in got) == [
+        "dangling_src", "dangling_tgt", "duplicate_edge", "src_type",
+        "tgt_type", "unknown_edge_label"]
+
+
+def test_vt_subtype_passes_via_isa_hierarchy(spark):
+    edges = [("g2", "t1", "transcribed_to")]  # ncrna is_a gene
+    assert _vt_spark(spark, edges) == []
+    assert _vt_duck(edges) == []
+    # without the hierarchy the same edge is a src_type violation
+    got = _vt_spark(spark, edges, isa=[])
+    assert [r[0] for r in got] == ["src_type"]
+    assert got == _vt_duck(edges, isa=[])
+
+
+def test_vt_valid_kg_emits_nothing(spark):
+    edges = [("g1", "t1", "transcribed_to"),
+             ("t1", "p1", "translates_to"),
+             ("p1", "x1", "member_of")]
+    assert _vt_spark(spark, edges) == []
+    assert _vt_duck(edges) == []
