@@ -5620,6 +5620,54 @@ QUERIES["kg_schema_validate"] = (kg_schema_validate,
                                  _schema_validate_sql())
 
 
+def kg_ntriples(spark, sf_dir):
+    """Fourth sink in the pluggable-writer family (MeTTa atoms, Prolog
+    facts, Neo4j CSV -> W3C N-Triples): the same windowed gene nodes
+    rendered as rdf:type + literal-property statements plus
+    transcribed_to predicate statements (sinks.ntriples_node_lines /
+    ntriples_edge_lines — pure column concat, map-only). The twin
+    rebuilds the exact statement strings in SQL; ECHAR/percent
+    escaping is pinned by unit tests with hostile ids/values."""
+    from biocypher_metta_spark import sinks
+
+    typed = kg_gtf_gene_nodes(spark, sf_dir)
+    nodes = typed.select("id", F.lit("gene").alias("label"), "chr")
+    nl = sinks.ntriples_node_lines(nodes, ["chr"])
+    edges = typed.select(
+        F.col("id").alias("src"),
+        F.concat(F.lit("t_"), F.col("id")).alias("tgt"),
+        F.lit("transcribed_to").alias("label"))
+    el = sinks.ntriples_edge_lines(edges, "gene", "transcript")
+    return nl.unionByName(el)
+
+
+KG_NTRIPLES_SQL = f"""
+WITH g AS (
+  SELECT lower({_DUCK['gene_base']}) AS id, {_DUCK['chrom']} AS chr
+  FROM documents
+  WHERE {_DUCK['chrom']} = 'chr16'
+    AND {_DUCK['start']} >= {KG_WINDOW['start']}
+    AND {_DUCK['end']} <= {KG_WINDOW['end']}
+)
+SELECT line FROM (
+  SELECT '<http://biocypher.example/gene/' || id
+         || '> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'
+         || ' <http://biocypher.example/class/gene> .' AS line FROM g
+  UNION ALL
+  SELECT '<http://biocypher.example/gene/' || id
+         || '> <http://biocypher.example/prop/chr> "' || chr
+         || '" .' FROM g
+  UNION ALL
+  SELECT '<http://biocypher.example/gene/' || id
+         || '> <http://biocypher.example/rel/transcribed_to>'
+         || ' <http://biocypher.example/transcript/t_' || id
+         || '> .' FROM g
+)
+"""
+
+QUERIES["kg_ntriples"] = (kg_ntriples, KG_NTRIPLES_SQL)
+
+
 def doc_bpe_train(spark, sf_dir):
     """Distributed BPE merge learning (bpe.train_bpe, 8 merges) over
     the documents corpus: one corpus-sized word-count shuffle, then
@@ -6042,6 +6090,7 @@ CK_COLUMNS = {
     "kg_temporal_reach": ["arrival", "node"],
     "kg_ppr": ["id", "rank_fp"],
     "kg_schema_validate": ["edge_label", "reason", "src", "tgt"],
+    "kg_ntriples": ["line"],
     "kg_scc": ["node", "scc"],
     "emb_random_projection": ["p0", "p1", "p2", "p3", "p4", "p5",
                               "p6", "p7", "vec_id"],
@@ -6109,7 +6158,7 @@ CK_COMPOSITES = {
                         "kg_lpa", "kg_cooccurrence", "kg_jaccard_links",
                         "kg_bfs", "kg_sssp", "kg_random_walks",
                         "kg_wl_colors", "kg_temporal_reach", "kg_ppr",
-                        "kg_schema_validate",
+                        "kg_schema_validate", "kg_ntriples",
                         "kg_survivorship",
                         "kg_entity_resolution", "kg_scc",
                         "emb_random_projection", "emb_ivfpq_topk"],

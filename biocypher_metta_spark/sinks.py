@@ -106,3 +106,84 @@ def write_neo4j_csv(nodes: DataFrame, path: str,
                     mode: str = "overwrite") -> None:
     df = neo4j_rows(nodes, array_cols)
     df.write.mode(mode).option("sep", "\t").option("header", True).csv(path)
+
+
+# ---------------------------------------------------------------------------
+# N-Triples (RDF) export: the fourth sink next to MeTTa atoms, Prolog
+# facts, and Neo4j CSV — W3C N-Triples lines so the KG loads into any
+# triple store. Node -> rdf:type statement, edge -> predicate
+# statement, scalar property -> literal statement. IRIs are
+# deterministic (base + label/id with minimal percent-encoding of the
+# characters N-Triples forbids inside <>); literals use the W3C ECHAR
+# escapes (backslash FIRST, then quote/newline/CR/tab).
+# Line construction is pure column concat — map-only, codegen'd,
+# no UDFs — and writing is the same text-sink path as the MeTTa
+# writer (one file per partition, order-free set semantics).
+# ---------------------------------------------------------------------------
+
+NT_BASE = "http://biocypher.example/"
+NT_RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+
+def _nt_iri_safe(col: Column) -> Column:
+    """Minimal percent-encoding for IRI position: the chars N-Triples
+    forbids between < and > that can occur in KG ids."""
+    out = F.regexp_replace(col, r"%", "%25")
+    # regex-escaped patterns ('|', '{', '}', '^', '\' are regex
+    # metacharacters in Spark's regexp_replace)
+    for ch, enc in ((" ", "%20"), ("<", "%3C"), (">", "%3E"),
+                    ('"', "%22"), (r"\{", "%7B"), (r"\}", "%7D"),
+                    (r"\|", "%7C"), (r"\\", "%5C"), (r"\^", "%5E"),
+                    ("`", "%60")):
+        out = F.regexp_replace(out, ch, enc)
+    return out
+
+
+def _nt_literal(col: Column) -> Column:
+    """W3C ECHAR-escaped, double-quoted literal. Backslash first."""
+    out = F.regexp_replace(col, r"\\", r"\\\\")
+    out = F.regexp_replace(out, '"', r'\\"')
+    out = F.regexp_replace(out, "\n", r"\\n")
+    out = F.regexp_replace(out, "\r", r"\\r")
+    out = F.regexp_replace(out, "\t", r"\\t")
+    return F.concat(F.lit('"'), out, F.lit('"'))
+
+
+def _nt_entity(label_col: Column, id_col: Column) -> Column:
+    return F.concat(F.lit(f"<{NT_BASE}"), _nt_iri_safe(F.lower(label_col)),
+                    F.lit("/"), _nt_iri_safe(F.lower(id_col)), F.lit(">"))
+
+
+def ntriples_node_lines(nodes: DataFrame,
+                        prop_cols: list[str] | None = None) -> DataFrame:
+    """One rdf:type line per node + one literal line per non-null
+    scalar property: (line)."""
+    subj = _nt_entity(F.col("label"), F.col("id"))
+    cls = F.concat(F.lit(f"<{NT_BASE}class/"),
+                   _nt_iri_safe(F.lower(F.col("label"))), F.lit(">"))
+    lines = [F.concat(subj, F.lit(" "), F.lit(NT_RDF_TYPE), F.lit(" "),
+                      cls, F.lit(" ."))]
+    for c in (prop_cols or []):
+        v = F.col(c).cast("string")
+        lines.append(F.when(v.isNull(), F.lit(None)).otherwise(
+            F.concat(subj, F.lit(f" <{NT_BASE}prop/{c}> "),
+                     _nt_literal(v), F.lit(" ."))))
+    return nodes.select(
+        F.explode(F.array_compact(F.array(*lines))).alias("line"))
+
+
+def ntriples_edge_lines(edges: DataFrame, src_label: str,
+                        tgt_label: str) -> DataFrame:
+    """One predicate line per edge: (line). Endpoint labels are
+    schema-supplied (the SchemaRegistry edge_out contract)."""
+    subj = _nt_entity(F.lit(src_label), F.col("src"))
+    obj = _nt_entity(F.lit(tgt_label), F.col("tgt"))
+    pred = F.concat(F.lit(f"<{NT_BASE}rel/"),
+                    _nt_iri_safe(F.lower(F.col("label"))), F.lit(">"))
+    return edges.select(F.concat(subj, F.lit(" "), pred, F.lit(" "),
+                                 obj, F.lit(" .")).alias("line"))
+
+
+def write_ntriples(lines: DataFrame, path: str,
+                   mode: str = "overwrite") -> None:
+    lines.write.mode(mode).text(path)

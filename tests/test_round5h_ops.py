@@ -607,3 +607,55 @@ def test_vt_valid_kg_emits_nothing(spark):
              ("p1", "x1", "member_of")]
     assert _vt_spark(spark, edges) == []
     assert _vt_duck(edges) == []
+
+
+# ---------------------------------------------------------------------------
+# N-Triples sink (sinks.py): rdf export lines
+# ---------------------------------------------------------------------------
+
+import re
+
+from biocypher_metta_spark import sinks
+
+
+def test_ntriples_escaping_and_shape(spark):
+    nodes = spark.createDataFrame(
+        [("ENSG1", "Gene", "chr16"),
+         ('we"ird id', "Gene", None),
+         ("P|1{x}", "Protein", 'tab\there "q" \\ end')],
+        "id: string, label: string, chr: string")
+    lines = sorted(r["line"] for r in
+                   sinks.ntriples_node_lines(nodes, ["chr"]).collect())
+    # 3 type lines + 2 non-null property lines
+    assert len(lines) == 5
+    for l in lines:
+        assert l.endswith(" .")
+        for iri in re.findall(r"<([^>]*)>", l):
+            assert not any(c in iri for c in ' <"{}|\\^`'), iri
+    assert ('<http://biocypher.example/gene/ensg1> '
+            '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> '
+            '<http://biocypher.example/class/gene> .') in lines
+    # ECHAR escapes in the literal line
+    lit = [l for l in lines if "prop/chr" in l and "tab" in l][0]
+    assert '"tab\\there \\"q\\" \\\\ end"' in lit
+
+
+def test_ntriples_edge_line(spark):
+    edges = spark.createDataFrame(
+        [("ENSG1", "ENST9", "Transcribed_To")],
+        "src: string, tgt: string, label: string")
+    got = sinks.ntriples_edge_lines(edges, "gene", "transcript") \
+        .collect()[0]["line"]
+    assert got == ('<http://biocypher.example/gene/ensg1> '
+                   '<http://biocypher.example/rel/transcribed_to> '
+                   '<http://biocypher.example/transcript/enst9> .')
+
+
+def test_ntriples_write_roundtrip(spark, tmp_path):
+    nodes = spark.createDataFrame([("a", "gene", "chr1")],
+                                  "id: string, label: string, chr: string")
+    lines = sinks.ntriples_node_lines(nodes, ["chr"])
+    out = str(tmp_path / "nt")
+    sinks.write_ntriples(lines, out)
+    back = sorted(r["value"] for r in spark.read.text(out).collect())
+    assert back == sorted(r["line"] for r in lines.collect())
