@@ -1182,6 +1182,58 @@ QUERIES["rel_session_window"] = (rel_session_window,
                                  REL_SESSION_WINDOW_SQL)
 
 
+def kg_streaming_sessions(spark, sf_dir):
+    """Session windows through Spark's STREAMING merging-session state
+    path (streaming/windowed.run_sessions) — a genuinely different
+    execution route from the batch rel_session_window gate: partial
+    sessions live in the state store and merge as later events extend
+    them across micro-batches. Same two-increment protocol as
+    kg_streaming_window: increment 1 = real events + a far-future
+    sentinel (own key, so its never-closing session can't absorb real
+    rows); increment 2 = a LATE row (ts = corpus min, tripwire value
+    999999 — append semantics must DROP it) + a second sentinel one
+    minute after the first (different key; neither sentinel session
+    ever finalizes because the watermark never passes their end). The
+    emitted sessions must therefore equal the batch sessionization of
+    the real events exactly — the oracle is the SAME gaps-and-islands
+    DuckDB SQL as rel_session_window, so a leaked late row, a
+    double-emitted session, a wrong merge boundary, or a sentinel
+    session all break the value hash."""
+    import hashlib
+    import shutil
+    from datetime import timedelta
+
+    from biocypher_metta_spark.streaming.windowed import run_sessions
+
+    base = ("/tmp/bcm_streamsess_gate_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+    events = (spark.read.parquet(f"{sf_dir}/events.parquet")
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    min_ts, max_ts = events.agg(F.min("ts"), F.max("ts")).first()
+    s1 = max_ts + timedelta(days=30)
+    sentinel1 = spark.createDataFrame(
+        [(-1, s1, -1, "_sentinel", 0.0, "{}")], events.schema)
+    events.unionByName(sentinel1).write.parquet(in_dir)
+    run_sessions(spark.readStream.schema(events.schema).parquet(in_dir),
+                 out_dir, ck)
+    late_and_flush = spark.createDataFrame(
+        [(-2, min_ts, -2, "_late", 999999.0, "{}"),
+         (-3, s1 + timedelta(minutes=1), -3, "_sentinel", 0.0, "{}")],
+        events.schema)
+    late_and_flush.write.mode("append").parquet(in_dir)
+    run_sessions(spark.readStream.schema(events.schema).parquet(in_dir),
+                 out_dir, ck)
+    return spark.read.parquet(out_dir)
+
+
+# the oracle IS the batch twin: gaps-and-islands over real events only
+QUERIES["kg_streaming_sessions"] = (kg_streaming_sessions,
+                                    REL_SESSION_WINDOW_SQL)
+
+
+
 def rel_grouping_sets(spark, sf_dir):
     """CUBE / grouping-sets aggregation (the multi-granularity rollup
     relational surface): per (returnflag, linestatus) cents totals at
@@ -6031,6 +6083,8 @@ CK_COLUMNS = {
                           "imp_ts_s", "user_id"],
     "rel_session_window": ["n_events", "session_end", "session_start",
                            "sum_value_c", "user_id"],
+    "kg_streaming_sessions": ["n_events", "session_end", "session_start",
+                              "sum_value_c", "user_id"],
     "rel_sketch_setops": ["inter_est", "k", "n_inter_k", "n_union_k",
                           "theta", "union_est"],
     "rel_histogram_quantiles": ["event_type", "n_rows", "q_lo",
@@ -6173,7 +6227,8 @@ CK_COMPOSITES = {
     # growing the registry past the 50-row snapshot cap
     "kg_streaming_checks": ["kg_streaming_parity", "kg_streaming_window",
                             "kg_streaming_dedup", "kg_streaming_join",
-                            "kg_streaming_upsert"],
+                            "kg_streaming_upsert",
+                            "kg_streaming_sessions"],
 }
 
 

@@ -89,6 +89,37 @@ def session_event_stats(events: DataFrame,
                     key_col, "n_events", "sum_value_c"))
 
 
+def run_sessions(events_stream: DataFrame, output_path: str,
+                 checkpoint_path: str, gap: str = "30 minutes",
+                 watermark_delay: str = "1 minute",
+                 key_col: str = "user_id", time_col: str = "ts"):
+    """Run gap-based sessionization as one AvailableNow increment and
+    block until it drains. This exercises Spark's streaming session
+    state path (merging-sessions store) — a genuinely different
+    execution route from the batch session_window aggregation: partial
+    sessions live in the state store keyed by (key, session) and merge
+    as new events extend them; append mode emits a session exactly once
+    when the watermark passes its end (last event ts + gap), and input
+    rows older than the watermark are dropped.
+
+    Scale: state is bounded by (#active keys x sessions within the
+    lateness horizon); a session only occupies state until the
+    watermark closes it, so steady-state memory tracks the gap + delay
+    horizon, not history."""
+    out = session_event_stats(
+        events_stream.withWatermark(time_col, watermark_delay),
+        gap=gap, key_col=key_col, time_col=time_col)
+    q = (out.writeStream
+         .format("parquet")
+         .option("path", output_path)
+         .option("checkpointLocation", checkpoint_path)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
+
+
 def run_windowed(events_stream: DataFrame, output_path: str,
                  checkpoint_path: str, **kwargs):
     """Run the windowed aggregation as one AvailableNow increment and
