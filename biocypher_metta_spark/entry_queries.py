@@ -1233,6 +1233,55 @@ QUERIES["kg_streaming_sessions"] = (kg_streaming_sessions,
                                     REL_SESSION_WINDOW_SQL)
 
 
+def rel_interval_stab(spark, sf_dir):
+    """Peak interval concurrency (operators/temporal.interval_peak):
+    each event opens a deterministic inclusive interval [s, s + 60 +
+    event_id % 7200] (relative seconds, so engine timezone conventions
+    cancel) and the operator reports, per user, the max number of
+    simultaneously open intervals and the first second that peak is
+    reached — the sweep-line (+1/-1 running sum) as ONE key-shuffle
+    window. The oracle is the independent quadratic formulation: count
+    intervals covering each distinct start tick, take the per-user max
+    and its earliest tick."""
+    from biocypher_metta_spark.operators.temporal import interval_peak
+
+    ev = _t(spark, sf_dir, "events")
+    base = F.unix_timestamp(F.lit("2024-01-01 00:00:00")
+                            .cast("timestamp"))
+    s = (F.unix_timestamp("ts") - base).cast("long")
+    iv = ev.select("user_id", s.alias("s"),
+                   (s + 60 + F.col("event_id") % 7200).alias("e"))
+    return interval_peak(iv, "user_id", "s", "e")
+
+
+REL_INTERVAL_STAB_SQL = """
+WITH iv AS (
+  -- floor(epoch(ts)): ts carries sub-second fractions and Spark's
+  -- unix_timestamp TRUNCATES them while a bare double->BIGINT cast
+  -- in DuckDB ROUNDS — floor first so both engines agree
+  SELECT user_id,
+         CAST(floor(epoch(ts)) - epoch(TIMESTAMP '2024-01-01 00:00:00')
+              AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) - epoch(TIMESTAMP '2024-01-01 00:00:00')
+              AS BIGINT) + 60 + (event_id % 7200) AS e
+  FROM events
+), cand AS (
+  SELECT DISTINCT user_id, s AS t FROM iv
+), conc AS (
+  SELECT c.user_id, c.t, COUNT(*) AS n
+  FROM cand c
+  JOIN iv ON iv.user_id = c.user_id AND iv.s <= c.t AND c.t <= iv.e
+  GROUP BY 1, 2
+), mx AS (
+  SELECT user_id, t, n, MAX(n) OVER (PARTITION BY user_id) AS peak
+  FROM conc
+)
+SELECT user_id, peak, MIN(t) AS peak_t
+FROM mx WHERE n = peak GROUP BY user_id, peak
+"""
+
+QUERIES["rel_interval_stab"] = (rel_interval_stab, REL_INTERVAL_STAB_SQL)
+
 
 def rel_grouping_sets(spark, sf_dir):
     """CUBE / grouping-sets aggregation (the multi-granularity rollup
@@ -6081,6 +6130,7 @@ CK_COLUMNS = {
                            "value_c"],
     "kg_streaming_join": ["click_c", "click_ts_s", "imp_c", "imp_id",
                           "imp_ts_s", "user_id"],
+    "rel_interval_stab": ["peak", "peak_t", "user_id"],
     "rel_session_window": ["n_events", "session_end", "session_start",
                            "sum_value_c", "user_id"],
     "kg_streaming_sessions": ["n_events", "session_end", "session_start",
@@ -6187,7 +6237,7 @@ CK_COMPOSITES = {
                           "rel_event_transitions", "rel_twap",
                           "rel_funnel_windowed"],
     "rel_range_family": ["rel_range_join", "rel_interval_overlap",
-                         "rel_interval_merge"],
+                         "rel_interval_merge", "rel_interval_stab"],
     "kg_peregrine_checks": ["kg_peregrine_enhancers", "kg_peregrine_edges"],
     "doc_text_metrics": ["doc_token_stats", "doc_tfidf_topk",
                          "doc_repetition", "doc_split", "doc_simhash",

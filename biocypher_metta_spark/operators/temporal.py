@@ -723,3 +723,59 @@ def funnel_stages_windowed_sql(events_sql: str, user_col: str,
             f"wf_u AS (SELECT DISTINCT u FROM wf_c0)\n"
             f"SELECT u AS {user_col}, CAST({case} AS INT) AS stage\n"
             f"FROM wf_u")
+
+
+def interval_peak(intervals: DataFrame, key: str, start_col: str,
+                  end_col: str, validate: bool = False) -> DataFrame:
+    """Peak concurrency per key: the maximum number of intervals
+    [start, end] (both endpoints INCLUSIVE, long ticks) that overlap at
+    any single tick, plus the first tick at which that peak is reached.
+    The classic sweep-line reformulated as one Spark window: each
+    interval contributes +1 at start and -1 at end+1, the running sum
+    ordered by (tick, delta asc) is the live concurrency, and its max
+    is the peak. Ordering the -1s before the +1s at an equal tick means
+    intermediate running values can only UNDERSHOOT the true
+    concurrency (never overshoot), so the row-level max is exact
+    without a per-tick pre-aggregation — the whole operator is one
+    shuffle on the key; the final per-key max reuses the window's
+    partitioning (no second exchange). Output: (key, peak, peak_t).
+
+    A new maximum can only be created by a +1, so the first tick
+    attaining the peak is always some interval's start — which is what
+    makes the independent quadratic oracle (count intervals covering
+    each distinct start, per key) equivalent.
+
+    Scale: rows-per-key bounds the window task; a mega-hot key (10^9
+    concurrent-interval events on one key) serializes its sweep like
+    any per-key ordered op — the asof_join time-bucket carry pattern
+    applies if a profile shows it (carry the running sum per bucket).
+
+    validate=True raises on an interval with end < start (the check is
+    folded into the emitted start tick so column pruning cannot
+    eliminate it); the default keeps the scan codegen-only and trusts
+    the producer.
+    """
+    reserved = {"_t", "_d", "_run"}
+    if reserved & set(intervals.columns):
+        raise ValueError(f"reserved column names in use: "
+                         f"{sorted(reserved & set(intervals.columns))}")
+    s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
+    if validate:
+        s = F.when(e >= s, s).otherwise(
+            F.raise_error("interval end < start"))
+    deltas = (intervals.select(F.col(key), s.alias("_t"),
+                               F.lit(1).alias("_d"))
+              .unionByName(
+                  intervals.select(F.col(key), (e + 1).alias("_t"),
+                                   F.lit(-1).alias("_d"))))
+    w = (Window.partitionBy(key)
+         .orderBy(F.col("_t").asc(), F.col("_d").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    run = deltas.withColumn("_run", F.sum("_d").over(w))
+    best = (run.groupBy(key)
+            .agg(F.max(F.struct(F.col("_run").alias("peak"),
+                                (-F.col("_t")).alias("negt"))).alias("_b"))
+            .select(key,
+                    F.col("_b.peak").alias("peak"),
+                    (-F.col("_b.negt")).alias("peak_t")))
+    return best
