@@ -1283,6 +1283,41 @@ FROM mx WHERE n = peak GROUP BY user_id, peak
 QUERIES["rel_interval_stab"] = (rel_interval_stab, REL_INTERVAL_STAB_SQL)
 
 
+def rel_skyline(spark, sf_dir):
+    """Per-brand Pareto skyline (operators/skyline.py) of parts:
+    minimize price cents, maximize size — the two-phase distributed
+    skyline (partition-local frontier via mapInPandas, then one
+    frontiers-only shuffle for the exact per-group pass). Oracle is the
+    independent quadratic NOT EXISTS dominance anti-join."""
+    from biocypher_metta_spark.operators.skyline import skyline
+
+    t = _t(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey",
+        F.floor(F.col("p_retailprice") * 100).cast("long")
+        .alias("price_c"),
+        F.col("p_size").cast("long").alias("size"))
+    return skyline(t, ["p_brand"], ["price_c"], ["size"])
+
+
+REL_SKYLINE_SQL = """
+WITH t AS (
+  SELECT p_brand, p_partkey,
+         CAST(floor(p_retailprice * 100) AS BIGINT) AS price_c,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+)
+SELECT p_brand, p_partkey, price_c, size
+FROM t y
+WHERE NOT EXISTS (
+  SELECT 1 FROM t x
+  WHERE x.p_brand = y.p_brand
+    AND x.price_c <= y.price_c AND x.size >= y.size
+    AND (x.price_c < y.price_c OR x.size > y.size))
+"""
+
+QUERIES["rel_skyline"] = (rel_skyline, REL_SKYLINE_SQL)
+
+
 def rel_grouping_sets(spark, sf_dir):
     """CUBE / grouping-sets aggregation (the multi-granularity rollup
     relational surface): per (returnflag, linestatus) cents totals at
@@ -6131,6 +6166,7 @@ CK_COLUMNS = {
     "kg_streaming_join": ["click_c", "click_ts_s", "imp_c", "imp_id",
                           "imp_ts_s", "user_id"],
     "rel_interval_stab": ["peak", "peak_t", "user_id"],
+    "rel_skyline": ["p_brand", "p_partkey", "price_c", "size"],
     "rel_session_window": ["n_events", "session_end", "session_start",
                            "sum_value_c", "user_id"],
     "kg_streaming_sessions": ["n_events", "session_end", "session_start",
@@ -6229,7 +6265,7 @@ CK_COMPOSITES = {
                        "rel_histogram_quantiles", "rel_grouping_sets",
                        "rel_sketch_setops",
                        "rel_changelog_compact", "rel_pivot",
-                       "rel_dq_profile", "rel_retention"],
+                       "rel_dq_profile", "rel_retention", "rel_skyline"],
     "rel_window_checks": ["rel_window_rank", "rel_events_hourly",
                           "rel_session_window", "rel_scd2_intervals",
                           "rel_gapfill_locf", "rel_ewma",

@@ -62,3 +62,66 @@ def test_interval_peak_validation(spark):
     bad = spark.createDataFrame([(1, 2, 3)], "k long, _t long, e long")
     with pytest.raises(ValueError, match="reserved"):
         interval_peak(bad, "k", "_t", "e")
+
+
+# ---------------------------------------------------------------- skyline
+from biocypher_metta_spark.operators.skyline import skyline  # noqa: E402
+
+
+def test_skyline_hand_case(spark):
+    rows = [
+        ("g", 1, 1, 10),   # frontier
+        ("g", 2, 2, 12),   # frontier (worse a, better b)
+        ("g", 3, 2, 12),   # duplicate criteria of id 2 -> BOTH kept
+        ("g", 4, 3, 11),   # dominated by id 2
+        ("g", 5, 1, 10),   # duplicate of id 1 -> kept
+        ("g", 6, 1, 9),    # dominated by id 1 (tie on a, worse b)
+        ("h", 7, 9, 1),    # alone in its group
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, a long, b long")
+    got = sorted(r.id for r in skyline(df, ["grp"], ["a"], ["b"]).collect())
+    assert got == [1, 2, 3, 5, 7]
+
+
+def test_skyline_randomized_vs_quadratic(spark):
+    import random
+
+    import duckdb
+
+    rng = random.Random(13)
+    rows = [(str(rng.randrange(4)), i, rng.randrange(20),
+             rng.randrange(20), rng.randrange(20)) for i in range(2000)]
+    df = spark.createDataFrame(
+        rows, "grp string, id long, a long, b long, c long").repartition(7)
+    # small chunk exercises the chunked frontier sweep across blocks
+    got = sorted(r.id for r in
+                 skyline(df, ["grp"], ["a", "b"], ["c"], chunk=64).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (grp VARCHAR, id BIGINT, a BIGINT, "
+                "b BIGINT, c BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?)", rows)
+    want = sorted(r[0] for r in con.execute("""
+        SELECT id FROM t y WHERE NOT EXISTS (
+          SELECT 1 FROM t x WHERE x.grp = y.grp
+            AND x.a <= y.a AND x.b <= y.b AND x.c >= y.c
+            AND (x.a < y.a OR x.b < y.b OR x.c > y.c))""").fetchall())
+    assert got == want
+
+    # global (ungrouped) variant finishes on one coalesced task
+    got_g = sorted(r.id for r in skyline(df, [], ["a", "b"], ["c"]).collect())
+    want_g = sorted(r[0] for r in con.execute("""
+        SELECT id FROM t y WHERE NOT EXISTS (
+          SELECT 1 FROM t x
+          WHERE x.a <= y.a AND x.b <= y.b AND x.c >= y.c
+            AND (x.a < y.a OR x.b < y.b OR x.c > y.c))""").fetchall())
+    assert got_g == want_g
+
+
+def test_skyline_validation(spark):
+    import pytest as pt
+
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pt.raises(ValueError, match="at least one criterion"):
+        skyline(df, [], [], [])
+    with pt.raises(ValueError, match="not in frame"):
+        skyline(df, [], ["a"], ["zzz"])
