@@ -140,7 +140,7 @@ def main() -> None:
              "rel_sketch_setops", "kg_sssp", "kg_random_walks",
              "doc_dsir_scores", "kg_wl_colors", "kg_temporal_reach",
              "kg_ppr", "kg_schema_validate", "kg_ntriples",
-             "rel_interval_stab", "rel_skyline"]
+             "rel_interval_stab", "rel_skyline", "rel_asof_directions"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):

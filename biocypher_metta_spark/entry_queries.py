@@ -2720,6 +2720,74 @@ SELECT 'bucketed' AS variant, event_id, user_id, state FROM aj
 QUERIES["rel_asof_join"] = (rel_asof_join, REL_ASOF_JOIN_SQL)
 
 
+def rel_asof_directions(spark, sf_dir):
+    """The merge_asof direction surface (operators/temporal.asof_join
+    direction=): 'forward' (earliest snapshot at-or-after) and
+    'nearest' (closer of backward/forward, exact tie -> backward) over
+    the same events x hourly-snapshots fixture as rel_asof_join.
+    Oracle: DuckDB native ASOF twice — forward as ASOF over NEGATED
+    epochs (an independent spelling of the mirror), nearest composed
+    from both sides with the same tie rule."""
+    from biocypher_metta_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    users = ev.select("user_id").distinct()
+    snaps = (users.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(23))).alias("k"))
+        .select(
+            "user_id",
+            F.expr("timestamp '2024-01-01 00:00:00' "
+                   "+ make_interval(0, 0, 0, 0, k, 0, 0)").alias("snap_ts"),
+            (F.col("user_id") * 1000 + F.col("k")).cast("long")
+            .alias("state")))
+    out = None
+    for d in ("forward", "nearest"):
+        part = asof_join(ev, snaps, key="user_id", left_ts="ts",
+                         right_ts="snap_ts", direction=d).select(
+            F.lit(d).alias("variant"), "event_id", "user_id",
+            F.col("state_asof").alias("state"))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+REL_ASOF_DIRECTIONS_SQL = """
+WITH snaps AS (
+  SELECT u.user_id,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (k.k) HOUR AS snap_ts,
+         CAST(u.user_id * 1000 + k.k AS BIGINT) AS state
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (SELECT unnest(range(0, 24)) AS k) k
+), fwd AS (
+  SELECT e.event_id, e.user_id, s.state, s.sts
+  FROM (SELECT event_id, user_id, epoch(ts) AS ets, -epoch(ts) AS nts
+        FROM events) e
+  ASOF LEFT JOIN (SELECT user_id, state, epoch(snap_ts) AS sts,
+                         -epoch(snap_ts) AS nts FROM snaps) s
+    ON e.user_id = s.user_id AND e.nts >= s.nts
+), bwd AS (
+  SELECT e.event_id, e.user_id, s.state, epoch(e.ts) AS ets,
+         epoch(s.snap_ts) AS sts
+  FROM events e
+  ASOF LEFT JOIN snaps s
+    ON e.user_id = s.user_id AND e.ts >= s.snap_ts
+), near AS (
+  SELECT b.event_id, b.user_id,
+         CASE WHEN b.state IS NULL THEN f.state
+              WHEN f.state IS NULL THEN b.state
+              WHEN b.ets - b.sts <= f.sts - b.ets THEN b.state
+              ELSE f.state END AS state
+  FROM bwd b JOIN fwd f ON b.event_id = f.event_id
+)
+SELECT 'forward' AS variant, event_id, user_id, state FROM fwd
+UNION ALL
+SELECT 'nearest' AS variant, event_id, user_id, state FROM near
+"""
+
+QUERIES["rel_asof_directions"] = (rel_asof_directions,
+                                  REL_ASOF_DIRECTIONS_SQL)
+
+
 def rel_range_join(spark, sf_dir):
     """Bucketed point-in-interval range join (functions/genomic.py):
     synthetic variants x enhancer-like intervals; oracle = DuckDB's
@@ -6167,6 +6235,7 @@ CK_COLUMNS = {
                           "imp_ts_s", "user_id"],
     "rel_interval_stab": ["peak", "peak_t", "user_id"],
     "rel_skyline": ["p_brand", "p_partkey", "price_c", "size"],
+    "rel_asof_directions": ["event_id", "state", "user_id", "variant"],
     "rel_session_window": ["n_events", "session_end", "session_start",
                            "sum_value_c", "user_id"],
     "kg_streaming_sessions": ["n_events", "session_end", "session_start",
@@ -6259,7 +6328,8 @@ CK_COMPOSITES = {
                         "rel_shuffle_join_agg", "rel_bloom_prefilter",
                         "rel_salted_join", "rel_bucketed_join",
                         "rel_snapshot_diff", "rel_fk_check",
-                        "rel_fuzzy_join", "rel_zorder_key"],
+                        "rel_fuzzy_join", "rel_zorder_key",
+                        "rel_asof_directions"],
     "rel_agg_checks": ["rel_collect_ordered", "rel_distinct_dedup",
                        "rel_union_adapters", "rel_pricing_summary",
                        "rel_histogram_quantiles", "rel_grouping_sets",

@@ -37,12 +37,24 @@ from pyspark.sql.window import Window
 
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str = "ts", right_ts: str = "ts",
-              suffix: str = "_asof", bucket=None) -> DataFrame:
-    """Backward-inclusive as-of join: every left row gains the right
-    row with the greatest right_ts <= left_ts for the same key (ties:
-    the snapshot AT the event time counts). Right columns other than
-    key/timestamp come back suffixed; left rows with no earlier
-    snapshot keep nulls (left-join semantics).
+              suffix: str = "_asof", bucket=None,
+              direction: str = "backward") -> DataFrame:
+    """As-of join: every left row gains one right row for the same key,
+    chosen by `direction` (the pandas merge_asof surface):
+
+      - 'backward' (default): greatest right_ts <= left_ts (ties: the
+        snapshot AT the event time counts);
+      - 'forward': smallest right_ts >= left_ts (inclusive);
+      - 'nearest': whichever of the two is closer in time; an exact
+        tie takes the BACKWARD snapshot (documented, test-pinned).
+
+    Right columns other than key/timestamp come back suffixed; left
+    rows with no match in the chosen direction keep nulls (left-join
+    semantics). 'forward' is the mirrored one-window plan; 'nearest'
+    runs both carries over the SAME key partitioning (one shuffle, two
+    sorts) and picks per row by absolute time distance — the snapshot
+    timestamp rides inside the packed payload struct so the distance
+    and the pick can never come from different rows.
 
     `bucket` (hot-key escape hatch): a MONOTONE Column function of the
     timestamp (e.g. ``lambda c: F.floor(c / 3600)`` for numeric ts, or
@@ -54,9 +66,19 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     bucket-row table) supplies the snapshot carried in from earlier
     buckets. Same semantics as the plain form (property-tested); costs
     two extra small shuffles, so keep the default for uniform keys."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, "
+                         f"got {direction!r}")
+    if bucket is not None and direction != "backward":
+        raise ValueError(
+            "bucket= (hot-key carry) supports direction='backward' only; "
+            "the forward carry is its mirror — build it when a profile "
+            "shows a hot key under forward/nearest semantics")
     payload_cols = [c for c in right.columns if c not in (key, right_ts)]
     if not payload_cols:
         raise ValueError("right side has no payload columns")
+    if "_snap" in payload_cols:
+        raise ValueError("right column '_snap' is reserved")
     reserved = {"_ts", "_is_right", "_payload", "_carried",
                 "_bucket", "_bucket_last", "_carry_in"}
     clash = reserved & set(left.columns) | reserved & set(right.columns)
@@ -71,7 +93,8 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         F.col(key),
         F.col(right_ts).alias("_ts"),
         F.lit(1).alias("_is_right"),
-        F.struct(*[F.col(c) for c in payload_cols]).alias("_payload"))
+        F.struct(F.col(right_ts).cast("double").alias("_snap"),
+                 *[F.col(c) for c in payload_cols]).alias("_payload"))
     l = left.select(
         "*",
         F.col(left_ts).alias("_ts"),
@@ -80,12 +103,29 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     u = l.unionByName(r, allowMissingColumns=True)
 
     if bucket is None:
-        # right rows sort BEFORE left rows at equal ts -> inclusive match
-        w = (Window.partitionBy(key)
-             .orderBy(F.col("_ts").asc(), F.col("_is_right").desc())
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        carried = u.withColumn(
-            "_carried", F.last("_payload", ignorenulls=True).over(w))
+        # backward: right rows sort BEFORE left rows at equal ts;
+        # forward: right rows sort AFTER at equal ts — both make the
+        # at-event-time snapshot an inclusive match
+        wb = (Window.partitionBy(key)
+              .orderBy(F.col("_ts").asc(), F.col("_is_right").desc())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        wf = (Window.partitionBy(key)
+              .orderBy(F.col("_ts").asc(), F.col("_is_right").asc())
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        if direction == "backward":
+            pick = F.last("_payload", ignorenulls=True).over(wb)
+        elif direction == "forward":
+            pick = F.first("_payload", ignorenulls=True).over(wf)
+        else:
+            b = F.last("_payload", ignorenulls=True).over(wb)
+            f = F.first("_payload", ignorenulls=True).over(wf)
+            lts = F.col("_ts").cast("double")
+            pick = (F.when(b.isNull(), f)
+                    .when(f.isNull(), b)
+                    .when(lts - b.getField("_snap")
+                          <= f.getField("_snap") - lts, b)
+                    .otherwise(f))
+        carried = u.withColumn("_carried", pick)
         out = carried.filter(F.col("_is_right") == 0)
     else:
         # --- bucket-level carry pre-pass (rows = distinct (key,bucket),

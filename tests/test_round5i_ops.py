@@ -125,3 +125,43 @@ def test_skyline_validation(spark):
         skyline(df, [], [], [])
     with pt.raises(ValueError, match="not in frame"):
         skyline(df, [], ["a"], ["zzz"])
+
+
+# ------------------------------------------------------- asof directions
+from biocypher_metta_spark.operators.temporal import asof_join  # noqa: E402
+
+
+def _asof(spark, direction):
+    left = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 14), (1, 15), (1, 16), (1, 25), (2, 7)],
+        "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, "s10"), (1, 20, "s20")], "k long, ts long, state string")
+    out = asof_join(left, right, "k", direction=direction)
+    return {(r.k, r.ts): r.state_asof for r in out.collect()}
+
+
+def test_asof_forward_and_nearest(spark):
+    assert _asof(spark, "forward") == {
+        (1, 5): "s10", (1, 10): "s10",  # at-snapshot ts is inclusive
+        (1, 14): "s20", (1, 15): "s20", (1, 16): "s20",
+        (1, 25): None,                  # nothing later: left-join null
+        (2, 7): None}
+    assert _asof(spark, "nearest") == {
+        (1, 5): "s10", (1, 10): "s10", (1, 14): "s10",
+        (1, 15): "s10",                 # EXACT tie (5 both ways) -> backward
+        (1, 16): "s20", (1, 25): "s20", (2, 7): None}
+
+
+def test_asof_direction_validation(spark):
+    left = spark.createDataFrame([(1, 5)], "k long, ts long")
+    right = spark.createDataFrame([(1, 1, 2)], "k long, ts long, v long")
+    import pytest as pt
+    with pt.raises(ValueError, match="direction"):
+        asof_join(left, right, "k", direction="sideways")
+    with pt.raises(ValueError, match="bucket"):
+        asof_join(left, right, "k", direction="nearest",
+                  bucket=lambda c: c)
+    bad = right.withColumnRenamed("v", "_snap")
+    with pt.raises(ValueError, match="_snap"):
+        asof_join(left, bad, "k", direction="nearest")
