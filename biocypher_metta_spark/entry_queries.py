@@ -6133,6 +6133,65 @@ QUERIES.update({
 
 
 # ===========================================================================
+# Round-5j operators
+# ===========================================================================
+
+
+def rel_itemsets(spark, sf_dir):
+    """Market-basket association rules (operators/itemsets.py): baskets
+    are orders, items the 40 synthetic part categories l_partkey % 40.
+    Hub guard + co-partitioned pair self-join + scalar-subquery basket
+    total; exact-integer confidence/lift so the quadratic-CTE DuckDB
+    twin hashes identically."""
+    from biocypher_metta_spark.operators.itemsets import association_rules
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("basket"),
+        F.concat(F.lit("I"), (F.col("l_partkey") % 40).cast("string"))
+        .alias("item"))
+    return association_rules(li, "basket", "item",
+                             min_pair_support=5, max_basket=64)
+
+
+REL_ITEMSETS_SQL = """
+WITH members AS (
+  SELECT DISTINCT l_orderkey AS basket,
+         'I' || CAST(l_partkey % 40 AS VARCHAR) AS item
+  FROM lineitem
+), kept AS (
+  SELECT basket, item FROM (
+    SELECT basket, item, count(*) OVER (PARTITION BY basket) AS bsz
+    FROM members)
+  WHERE bsz <= 64
+), nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM kept),
+sup AS (SELECT item, count(*) AS n_item FROM kept GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, c.item AS item_b, count(*) AS n_pair
+  FROM kept a JOIN kept c
+    ON a.basket = c.basket AND a.item < c.item
+  GROUP BY a.item, c.item
+  HAVING count(*) >= 5
+), directed AS (
+  SELECT item_a AS ante, item_b AS cons, n_pair FROM pairs
+  UNION ALL
+  SELECT item_b AS ante, item_a AS cons, n_pair FROM pairs
+)
+SELECT d.ante, d.cons, CAST(d.n_pair AS BIGINT) AS n_pair,
+       CAST(sa.n_item AS BIGINT) AS n_ante,
+       CAST(floor((1000 * d.n_pair) / sa.n_item) AS BIGINT)
+         AS conf_permille,
+       CAST(floor((1000 * nb.n_baskets * d.n_pair)
+                  / (sa.n_item * sc.n_item)) AS BIGINT) AS lift_milli
+FROM directed d
+JOIN sup sa ON sa.item = d.ante
+JOIN sup sc ON sc.item = d.cons
+CROSS JOIN nb
+"""
+
+QUERIES["rel_itemsets"] = (rel_itemsets, REL_ITEMSETS_SQL)
+
+
+# ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
 # The driver adjudicates only the FIRST 50 entries of
@@ -6316,6 +6375,8 @@ CK_COLUMNS = {
     "doc_rrf_fusion": ["doc_id", "rrf_score"],
     "kg_hits": ["auth_fp", "hub_fp", "id"],
     "rel_zorder_key": ["o_orderkey", "zkey"],
+    "rel_itemsets": ["ante", "conf_permille", "cons", "lift_milli",
+                     "n_ante", "n_pair"],
     "emb_mmr_rerank": ["mmr_rank", "mmr_score", "vec_id"],
     "doc_retrieval_ladder": ["mmr_rank", "mmr_score", "vec_id"],
 }
@@ -6335,7 +6396,8 @@ CK_COMPOSITES = {
                        "rel_histogram_quantiles", "rel_grouping_sets",
                        "rel_sketch_setops",
                        "rel_changelog_compact", "rel_pivot",
-                       "rel_dq_profile", "rel_retention", "rel_skyline"],
+                       "rel_dq_profile", "rel_retention", "rel_skyline",
+                       "rel_itemsets"],
     "rel_window_checks": ["rel_window_rank", "rel_events_hourly",
                           "rel_session_window", "rel_scd2_intervals",
                           "rel_gapfill_locf", "rel_ewma",

@@ -1,0 +1,75 @@
+"""Round-5j operators: market-basket association rules."""
+
+import random
+
+import duckdb
+
+from biocypher_metta_spark.operators.itemsets import association_rules
+
+
+def _rules(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = association_rules(df, "basket", "item", **kw)
+    return sorted(tuple(r) for r in out.collect())
+
+
+def test_association_rules_hand_case(spark):
+    # 4 baskets; {a,b} together in 3, a alone in 1 -> conf(a->b)=750,
+    # conf(b->a)=1000, lift = 4*3/(4*3) = 1000 (independent would be
+    # exactly this co-count).
+    rows = [(1, "a"), (1, "b"),
+            (2, "a"), (2, "b"),
+            (3, "a"), (3, "b"),
+            (4, "a"),
+            # duplicate membership rows must not double-count
+            (1, "a")]
+    got = _rules(spark, rows, min_pair_support=2, max_basket=10)
+    assert got == [("a", "b", 3, 4, 750, 1000),
+                   ("b", "a", 3, 3, 1000, 1000)]
+
+
+def test_association_rules_hub_guard_drops_mega_basket(spark):
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    # basket 99 holds 5 items; with max_basket=4 it vanishes whole,
+    # including its contribution to item supports and basket count
+    rows += [(99, f"x{i}") for i in range(4)] + [(99, "a")]
+    got = _rules(spark, rows, min_pair_support=2, max_basket=4)
+    assert got == [("a", "b", 2, 2, 1000, 1000),
+                   ("b", "a", 2, 2, 1000, 1000)]
+
+
+def test_association_rules_randomized_vs_quadratic(spark):
+    rng = random.Random(53)
+    rows = [(rng.randrange(40), f"i{rng.randrange(12)}")
+            for _ in range(600)]
+    got = _rules(spark, rows, min_pair_support=2, max_basket=8)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE m (basket BIGINT, item VARCHAR)")
+    con.executemany("INSERT INTO m VALUES (?,?)", rows)
+    oracle = sorted(tuple(r) for r in con.execute("""
+        WITH members AS (SELECT DISTINCT basket, item FROM m),
+        kept AS (
+          SELECT basket, item FROM (
+            SELECT basket, item,
+                   count(*) OVER (PARTITION BY basket) AS bsz
+            FROM members) WHERE bsz <= 8),
+        nb AS (SELECT count(DISTINCT basket) AS n FROM kept),
+        sup AS (SELECT item, count(*) AS n_item FROM kept GROUP BY item),
+        pairs AS (
+          SELECT a.item AS ia, c.item AS ib, count(*) AS np
+          FROM kept a JOIN kept c
+            ON a.basket = c.basket AND a.item < c.item
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        directed AS (
+          SELECT ia AS ante, ib AS cons, np FROM pairs
+          UNION ALL SELECT ib, ia, np FROM pairs)
+        SELECT d.ante, d.cons, CAST(d.np AS BIGINT),
+               CAST(sa.n_item AS BIGINT),
+               CAST(floor((1000 * d.np) / sa.n_item) AS BIGINT),
+               CAST(floor((1000 * nb.n * d.np)
+                          / (sa.n_item * sc.n_item)) AS BIGINT)
+        FROM directed d
+        JOIN sup sa ON sa.item = d.ante
+        JOIN sup sc ON sc.item = d.cons
+        CROSS JOIN nb""").fetchall())
+    assert got == oracle
