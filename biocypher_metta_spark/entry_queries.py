@@ -6191,6 +6191,57 @@ CROSS JOIN nb
 QUERIES["rel_itemsets"] = (rel_itemsets, REL_ITEMSETS_SQL)
 
 
+def rel_hll_sketch(spark, sf_dir):
+    """Engine-portable HyperLogLog (operators/sketch.py): per-event-type
+    distinct-user registers from the shared 60-bit md5 hash (bucket =
+    low bits, rank via bin()-length — identical in both engines), plus
+    an 'all' row estimated FROM the max-merged per-type registers, so
+    the gate adjudicates the sketch's mergeability too. Estimator is
+    pure int64 (no float harmonic mean): floor(alpha_m2 * 2^40 / S)."""
+    from biocypher_metta_spark.operators.sketch import (
+        hll_estimate_from_registers, hll_registers_by)
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("scope"),
+        F.col("user_id").cast("string").alias("user_id"))
+    regs = hll_registers_by(ev, ["scope"], "user_id")
+    per = hll_estimate_from_registers(regs, ["scope"])
+    merged = (regs.groupBy("bucket")
+              .agg(F.max("m").cast("long").alias("m"))
+              .withColumn("scope", F.lit("all")))
+    allrow = hll_estimate_from_registers(merged, ["scope"])
+    return per.unionByName(allrow)
+
+
+REL_HLL_SKETCH_SQL = """
+WITH rb AS (
+  SELECT event_type AS scope, h % 64 AS bucket,
+         least(55 - length(bin(h // 64)), 40) AS rho
+  FROM (
+    SELECT event_type,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+             AS h
+    FROM events WHERE user_id IS NOT NULL)
+), regs AS (
+  SELECT scope, bucket, max(rho) AS m FROM rb GROUP BY 1, 2
+), both_scopes AS (
+  SELECT scope, bucket, m FROM regs
+  UNION ALL
+  SELECT 'all' AS scope, bucket, max(m) AS m FROM regs GROUP BY 2
+), agg AS (
+  SELECT scope, CAST(64 - count(*) AS BIGINT) AS n_zero,
+         CAST(sum(1::BIGINT << CAST(40 - m AS INTEGER))
+              + (64 - count(*)) * (1::BIGINT << 40) AS BIGINT) AS s
+  FROM both_scopes GROUP BY 1
+)
+SELECT scope, n_zero, s,
+       CAST(floor((2904 * (1::BIGINT << 40)) / s) AS BIGINT) AS est_fp
+FROM agg
+"""
+
+QUERIES["rel_hll_sketch"] = (rel_hll_sketch, REL_HLL_SKETCH_SQL)
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -6377,6 +6428,7 @@ CK_COLUMNS = {
     "rel_zorder_key": ["o_orderkey", "zkey"],
     "rel_itemsets": ["ante", "conf_permille", "cons", "lift_milli",
                      "n_ante", "n_pair"],
+    "rel_hll_sketch": ["est_fp", "n_zero", "s", "scope"],
     "emb_mmr_rerank": ["mmr_rank", "mmr_score", "vec_id"],
     "doc_retrieval_ladder": ["mmr_rank", "mmr_score", "vec_id"],
 }
@@ -6397,7 +6449,7 @@ CK_COMPOSITES = {
                        "rel_sketch_setops",
                        "rel_changelog_compact", "rel_pivot",
                        "rel_dq_profile", "rel_retention", "rel_skyline",
-                       "rel_itemsets"],
+                       "rel_itemsets", "rel_hll_sketch"],
     "rel_window_checks": ["rel_window_rank", "rel_events_hourly",
                           "rel_session_window", "rel_scd2_intervals",
                           "rel_gapfill_locf", "rel_ewma",

@@ -567,3 +567,78 @@ SELECT CAST({k} AS INTEGER) AS k,
             AS BIGINT) AS inter_est
 FROM est
 """
+
+
+# ===========================================================================
+# HyperLogLog with engine-portable registers
+# ===========================================================================
+#
+# Spark's approx_count_distinct and DuckDB's are both HLL but with
+# incompatible hash/bucket layouts, so (like KMV above) a cross-engine
+# gate needs its own registers. Built from the same 60-bit portable
+# md5 hash: bucket = h % m from the LOW bits, rank from the remaining
+# 54-bit word w = h // m as rho = (leading zeros of w in 54 bits) + 1
+# = 55 - length(bin(w)) — bin() exists with identical semantics in
+# Spark and DuckDB, so the register values are bit-identical in both
+# engines. rho is capped at HLL_RHO_CAP so the harmonic denominator
+# S = sum_j 2^(RHO_CAP - M_j) stays exact int64 (m * 2^40 <= 2^46):
+# the whole estimator floor(ALPHA_M2 * 2^RHO_CAP / S) is INTEGER
+# arithmetic — no float harmonic mean whose summation order could
+# diverge between engines. Raw Flajolet estimator on purpose: the
+# small-range linear-counting correction needs ln() (float, libm-
+# dependent); below ~2.5*m use kmv_distinct instead, which is exact
+# below k. Registers are max-mergeable, same rollup story as
+# kmv_minima_by.
+#
+# Scale shape: one groupBy (group, bucket) with map-side combine —
+# aggregate state is bounded by m rows per group regardless of input
+# size (the defining sketch property); the estimate pass reuses the
+# same partitioning for its groupBy(group).
+
+HLL_M = 64          # buckets; relative error ~ 1.04/sqrt(64) = 13%
+HLL_RHO_CAP = 40    # register ceiling: m * 2^40 = 2^46 << int64
+HLL_ALPHA_M2 = 2904  # floor(alpha_64 * 64^2), alpha_64 = 0.709
+
+
+def hll_registers_by(df: DataFrame, group_cols: list,
+                     col: str) -> DataFrame:
+    """Per-group HLL register state: (group..., bucket, m) — at most
+    HLL_M rows per group, max-mergeable (union two groups' register
+    rows and take max(m) per bucket = the registers of the union)."""
+    h = portable_hash(F.col(col))
+    rb = (df.select(*group_cols, h.alias("h"))
+          .filter(F.col("h").isNotNull())
+          .select(*group_cols,
+                  F.pmod(F.col("h"), F.lit(HLL_M)).cast("long")
+                  .alias("bucket"),
+                  F.least(F.lit(55) - F.length(F.bin(
+                      F.floor(F.col("h") / HLL_M).cast("long"))),
+                      F.lit(HLL_RHO_CAP)).cast("long").alias("rho")))
+    return (rb.groupBy(*group_cols, "bucket")
+            .agg(F.max("rho").cast("long").alias("m")))
+
+
+def hll_estimate_from_registers(regs: DataFrame,
+                                group_cols: list) -> DataFrame:
+    """(group..., n_zero, s, est_fp) from register rows; absent buckets
+    count as empty registers (m = 0, contributing 2^RHO_CAP to S)."""
+    s_present = F.sum(F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_RHO_CAP} - m AS INT))"))
+    agg = regs.groupBy(*group_cols).agg(
+        (F.lit(HLL_M) - F.count("*")).cast("long").alias("n_zero"),
+        s_present.cast("long").alias("_sp"))
+    s = (F.col("_sp")
+         + F.col("n_zero") * F.lit(1 << HLL_RHO_CAP).cast("long"))
+    return agg.select(
+        *group_cols, "n_zero", s.cast("long").alias("s"),
+        F.floor(F.lit(HLL_ALPHA_M2 * (1 << HLL_RHO_CAP)).cast("long")
+                / s).cast("long").alias("est_fp"))
+
+
+def hll_distinct_by(df: DataFrame, group_cols: list,
+                    col: str) -> DataFrame:
+    """Per-group raw-HLL distinct estimates (see module notes: exact
+    integer estimator, no small-range correction — prefer KMV below
+    ~2.5*HLL_M distinct)."""
+    return hll_estimate_from_registers(
+        hll_registers_by(df, group_cols, col), group_cols)

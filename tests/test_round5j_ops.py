@@ -73,3 +73,58 @@ def test_association_rules_randomized_vs_quadratic(spark):
         JOIN sup sc ON sc.item = d.cons
         CROSS JOIN nb""").fetchall())
     assert got == oracle
+
+
+# ---------------------------------------------------------------------------
+# engine-portable HyperLogLog
+# ---------------------------------------------------------------------------
+
+from biocypher_metta_spark.operators.sketch import (  # noqa: E402
+    HLL_M, hll_distinct_by, hll_estimate_from_registers, hll_registers_by)
+
+
+def test_hll_accuracy_and_bounded_state(spark):
+    # 6000 distinct values, duplicated x2 — estimate within the ~3-sigma
+    # band of 1.04/sqrt(64) = 13% per-sigma for m=64
+    rows = [(f"v{i}",) for i in range(6000)] * 2
+    df = spark.createDataFrame(rows, "v string")
+    regs = hll_registers_by(df.withColumn("g", __import__(
+        "pyspark").sql.functions.lit("all")), ["g"], "v")
+    assert regs.count() <= HLL_M  # the defining sketch property
+    est = hll_distinct_by(df.withColumn("g", __import__(
+        "pyspark").sql.functions.lit("all")), ["g"], "v").collect()[0]
+    assert abs(est["est_fp"] - 6000) < 6000 * 0.40
+
+
+def test_hll_registers_are_max_mergeable(spark):
+    from pyspark.sql import functions as F
+    a = spark.createDataFrame([(f"a{i}",) for i in range(500)], "v string")
+    b = spark.createDataFrame(
+        [(f"a{i}",) for i in range(250, 750)], "v string")
+    ra = hll_registers_by(a.withColumn("g", F.lit("x")), ["g"], "v")
+    rb = hll_registers_by(b.withColumn("g", F.lit("x")), ["g"], "v")
+    merged = (ra.unionByName(rb).groupBy("g", "bucket")
+              .agg(F.max("m").cast("long").alias("m")))
+    direct = hll_registers_by(
+        a.unionByName(b).withColumn("g", F.lit("x")), ["g"], "v")
+    em = hll_estimate_from_registers(merged, ["g"]).collect()
+    ed = hll_estimate_from_registers(direct, ["g"]).collect()
+    assert [tuple(r) for r in em] == [tuple(r) for r in ed]
+
+
+def test_hll_registers_match_duckdb_bit_for_bit(spark):
+    from pyspark.sql import functions as F
+    rows = [(f"u{i % 37}",) for i in range(200)] + [(None,)]
+    df = spark.createDataFrame(rows, "v string")
+    got = sorted(tuple(r) for r in hll_registers_by(
+        df.withColumn("g", F.lit("s")), ["g"], "v").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    oracle = sorted(tuple(r) for r in con.execute("""
+        SELECT 's' AS g, h % 64 AS bucket,
+               max(least(55 - length(bin(h // 64)), 40)) AS m
+        FROM (SELECT ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+              FROM t WHERE v IS NOT NULL)
+        GROUP BY 1, 2""").fetchall())
+    assert got == oracle
