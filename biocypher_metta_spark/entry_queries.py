@@ -6242,6 +6242,31 @@ FROM agg
 QUERIES["rel_hll_sketch"] = (rel_hll_sketch, REL_HLL_SKETCH_SQL)
 
 
+def kg_link_predict(spark, sf_dir):
+    """Resource-allocation link prediction
+    (graph.resource_allocation_links, min_common=2) over the same
+    planted two-nuclei-plus-bridge graph as kg_lpa/kg_jaccard_links:
+    inverse-degree-weighted common-neighbor scores with existing edges
+    anti-joined away — the propose-NEW-edges contract, exact-integer
+    floor(10^6/deg) terms. Twin = the same algebra in DuckDB with a
+    NOT EXISTS anti-join."""
+    ids = _ids(spark, sf_dir)
+    ca = ids.select((F.col("i") % 10).alias("src"),
+                    ((F.col("i") / 3).cast("long") % 10).alias("dst"))
+    cb = ids.select((F.col("i") % 10 + 200).alias("src"),
+                    ((F.col("i") / 3).cast("long") % 10 + 200).alias("dst"))
+    bridge = ids.select((F.col("i") % 1 + 5).alias("src"),
+                        (F.col("i") % 1 + 205).alias("dst"))
+    return graph_ops.resource_allocation_links(
+        ca.unionAll(cb).unionAll(bridge), min_common=2)
+
+
+KG_LINK_PREDICT_SQL = graph_ops.resource_allocation_links_sql(
+    _LPA_EDGES_SQL, min_common=2)
+
+QUERIES["kg_link_predict"] = (kg_link_predict, KG_LINK_PREDICT_SQL)
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -6429,6 +6454,7 @@ CK_COLUMNS = {
     "rel_itemsets": ["ante", "conf_permille", "cons", "lift_milli",
                      "n_ante", "n_pair"],
     "rel_hll_sketch": ["est_fp", "n_zero", "s", "scope"],
+    "kg_link_predict": ["n_common", "node_a", "node_b", "ra_fp"],
     "emb_mmr_rerank": ["mmr_rank", "mmr_score", "vec_id"],
     "doc_retrieval_ladder": ["mmr_rank", "mmr_score", "vec_id"],
 }
@@ -6485,7 +6511,8 @@ CK_COMPOSITES = {
                         "kg_schema_validate", "kg_ntriples",
                         "kg_survivorship",
                         "kg_entity_resolution", "kg_scc",
-                        "emb_random_projection", "emb_ivfpq_topk"],
+                        "emb_random_projection", "emb_ivfpq_topk",
+                        "kg_link_predict"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",

@@ -1463,3 +1463,93 @@ def personalized_pagerank_sql(edges_sql: str, seeds_sql: str,
 )""")
     parts.append(f"\nSELECT id, r AS rank_fp FROM ppr_r{iterations}")
     return "".join(parts)
+
+
+def resource_allocation_links(edges: DataFrame, min_common: int = 2,
+                              src: str = "src", dst: str = "dst",
+                              scale: int = 1_000_000,
+                              max_hub_degree: int | None = None
+                              ) -> DataFrame:
+    """Link prediction by the resource-allocation index (Zhou-Lu-Zhang
+    2009): for non-adjacent pairs a < b, ra_fp = sum over common
+    neighbors z of floor(scale / deg(z)) — exact integer per term, so
+    both engines sum identically (Adamic-Adar's 1/log deg needs libm;
+    RA is its division-only sibling and empirically at least as good).
+
+    Differs from neighborhood_jaccard twice: each shared neighbor is
+    WEIGHTED by its inverse degree (a promiscuous hub witness counts
+    for little), and existing edges are ANTI-JOINED away — the output
+    is proposals for edges the graph does not have, the actual
+    link-prediction contract.
+
+    Scale shape: one self-join of the adjacency on the shared
+    neighbor z — the same quadratic hub hazard as the co-occurrence
+    projection, but RA's own weighting makes the principled guard a
+    TRUNCATION, not a sample: `max_hub_degree=D` drops z with
+    deg(z) > D entirely, and every dropped term was < scale/D by
+    construction, so the error per pair is bounded by
+    n_dropped_witnesses * floor(scale/D) (opt-in, default exact).
+    Then one groupBy on the pair, a left-anti join against the
+    undirected edge set, and a min_common prune that runs BEFORE the
+    anti-join so the candidate tail never reaches it."""
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .filter(F.col("s").isNotNull() & F.col("d").isNotNull()
+                 & (F.col("s") != F.col("d"))))
+    und = (e.select(F.least("s", "d").alias("a"),
+                    F.greatest("s", "d").alias("b"))
+           .distinct())
+    adj = (und.select(F.col("a").alias("node"), F.col("b").alias("nb"))
+           .unionAll(und.select(F.col("b").alias("node"),
+                                F.col("a").alias("nb"))))
+    deg = adj.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("deg"))
+    zdeg = deg.select(F.col("node").alias("nb"), F.col("deg").alias("zdeg"))
+    wadj = adj.join(zdeg, "nb")
+    if max_hub_degree is not None:
+        if max_hub_degree < 1:
+            raise ValueError("max_hub_degree must be >= 1")
+        wadj = wadj.filter(F.col("zdeg") <= max_hub_degree)
+    l, r = wadj.alias("l"), wadj.alias("r")
+    cand = (l.join(r, (F.col("l.nb") == F.col("r.nb"))
+                   & (F.col("l.node") < F.col("r.node")))
+            .groupBy(F.col("l.node").alias("node_a"),
+                     F.col("r.node").alias("node_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_common"),
+                 F.sum(F.floor(F.lit(scale) / F.col("l.zdeg")))
+                 .cast("long").alias("ra_fp"))
+            .filter(F.col("n_common") >= min_common))
+    return cand.join(
+        und, (cand["node_a"] == und["a"]) & (cand["node_b"] == und["b"]),
+        "left_anti")
+
+
+def resource_allocation_links_sql(edges_sql: str, min_common: int = 2,
+                                  src: str = "src", dst: str = "dst",
+                                  scale: int = 1_000_000) -> str:
+    """DuckDB twin of resource_allocation_links (exact path)."""
+    return f"""WITH ra_u AS MATERIALIZED (
+  SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+  FROM (
+{edges_sql.strip()}
+  )
+  WHERE {src} IS NOT NULL AND {dst} IS NOT NULL AND {src} <> {dst}
+), ra_adj AS MATERIALIZED (
+  SELECT a AS node, b AS nb FROM ra_u
+  UNION ALL SELECT b, a FROM ra_u
+), ra_deg AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM ra_adj GROUP BY 1
+), ra_cand AS (
+  SELECT l.node AS node_a, r.node AS node_b,
+         CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(CAST(floor({scale} / zd.deg) AS BIGINT)) AS BIGINT)
+           AS ra_fp
+  FROM ra_adj l
+  JOIN ra_adj r ON l.nb = r.nb AND l.node < r.node
+  JOIN ra_deg zd ON zd.node = l.nb
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_common}
+)
+SELECT c.node_a, c.node_b, c.n_common, c.ra_fp
+FROM ra_cand c
+WHERE NOT EXISTS (SELECT 1 FROM ra_u e
+                  WHERE e.a = c.node_a AND e.b = c.node_b)"""

@@ -128,3 +128,52 @@ def test_hll_registers_match_duckdb_bit_for_bit(spark):
               FROM t WHERE v IS NOT NULL)
         GROUP BY 1, 2""").fetchall())
     assert got == oracle
+
+
+# ---------------------------------------------------------------------------
+# resource-allocation link prediction
+# ---------------------------------------------------------------------------
+
+from biocypher_metta_spark.operators.graph import (  # noqa: E402
+    resource_allocation_links, resource_allocation_links_sql)
+
+
+def _ra(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "src long, dst long")
+    return sorted(tuple(r) for r in
+                  resource_allocation_links(df, **kw).collect())
+
+
+def test_ra_hand_case_weights_and_antijoin(spark):
+    # path graph 1-2, 2-3, plus 1-4, 3-4: pair (1,3) shares z=2
+    # (deg 2) and z=4 (deg 2) -> ra = 2*500000; pair (2,4) shares
+    # z=1, z=3 (deg 2 each) -> same. Pair (1,2) is an EDGE -> absent.
+    rows = [(1, 2), (2, 3), (1, 4), (3, 4)]
+    got = _ra(spark, rows, min_common=2)
+    assert got == [(1, 3, 2, 1000000), (2, 4, 2, 1000000)]
+
+
+def test_ra_hub_truncation_drops_hub_witnesses(spark):
+    # star: hub 0 connected to 1..5; spokes also chained 1-2
+    rows = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    # exact: (1,2) is an edge -> absent; pairs (i,j) i,j>=1 share hub
+    # 0 (deg 5) only -> n_common=1 < 2 -> nothing survives min_common=2
+    assert _ra(spark, rows, min_common=2) == []
+    # with min_common=1 the hub-witnessed pairs appear at 200000 each;
+    # truncating max_hub_degree=4 removes the hub and yields nothing
+    full = _ra(spark, rows, min_common=1)
+    assert (1, 3, 1, 200000) in full
+    assert _ra(spark, rows, min_common=1, max_hub_degree=4) == []
+
+
+def test_ra_randomized_vs_duckdb_twin(spark):
+    rng = random.Random(7)
+    rows = [(rng.randrange(30), rng.randrange(30)) for _ in range(150)]
+    got = _ra(spark, rows, min_common=2)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ed (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO ed VALUES (?,?)", rows)
+    sql = resource_allocation_links_sql(
+        "SELECT src, dst FROM ed", min_common=2)
+    oracle = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == oracle
