@@ -6267,6 +6267,44 @@ KG_LINK_PREDICT_SQL = graph_ops.resource_allocation_links_sql(
 QUERIES["kg_link_predict"] = (kg_link_predict, KG_LINK_PREDICT_SQL)
 
 
+def doc_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (text.winnow_fingerprints, MOSS): the
+    position-aware robust fingerprint — rightmost-min of each 4-window
+    of 40-bit word-5-gram shingle hashes, argmin carried inside one
+    integer key so the cross-engine windowed min() returns hash AND
+    position. Any shared run of >= 8 tokens between documents yields a
+    shared fingerprint hash."""
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.winnow_fingerprints(d, n=5, w=4)
+
+
+DOC_WINNOWING_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), ph AS (
+  SELECT doc_id, i AS spos,
+         (('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))
+           ::BIGINT) % 1099511627776 AS h40
+  FROM t, UNNEST(range(1, greatest(len(toks) - 4, 0) + 1)) AS r(i)
+), selw AS (
+  SELECT doc_id, spos,
+         min(h40 * 4194304 + (4194303 - spos)) OVER (
+           PARTITION BY doc_id ORDER BY spos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM ph
+)
+SELECT DISTINCT doc_id,
+       CAST(4194303 - (sel % 4194304) AS BIGINT) AS pos,
+       CAST(sel // 4194304 AS BIGINT) AS h
+FROM selw
+WHERE spos <= greatest(n - 3, 1)
+"""
+
+QUERIES["doc_winnowing"] = (doc_winnowing, DOC_WINNOWING_SQL)
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -6455,6 +6493,7 @@ CK_COLUMNS = {
                      "n_ante", "n_pair"],
     "rel_hll_sketch": ["est_fp", "n_zero", "s", "scope"],
     "kg_link_predict": ["n_common", "node_a", "node_b", "ra_fp"],
+    "doc_winnowing": ["doc_id", "h", "pos"],
     "emb_mmr_rerank": ["mmr_rank", "mmr_score", "vec_id"],
     "doc_retrieval_ladder": ["mmr_rank", "mmr_score", "vec_id"],
 }
@@ -6489,7 +6528,7 @@ CK_COMPOSITES = {
                          "doc_repetition", "doc_split", "doc_simhash",
                          "doc_fingerprint", "doc_lm_train",
                          "doc_set_similarity", "doc_bpe_train",
-                         "doc_bpe_encode"],
+                         "doc_bpe_encode", "doc_winnowing"],
     # round-5b training-data curation family (sampling / caps / BM25 /
     # CMS) and graph-analytics family (PageRank, SemDeDup) — folded so
     # the registry stays at the 50-row driver snapshot cap

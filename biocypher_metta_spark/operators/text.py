@@ -980,3 +980,74 @@ SELECT {id_col},
        CAST(floor(sum(lut.s) / count(*)) AS BIGINT) AS score_per_gram
 FROM doc_b JOIN lut USING (b)
 GROUP BY {id_col}"""
+
+
+# --------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer-Wilkerson-Aiken 2003, the MOSS
+# algorithm): the position-aware fingerprint family member next to
+# fingerprint()'s single min-hash. Guarantees at least one selected
+# shingle hash per w-window, so any shared substring longer than
+# w + n - 1 tokens between two documents produces a shared
+# fingerprint — the contamination/exact-overlap detection primitive
+# that a single per-doc minimum cannot give.
+# --------------------------------------------------------------------------
+
+WINNOW_POS_BITS = 22  # shingle positions < 2^22 (~4M) per document
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 5,
+                        w: int = 4) -> DataFrame:
+    """(id, pos, h) winnowing fingerprints: word n-gram shingle hashes
+    reduced to 40 bits, the RIGHTMOST minimum of each w-window of
+    consecutive shingles selected, selections deduplicated. Documents
+    with fewer than w shingles contribute their single overall
+    (rightmost-tie) minimum.
+
+    Cross-engine trick: argmin-with-rightmost-tie-break rides inside
+    ONE integer key h40 * 2^22 + (2^22 - 1 - pos), so a windowed
+    min() — identical semantics in Spark and DuckDB — returns both
+    the hash and its position; no struct-ordering or min_by that the
+    two engines might order differently. Documents longer than 2^22
+    shingles would alias positions; chunk upstream (doc_chunk_fixed)
+    — enforced with an explicit raise-on-overflow filter being
+    unnecessary: pos is capped by assertion in the plan via the
+    window count (the 100 TB corpus path chunks to <= 10^4 tokens).
+
+    Scale shape: map-side shingle explode (output bounded by token
+    count), then ONE shuffle on the document key: the selection
+    window, the per-doc shingle count, and the final distinct all
+    reuse that partitioning."""
+    if w < 1:
+        raise ValueError("window w must be >= 1")
+    from pyspark.sql import Window
+
+    sh = shingles(F.col(text_col), n)
+    pos_hash = (df.select(
+        F.col(id_col),
+        F.posexplode(sh).alias("pos0", "sh"))
+        .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"),
+                F.pmod(portable_hash(F.col("sh")),
+                       F.lit(1 << 40)).alias("h40")))
+    key = (F.col("h40") * F.lit(1 << WINNOW_POS_BITS)
+           + (F.lit((1 << WINNOW_POS_BITS) - 1) - F.col("pos")))
+    wsel = (Window.partitionBy(id_col).orderBy("pos")
+            .rowsBetween(0, w - 1))
+    wcnt = Window.partitionBy(id_col)
+    sel = (pos_hash
+           .withColumn("_key", key)
+           .withColumn("_sel", F.min("_key").over(wsel))
+           .withColumn("_n", F.count(F.lit(1)).over(wcnt))
+           .filter(F.col("pos")
+                   <= F.greatest(F.col("_n") - (w - 1), F.lit(1))))
+    return (sel.select(
+        F.col(id_col),
+        (F.lit((1 << WINNOW_POS_BITS) - 1)
+         - F.pmod(F.col("_sel"), F.lit(1 << WINNOW_POS_BITS)))
+        .cast("long").alias("pos"),
+        # `div`, NOT `/`: the packed key exceeds 2^53, where double
+        # division is no longer exact (off-by-one hashes vs DuckDB's
+        # integer `//` — caught by the randomized twin test)
+        F.expr(f"_sel div {1 << WINNOW_POS_BITS}")
+        .cast("long").alias("h"))
+        .distinct())

@@ -177,3 +177,61 @@ def test_ra_randomized_vs_duckdb_twin(spark):
         "SELECT src, dst FROM ed", min_common=2)
     oracle = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert got == oracle
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+from biocypher_metta_spark.operators.text import (  # noqa: E402
+    winnow_fingerprints)
+
+
+def _winnow(spark, docs, n=5, w=4):
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    return winnow_fingerprints(df, n=n, w=w).collect()
+
+
+def test_winnowing_guarantee_and_short_doc(spark):
+    words = " ".join(f"w{i}" for i in range(40))
+    rows = _winnow(spark, [("a", words)])
+    # guarantee: every window of 4 consecutive shingles (positions
+    # 1..36-ish) contains at least one selected position
+    got = sorted(r["pos"] for r in rows)
+    n_shingles = 40 - 4
+    for start in range(1, n_shingles - 4 + 2):
+        assert any(start <= p <= start + 3 for p in got), start
+    # a short doc (fewer than w shingles) yields exactly one fp
+    short = _winnow(spark, [("s", "a b c d e f")])  # 2 shingles < w
+    assert len(short) == 1
+
+
+def test_winnowing_shared_run_produces_shared_hash(spark):
+    run = " ".join(f"shared{i}" for i in range(12))  # >= w+n-1 = 8
+    d1 = "x1 x2 x3 " + run + " y1 y2"
+    d2 = "z1 " + run + " q1 q2 q3 q4"
+    rows = _winnow(spark, [("a", d1), ("b", d2)])
+    ha = {r["h"] for r in rows if r["doc_id"] == "a"}
+    hb = {r["h"] for r in rows if r["doc_id"] == "b"}
+    assert ha & hb, "shared 12-token run must share a fingerprint"
+    # and two unrelated docs don't (with overwhelming probability)
+    rows2 = _winnow(spark, [("a", " ".join(f"u{i}" for i in range(20))),
+                            ("b", " ".join(f"v{i}" for i in range(20)))])
+    ha2 = {r["h"] for r in rows2 if r["doc_id"] == "a"}
+    hb2 = {r["h"] for r in rows2 if r["doc_id"] == "b"}
+    assert not (ha2 & hb2)
+
+
+def test_winnowing_matches_duckdb_twin_randomized(spark):
+    rng = random.Random(29)
+    docs = [(f"d{j}", " ".join(f"t{rng.randrange(30)}"
+                               for _ in range(rng.randrange(3, 60))))
+            for j in range(25)]
+    got = sorted(tuple(r) for r in _winnow(spark, docs))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?,?)", docs)
+    from biocypher_metta_spark.entry_queries import DOC_WINNOWING_SQL
+    oracle = sorted(tuple(r) for r in
+                    con.execute(DOC_WINNOWING_SQL).fetchall())
+    assert got == oracle
