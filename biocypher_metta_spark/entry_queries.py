@@ -6305,6 +6305,53 @@ WHERE spos <= greatest(n - 3, 1)
 QUERIES["doc_winnowing"] = (doc_winnowing, DOC_WINNOWING_SQL)
 
 
+def web_anchor_text(spark, sf_dir):
+    """Anchor-text aggregation (web.anchor_text_summary): each doc's
+    page carries a messy-cased multi-space anchor that must normalize to
+    'good site', an 'other' anchor on even docs only (strictly rarer,
+    so ranks are deterministic), an empty anchor and a relative link
+    that must drop. Injected URLs are already canonical, so the
+    oracle recomputes the expected per-target counts and ranks from
+    the documents table (extraction regexes are additionally twinned
+    against DuckDB's regexp engine in the pytest suite)."""
+    d = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 5).cast("string")
+    even = F.when((F.col("doc_id") % 2) == 0, F.concat(
+        F.lit('<a href="https://site'), k,
+        F.lit('.com/p">other</a> '))).otherwise(F.lit(""))
+    page = F.concat(
+        F.lit('<a href="https://site'), k,
+        F.lit('.com/p">Good   SITE</a> '),
+        even,
+        F.lit('<a href="https://site'), k, F.lit('.com/p"></a> '),
+        F.lit('<a href="/rel">rel</a> '),
+        F.col("text"))
+    return web_ops.anchor_text_summary(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                 page.alias("text")))
+
+
+WEB_ANCHOR_TEXT_SQL = """
+WITH c AS (
+  SELECT CAST(doc_id AS BIGINT) AS d, CAST(doc_id % 5 AS VARCHAR) AS k
+  FROM documents
+), g AS (
+  SELECT 'https://site' || k || '.com/p' AS url,
+         'good site' AS anchor, count(*) AS n
+  FROM c GROUP BY k
+  UNION ALL
+  SELECT 'https://site' || k || '.com/p', 'other', count(*)
+  FROM c WHERE d % 2 = 0 GROUP BY k
+)
+SELECT url, anchor, CAST(n AS BIGINT) AS n,
+       CAST(row_number() OVER (PARTITION BY url
+                               ORDER BY n DESC, anchor) AS BIGINT) AS rank
+FROM g
+"""
+
+QUERIES["web_anchor_text"] = (web_anchor_text, WEB_ANCHOR_TEXT_SQL)
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -6494,6 +6541,7 @@ CK_COLUMNS = {
     "rel_hll_sketch": ["est_fp", "n_zero", "s", "scope"],
     "kg_link_predict": ["n_common", "node_a", "node_b", "ra_fp"],
     "doc_winnowing": ["doc_id", "h", "pos"],
+    "web_anchor_text": ["anchor", "n", "rank", "url"],
     "emb_mmr_rerank": ["mmr_rank", "mmr_score", "vec_id"],
     "doc_retrieval_ladder": ["mmr_rank", "mmr_score", "vec_id"],
 }
@@ -6540,7 +6588,7 @@ CK_COMPOSITES = {
                             "doc_strip_markup", "web_link_edges",
                             "doc_rrf_fusion", "emb_mmr_rerank",
                             "doc_dsir_scores",
-                            "doc_retrieval_ladder"],
+                            "doc_retrieval_ladder", "web_anchor_text"],
     "kg_graph_checks": ["kg_pagerank", "kg_hits", "emb_semantic_dedup",
                         "emb_kmeans", "emb_pq_topk",
                         "kg_triangles", "kg_kcore",

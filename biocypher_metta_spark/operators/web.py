@@ -161,3 +161,53 @@ def extract_links(df: DataFrame, doc_col: str = "doc_id",
             .select("doc", canonical_url(F.col("href")).alias("url"))
             .groupBy("doc", "url")
             .agg(F.count(F.lit(1)).cast("long").alias("n_links")))
+
+
+_ANCHOR_EL_RE = (r"""(?i)<a\s[^>]*href\s*=\s*["'][^"']+["'][^>]*>"""
+                 r"""[^<]*</a>""")
+_ANCHOR_TXT_RE = r">([^<]*)<"
+
+
+def anchor_text_summary(df: DataFrame, doc_col: str = "doc_id",
+                        text_col: str = "text",
+                        top_k: int = 3) -> DataFrame:
+    """Anchor-text aggregation: (url, anchor, n, rank) — for each
+    canonical link TARGET, the top_k most frequent normalized anchor
+    strings pointing at it across the corpus. The classic web-corpus
+    signal: anchors are how the REST of the web describes a page
+    (retrieval expansion, KG entity naming, spam signals), and it only
+    exists as an aggregate across documents — the inverse view of
+    extract_links' per-source edges.
+
+    Extraction is one RE2/Java-common regexp over whole <a ...>text</a>
+    elements (group 0 — Spark's regexp_extract_all extracts a single
+    group index, so (href, anchor) pairs cannot come from one pattern;
+    per-element sub-extraction keeps both engines on identical
+    semantics). Anchors are whitespace-collapsed, trimmed, lowercased;
+    empty anchors (image links, spacer tags) are dropped. Relative /
+    javascript: / fragment hrefs drop exactly as in extract_links.
+
+    Scale shape: map-side extraction bounded by real anchor count; one
+    shuffle for the (url, anchor) count; the per-url top-k window runs
+    over ALREADY AGGREGATED rows (bounded by distinct anchors per url,
+    not by link volume — a billion identical "click here" links to one
+    target are one row by the time they reach the window)."""
+    els = df.select(
+        F.explode(F.regexp_extract_all(
+            F.col(text_col), F.lit(_ANCHOR_EL_RE), 0)).alias("el"))
+    pairs = els.select(
+        F.regexp_extract(F.col("el"), _HREF_RE, 1).alias("href"),
+        F.lower(F.trim(F.regexp_replace(
+            F.regexp_extract(F.col("el"), _ANCHOR_TXT_RE, 1),
+            r"\s+", " "))).alias("anchor"))
+    kept = (pairs.filter(F.col("href").rlike(r"(?i)^https?://"))
+            .filter(F.col("anchor") != ""))
+    counts = (kept.select(canonical_url(F.col("href")).alias("url"),
+                          "anchor")
+              .groupBy("url", "anchor")
+              .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("url").orderBy(F.col("n").desc(), "anchor")
+    return (counts.withColumn("rank", F.row_number().over(w)
+                              .cast("long"))
+            .filter(F.col("rank") <= top_k))

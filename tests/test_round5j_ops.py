@@ -235,3 +235,82 @@ def test_winnowing_matches_duckdb_twin_randomized(spark):
     oracle = sorted(tuple(r) for r in
                     con.execute(DOC_WINNOWING_SQL).fetchall())
     assert got == oracle
+
+
+# ---------------------------------------------------------------------------
+# anchor-text aggregation
+# ---------------------------------------------------------------------------
+
+from biocypher_metta_spark.operators.web import (  # noqa: E402
+    anchor_text_summary)
+
+
+def test_anchor_text_hand_case(spark):
+    docs = [
+        (1, '<a href="https://x.com/p">Buy   NOW</a> '
+            '<a href="https://x.com/p">buy now</a> '
+            '<a href="https://x.com/p">store</a> '
+            '<a href="https://x.com/p"></a> '
+            '<a href="/rel">rel</a> <a href="#f">f</a>'),
+        (2, "<a href='https://x.com/p'>buy now</a> "
+            '<a href="https://y.org/q">y page</a>'),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(tuple(r) for r in anchor_text_summary(df).collect())
+    assert got == [
+        ("https://x.com/p", "buy now", 3, 1),
+        ("https://x.com/p", "store", 1, 2),
+        ("https://y.org/q", "y page", 1, 1),
+    ]
+
+
+def test_anchor_text_top_k_truncates(spark):
+    docs = [(i, "".join(
+        f'<a href="https://z.net/">a{j}</a>' for j in range(5)))
+        for i in range(2)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = anchor_text_summary(df, top_k=2).collect()
+    assert len(got) == 2 and {r["rank"] for r in got} == {1, 2}
+
+
+def test_anchor_text_randomized_vs_duckdb_regexp(spark):
+    rng = random.Random(41)
+    hosts = ["https://a.com/x", "https://b.org/y", "https://c.io/z"]
+    anchors = ["one", "two  WORDS", "Three", ""]
+    docs = []
+    for i in range(40):
+        parts = []
+        for _ in range(rng.randrange(0, 6)):
+            parts.append('<a href="%s">%s</a>' % (
+                rng.choice(hosts + ["/rel", "#frag"]),
+                rng.choice(anchors)))
+        docs.append((i, " filler ".join(parts)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(tuple(r) for r in anchor_text_summary(df).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?,?)", docs)
+    oracle = sorted(tuple(r) for r in con.execute(r"""
+        WITH els AS (
+          SELECT unnest(regexp_extract_all(text,
+            '(?i)<a\s[^>]*href\s*=\s*["''][^"'']+["''][^>]*>[^<]*</a>'))
+            AS el
+          FROM d
+        ), pairs AS (
+          SELECT regexp_extract(el,
+                   '(?i)href\s*=\s*["'']([^"'']+)["'']', 1) AS href,
+                 lower(trim(regexp_replace(
+                   regexp_extract(el, '>([^<]*)<', 1), '\s+', ' ', 'g')))
+                   AS anchor
+          FROM els
+        ), counts AS (
+          SELECT href AS url, anchor, count(*) AS n
+          FROM pairs
+          WHERE regexp_matches(href, '(?i)^https?://') AND anchor <> ''
+          GROUP BY 1, 2
+        )
+        SELECT url, anchor, CAST(n AS BIGINT),
+               CAST(row_number() OVER (PARTITION BY url
+                    ORDER BY n DESC, anchor) AS BIGINT) AS rank
+        FROM counts QUALIFY rank <= 3""").fetchall())
+    assert got == oracle
