@@ -6352,6 +6352,44 @@ FROM g
 QUERIES["web_anchor_text"] = (web_anchor_text, WEB_ANCHOR_TEXT_SQL)
 
 
+def rel_autocorr(spark, sf_dir):
+    """Lag-k autocorrelation (stats.autocorr, lags 1/2/3) over
+    per-customer-bucket weekly order cents — the seasonality
+    diagnostic next to ewma/gapfill in the time-series family. The
+    groupBy pre-pass guarantees unique (grp, wk) ticks; calendar-lag
+    semantics (a gap drops the pair, it is not bridged). Integer
+    moments in DECIMAL(38,0) / HUGEINT; floats appear only in the
+    final IEEE-identical sqrt/divide (the expr_gene_corr recipe).
+    One key shuffle: all three lead() columns ride a single ordered
+    window pass. Oracle: stats.autocorr_sql from the same recurrence."""
+    from biocypher_metta_spark.operators.stats import autocorr
+
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+    obs = (o.select((F.col("o_custkey") % 20).alias("grp"),
+                    F.floor(day / 7).cast("long").alias("wk"),
+                    F.floor(F.col("o_totalprice") * 100).cast("long")
+                    .alias("c"))
+           .groupBy("grp", "wk").agg(F.sum("c").alias("cents")))
+    return autocorr(obs, ["grp"], "wk", "cents", lags=(1, 2, 3))
+
+
+from biocypher_metta_spark.operators.stats import (  # noqa: E402
+    autocorr_sql as _autocorr_sql,
+)
+
+_AUTOCORR_OBS_SQL = """SELECT o_custkey % 20 AS grp,
+  CAST(floor(date_diff('day', DATE '1992-01-01',
+       CAST(o_orderdate AS DATE)) / 7) AS BIGINT) AS wk,
+  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+FROM orders GROUP BY 1, 2"""
+
+REL_AUTOCORR_SQL = _autocorr_sql(
+    _AUTOCORR_OBS_SQL, ["grp"], "wk", "cents", lags=(1, 2, 3))
+
+QUERIES["rel_autocorr"] = (rel_autocorr, REL_AUTOCORR_SQL)
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -6542,6 +6580,7 @@ CK_COLUMNS = {
     "kg_link_predict": ["n_common", "node_a", "node_b", "ra_fp"],
     "doc_winnowing": ["doc_id", "h", "pos"],
     "web_anchor_text": ["anchor", "n", "rank", "url"],
+    "rel_autocorr": ["ac_milli", "grp", "lag", "m"],
     "emb_mmr_rerank": ["mmr_rank", "mmr_score", "vec_id"],
     "doc_retrieval_ladder": ["mmr_rank", "mmr_score", "vec_id"],
 }
@@ -6568,7 +6607,7 @@ CK_COMPOSITES = {
                           "rel_gapfill_locf", "rel_ewma",
                           "rel_funnel", "rel_outlier_flags",
                           "rel_event_transitions", "rel_twap",
-                          "rel_funnel_windowed"],
+                          "rel_funnel_windowed", "rel_autocorr"],
     "rel_range_family": ["rel_range_join", "rel_interval_overlap",
                          "rel_interval_merge", "rel_interval_stab"],
     "kg_peregrine_checks": ["kg_peregrine_enhancers", "kg_peregrine_edges"],
