@@ -142,7 +142,8 @@ def main() -> None:
              "kg_ppr", "kg_schema_validate", "kg_ntriples",
              "rel_interval_stab", "rel_skyline", "rel_asof_directions",
              "rel_itemsets", "rel_hll_sketch", "kg_link_predict",
-             "doc_winnowing", "web_anchor_text", "rel_autocorr"]
+             "doc_winnowing", "web_anchor_text", "rel_autocorr",
+             "rel_attribution"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):

@@ -6390,6 +6390,53 @@ REL_AUTOCORR_SQL = _autocorr_sql(
 QUERIES["rel_autocorr"] = (rel_autocorr, REL_AUTOCORR_SQL)
 
 
+def rel_attribution(spark, sf_dir):
+    """Multi-touch attribution (attribution.attribution_credits,
+    linear model, 6h lookback): purchases are conversions, every
+    other event is a touchpoint on its event_type channel; each
+    conversion distributes an integer 1000-milli budget over its
+    in-window touches (floor split, remainder pinned to the last
+    touch) so per-channel sums are exact in any engine. Relative
+    seconds (floor(epoch) = unix_timestamp truncation) cancel
+    timezone conventions. One user-key equi-join + one conv-id
+    window + a channels-sized groupBy. Oracle: the same recurrence
+    from attribution_sql."""
+    from biocypher_metta_spark.operators.attribution import (
+        attribution_credits,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = F.unix_timestamp(F.lit("2024-01-01 00:00:00")
+                            .cast("timestamp"))
+    tick = (F.unix_timestamp("ts") - base).cast("long")
+    touches = (ev.filter(F.col("event_type") != "purchase")
+               .select("user_id", tick.alias("tick"), "event_type"))
+    convs = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", F.col("event_id").alias("conv_id"),
+                     tick.alias("conv_tick")))
+    return attribution_credits(
+        touches, convs, "user_id", "tick", "event_type",
+        "conv_id", "conv_tick", model="linear", lookback_s=6 * 3600)
+
+
+from biocypher_metta_spark.operators.attribution import (  # noqa: E402
+    attribution_sql as _attribution_sql,
+)
+
+_ATT_TICK = ("CAST(floor(epoch(ts)) - epoch(TIMESTAMP"
+             " '2024-01-01 00:00:00') AS BIGINT)")
+
+REL_ATTRIBUTION_SQL = _attribution_sql(
+    f"""SELECT user_id, {_ATT_TICK} AS tick, event_type
+FROM events WHERE event_type <> 'purchase'""",
+    f"""SELECT user_id, event_id AS conv_id, {_ATT_TICK} AS conv_tick
+FROM events WHERE event_type = 'purchase'""",
+    "user_id", "tick", "event_type", "conv_id", "conv_tick",
+    model="linear", lookback_s=6 * 3600)
+
+QUERIES["rel_attribution"] = (rel_attribution, REL_ATTRIBUTION_SQL)
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -6581,6 +6628,7 @@ CK_COLUMNS = {
     "doc_winnowing": ["doc_id", "h", "pos"],
     "web_anchor_text": ["anchor", "n", "rank", "url"],
     "rel_autocorr": ["ac_milli", "grp", "lag", "m"],
+    "rel_attribution": ["channel", "credit_milli", "n_touches"],
     "emb_mmr_rerank": ["mmr_rank", "mmr_score", "vec_id"],
     "doc_retrieval_ladder": ["mmr_rank", "mmr_score", "vec_id"],
 }
@@ -6607,7 +6655,8 @@ CK_COMPOSITES = {
                           "rel_gapfill_locf", "rel_ewma",
                           "rel_funnel", "rel_outlier_flags",
                           "rel_event_transitions", "rel_twap",
-                          "rel_funnel_windowed", "rel_autocorr"],
+                          "rel_funnel_windowed", "rel_autocorr",
+                          "rel_attribution"],
     "rel_range_family": ["rel_range_join", "rel_interval_overlap",
                          "rel_interval_merge", "rel_interval_stab"],
     "kg_peregrine_checks": ["kg_peregrine_enhancers", "kg_peregrine_edges"],

@@ -66,3 +66,100 @@ def test_autocorr_validation(spark):
         autocorr(df, ["g"], "t", "v", lags=())
     with pytest.raises(ValueError):
         autocorr(df, ["g"], "t", "v", lags=(0,))
+
+
+# ---------------------------------------------------------------------------
+# attribution_credits (operators/attribution.py)
+# ---------------------------------------------------------------------------
+from biocypher_metta_spark.operators.attribution import (  # noqa: E402
+    attribution_credits,
+    attribution_sql,
+)
+
+
+def _att(spark, touches, convs, **kw):
+    t = spark.createDataFrame(touches, "u long, ts long, ch string")
+    c = spark.createDataFrame(convs, "u long, cid long, cts long")
+    out = attribution_credits(t, c, "u", "ts", "ch", "cid", "cts", **kw)
+    return sorted(tuple(r) for r in out.collect())
+
+
+_TOUCHES = [(1, 10, "ad"), (1, 20, "email"), (1, 30, "search"),
+            (1, 95, "social"),  # outside the lookback of conv at 40
+            (2, 5, "ad")]
+_CONVS = [(1, 100, 40), (2, 200, 6)]
+
+
+def test_attribution_first_last_linear(spark):
+    kw = dict(lookback_s=35, scale=1000)
+    assert _att(spark, _TOUCHES, _CONVS, model="first", **kw) == [
+        ("ad", 2, 2000), ("email", 1, 0), ("search", 1, 0)]
+    assert _att(spark, _TOUCHES, _CONVS, model="last", **kw) == [
+        ("ad", 2, 1000), ("email", 1, 0), ("search", 1, 1000)]
+    # linear over 3 touches: 333 each, remainder 1 to the last
+    assert _att(spark, _TOUCHES, _CONVS, model="linear", **kw) == [
+        ("ad", 2, 1333), ("email", 1, 333), ("search", 1, 334)]
+
+
+def test_attribution_position_shapes(spark):
+    # n=4: ends 400 each, two middles 100 each (pool 200, no remainder)
+    touches = [(1, t, f"c{t}") for t in (1, 2, 3, 4)]
+    got = _att(spark, touches, [(1, 9, 4)], model="position",
+               lookback_s=100)
+    assert got == [("c1", 1, 400), ("c2", 1, 100), ("c3", 1, 100),
+                   ("c4", 1, 400)]
+    # n=1 takes all; n=2 splits ceil/floor
+    assert _att(spark, [(1, 1, "a")], [(1, 9, 4)], model="position",
+                lookback_s=100) == [("a", 1, 1000)]
+    assert _att(spark, [(1, 1, "a"), (1, 2, "b")], [(1, 9, 4)],
+                model="position", lookback_s=100) == [
+        ("a", 1, 500), ("b", 1, 500)]
+
+
+def test_attribution_budget_conserved(spark):
+    # whatever the model, total credit = scale * attributable convs
+    import random
+    rng = random.Random(77)
+    touches = [(rng.randrange(5), rng.randrange(100),
+                rng.choice("abc")) for _ in range(200)]
+    convs = [(u, 1000 + i, rng.randrange(100))
+             for i, u in enumerate(rng.choices(range(5), k=20))]
+    for model in ("first", "last", "linear", "position"):
+        got = _att(spark, touches, convs, model=model, lookback_s=30)
+        total = sum(c for _, _, c in got)
+        assert total % 1000 == 0 and total > 0
+
+
+def test_attribution_matches_duckdb_twin_randomized(spark):
+    import duckdb
+    import random
+    rng = random.Random(4242)
+    touches = [(rng.randrange(8), rng.randrange(500),
+                rng.choice(["ad", "email", "search", "social"]))
+               for _ in range(400)]
+    convs = [(rng.randrange(8), i, rng.randrange(500))
+             for i in range(40)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE att_tt (u BIGINT, ts BIGINT, ch VARCHAR)")
+    con.execute("CREATE TABLE att_cc (u BIGINT, cid BIGINT, cts BIGINT)")
+    con.executemany("INSERT INTO att_tt VALUES (?,?,?)", touches)
+    con.executemany("INSERT INTO att_cc VALUES (?,?,?)", convs)
+    for model in ("first", "last", "linear", "position"):
+        got = _att(spark, touches, convs, model=model, lookback_s=60,
+                   scale=1000)
+        sql = attribution_sql(
+            "SELECT * FROM att_tt", "SELECT * FROM att_cc",
+            "u", "ts", "ch", "cid", "cts", model=model, lookback_s=60,
+            scale=1000)
+        want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == want, model
+
+
+def test_attribution_validation(spark):
+    t = spark.createDataFrame([(1, 1, "a")], "u long, ts long, ch string")
+    c = spark.createDataFrame([(1, 1, 5)], "u long, cid long, cts long")
+    for bad in (dict(model="mystery"), dict(lookback_s=0),
+                dict(scale=0)):
+        with pytest.raises(ValueError):
+            attribution_credits(t, c, "u", "ts", "ch", "cid", "cts",
+                                **bad)
