@@ -6437,6 +6437,27 @@ FROM events WHERE event_type = 'purchase'""",
 QUERIES["rel_attribution"] = (rel_attribution, REL_ATTRIBUTION_SQL)
 
 
+def kg_assortativity(spark, sf_dir):
+    """Degree assortativity (graph.degree_assortativity) over the
+    same 47-node mixed multigraph as kg_triangles — the one-number
+    mixing diagnostic for an extracted KG (hubs-to-hubs vs
+    hubs-to-leaves). Pure integer arithmetic: the stub multiset's
+    symmetry collapses Pearson's denominator, so r_milli is an exact
+    pmod-floor ratio of DECIMAL(38,0)/HUGEINT moments with no sqrt
+    at all. Oracle: the same collapsed moments in DuckDB."""
+    ids = _ids(spark, sf_dir)
+    edges = ids.select((F.col("i") % 47).alias("src"),
+                       ((F.col("i") / 7).cast("long") % 47).alias("dst"))
+    return graph_ops.degree_assortativity(edges)
+
+
+KG_ASSORTATIVITY_SQL = graph_ops.degree_assortativity_sql(
+    "SELECT CAST(doc_id AS BIGINT) % 47 AS src, "
+    "(CAST(doc_id AS BIGINT) // 7) % 47 AS dst FROM documents")
+
+QUERIES["kg_assortativity"] = (kg_assortativity, KG_ASSORTATIVITY_SQL)
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -6629,6 +6650,7 @@ CK_COLUMNS = {
     "web_anchor_text": ["anchor", "n", "rank", "url"],
     "rel_autocorr": ["ac_milli", "grp", "lag", "m"],
     "rel_attribution": ["channel", "credit_milli", "n_touches"],
+    "kg_assortativity": ["n_stubs", "r_milli"],
     "emb_mmr_rerank": ["mmr_rank", "mmr_score", "vec_id"],
     "doc_retrieval_ladder": ["mmr_rank", "mmr_score", "vec_id"],
 }
@@ -6687,7 +6709,7 @@ CK_COMPOSITES = {
                         "kg_survivorship",
                         "kg_entity_resolution", "kg_scc",
                         "emb_random_projection", "emb_ivfpq_topk",
-                        "kg_link_predict"],
+                        "kg_link_predict", "kg_assortativity"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",

@@ -1553,3 +1553,98 @@ SELECT c.node_a, c.node_b, c.n_common, c.ra_fp
 FROM ra_cand c
 WHERE NOT EXISTS (SELECT 1 FROM ra_u e
                   WHERE e.a = c.node_a AND e.b = c.node_b)"""
+
+
+def degree_assortativity(edges: DataFrame, src: str = "src",
+                         dst: str = "dst",
+                         scale: int = 1000) -> DataFrame:
+    """Newman degree assortativity of the undirected simple graph:
+    Pearson correlation over the stub multiset {(deg(u), deg(v)),
+    (deg(v), deg(u)) for each edge}, quantized to r_milli =
+    floor(scale * r). Positive: hubs attach to hubs (social
+    networks); negative: hubs attach to leaves (biological /
+    technological KGs) — the one-number mixing diagnostic for an
+    extracted graph.
+
+    PURE integer arithmetic, no float anywhere: the stub multiset is
+    symmetric, so sum_x = sum_y and sum_xx = sum_yy, and Pearson's
+    denominator sqrt(den_x)*sqrt(den_y) collapses to den_x exactly —
+    r = (m*sxy - sx^2) / (m*sxx - sx^2), a ratio of exact
+    DECIMAL(38,0)/HUGEINT integers, floor-divided by the pmod form
+    (both engines agree bit-for-bit; no sqrt rounding to reason
+    about, unlike the general autocorr). Regular graphs (den = 0)
+    yield NULL r_milli.
+
+    The symmetry also collapses the plan: moments come off the
+    UNDIRECTED pair table in ONE aggregate (m = 2n, sx = sum(da+db),
+    sxx = sum(da^2+db^2), sxy = 2*sum(da*db)) — the stub table is
+    never materialized. Scale shape: one distinct on edge pairs, one
+    degree groupBy, two joins of the pair table against the one-row-
+    per-node degree table, one global single-row aggregate."""
+    dec = "decimal(38,0)"
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .filter(F.col("s").isNotNull() & F.col("d").isNotNull()
+                 & (F.col("s") != F.col("d"))))
+    und = (e.select(F.least("s", "d").alias("a"),
+                    F.greatest("s", "d").alias("b"))
+           .distinct())
+    adj = (und.select(F.col("a").alias("node"), F.col("b").alias("nb"))
+           .unionAll(und.select(F.col("b").alias("node"),
+                                F.col("a").alias("nb"))))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long")
+                                  .alias("deg"))
+    j = (und.join(deg.select(F.col("node").alias("a"),
+                             F.col("deg").alias("_da")), "a")
+         .join(deg.select(F.col("node").alias("b"),
+                          F.col("deg").alias("_db")), "b"))
+    da, db = F.col("_da").cast(dec), F.col("_db").cast(dec)
+    agg = j.agg(
+        (F.count(F.lit(1)).cast(dec) * 2).alias("m"),
+        F.sum(da + db).alias("sx"),
+        F.sum(da * da + db * db).alias("sxx"),
+        F.sum(F.lit(2).cast(dec) * da * db).alias("sxy"))
+    num = (F.lit(scale).cast(dec)
+           * (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")))
+    den = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    r = (num - ((num % den) + den) % den) / den
+    return (agg.select(
+        (F.col("m").cast("long")).alias("n_stubs"),
+        F.when(den > 0, r).cast("long").alias("r_milli"))
+        .filter(F.col("n_stubs") > 0))
+
+
+def degree_assortativity_sql(edges_sql: str, src: str = "src",
+                             dst: str = "dst",
+                             scale: int = 1000) -> str:
+    """DuckDB twin of degree_assortativity: the same collapsed
+    symmetric moments in HUGEINT with the same pmod floor division."""
+    return f"""WITH as_e AS (
+  SELECT {src} AS s, {dst} AS d FROM (
+{edges_sql.strip()}
+  ) WHERE {src} IS NOT NULL AND {dst} IS NOT NULL AND {src} <> {dst}
+), as_u AS (
+  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM as_e
+), as_adj AS (
+  SELECT a AS node FROM as_u UNION ALL SELECT b FROM as_u
+), as_deg AS (
+  SELECT node, CAST(count(*) AS HUGEINT) AS deg
+  FROM as_adj GROUP BY 1
+), as_m AS (
+  SELECT CAST(2 * count(*) AS HUGEINT) AS m,
+         CAST(sum(da.deg + db.deg) AS HUGEINT) AS sx,
+         CAST(sum(da.deg * da.deg + db.deg * db.deg) AS HUGEINT)
+           AS sxx,
+         CAST(sum(2 * da.deg * db.deg) AS HUGEINT) AS sxy
+  FROM as_u u
+  JOIN as_deg da ON u.a = da.node
+  JOIN as_deg db ON u.b = db.node
+)
+SELECT CAST(m AS BIGINT) AS n_stubs,
+       CAST(CASE WHEN m * sxx - sx * sx > 0 THEN
+         ({scale} * (m * sxy - sx * sx)
+          - ((({scale} * (m * sxy - sx * sx))
+              % (m * sxx - sx * sx)) + (m * sxx - sx * sx))
+            % (m * sxx - sx * sx))
+         // (m * sxx - sx * sx)
+       END AS BIGINT) AS r_milli
+FROM as_m WHERE m > 0"""

@@ -163,3 +163,78 @@ def test_attribution_validation(spark):
         with pytest.raises(ValueError):
             attribution_credits(t, c, "u", "ts", "ch", "cid", "cts",
                                 **bad)
+
+
+# ---------------------------------------------------------------------------
+# degree_assortativity (operators/graph.py)
+# ---------------------------------------------------------------------------
+from biocypher_metta_spark.operators.graph import (  # noqa: E402
+    degree_assortativity,
+    degree_assortativity_sql,
+)
+
+
+def _assort(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return [tuple(r) for r in degree_assortativity(df).collect()]
+
+
+def test_assortativity_star_is_minus_one(spark):
+    # K1,5: every stub pairs a degree-5 end with a degree-1 end;
+    # y = 6 - x exactly, so r = -1 with no quantization loss.
+    edges = [(0, i) for i in range(1, 6)]
+    assert _assort(spark, edges) == [(10, -1000)]
+
+
+def test_assortativity_regular_graph_null(spark):
+    # 6-cycle: all degrees 2 -> zero variance -> NULL r.
+    edges = [(i, (i + 1) % 6) for i in range(6)]
+    assert _assort(spark, edges) == [(12, None)]
+
+
+def test_assortativity_dedup_selfloop_null(spark):
+    # duplicate edges, reversed duplicates, self-loops and nulls must
+    # not change the simple undirected graph K1,3.
+    edges = [(0, 1), (1, 0), (0, 1), (0, 2), (0, 3), (2, 2),
+             (None, 1), (3, None)]
+    assert _assort(spark, edges) == [(6, -1000)]
+
+
+def test_assortativity_matches_float_pearson(spark):
+    import math
+    import random
+    rng = random.Random(99)
+    edges = list({(rng.randrange(30), rng.randrange(30))
+                  for _ in range(120)})
+    [(n_stubs, r_milli)] = _assort(spark, edges)
+    # reference: float Pearson over the explicit stub multiset
+    simple = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    deg = {}
+    for a, b in simple:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    stubs = [(deg[a], deg[b]) for a, b in simple]
+    stubs += [(y, x) for x, y in stubs]
+    m = len(stubs)
+    sx = sum(x for x, _ in stubs)
+    sxx = sum(x * x for x, _ in stubs)
+    sxy = sum(x * y for x, y in stubs)
+    r = (m * sxy - sx * sx) / (m * sxx - sx * sx)
+    assert n_stubs == m
+    assert r_milli == math.floor(1000 * r)
+
+
+def test_assortativity_matches_duckdb_twin_randomized(spark):
+    import duckdb
+    import random
+    rng = random.Random(123)
+    for trial in range(3):
+        edges = [(rng.randrange(25), rng.randrange(25))
+                 for _ in range(150)]
+        got = _assort(spark, edges)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE ae (src BIGINT, dst BIGINT)")
+        con.executemany("INSERT INTO ae VALUES (?,?)", edges)
+        want = [tuple(r) for r in con.execute(
+            degree_assortativity_sql("SELECT * FROM ae")).fetchall()]
+        assert got == want, trial
