@@ -6437,6 +6437,49 @@ FROM events WHERE event_type = 'purchase'""",
 QUERIES["rel_attribution"] = (rel_attribution, REL_ATTRIBUTION_SQL)
 
 
+def rel_crosscorr(spark, sf_dir):
+    """Lagged cross-correlation (stats.crosscorr, lags -2..2): does
+    view volume lead purchase volume? Per-user-bucket HOURLY view and
+    purchase counts form two aligned series; the shared lagged-corr
+    core pairs (views_t, buys_{t+k}) via calendar RANGE frames.
+    Oracle: crosscorr_sql from the same recurrence."""
+    from biocypher_metta_spark.operators.stats import crosscorr
+
+    ev = _t(spark, sf_dir, "events")
+    base = F.unix_timestamp(F.lit("2024-01-01 00:00:00")
+                            .cast("timestamp"))
+    hr = F.floor((F.unix_timestamp("ts") - base) / 3600).cast("long")
+    obs = (ev.groupBy((F.col("user_id") % 10).alias("grp"),
+                      hr.alias("hr"))
+           .agg(F.sum(F.when(F.col("event_type") == "view", 1)
+                      .otherwise(0)).cast("long").alias("views"),
+                F.sum(F.when(F.col("event_type") == "purchase", 1)
+                      .otherwise(0)).cast("long").alias("buys")))
+    return crosscorr(obs, ["grp"], "hr", "views", "buys",
+                     lags=(-2, -1, 0, 1, 2))
+
+
+from biocypher_metta_spark.operators.stats import (  # noqa: E402
+    crosscorr_sql as _crosscorr_sql,
+)
+
+_XC_OBS_SQL = """SELECT user_id % 10 AS grp,
+  CAST(floor((floor(epoch(ts))
+       - epoch(TIMESTAMP '2024-01-01 00:00:00')) / 3600) AS BIGINT)
+    AS hr,
+  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+    AS views,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       AS BIGINT) AS buys
+FROM events GROUP BY 1, 2"""
+
+REL_CROSSCORR_SQL = _crosscorr_sql(
+    _XC_OBS_SQL, ["grp"], "hr", "views", "buys",
+    lags=(-2, -1, 0, 1, 2))
+
+QUERIES["rel_crosscorr"] = (rel_crosscorr, REL_CROSSCORR_SQL)
+
+
 def kg_assortativity(spark, sf_dir):
     """Degree assortativity (graph.degree_assortativity) over the
     same 47-node mixed multigraph as kg_triangles — the one-number
@@ -6651,6 +6694,7 @@ CK_COLUMNS = {
     "rel_autocorr": ["ac_milli", "grp", "lag", "m"],
     "rel_attribution": ["channel", "credit_milli", "n_touches"],
     "kg_assortativity": ["n_stubs", "r_milli"],
+    "rel_crosscorr": ["grp", "lag", "m", "xc_milli"],
     "emb_mmr_rerank": ["mmr_rank", "mmr_score", "vec_id"],
     "doc_retrieval_ladder": ["mmr_rank", "mmr_score", "vec_id"],
 }
@@ -6678,7 +6722,7 @@ CK_COMPOSITES = {
                           "rel_funnel", "rel_outlier_flags",
                           "rel_event_transitions", "rel_twap",
                           "rel_funnel_windowed", "rel_autocorr",
-                          "rel_attribution"],
+                          "rel_attribution", "rel_crosscorr"],
     "rel_range_family": ["rel_range_join", "rel_interval_overlap",
                          "rel_interval_merge", "rel_interval_stab"],
     "kg_peregrine_checks": ["kg_peregrine_enhancers", "kg_peregrine_edges"],

@@ -112,95 +112,55 @@ def autocorr(df: DataFrame, key_cols: list[str], t_col: str,
     only floats are IEEE-correctly-rounded sqrt/division of those
     exact integers, which every engine rounds identically.
 
-    Scale shape: ONE shuffle on the key for the ordered window; all
-    |lags| RANGE-frame columns ride in that single window pass,
-    stacked map-side into (lag, x, y) rows; the moment groupBy on
-    (key, lag) reuses the key partitioning. Per-key series length is
-    the window task bound — keys are entities (groups, tickers,
-    pages), so ticks/key is bounded by retention, not corpus size."""
-    from pyspark.sql import Window
+    Scale shape and exactness: see stats_corr.lagged_corr — autocorr
+    is the x == y instance of the shared lagged-correlation core
+    (crosscorr is the two-column instance)."""
+    from biocypher_metta_spark.operators.stats_corr import lagged_corr
 
     if not lags or any(k < 1 for k in lags):
         raise ValueError("lags must be >= 1")
-    x = F.col(value_col).cast("long")
-    # Calendar lag = RANGE frame [k, k] on the tick column: picks the
-    # value at exactly tick t+k whether or not intermediate ticks are
-    # observed (a row-offset lead() would demand a dense run). max()
-    # over the 1-point frame is exact under the unique-tick contract.
-    # Window expressions cannot sit inside a generator: materialize
-    # the per-lag columns in one projection (same partition + order
-    # for every arm -> one shuffle, one WindowExec), THEN explode.
-    def frame(k):
-        return (Window.partitionBy(*key_cols)
-                .orderBy(F.col(t_col).cast("long"))
-                .rangeBetween(k, k))
-
-    leads = (df.select(
-        *key_cols, x.alias("_x"),
-        *[F.max(x).over(frame(k)).alias(f"_y{k}") for k in lags]))
-    arms = [F.struct(F.lit(k).cast("long").alias("lag"),
-                     F.col("_x").alias("x"),
-                     F.col(f"_y{k}").alias("y")) for k in lags]
-    stacked = (leads.select(*key_cols,
-                            F.explode(F.array(*arms)).alias("p"))
-               .select(*key_cols, "p.lag", "p.x", "p.y")
-               .filter(F.col("y").isNotNull()))
-    d = lambda c: c.cast(_DEC)  # noqa: E731
-    agg = (stacked.groupBy(*key_cols, "lag")
-           .agg(F.count(F.lit(1)).cast("long").alias("m"),
-                F.sum(d(F.col("x"))).alias("sx"),
-                F.sum(d(F.col("y"))).alias("sy"),
-                F.sum(d(F.col("x")) * d(F.col("x"))).alias("sxx"),
-                F.sum(d(F.col("y")) * d(F.col("y"))).alias("syy"),
-                F.sum(d(F.col("x")) * d(F.col("y"))).alias("sxy")))
-    m = d(F.col("m"))
-    num = m * F.col("sxy") - F.col("sx") * F.col("sy")
-    denx = m * F.col("sxx") - F.col("sx") * F.col("sx")
-    deny = m * F.col("syy") - F.col("sy") * F.col("sy")
-    # Clamp: at exact |corr| = 1 the float sqrt pair can overshoot
-    # (sqrt(d)*sqrt(d) > d) and floor lands at ±(scale+1); both
-    # engines overshoot identically, but ±scale is the honest bound.
-    q = F.floor(F.lit(scale) * num.cast("double")
-                / (F.sqrt(denx.cast("double"))
-                   * F.sqrt(deny.cast("double"))))
-    return (agg.select(
-        *key_cols, "lag", "m",
-        F.when((denx > 0) & (deny > 0),
-               F.greatest(F.lit(-scale), F.least(F.lit(scale), q)))
-        .cast("long").alias("ac_milli")))
+    return lagged_corr(df, key_cols, t_col, value_col, value_col,
+                       lags, scale, "ac_milli")
 
 
 def autocorr_sql(input_sql: str, key_cols: list[str], t_col: str,
                  value_col: str, lags: tuple = (1, 2, 3),
                  scale: int = 1000) -> str:
     """DuckDB twin of autocorr (HUGEINT moments, same float tail)."""
-    keys = ", ".join(key_cols)
-    arms = "\n  UNION ALL\n".join(
-        f"""  SELECT {keys}, CAST({k} AS BIGINT) AS lag,
-         CAST({value_col} AS BIGINT) AS x,
-         max(CAST({value_col} AS BIGINT)) OVER
-           (PARTITION BY {keys} ORDER BY {t_col}
-            RANGE BETWEEN {k} FOLLOWING AND {k} FOLLOWING) AS y
-  FROM base"""
-        for k in lags)
-    return f"""WITH base AS (
-{input_sql.strip()}
-), stacked AS (
-{arms}
-), agg AS (
-  SELECT {keys}, lag, CAST(count(*) AS BIGINT) AS m,
-         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
-         sum(CAST(x AS HUGEINT) * x) AS sxx,
-         sum(CAST(y AS HUGEINT) * y) AS syy,
-         sum(CAST(x AS HUGEINT) * y) AS sxy
-  FROM stacked WHERE y IS NOT NULL
-  GROUP BY {keys}, lag
-)
-SELECT {keys}, lag, m,
-       CAST(CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
-            THEN greatest(-{scale}, least({scale},
-                 floor({scale} * CAST(m * sxy - sx * sy AS DOUBLE)
-                 / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
-                    * sqrt(CAST(m * syy - sy * sy AS DOUBLE))))))
-       END AS BIGINT) AS ac_milli
-FROM agg"""
+    from biocypher_metta_spark.operators.stats_corr import lagged_corr_sql
+
+    if not lags or any(k < 1 for k in lags):
+        raise ValueError("lags must be >= 1")
+    return lagged_corr_sql(input_sql, key_cols, t_col, value_col,
+                           value_col, lags, scale, "ac_milli")
+
+
+def crosscorr(df: DataFrame, key_cols: list[str], t_col: str,
+              x_col: str, y_col: str, lags: tuple = (-2, -1, 0, 1, 2),
+              scale: int = 1000) -> DataFrame:
+    """Lagged cross-correlation between two aligned integer series
+    per key: (key..., lag, m, xc_milli) over the pairs
+    (x_t, y_{t+k}) — the lead/lag diagnostic (positive lag peak:
+    x LEADS y by k ticks). Lags may be negative (y leads x) or zero
+    (contemporaneous). Calendar-lag semantics, NULL on either side
+    drops the pair; exactness and scale shape per
+    stats_corr.lagged_corr (the shared core with autocorr)."""
+    from biocypher_metta_spark.operators.stats_corr import lagged_corr
+
+    if not lags:
+        raise ValueError("lags must be non-empty")
+    return lagged_corr(df, key_cols, t_col, x_col, y_col,
+                       lags, scale, "xc_milli")
+
+
+def crosscorr_sql(input_sql: str, key_cols: list[str], t_col: str,
+                  x_col: str, y_col: str,
+                  lags: tuple = (-2, -1, 0, 1, 2),
+                  scale: int = 1000) -> str:
+    """DuckDB twin of crosscorr."""
+    from biocypher_metta_spark.operators.stats_corr import lagged_corr_sql
+
+    if not lags:
+        raise ValueError("lags must be non-empty")
+    return lagged_corr_sql(input_sql, key_cols, t_col, x_col, y_col,
+                           lags, scale, "xc_milli")

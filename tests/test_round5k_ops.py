@@ -238,3 +238,86 @@ def test_assortativity_matches_duckdb_twin_randomized(spark):
         want = [tuple(r) for r in con.execute(
             degree_assortativity_sql("SELECT * FROM ae")).fetchall()]
         assert got == want, trial
+
+
+# ---------------------------------------------------------------------------
+# crosscorr (operators/stats.py via stats_corr shared core)
+# ---------------------------------------------------------------------------
+from biocypher_metta_spark.operators.stats import (  # noqa: E402
+    crosscorr,
+    crosscorr_sql,
+)
+
+
+def test_crosscorr_shifted_copy_peaks_at_lag(spark):
+    # y is x shifted later by 2 ticks: (x_t, y_{t+2}) = (x_t, x_t)
+    # -> exact +1 at lag 2 (quantizes to 999/1000), weak elsewhere.
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3, 2, 3, 8, 4]
+    rows = [(1, t, x, xs[t - 2] if t >= 2 else None)
+            for t, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g long, t long, x long, y long")
+    got = {r["lag"]: r["xc_milli"]
+           for r in crosscorr(df, ["g"], "t", "x", "y").collect()}
+    assert got[2] in (999, 1000)
+    assert all(v is None or v < 900 for k, v in got.items() if k != 2)
+
+
+def test_crosscorr_negative_lag_mirror(spark):
+    # xcorr(x, y) at lag -k pairs (x_t, y_{t-k}); swapping the roles
+    # and the lag sign must give the same coefficient.
+    import random
+    rng = random.Random(31)
+    rows = [(1, t, rng.randrange(100), rng.randrange(100))
+            for t in range(60)]
+    df = spark.createDataFrame(rows, "g long, t long, x long, y long")
+    fwd = {r["lag"]: (r["m"], r["xc_milli"])
+           for r in crosscorr(df, ["g"], "t", "x", "y",
+                              lags=(-3, 3)).collect()}
+    swp = {r["lag"]: (r["m"], r["xc_milli"])
+           for r in crosscorr(df, ["g"], "t", "y", "x",
+                              lags=(-3, 3)).collect()}
+    assert fwd[-3] == swp[3] and fwd[3] == swp[-3]
+
+
+def test_crosscorr_null_either_side_drops_pair(spark):
+    rows = [(1, 0, 1, 10), (1, 1, None, 20), (1, 2, 3, None),
+            (1, 3, 4, 40)]
+    df = spark.createDataFrame(rows, "g long, t long, x long, y long")
+    got = {r["lag"]: r["m"]
+           for r in crosscorr(df, ["g"], "t", "x", "y",
+                              lags=(0, 1)).collect()}
+    # lag 0: ticks 0 and 3 have both sides (1 and 2 have a null)
+    assert got[0] == 2
+    # lag 1: (0,1)->y[1]=20 ok with x[0]=1; (2,3)->x[2]=3,y[3]=40 ok;
+    # (1,2) drops on x null. m = 2
+    assert got[1] == 2
+
+
+def test_crosscorr_matches_duckdb_twin_randomized(spark):
+    import duckdb
+    import random
+    rng = random.Random(2718)
+    rows = []
+    for g in range(4):
+        t = 0
+        for _ in range(80):
+            t += rng.choice([1, 1, 2])
+            rows.append((g, t, rng.randrange(-50, 400),
+                         rng.randrange(-50, 400)))
+    df = spark.createDataFrame(rows, "g long, t long, x long, y long")
+    got = sorted(tuple(r) for r in
+                 crosscorr(df, ["g"], "t", "x", "y").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE xc (g BIGINT, t BIGINT, x BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO xc VALUES (?,?,?,?)", rows)
+    want = sorted(tuple(r) for r in con.execute(
+        crosscorr_sql("SELECT * FROM xc", ["g"], "t", "x", "y"))
+        .fetchall())
+    assert got == want
+
+
+def test_crosscorr_validation(spark):
+    df = spark.createDataFrame([(1, 1, 1, 1)],
+                               "g long, t long, x long, y long")
+    with pytest.raises(ValueError):
+        crosscorr(df, ["g"], "t", "x", "y", lags=())
