@@ -6480,6 +6480,46 @@ REL_CROSSCORR_SQL = _crosscorr_sql(
 QUERIES["rel_crosscorr"] = (rel_crosscorr, REL_CROSSCORR_SQL)
 
 
+def kg_ktruss(spark, sf_dir):
+    """k-truss support peeling (graph.ktruss, k=5) over a planted
+    nucleus-spokes-rim graph engineered for a REAL 3-round cascade:
+    an 11-node dense nucleus (support >= 9, survives), rim edges
+    (j, j+1) on a 40-node ring arc closing exactly 2 triangles
+    (peel round 1), and spoke edges from nucleus nodes 0/1 to every
+    rim node closing exactly 3 ({0,1,j} + the two rim triangles) —
+    they survive round 1 and die in round 2 once the rim is gone;
+    round 3 confirms the fixpoint. Oracle: the unrolled
+    MATERIALIZED-CTE twin (graph.ktruss_sql, rounds=4)."""
+    ids = _ids(spark, sf_dir)
+    i = F.col("i")
+    # (i % 11, (i // 11) % 11) has joint period 121, so >= 121 docs
+    # yield the COMPLETE K11 (support 9 on every nucleus edge)
+    nucleus = ids.select((i % 11).alias("src"),
+                         ((i / 11).cast("long") % 11).alias("dst"))
+    spoke0 = ids.select(F.lit(0).cast("long").alias("src"),
+                        (i % 40 + 100).alias("dst"))
+    spoke1 = ids.select(F.lit(1).cast("long").alias("src"),
+                        (i % 40 + 100).alias("dst"))
+    rim = ids.select((i % 39 + 100).alias("src"),
+                     (i % 39 + 101).alias("dst"))
+    edges = nucleus.unionAll(spoke0).unionAll(spoke1).unionAll(rim)
+    return graph_ops.ktruss(edges, k=5)
+
+
+_KTRUSS_EDGES_SQL = """SELECT i % 11 AS src, (i // 11) % 11 AS dst
+  FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+UNION ALL SELECT 0, i % 40 + 100
+  FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+UNION ALL SELECT 1, i % 40 + 100
+  FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+UNION ALL SELECT i % 39 + 100, i % 39 + 101
+  FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)"""
+
+KG_KTRUSS_SQL = graph_ops.ktruss_sql(_KTRUSS_EDGES_SQL, k=5, rounds=4)
+
+QUERIES["kg_ktruss"] = (kg_ktruss, KG_KTRUSS_SQL)
+
+
 def kg_assortativity(spark, sf_dir):
     """Degree assortativity (graph.degree_assortativity) over the
     same 47-node mixed multigraph as kg_triangles — the one-number
@@ -6695,6 +6735,7 @@ CK_COLUMNS = {
     "rel_attribution": ["channel", "credit_milli", "n_touches"],
     "kg_assortativity": ["n_stubs", "r_milli"],
     "rel_crosscorr": ["grp", "lag", "m", "xc_milli"],
+    "kg_ktruss": ["a", "b", "support"],
     "emb_mmr_rerank": ["mmr_rank", "mmr_score", "vec_id"],
     "doc_retrieval_ladder": ["mmr_rank", "mmr_score", "vec_id"],
 }
@@ -6753,7 +6794,8 @@ CK_COMPOSITES = {
                         "kg_survivorship",
                         "kg_entity_resolution", "kg_scc",
                         "emb_random_projection", "emb_ivfpq_topk",
-                        "kg_link_predict", "kg_assortativity"],
+                        "kg_link_predict", "kg_assortativity",
+                        "kg_ktruss"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",

@@ -1648,3 +1648,156 @@ SELECT CAST(m AS BIGINT) AS n_stubs,
          // (m * sxx - sx * sx)
        END AS BIGINT) AS r_milli
 FROM as_m WHERE m > 0"""
+
+
+def _edge_support(und: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a canonical (a < b) simple edge
+    table: (a, b, support), zero-support edges included. The triangle
+    enumeration is the degree-oriented wedge join of triangle_count
+    (O(m^1.5) regardless of skew); each triangle (u, x, y) credits
+    its three edges in canonical id order."""
+    deg = (und.select(F.col("a").alias("id"))
+           .unionAll(und.select(F.col("b").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).cast("long")
+                              .alias("deg")))
+    j = (und.join(deg.select(F.col("id").alias("a"),
+                             F.col("deg").alias("da")), "a")
+         .join(deg.select(F.col("id").alias("b"),
+                          F.col("deg").alias("db")), "b"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    o = j.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"))
+    e1 = o.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
+    e2 = o.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
+    wedge = e1.join(e2, "u").filter(
+        (F.col("dx") < F.col("dy")) | (
+            (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))))
+    closing = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedge.join(closing, ["x", "y"]).select("u", "x", "y")
+    sides = tri.select(F.explode(F.array(
+        F.struct(F.least("u", "x").alias("a"),
+                 F.greatest("u", "x").alias("b")),
+        F.struct(F.least("u", "y").alias("a"),
+                 F.greatest("u", "y").alias("b")),
+        F.struct(F.least("x", "y").alias("a"),
+                 F.greatest("x", "y").alias("b")))).alias("e"))
+    sup = (sides.select("e.a", "e.b")
+           .groupBy("a", "b")
+           .agg(F.count(F.lit(1)).cast("long").alias("support")))
+    return (und.join(sup, ["a", "b"], "left")
+            .select("a", "b", F.coalesce("support", F.lit(0))
+                    .cast("long").alias("support")))
+
+
+def ktruss(edges: DataFrame, k: int, src: str = "src",
+           dst: str = "dst", max_rounds: int = 32) -> DataFrame:
+    """Edges of the k-truss — the maximal subgraph in which every
+    edge closes >= k-2 triangles WITHIN the subgraph — by support
+    peeling: compute per-edge triangle support, drop sub-(k-2)
+    edges, recompute, repeat to fixpoint. Output: (a, b, support)
+    with support counted inside the truss. The EDGE-cohesion sibling
+    of kcore (a k-truss is always inside the (k-1)-core but far
+    denser — the standard community-nucleus / spam-farm extractor,
+    and the edge filter that survives removing any one vertex).
+
+    Scale shape: each round is one degree-oriented triangle
+    enumeration (O(m^1.5) bound per Chiba-Nishizeki orientation — a
+    celebrity hub generates no wedges itself), one edge-key support
+    groupBy, one co-keyed join back; rounds = truss peeling depth
+    (shallow on web/KG graphs: a whole support shell peels per
+    round); lineage cut per round with localCheckpoint, fixpoint
+    checked by edge count (O(1)-row action). Exhaustion without
+    convergence raises, the kcore/closure contract. Uniqueness of
+    the k-truss makes the engine's early stop and the twin's fixed
+    unroll agree whenever rounds >= depth."""
+    if k < 3:
+        raise ValueError(f"k must be >= 3, got {k}")
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .filter(F.col("s").isNotNull() & F.col("d").isNotNull()
+                 & (F.col("s") != F.col("d"))))
+    und = (e.select(F.least("s", "d").alias("a"),
+                    F.greatest("s", "d").alias("b"))
+           .distinct().localCheckpoint())
+    n = und.count()
+    for _ in range(max_rounds):
+        sup = _edge_support(und)
+        keep = sup.filter(F.col("support") >= k - 2)
+        nxt = keep.select("a", "b").localCheckpoint()
+        m = nxt.count()
+        if m == n:
+            return keep
+        und, n = nxt, m
+    raise RuntimeError(
+        f"ktruss did not converge within max_rounds={max_rounds}; "
+        "raise max_rounds (peeling depth exceeds it)")
+
+
+def ktruss_sql(edges_sql: str, k: int, rounds: int, src: str = "src",
+               dst: str = "dst") -> str:
+    """DuckDB twin of ktruss(): the peeling recurrence unrolled to a
+    fixed `rounds` (the kcore_sql pattern, every round CTE
+    MATERIALIZED for the same planner-blowup reason), plus one final
+    support pass over the fixpoint edge set — which equals the
+    engine's last in-loop support exactly when rounds >= depth."""
+    if k < 3 or rounds < 1:
+        raise ValueError("k must be >= 3 and rounds >= 1")
+
+    def support_round(i: int, src_cte: str) -> str:
+        return f""", kt_deg{i} AS MATERIALIZED (
+  SELECT id, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT a AS id FROM {src_cte} UNION ALL
+        SELECT b FROM {src_cte})
+  GROUP BY 1
+), kt_o{i} AS MATERIALIZED (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND t.a < t.b)
+              THEN t.a ELSE t.b END AS u,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND t.a < t.b)
+              THEN t.b ELSE t.a END AS v,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND t.a < t.b)
+              THEN db.deg ELSE da.deg END AS dv
+  FROM {src_cte} t
+  JOIN kt_deg{i} da ON t.a = da.id
+  JOIN kt_deg{i} db ON t.b = db.id
+), kt_tri{i} AS MATERIALIZED (
+  SELECT e1.u AS u, e1.v AS x, e2.v AS y
+  FROM kt_o{i} e1
+  JOIN kt_o{i} e2 ON e1.u = e2.u
+   AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+  JOIN kt_o{i} e3 ON e3.u = e1.v AND e3.v = e2.v
+), kt_sup{i} AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS support
+  FROM (SELECT least(u, x) AS a, greatest(u, x) AS b FROM kt_tri{i}
+        UNION ALL
+        SELECT least(u, y), greatest(u, y) FROM kt_tri{i}
+        UNION ALL
+        SELECT least(x, y), greatest(x, y) FROM kt_tri{i})
+  GROUP BY 1, 2
+)"""
+
+    parts = [f"""WITH kt_e0 AS MATERIALIZED (
+  SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+  FROM (
+{edges_sql.strip()}
+  )
+  WHERE {src} IS NOT NULL AND {dst} IS NOT NULL AND {src} <> {dst}
+)"""]
+    for i in range(1, rounds + 1):
+        parts.append(support_round(i, f"kt_e{i - 1}"))
+        parts.append(f""", kt_e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM kt_e{i - 1} e
+  JOIN kt_sup{i} s ON e.a = s.a AND e.b = s.b
+  WHERE s.support >= {k - 2}
+)""")
+    fin = rounds + 1
+    parts.append(support_round(fin, f"kt_e{rounds}"))
+    parts.append(f"""
+SELECT e.a, e.b, s.support
+FROM kt_e{rounds} e
+JOIN kt_sup{fin} s ON e.a = s.a AND e.b = s.b
+WHERE s.support >= {k - 2}""")
+    return "".join(parts)

@@ -321,3 +321,69 @@ def test_crosscorr_validation(spark):
                                "g long, t long, x long, y long")
     with pytest.raises(ValueError):
         crosscorr(df, ["g"], "t", "x", "y", lags=())
+
+
+# ---------------------------------------------------------------------------
+# ktruss (operators/graph.py)
+# ---------------------------------------------------------------------------
+from biocypher_metta_spark.operators.graph import (  # noqa: E402
+    ktruss,
+    ktruss_sql,
+)
+
+
+def _truss(spark, edges, k, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return sorted(tuple(r) for r in ktruss(df, k, **kw).collect())
+
+
+def test_ktruss_k4_strips_pendant_triangle(spark):
+    # K4 on {0,1,2,3} (every edge in 2 triangles) plus a pendant
+    # triangle {3,4,5} (each edge in 1). k=4 needs support >= 2:
+    # round 1 drops the pendant edges, K4 survives intact.
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = k4 + [(3, 4), (4, 5), (3, 5)]
+    got = _truss(spark, edges, 4)
+    assert got == [(a, b, 2) for a, b in k4]
+
+
+def test_ktruss_cascade_peeling(spark):
+    # A triangle strip 0-1-2, 1-2-3, 2-3-4: edge (0,1) has support 1,
+    # dropping it lowers (0,2)... strip fully unravels at k=4 only
+    # after several rounds; at k=3 (support >= 1) everything stays.
+    edges = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    assert len(_truss(spark, edges, 3)) == 7
+    assert _truss(spark, edges, 4) == []
+
+
+def test_ktruss_k3_drops_triangle_free_edges(spark):
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+    assert _truss(spark, edges, 3) == [(0, 1, 1), (0, 2, 1), (1, 2, 1)]
+
+
+def test_ktruss_matches_duckdb_twin_randomized(spark):
+    import duckdb
+    import random
+    rng = random.Random(555)
+    for trial, k in ((0, 3), (1, 4), (2, 5)):
+        edges = [(rng.randrange(18), rng.randrange(18))
+                 for _ in range(90)]
+        got = _truss(spark, edges, k)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE te (src BIGINT, dst BIGINT)")
+        con.executemany("INSERT INTO te VALUES (?,?)", edges)
+        want = sorted(tuple(r) for r in con.execute(
+            ktruss_sql("SELECT * FROM te", k, rounds=8)).fetchall())
+        assert got == want, (trial, k)
+
+
+def test_ktruss_validation(spark):
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        ktruss(df, 2)
+    with pytest.raises(RuntimeError):
+        # cascade needs >1 round; max_rounds=1 must raise, not return
+        # a partial truss
+        edges = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        ktruss(e, 4, max_rounds=1)
