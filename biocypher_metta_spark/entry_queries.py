@@ -6480,6 +6480,34 @@ REL_CROSSCORR_SQL = _crosscorr_sql(
 QUERIES["rel_crosscorr"] = (rel_crosscorr, REL_CROSSCORR_SQL)
 
 
+def rel_benford(spark, sf_dir):
+    """Benford first-digit conformity (stats.benford_mad) of order
+    price cents per customer bucket — the fraud / fabricated-data /
+    unit-mixup screen in the data-quality family next to
+    rel_dq_profile and rel_outlier_flags. Pure integer: string
+    first-digit (no float log10), integer-div ppm shares, hardcoded
+    Benford literals. Oracle: the same recurrence in DuckDB."""
+    from biocypher_metta_spark.operators.stats import benford_mad
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 6).alias("grp"),
+        F.floor(F.col("o_totalprice") * 100).cast("long")
+        .alias("cents"))
+    return benford_mad(o, ["grp"], "cents")
+
+
+from biocypher_metta_spark.operators.stats import (  # noqa: E402
+    benford_mad_sql as _benford_sql,
+)
+
+REL_BENFORD_SQL = _benford_sql(
+    """SELECT o_custkey % 6 AS grp,
+  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders""",
+    ["grp"], "cents")
+
+QUERIES["rel_benford"] = (rel_benford, REL_BENFORD_SQL)
+
+
 def kg_ktruss(spark, sf_dir):
     """k-truss support peeling (graph.ktruss, k=5) over a planted
     nucleus-spokes-rim graph engineered for a REAL 3-round cascade:
@@ -6736,6 +6764,7 @@ CK_COLUMNS = {
     "kg_assortativity": ["n_stubs", "r_milli"],
     "rel_crosscorr": ["grp", "lag", "m", "xc_milli"],
     "kg_ktruss": ["a", "b", "support"],
+    "rel_benford": ["grp", "mad_ppm", "n_obs"],
     "emb_mmr_rerank": ["mmr_rank", "mmr_score", "vec_id"],
     "doc_retrieval_ladder": ["mmr_rank", "mmr_score", "vec_id"],
 }
@@ -6756,7 +6785,8 @@ CK_COMPOSITES = {
                        "rel_sketch_setops",
                        "rel_changelog_compact", "rel_pivot",
                        "rel_dq_profile", "rel_retention", "rel_skyline",
-                       "rel_itemsets", "rel_hll_sketch"],
+                       "rel_itemsets", "rel_hll_sketch",
+                       "rel_benford"],
     "rel_window_checks": ["rel_window_rank", "rel_events_hourly",
                           "rel_session_window", "rel_scd2_intervals",
                           "rel_gapfill_locf", "rel_ewma",

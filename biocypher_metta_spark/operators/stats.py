@@ -164,3 +164,82 @@ def crosscorr_sql(input_sql: str, key_cols: list[str], t_col: str,
         raise ValueError("lags must be non-empty")
     return lagged_corr_sql(input_sql, key_cols, t_col, x_col, y_col,
                            lags, scale, "xc_milli")
+
+
+# floor(10^6 * log10(1 + 1/d)) for d = 1..9 — hardcoded literals, not
+# computed, so no libm/log10 call can diverge between environments
+BENFORD_PPM = (301030, 176091, 124939, 96910, 79181,
+               66947, 57992, 51153, 45757)
+
+
+def benford_mad(df: DataFrame, key_cols: list[str],
+                value_col: str) -> DataFrame:
+    """Benford first-digit conformity per key: (key..., n_obs,
+    mad_ppm) where mad_ppm is Nigrini's mean-absolute-deviation test
+    statistic in parts-per-million — the standard fraud /
+    fabricated-data / unit-mixup screen for financial and measured
+    quantities (genuine multiplicative data conforms; invented or
+    truncated data does not).
+
+    PURE integer arithmetic: the first digit comes from the decimal
+    STRING of |value| (no float log10, whose rounding at exact powers
+    of ten is platform lore), observed shares are floor(10^6 * n_d /
+    n) by integer division, expectations are hardcoded ppm literals,
+    and mad_ppm = floor(sum_d |obs_d - exp_d| / 9) — zero-count
+    digits included (their deviation IS the expectation). Zero and
+    NULL values are excluded from n_obs.
+
+    Scale shape: map-only digit extraction + ONE groupBy producing
+    the nine digit counts as conditional sums (no explode, no second
+    shuffle); output is one row per key."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    v = F.col(value_col)
+    d1 = F.substring(F.abs(v).cast("decimal(38,0)").cast("string"),
+                     1, 1).cast("int")
+    base = (df.filter(v.isNotNull() & (v != 0))
+            .select(*key_cols, d1.alias("_d")))
+    agg = base.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        *[F.sum(F.when(F.col("_d") == d, 1).otherwise(0)).cast("long")
+          .alias(f"_n{d}") for d in range(1, 10)])
+    # `div` = exact integer division (all terms non-negative, so
+    # trunc == floor) — no double-division quotient to reason about
+    dev = None
+    for d in range(1, 10):
+        obs = F.expr(f"(1000000 * _n{d}) div n_obs")
+        term = F.abs(obs - F.lit(BENFORD_PPM[d - 1]))
+        dev = term if dev is None else dev + term
+    return (agg.select(*key_cols, "n_obs", dev.alias("_s"))
+            .select(*key_cols, "n_obs",
+                    F.expr("_s div 9").cast("long").alias("mad_ppm")))
+
+
+def benford_mad_sql(input_sql: str, key_cols: list[str],
+                    value_col: str) -> str:
+    """DuckDB twin of benford_mad (same string-digit extraction,
+    same integer divisions, same literals)."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    keys = ", ".join(key_cols)
+    counts = ",\n         ".join(
+        f"CAST(sum(CASE WHEN d = {d} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n{d}" for d in range(1, 10))
+    terms = " + ".join(
+        f"abs((1000000 * n{d}) // n_obs - {BENFORD_PPM[d - 1]})"
+        for d in range(1, 10))
+    return f"""WITH bf_in AS (
+  SELECT {keys},
+         CAST(substr(CAST(CAST(abs({value_col}) AS HUGEINT)
+                          AS VARCHAR), 1, 1) AS INT) AS d
+  FROM (
+{input_sql.strip()}
+  ) WHERE {value_col} IS NOT NULL AND {value_col} <> 0
+), bf_agg AS (
+  SELECT {keys}, CAST(count(*) AS BIGINT) AS n_obs,
+         {counts}
+  FROM bf_in GROUP BY {keys}
+)
+SELECT {keys}, n_obs,
+       CAST(({terms}) // 9 AS BIGINT) AS mad_ppm
+FROM bf_agg"""

@@ -387,3 +387,65 @@ def test_ktruss_validation(spark):
         edges = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
         e = spark.createDataFrame(edges, "src long, dst long")
         ktruss(e, 4, max_rounds=1)
+
+
+# ---------------------------------------------------------------------------
+# benford_mad (operators/stats.py)
+# ---------------------------------------------------------------------------
+from biocypher_metta_spark.operators.stats import (  # noqa: E402
+    BENFORD_PPM,
+    benford_mad,
+    benford_mad_sql,
+)
+
+
+def _benford(spark, rows):
+    df = spark.createDataFrame(rows, "g long, v long")
+    return sorted(tuple(r) for r in
+                  benford_mad(df, ["g"], "v").collect())
+
+
+def test_benford_perfect_and_terrible(spark):
+    # group 0: counts proportional to the Benford ppm themselves in
+    # a 1e6-row-equivalent miniature -> small MAD; group 1: all 9s ->
+    # MAD dominated by |1e6 - 45757| and the eight expectations.
+    rows = []
+    mini = [301, 176, 125, 97, 79, 67, 58, 51, 46]  # ~ppm/1000
+    for d, c in enumerate(mini, start=1):
+        rows += [(0, d * 10)] * c
+    rows += [(1, 9000 + i) for i in range(50)]
+    got = dict((g, (n, mad)) for g, n, mad in _benford(spark, rows))
+    assert got[0][0] == sum(mini) and got[0][1] < 1000
+    exp_bad = (1_000_000 - BENFORD_PPM[8]
+               + sum(BENFORD_PPM[:8])) // 9
+    assert got[1] == (50, exp_bad)
+
+
+def test_benford_zero_null_negative_handling(spark):
+    rows = [(0, 0), (0, None), (0, -123), (0, 123)]
+    got = _benford(spark, rows)
+    # zeros and nulls excluded; -123 and 123 both have first digit 1
+    assert got[0][1] == 2  # n_obs
+
+
+def test_benford_matches_duckdb_twin_randomized(spark):
+    import duckdb
+    import random
+    rng = random.Random(314)
+    rows = [(rng.randrange(4),
+             rng.choice([0, None,
+                         rng.randrange(-10**6, 10**9)]))
+            for _ in range(500)]
+    got = _benford(spark, rows)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE bf (g BIGINT, v BIGINT)")
+    con.executemany("INSERT INTO bf VALUES (?,?)", rows)
+    want = sorted(tuple(r) for r in con.execute(
+        benford_mad_sql("SELECT * FROM bf", ["g"], "v")).fetchall())
+    assert got == want
+
+
+def test_benford_validation(spark):
+    df = spark.createDataFrame([(1, 1)], "g long, v long")
+    with pytest.raises(ValueError):
+        benford_mad(df, [], "v")
