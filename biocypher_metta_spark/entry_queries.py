@@ -6480,6 +6480,25 @@ REL_CROSSCORR_SQL = _crosscorr_sql(
 QUERIES["rel_crosscorr"] = (rel_crosscorr, REL_CROSSCORR_SQL)
 
 
+def doc_readability(spark, sf_dir):
+    """Flesch-Kincaid grade in milli-units (text.readability) over
+    documents — integer-exact after clearing denominators, pmod
+    floor, vowel-group syllable heuristic in the shared RE2/Java
+    regex subset. Map-only, zero shuffles. Oracle: readability_sql
+    (same regexes, HUGEINT ratio)."""
+    from biocypher_metta_spark.operators.text import readability
+
+    return readability(_t(spark, sf_dir, "documents"))
+
+
+from biocypher_metta_spark.operators.text import (  # noqa: E402
+    readability_sql as _readability_sql,
+)
+
+QUERIES["doc_readability"] = (doc_readability,
+                              _readability_sql("documents"))
+
+
 def rel_benford(spark, sf_dir):
     """Benford first-digit conformity (stats.benford_mad) of order
     price cents per customer bucket — the fraud / fabricated-data /
@@ -6765,6 +6784,8 @@ CK_COLUMNS = {
     "rel_crosscorr": ["grp", "lag", "m", "xc_milli"],
     "kg_ktruss": ["a", "b", "support"],
     "rel_benford": ["grp", "mad_ppm", "n_obs"],
+    "doc_readability": ["doc_id", "fk_grade_milli", "n_sentences",
+                        "n_syllables", "n_words"],
     "emb_mmr_rerank": ["mmr_rank", "mmr_score", "vec_id"],
     "doc_retrieval_ladder": ["mmr_rank", "mmr_score", "vec_id"],
 }
@@ -6801,7 +6822,8 @@ CK_COMPOSITES = {
                          "doc_repetition", "doc_split", "doc_simhash",
                          "doc_fingerprint", "doc_lm_train",
                          "doc_set_similarity", "doc_bpe_train",
-                         "doc_bpe_encode", "doc_winnowing"],
+                         "doc_bpe_encode", "doc_winnowing",
+                         "doc_readability"],
     # round-5b training-data curation family (sampling / caps / BM25 /
     # CMS) and graph-analytics family (PageRank, SemDeDup) — folded so
     # the registry stays at the 50-row driver snapshot cap

@@ -1051,3 +1051,68 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
         F.expr(f"_sel div {1 << WINNOW_POS_BITS}")
         .cast("long").alias("h"))
         .distinct())
+
+
+def readability(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Flesch-Kincaid grade level per doc in milli-units,
+    integer-exact: (doc_id, n_words, n_sentences, n_syllables,
+    fk_grade_milli) — the classic curation signal next to
+    quality_score/repetition (too-low grade = fragment lists and
+    boilerplate, too-high = OCR garbage and run-ons).
+
+    1000 * FK = (390*w^2 + 11800*syl*s - 15590*s*w) / (s*w) after
+    clearing the two denominators — an integer ratio, floor-divided
+    by the pmod form (numerator may be negative), DECIMAL(38,0) /
+    HUGEINT so no int64 ceiling. Syllables are the standard vowel-
+    group heuristic ([aeiouy]+ runs, same RE2/Java regex subset as
+    the rest of text.py), clamped to >= 1 per word; sentences =
+    [.!?]+ runs clamped to >= 1. Map-only, zero shuffles."""
+    dec = "decimal(38,0)"
+    t = F.col(text_col)
+    w = F.greatest(F.size(tokens(t)).cast("long"), F.lit(1))
+    s = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")).cast("long"),
+                   F.lit(1))
+    vg = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")).cast("long")
+    syl = F.greatest(vg, w)
+    wd, sd, yd = w.cast(dec), s.cast(dec), syl.cast(dec)
+    num = (F.lit(390).cast(dec) * wd * wd
+           + F.lit(11800).cast(dec) * yd * sd
+           - F.lit(15590).cast(dec) * sd * wd)
+    den = sd * wd
+    fk = (num - ((num % den) + den) % den) / den
+    return df.select(
+        F.col(id_col),
+        w.alias("n_words"), s.alias("n_sentences"),
+        syl.alias("n_syllables"),
+        fk.cast("long").alias("fk_grade_milli"))
+
+
+READABILITY_SQL_BODY = r"""SELECT doc_id,
+  w AS n_words, s AS n_sentences, syl AS n_syllables,
+  CAST((num - (((num % den) + den) % den)) // den AS BIGINT)
+    AS fk_grade_milli
+FROM (
+  SELECT doc_id, w, s, syl,
+         390::HUGEINT * w * w + 11800::HUGEINT * syl * s
+           - 15590::HUGEINT * s * w AS num,
+         CAST(s * w AS HUGEINT) AS den
+  FROM (
+    SELECT doc_id,
+      greatest(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+               AS BIGINT), 1) AS w,
+      greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+               AS BIGINT), 1) AS s,
+      greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT),
+               greatest(CAST(len(regexp_split_to_array(trim(text),
+                        '\s+')) AS BIGINT), 1)) AS syl
+    FROM {src}
+  )
+)"""
+
+
+def readability_sql(src: str = "documents") -> str:
+    """DuckDB twin of readability (same regexes, HUGEINT ratio,
+    same pmod floor)."""
+    return READABILITY_SQL_BODY.replace("{src}", src)

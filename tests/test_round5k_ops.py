@@ -449,3 +449,53 @@ def test_benford_validation(spark):
     df = spark.createDataFrame([(1, 1)], "g long, v long")
     with pytest.raises(ValueError):
         benford_mad(df, [], "v")
+
+
+# ---------------------------------------------------------------------------
+# readability (operators/text.py)
+# ---------------------------------------------------------------------------
+from biocypher_metta_spark.operators.text import (  # noqa: E402
+    readability,
+    readability_sql,
+)
+
+
+def test_readability_hand_case(spark):
+    # "the cat sat." -> w=3, s=1, vowel groups: e/a/a = 3 -> syl=3
+    # 1000*FK = (390*9 + 11800*3*1 - 15590*3) / 3 = (3510 + 35400
+    #           - 46770) / 3 = -7860/3 = -2620
+    df = spark.createDataFrame([(1, "the cat sat.")],
+                               "doc_id long, text string")
+    [(d, w, s, syl, fk)] = [tuple(r) for r in readability(df).collect()]
+    assert (d, w, s, syl, fk) == (1, 3, 1, 3, -2620)
+
+
+def test_readability_floor_of_negative_is_floor(spark):
+    # one word, one vowel group, no sentence punct: num = 390 +
+    # 11800 - 15590 = -3400, den 1 -> -3400 exactly (not trunc 0)
+    df = spark.createDataFrame([(1, "hi")], "doc_id long, text string")
+    assert readability(df).collect()[0]["fk_grade_milli"] == -3400
+
+
+def test_readability_matches_duckdb_twin(spark):
+    import duckdb
+    import random
+    rng = random.Random(808)
+    words = ["the", "difficulty", "of", "extraordinary",
+             "comprehension", "a", "syllable", "rhythm", "xyz", "9"]
+    rows = []
+    for i in range(120):
+        n = rng.randrange(1, 30)
+        txt = " ".join(rng.choice(words) for _ in range(n))
+        if rng.random() < 0.7:
+            txt += rng.choice([".", "!?", "...", "? !"])
+        rows.append((i, txt))
+    rows.append((999, ""))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in readability(df).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE rd (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO rd VALUES (?,?)", rows)
+    want = sorted(tuple(r) for r in
+                  con.execute(readability_sql("rd")).fetchall())
+    assert got == want
