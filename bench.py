@@ -144,7 +144,8 @@ def main() -> None:
              "rel_itemsets", "rel_hll_sketch", "kg_link_predict",
              "doc_winnowing", "web_anchor_text", "rel_autocorr",
              "rel_attribution", "kg_assortativity", "rel_crosscorr",
-             "kg_ktruss", "rel_benford", "doc_readability"]
+             "kg_ktruss", "rel_benford", "doc_readability",
+             "rel_gini", "doc_pmi_collocations"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):

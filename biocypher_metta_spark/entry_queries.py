@@ -6588,6 +6588,53 @@ KG_ASSORTATIVITY_SQL = graph_ops.degree_assortativity_sql(
 QUERIES["kg_assortativity"] = (kg_assortativity, KG_ASSORTATIVITY_SQL)
 
 
+def rel_gini(spark, sf_dir):
+    """Per-group Gini concentration (stats.gini) of order spend in
+    cents per customer bucket — the inequality screen of the
+    data-quality family next to rel_benford and rel_dq_profile.
+    Exact rank-form integers: sum(i*x_i) is tie-order invariant, so
+    row_number needs no tie-break; DECIMAL(38,0) terms, pmod-floor
+    ppm. Oracle: gini_sql from the same recurrence."""
+    from biocypher_metta_spark.operators.stats import gini
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 8).alias("grp"),
+        F.floor(F.col("o_totalprice") * 100).cast("long")
+        .alias("cents"))
+    return gini(o, ["grp"], "cents")
+
+
+from biocypher_metta_spark.operators.stats import (  # noqa: E402
+    gini_sql as _gini_sql,
+)
+
+REL_GINI_SQL = _gini_sql(
+    """SELECT o_custkey % 8 AS grp,
+  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders""",
+    ["grp"], "cents")
+
+QUERIES["rel_gini"] = (rel_gini, REL_GINI_SQL)
+
+
+def doc_pmi_collocations(spark, sf_dir):
+    """Corpus bigram collocations by exact-integer PMI ranking
+    (text.pmi_collocations, min_count=5, k=100) over documents —
+    phrase-vocabulary discovery for the tokenizer/boilerplate
+    family. exp(PMI) = c_xy*N/(c_x*c_y) as a pmod-floored ppm ratio:
+    the float-log ranking without floats. Oracle: the same counts
+    and ratio in DuckDB (pmi_collocations_sql)."""
+    from biocypher_metta_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"))
+
+
+from biocypher_metta_spark.operators.text import (  # noqa: E402
+    pmi_collocations_sql as _pmi_sql,
+)
+
+QUERIES["doc_pmi_collocations"] = (doc_pmi_collocations, _pmi_sql())
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -6784,6 +6831,8 @@ CK_COLUMNS = {
     "rel_crosscorr": ["grp", "lag", "m", "xc_milli"],
     "kg_ktruss": ["a", "b", "support"],
     "rel_benford": ["grp", "mad_ppm", "n_obs"],
+    "rel_gini": ["gini_ppm", "grp", "n_obs", "sum_v"],
+    "doc_pmi_collocations": ["n_pair", "pmi_ratio_ppm", "w1", "w2"],
     "doc_readability": ["doc_id", "fk_grade_milli", "n_sentences",
                         "n_syllables", "n_words"],
     "emb_mmr_rerank": ["mmr_rank", "mmr_score", "vec_id"],
@@ -6807,7 +6856,7 @@ CK_COMPOSITES = {
                        "rel_changelog_compact", "rel_pivot",
                        "rel_dq_profile", "rel_retention", "rel_skyline",
                        "rel_itemsets", "rel_hll_sketch",
-                       "rel_benford"],
+                       "rel_benford", "rel_gini"],
     "rel_window_checks": ["rel_window_rank", "rel_events_hourly",
                           "rel_session_window", "rel_scd2_intervals",
                           "rel_gapfill_locf", "rel_ewma",
@@ -6823,7 +6872,7 @@ CK_COMPOSITES = {
                          "doc_fingerprint", "doc_lm_train",
                          "doc_set_similarity", "doc_bpe_train",
                          "doc_bpe_encode", "doc_winnowing",
-                         "doc_readability"],
+                         "doc_readability", "doc_pmi_collocations"],
     # round-5b training-data curation family (sampling / caps / BM25 /
     # CMS) and graph-analytics family (PageRank, SemDeDup) — folded so
     # the registry stays at the 50-row driver snapshot cap

@@ -243,3 +243,94 @@ def benford_mad_sql(input_sql: str, key_cols: list[str],
 SELECT {keys}, n_obs,
        CAST(({terms}) // 9 AS BIGINT) AS mad_ppm
 FROM bf_agg"""
+
+
+def gini(df: DataFrame, key_cols: list[str],
+         value_col: str) -> DataFrame:
+    """Per-group Gini concentration index in parts-per-million —
+    the inequality screen in the data-quality family next to
+    benford_mad and outlier_flags (is spend concentrated on a few
+    orders? is one domain dominating a crawl shard?).
+
+    Rank form on ascending-sorted values (1-indexed ranks i):
+
+        G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))
+
+    sum(i*x_i) is invariant to how ties are ordered (equal x share
+    any permutation of their rank block), so row_number needs no
+    tie-break for cross-engine agreement. All terms DECIMAL(38,0)
+    (HUGEINT in the oracle); the ppm result is the exact pmod floor.
+    Caller contract: values are NON-NEGATIVE integers (quantize
+    first, e.g. cents) with n*sum(x)*1e6 inside 38 digits; NULLs are
+    dropped; all-zero / empty groups emit gini_ppm = 0.
+
+    Scale shape: one shuffle on the group key, per-group rank sort,
+    then a mergeable moment groupBy. A mega-hot group serializes its
+    sort on one task (the as-of-join hot-key shape, temporal.py:17);
+    the escape hatch is the value-histogram form — groupBy
+    (key, x) counts, prefix-sum over the per-key DISTINCT-value rows
+    — which bounds any task at the distinct-value count. Build it
+    when a profile shows a group too big to sort; the rank form is
+    exact and single-pass for every realistic key split."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    for c in ("_i", "_v", "n_obs", "sum_v", "gini_ppm"):
+        if c in df.columns:
+            raise ValueError(f"input must not already have column {c!r}")
+    from pyspark.sql.window import Window
+
+    ranked = (df.filter(F.col(value_col).isNotNull())
+              .select(*key_cols, F.col(value_col).cast(_DEC).alias("_v"))
+              .withColumn("_i", F.row_number().over(
+                  Window.partitionBy(*key_cols).orderBy(F.col("_v")))
+                  .cast(_DEC)))
+    agg = (ranked.groupBy(*key_cols)
+           .agg(F.count(F.lit(1)).cast(_DEC).alias("_n"),
+                F.sum("_v").alias("_s"),
+                F.sum(F.col("_i") * F.col("_v")).alias("_t")))
+    num = ((F.lit(2).cast(_DEC) * F.col("_t")
+            - (F.col("_n") + F.lit(1).cast(_DEC)) * F.col("_s"))
+           * F.lit(1_000_000).cast(_DEC))
+    den = F.col("_n") * F.col("_s")
+    ppm = (num - ((num % den) + den) % den) / den
+    return agg.select(
+        *key_cols,
+        F.col("_n").cast("long").alias("n_obs"),
+        F.col("_s").cast("long").alias("sum_v"),
+        F.when(den == F.lit(0).cast(_DEC), F.lit(0))
+        .otherwise(ppm).cast("long").alias("gini_ppm"))
+
+
+def gini_sql(input_sql: str, key_cols: list[str],
+             value_col: str) -> str:
+    """DuckDB twin of gini: same rank recurrence, HUGEINT terms,
+    same pmod floor and all-zero guard."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    keys = ", ".join(key_cols)
+    v = value_col
+    return f"""WITH gn_in AS MATERIALIZED (
+  SELECT * FROM (
+{input_sql.strip()}
+  ) WHERE {v} IS NOT NULL
+), gn_r AS (
+  SELECT {keys}, CAST({v} AS HUGEINT) AS v,
+         CAST(row_number() OVER (PARTITION BY {keys} ORDER BY {v})
+              AS HUGEINT) AS i
+  FROM gn_in
+), gn_a AS (
+  SELECT {keys}, CAST(count(*) AS HUGEINT) AS n,
+         sum(v) AS s, sum(i * v) AS t
+  FROM gn_r GROUP BY {keys}
+), gn_d AS (
+  SELECT {keys}, n, s,
+         (2::HUGEINT * t - (n + 1::HUGEINT) * s) * 1000000::HUGEINT
+           AS num,
+         n * s AS den
+  FROM gn_a
+)
+SELECT {keys}, CAST(n AS BIGINT) AS n_obs, CAST(s AS BIGINT) AS sum_v,
+       CASE WHEN den = 0 THEN 0
+            ELSE CAST((num - (((num % den) + den) % den)) // den
+                      AS BIGINT) END AS gini_ppm
+FROM gn_d"""

@@ -1116,3 +1116,109 @@ def readability_sql(src: str = "documents") -> str:
     """DuckDB twin of readability (same regexes, HUGEINT ratio,
     same pmod floor)."""
     return READABILITY_SQL_BODY.replace("{src}", src)
+
+
+_DEC38 = "decimal(38,0)"
+
+
+def pmi_collocations(df: DataFrame, text_col: str = "text",
+                     min_count: int = 5, k: int = 100,
+                     scale: int = 1_000_000) -> DataFrame:
+    """Corpus-level bigram collocation mining by pointwise mutual
+    information — the phrase detector of the text-analysis family
+    (feeds tokenizer phrase vocab and boilerplate-template discovery
+    next to doc_lm_train / doc_winnowing).
+
+    PMI's exp form is the pure integer ratio
+
+        exp(pmi(x,y)) = c_xy * N / (c_x * c_y)
+
+    (P(x,y)=c_xy/N with the token total as the pair normalizer — the
+    word2vec convention, and monotone in the textbook bigram-total
+    form since N fixes it per corpus). Reported as the exact pmod
+    floor of the scale-multiplied ratio, so ranking equals the float
+    ranking without ever computing a float log. DECIMAL(38,0) /
+    HUGEINT: contract c_xy * N * scale within 38 digits (N = 10^12
+    tokens with a 10^12-count pair at scale 10^6 is 10^30 — fine).
+
+    Scale shape: tokenize map-side; one groupBy per n-gram order
+    (unigrams, bigrams — uniform keys, map-side combine absorbs
+    stopword heat into one partial row per task); the token total N
+    rides a single-partition window over the ALREADY-AGGREGATED
+    vocabulary-sized rows (never the corpus); two vocabulary joins
+    onto the min_count-pruned bigram side (broadcast when the vocab
+    fits, AQE otherwise); the final top-k is TakeOrderedAndProject
+    with a total-order tie-break (ppm DESC, w1, w2), no global sort."""
+    from pyspark.sql.window import Window
+
+    toks = tokens(F.lower(F.col(text_col)))
+    uni = (df.select(F.explode(toks).alias("w"))
+           .filter(F.col("w") != "")
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    uni = uni.withColumn(
+        "n_total", F.sum("c").over(Window.partitionBy()))
+    pairs = (df.select(toks.alias("_t"))
+             .select(F.explode(F.when(
+                 F.size("_t") >= 2,
+                 F.expr("transform(sequence(1, size(_t) - 1), "
+                        "i -> struct(_t[i-1] AS w1, _t[i] AS w2))"))
+                 .otherwise(F.array())).alias("bg"))
+             .select(F.col("bg.w1").alias("w1"),
+                     F.col("bg.w2").alias("w2"))
+             .filter((F.col("w1") != "") & (F.col("w2") != ""))
+             .groupBy("w1", "w2")
+             .agg(F.count(F.lit(1)).alias("n_pair"))
+             .filter(F.col("n_pair") >= min_count))
+    j = (pairs
+         .join(uni.select(F.col("w").alias("w1"),
+                          F.col("c").alias("_c1"), "n_total"), "w1")
+         .join(uni.select(F.col("w").alias("w2"),
+                          F.col("c").alias("_c2")), "w2"))
+    num = (F.col("n_pair").cast(_DEC38) * F.col("n_total").cast(_DEC38)
+           * F.lit(scale).cast(_DEC38))
+    den = F.col("_c1").cast(_DEC38) * F.col("_c2").cast(_DEC38)
+    ppm = (num - ((num % den) + den) % den) / den
+    return (j.select("w1", "w2", F.col("n_pair").cast("long")
+                     .alias("n_pair"),
+                     ppm.cast("long").alias("pmi_ratio_ppm"))
+            .orderBy(F.col("pmi_ratio_ppm").desc(), "w1", "w2")
+            .limit(k))
+
+
+def pmi_collocations_sql(src: str = "documents",
+                         text_col: str = "text", min_count: int = 5,
+                         k: int = 100, scale: int = 1_000_000) -> str:
+    """DuckDB twin of pmi_collocations: same tokenization regex,
+    same counts, same HUGEINT pmod-floor ratio, same tie-break."""
+    return f"""WITH pm_d AS MATERIALIZED (
+  SELECT regexp_split_to_array(trim(lower({text_col})), '\\s+') AS a
+  FROM {src}
+), pm_uni AS (
+  SELECT w, CAST(count(*) AS HUGEINT) AS c
+  FROM (SELECT unnest(a) AS w FROM pm_d) WHERE w <> ''
+  GROUP BY w
+), pm_unit AS (
+  SELECT w, c, sum(c) OVER () AS n_total FROM pm_uni
+), pm_pairs AS (
+  SELECT w1, w2, CAST(count(*) AS HUGEINT) AS n_pair
+  FROM (
+    SELECT a[i] AS w1, a[i + 1] AS w2
+    FROM (SELECT a, unnest(range(1, len(a))) AS i
+          FROM pm_d WHERE len(a) >= 2)
+  ) WHERE w1 <> '' AND w2 <> ''
+  GROUP BY w1, w2
+  HAVING count(*) >= {min_count}
+), pm_j AS (
+  SELECT p.w1, p.w2, p.n_pair,
+         p.n_pair * u1.n_total * {scale}::HUGEINT AS num,
+         u1.c * u2.c AS den
+  FROM pm_pairs p
+  JOIN pm_unit u1 ON p.w1 = u1.w
+  JOIN pm_uni  u2 ON p.w2 = u2.w
+)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+       CAST((num - (((num % den) + den) % den)) // den AS BIGINT)
+         AS pmi_ratio_ppm
+FROM pm_j
+ORDER BY pmi_ratio_ppm DESC, w1, w2
+LIMIT {k}"""

@@ -1,0 +1,111 @@
+"""Round-5m operators: per-group Gini concentration (operators/
+stats.py) and PMI bigram collocations (operators/text.py)."""
+
+import duckdb
+import pytest
+
+from biocypher_metta_spark.operators.stats import gini, gini_sql
+from biocypher_metta_spark.operators.text import (
+    pmi_collocations,
+    pmi_collocations_sql,
+)
+
+
+def _gini(spark, rows):
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = gini(df, ["g"], "v")
+    return {r["g"]: (r["n_obs"], r["sum_v"], r["gini_ppm"])
+            for r in out.collect()}
+
+
+def test_gini_known_values(spark):
+    # one holder of everything among 4: G = (2*4*10 - 5*10)/(4*10)
+    # = 30/40 = 0.75; perfect equality: G = 0; all-zero group: 0 by
+    # the den=0 guard, not a crash.
+    rows = ([("a", 0)] * 3 + [("a", 10)]
+            + [("b", 5), ("b", 5)]
+            + [("z", 0), ("z", 0)])
+    got = _gini(spark, rows)
+    assert got["a"] == (4, 10, 750000)
+    assert got["b"] == (2, 10, 0)
+    assert got["z"] == (2, 0, 0)
+
+
+def test_gini_nulls_dropped_and_tie_invariance(spark):
+    # NULL values never enter the moments; heavy ties still agree
+    # with the hand formula because sum(i*x_i) over a tie block is
+    # permutation-invariant.
+    df = spark.createDataFrame(
+        [("g", 1), ("g", 1), ("g", 1), ("g", None), ("g", 6)],
+        "g string, v long")
+    r = gini(df, ["g"], "v").collect()[0]
+    # sorted 1,1,1,6: T = 1+2+3+24 = 30; num = 60 - 5*9 = 15; den 36
+    assert (r["n_obs"], r["sum_v"], r["gini_ppm"]) == (4, 9, 416666)
+
+
+def test_gini_matches_duckdb_twin(spark):
+    rows = [(f"g{i % 3}", (i * 37 + 11) % 101) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = sorted(tuple(r) for r in gini(df, ["g"], "v").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(con.execute(
+        gini_sql("SELECT g, v FROM t", ["g"], "v")).fetchall())
+    assert got == want
+
+
+def test_gini_rejects_bad_args(spark):
+    df = spark.createDataFrame([("a", 1)], "g string, n_obs long")
+    with pytest.raises(ValueError):
+        gini(df, [], "n_obs")
+    with pytest.raises(ValueError):
+        gini(df, ["g"], "n_obs")
+
+
+def _pmi_corpus(spark, texts):
+    return spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)],
+        "doc_id string, text string")
+
+
+def test_pmi_ranks_planted_collocation_first(spark):
+    # N = 36 tokens. "new york" is exclusive (c_xy=c_x=c_y=6):
+    # 6*36/36 = 6.0 -> 6_000_000 ppm. "the"/"cat" also occur apart
+    # (c=9 each): 6*36/81 -> floor(216e6/81) = 2_666_666 ppm. Exact
+    # integers, no floats; the exclusive pair ranks first.
+    docs = _pmi_corpus(spark, ["new york the cat"] * 6
+                       + ["the dog"] * 3 + ["a cat"] * 3)
+    out = pmi_collocations(docs, min_count=2, k=10).collect()
+    got = {(r["w1"], r["w2"]): (r["n_pair"], r["pmi_ratio_ppm"])
+           for r in out}
+    assert got[("new", "york")] == (6, 6_000_000)
+    assert got[("the", "cat")] == (6, 2_666_666)
+    assert (out[0]["w1"], out[0]["w2"]) == ("new", "york")
+
+
+def test_pmi_min_count_and_short_docs(spark):
+    # one-token and empty docs emit no bigrams (the size<2 guard, not
+    # a sequence(1,0) descending surprise); rare pairs fall below
+    # min_count.
+    docs = _pmi_corpus(spark, ["solo", "", "  ", "rare pair",
+                               "hot pot", "hot pot", "hot pot"])
+    out = pmi_collocations(docs, min_count=3, k=10).collect()
+    assert [(r["w1"], r["w2"]) for r in out] == [("hot", "pot")]
+
+
+def test_pmi_matches_duckdb_twin(spark):
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    texts = [" ".join(words[(i * 7 + j) % 5] for j in range(20))
+             for i in range(40)]
+    docs = _pmi_corpus(spark, texts)
+    got = sorted(tuple(r) for r in
+                 pmi_collocations(docs, min_count=2, k=50).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    [(str(i), t) for i, t in enumerate(texts)])
+    want = sorted(con.execute(
+        pmi_collocations_sql("documents", min_count=2, k=50))
+        .fetchall())
+    assert got == want
