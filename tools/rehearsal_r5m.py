@@ -1,0 +1,78 @@
+"""10x scale rehearsal for the round-5m operators: per-group Gini and
+PMI collocations.
+
+Same contract as rehearsal_r5b..r5k: each op runs at N and 10N in one
+JVM (warmup excluded); claimed shapes:
+
+* gini — one key shuffle + per-group rank sort + mergeable moment
+  groupBy: ~linear in rows while groups stay sortable (the hot-group
+  histogram escape hatch is documented, not exercised here);
+* pmi — tokenize map-side, two n-gram groupBys with map-side combine,
+  vocab-sized window for N, min_count-pruned vocab joins, TakeOrdered
+  top-k: ~linear in tokens at fixed vocabulary.
+
+Prints ONE JSON line per op and writes tools/rehearsal_r5m.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from biocypher_metta_spark.session import get_spark  # noqa: E402
+
+
+def run_gini(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.stats import gini
+
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("grp"),
+        ((F.col("id") * 37 + 11) % 100000).alias("cents"))
+    t0 = time.time()
+    out = gini(df, ["grp"], "cents").count()
+    return {"rows": n, "out": out, "sec": round(time.time() - t0, 2)}
+
+
+def run_pmi(spark, n_docs: int) -> dict:
+    from biocypher_metta_spark.operators.text import pmi_collocations
+
+    # 50-token docs over a fixed 1000-word vocabulary with a planted
+    # phrase pattern (deterministic, no Date/random)
+    i = F.col("id")
+    word = lambda e: F.concat(F.lit("w"), ((e) % 1000).cast("string"))  # noqa: E731
+    docs = spark.range(n_docs).select(
+        F.concat_ws(" ", *[word(i * 53 + j * 17 + (j % 2) * 500)
+                           for j in range(50)]).alias("text"))
+    t0 = time.time()
+    out = pmi_collocations(docs, min_count=5, k=100).count()
+    return {"docs": n_docs, "out": out, "sec": round(time.time() - t0, 2)}
+
+
+def main() -> None:
+    spark = get_spark("rehearsal-r5m")
+    spark.sparkContext.setLogLevel("ERROR")
+    runs = {}
+    for name, fn, n in [("gini", run_gini, 5_000_000),
+                        ("pmi", run_pmi, 200_000)]:
+        fn(spark, max(n // 50, 1000))  # warmup, excluded
+        a = fn(spark, n)
+        b = fn(spark, n * 10)
+        runs[name] = {"n": a, "10n": b}
+        print(json.dumps({name: runs[name]}))
+    ratios = {k: round(v["10n"]["sec"] / max(v["n"]["sec"], 0.01), 2)
+              for k, v in runs.items()}
+    out = {"runs": runs, "ratios": ratios}
+    (Path(__file__).parent / "rehearsal_r5m.json").write_text(
+        json.dumps(out) + "\n")
+    print(json.dumps({"ratios": ratios}))
+
+
+if __name__ == "__main__":
+    main()
