@@ -145,7 +145,8 @@ def main() -> None:
              "doc_winnowing", "web_anchor_text", "rel_autocorr",
              "rel_attribution", "kg_assortativity", "rel_crosscorr",
              "kg_ktruss", "rel_benford", "doc_readability",
-             "rel_gini", "doc_pmi_collocations"]
+             "rel_gini", "doc_pmi_collocations", "rel_linreg",
+             "rel_chisq"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):

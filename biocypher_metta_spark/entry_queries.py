@@ -6616,6 +6616,67 @@ REL_GINI_SQL = _gini_sql(
 QUERIES["rel_gini"] = (rel_gini, REL_GINI_SQL)
 
 
+def rel_linreg(spark, sf_dir):
+    """Per-group OLS spend trend (stats.linreg): cents vs days since
+    1992-01-01 per customer bucket — the drift detector next to
+    rel_outlier_flags/rel_benford/rel_gini. Five DECIMAL(38,0)
+    moments, staged pmod floors (intercept reuses the already-floored
+    slope so both engines quantize identically), NULL on zero x
+    variance. ONE mergeable groupBy, no window, no join. Oracle:
+    linreg_sql from the same recurrence."""
+    from biocypher_metta_spark.operators.stats import linreg
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 8).alias("grp"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .cast("long").alias("day"),
+        F.floor(F.col("o_totalprice") * 100).cast("long")
+        .alias("cents"))
+    return linreg(o, ["grp"], "day", "cents")
+
+
+from biocypher_metta_spark.operators.stats import (  # noqa: E402
+    linreg_sql as _linreg_sql,
+)
+
+REL_LINREG_SQL = _linreg_sql(
+    """SELECT o_custkey % 8 AS grp,
+  CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
+    AS day,
+  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders""",
+    ["grp"], "day", "cents")
+
+QUERIES["rel_linreg"] = (rel_linreg, REL_LINREG_SQL)
+
+
+def rel_chisq(spark, sf_dir):
+    """Per-group chi-square independence (stats.chisq) of order
+    priority vs order status per customer bucket — the categorical
+    drift/association screen. Observed-cell identity (unobserved
+    cells folded in exactly via sum-of-expectations = N), per-cell
+    pmod-floored ppm terms, windows only over the aggregated
+    |A|x|B| cell table. Oracle: chisq_sql, same identity."""
+    from biocypher_metta_spark.operators.stats import chisq
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 4).alias("grp"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("status"))
+    return chisq(o, ["grp"], "prio", "status")
+
+
+from biocypher_metta_spark.operators.stats import (  # noqa: E402
+    chisq_sql as _chisq_sql,
+)
+
+REL_CHISQ_SQL = _chisq_sql(
+    """SELECT o_custkey % 4 AS grp, o_orderpriority AS prio,
+  o_orderstatus AS status FROM orders""",
+    ["grp"], "prio", "status")
+
+QUERIES["rel_chisq"] = (rel_chisq, REL_CHISQ_SQL)
+
+
 def doc_pmi_collocations(spark, sf_dir):
     """Corpus bigram collocations by exact-integer PMI ranking
     (text.pmi_collocations, min_count=5, k=100) over documents —
@@ -6832,6 +6893,8 @@ CK_COLUMNS = {
     "kg_ktruss": ["a", "b", "support"],
     "rel_benford": ["grp", "mad_ppm", "n_obs"],
     "rel_gini": ["gini_ppm", "grp", "n_obs", "sum_v"],
+    "rel_linreg": ["grp", "intercept_ppm", "n_obs", "slope_ppm"],
+    "rel_chisq": ["chi2_ppm", "dof", "grp", "n_cells", "n_obs"],
     "doc_pmi_collocations": ["n_pair", "pmi_ratio_ppm", "w1", "w2"],
     "doc_readability": ["doc_id", "fk_grade_milli", "n_sentences",
                         "n_syllables", "n_words"],
@@ -6856,7 +6919,8 @@ CK_COMPOSITES = {
                        "rel_changelog_compact", "rel_pivot",
                        "rel_dq_profile", "rel_retention", "rel_skyline",
                        "rel_itemsets", "rel_hll_sketch",
-                       "rel_benford", "rel_gini"],
+                       "rel_benford", "rel_gini", "rel_linreg",
+                       "rel_chisq"],
     "rel_window_checks": ["rel_window_rank", "rel_events_hourly",
                           "rel_session_window", "rel_scd2_intervals",
                           "rel_gapfill_locf", "rel_ewma",

@@ -334,3 +334,196 @@ SELECT {keys}, CAST(n AS BIGINT) AS n_obs, CAST(s AS BIGINT) AS sum_v,
             ELSE CAST((num - (((num % den) + den) % den)) // den
                       AS BIGINT) END AS gini_ppm
 FROM gn_d"""
+
+
+def linreg(df: DataFrame, key_cols: list[str], x_col: str,
+           y_col: str) -> DataFrame:
+    """Per-group OLS trend line, ppm-exact — the drift detector of
+    the stats family (is spend trending per segment? is latency
+    creeping per host?).
+
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) from the five moment
+    sums, all DECIMAL(38,0) (HUGEINT in the oracle); slope_ppm is
+    the exact pmod floor (numerator may be negative), and
+    intercept_ppm = floor((1e6*Sy - slope_ppm*Sx) / n) reuses the
+    ALREADY-FLOORED slope so both engines quantize identically.
+    Zero-x-variance groups (vertical fit undefined) emit NULL
+    slope/intercept. Rows with a NULL x or y are dropped. Caller
+    contract: integer inputs with n * |x| * |y| * 1e6 inside 38
+    digits (quantize wider data first).
+
+    Scale shape: ONE mergeable moment groupBy — map-side combine
+    absorbs hot keys; no window, no join, no second shuffle."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    for c in ("n_obs", "slope_ppm", "intercept_ppm"):
+        if c in df.columns:
+            raise ValueError(f"input must not already have column {c!r}")
+    x = F.col(x_col).cast(_DEC)
+    y = F.col(y_col).cast(_DEC)
+    agg = (df.filter(F.col(x_col).isNotNull()
+                     & F.col(y_col).isNotNull())
+           .groupBy(*key_cols)
+           .agg(F.count(F.lit(1)).cast(_DEC).alias("_n"),
+                F.sum(x).alias("_sx"), F.sum(y).alias("_sy"),
+                F.sum(x * y).alias("_sxy"),
+                F.sum(x * x).alias("_sxx")))
+    num = ((F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+           * F.lit(1_000_000).cast(_DEC))
+    den = (F.col("_n") * F.col("_sxx")
+           - F.col("_sx") * F.col("_sx"))
+    slope = (num - ((num % den) + den) % den) / den
+    inum = (F.lit(1_000_000).cast(_DEC) * F.col("_sy")
+            - slope * F.col("_sx"))
+    iden = F.col("_n")
+    intercept = (inum - ((inum % iden) + iden) % iden) / iden
+    zero_var = den == F.lit(0).cast(_DEC)
+    return agg.select(
+        *key_cols,
+        F.col("_n").cast("long").alias("n_obs"),
+        F.when(zero_var, F.lit(None)).otherwise(slope)
+        .cast("long").alias("slope_ppm"),
+        F.when(zero_var, F.lit(None)).otherwise(intercept)
+        .cast("long").alias("intercept_ppm"))
+
+
+def linreg_sql(input_sql: str, key_cols: list[str], x_col: str,
+               y_col: str) -> str:
+    """DuckDB twin of linreg: same moments, HUGEINT, same staged
+    pmod floors (slope first, intercept from the floored slope)."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    keys = ", ".join(key_cols)
+    xc, yc = x_col, y_col
+    return f"""WITH lr_in AS (
+  SELECT * FROM (
+{input_sql.strip()}
+  ) WHERE {xc} IS NOT NULL AND {yc} IS NOT NULL
+), lr_a AS (
+  SELECT {keys}, CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST({xc} AS HUGEINT)) AS sx,
+         sum(CAST({yc} AS HUGEINT)) AS sy,
+         sum(CAST({xc} AS HUGEINT) * CAST({yc} AS HUGEINT)) AS sxy,
+         sum(CAST({xc} AS HUGEINT) * CAST({xc} AS HUGEINT)) AS sxx
+  FROM lr_in GROUP BY {keys}
+), lr_s AS (
+  SELECT {keys}, n,
+         (n * sxy - sx * sy) * 1000000::HUGEINT AS num,
+         n * sxx - sx * sx AS den, sx, sy
+  FROM lr_a
+), lr_f AS (
+  SELECT {keys}, n, den, sx, sy,
+         CASE WHEN den = 0 THEN NULL
+              ELSE (num - (((num % den) + den) % den)) // den
+         END AS slope
+  FROM lr_s
+)
+SELECT {keys}, CAST(n AS BIGINT) AS n_obs,
+       CAST(slope AS BIGINT) AS slope_ppm,
+       CAST(CASE WHEN den = 0 THEN NULL ELSE
+         ((1000000::HUGEINT * sy - slope * sx)
+          - ((((1000000::HUGEINT * sy - slope * sx) % n) + n) % n))
+         // n END AS BIGINT) AS intercept_ppm
+FROM lr_f"""
+
+
+def chisq(df: DataFrame, key_cols: list[str], a_col: str,
+          b_col: str) -> DataFrame:
+    """Per-group chi-square independence statistic for two
+    categorical columns, ppm-exact — the drift / association screen
+    next to benford_mad and gini (did the label mix shift per shard?
+    are format and language independent per crawl?).
+
+    chi2 = sum over ALL grid cells of (O - E)^2 / E with
+    E = r*c/N. Unobserved cells (O=0) contribute E = r*c/N each, and
+    sum over the full grid of r*c/N is exactly N, so the statistic
+    needs ONLY the observed cells — no dense grid, no cross join:
+
+        chi2 = sum_obs (O*N - r*c)^2 / (N*r*c)
+               + N - sum_obs r*c/N
+
+    Each term is an exact pmod-floored ppm integer computed
+    identically in both engines (per-cell quantization is part of
+    the operator's definition). NULL categories are dropped. Caller
+    contract: per-group N with N^4 * 1e6 inside 38 digits (N up to
+    ~10^7 rows per group; pre-aggregate bigger groups).
+
+    Scale shape: one groupBy to the (key, a, b) cell table —
+    map-side combine absorbs the raw rows — then windows PARTITIONED
+    OVER THE AGGREGATED CELLS (|A|x|B| rows per key, never the
+    corpus) for the row/col/grand totals, and one final mergeable
+    groupBy back to one row per key."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    for c in ("n_obs", "n_cells", "dof", "chi2_ppm"):
+        if c in df.columns:
+            raise ValueError(f"input must not already have column {c!r}")
+    from pyspark.sql.window import Window
+
+    cells = (df.filter(F.col(a_col).isNotNull()
+                       & F.col(b_col).isNotNull())
+             .groupBy(*key_cols, a_col, b_col)
+             .agg(F.count(F.lit(1)).cast(_DEC).alias("_o")))
+    wk = Window.partitionBy(*key_cols)
+    r = F.sum("_o").over(Window.partitionBy(*key_cols, a_col))
+    c = F.sum("_o").over(Window.partitionBy(*key_cols, b_col))
+    n = F.sum("_o").over(wk)
+    tnum = ((F.col("_o") * n - r * c) * (F.col("_o") * n - r * c)
+            * F.lit(1_000_000).cast(_DEC))
+    tden = n * r * c
+    term = (tnum - ((tnum % tden) + tden) % tden) / tden
+    anum = r * c * F.lit(1_000_000).cast(_DEC)
+    adj = (anum - ((anum % n) + n) % n) / n
+    scored = cells.select(*key_cols, F.col(a_col).alias("_a"),
+                          F.col(b_col).alias("_b"), "_o",
+                          n.alias("_n"), term.alias("_term"),
+                          adj.alias("_adj"))
+    return (scored.groupBy(*key_cols)
+            .agg(F.max("_n").cast("long").alias("n_obs"),
+                 F.count(F.lit(1)).cast("long").alias("n_cells"),
+                 ((F.countDistinct("_a") - 1)
+                  * (F.countDistinct("_b") - 1)).cast("long")
+                 .alias("dof"),
+                 (F.sum("_term")
+                  + F.max("_n") * F.lit(1_000_000).cast(_DEC)
+                  - F.sum("_adj")).cast("long").alias("chi2_ppm")))
+
+
+def chisq_sql(input_sql: str, key_cols: list[str], a_col: str,
+              b_col: str) -> str:
+    """DuckDB twin of chisq: same observed-cell identity, HUGEINT,
+    same per-cell pmod floors."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    keys = ", ".join(key_cols)
+    a, b = a_col, b_col
+    return f"""WITH x2_in AS (
+  SELECT * FROM (
+{input_sql.strip()}
+  ) WHERE {a} IS NOT NULL AND {b} IS NOT NULL
+), x2_c AS (
+  SELECT {keys}, {a}, {b}, CAST(count(*) AS HUGEINT) AS o
+  FROM x2_in GROUP BY {keys}, {a}, {b}
+), x2_w AS (
+  SELECT {keys}, {a}, {b}, o,
+         sum(o) OVER (PARTITION BY {keys}, {a}) AS r,
+         sum(o) OVER (PARTITION BY {keys}, {b}) AS c,
+         sum(o) OVER (PARTITION BY {keys}) AS n
+  FROM x2_c
+), x2_t AS (
+  SELECT {keys}, {a}, {b}, o, n,
+         ((o * n - r * c) * (o * n - r * c) * 1000000::HUGEINT
+          - ((((o * n - r * c) * (o * n - r * c) * 1000000::HUGEINT)
+              % (n * r * c) + (n * r * c)) % (n * r * c)))
+           // (n * r * c) AS term,
+         (r * c * 1000000::HUGEINT
+          - (((r * c * 1000000::HUGEINT) % n + n) % n)) // n AS adj
+  FROM x2_w
+)
+SELECT {keys}, CAST(max(n) AS BIGINT) AS n_obs,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST((count(DISTINCT {a}) - 1) * (count(DISTINCT {b}) - 1)
+            AS BIGINT) AS dof,
+       CAST(sum(term) + max(n) * 1000000::HUGEINT - sum(adj)
+            AS BIGINT) AS chi2_ppm
+FROM x2_t GROUP BY {keys}"""

@@ -109,3 +109,84 @@ def test_pmi_matches_duckdb_twin(spark):
         pmi_collocations_sql("documents", min_count=2, k=50))
         .fetchall())
     assert got == want
+
+
+from biocypher_metta_spark.operators.stats import (  # noqa: E402
+    chisq,
+    chisq_sql,
+    linreg,
+    linreg_sql,
+)
+
+
+def test_linreg_exact_line_and_degenerate(spark):
+    # y = 2x + 1 recovers (2_000_000, 1_000_000) exactly; a
+    # zero-x-variance group emits NULL slope/intercept; NULL rows
+    # are dropped from the moments.
+    df = spark.createDataFrame(
+        [("a", x, 2 * x + 1) for x in range(5)]
+        + [("a", None, 99), ("a", 4, None)]
+        + [("c", 3, 7), ("c", 3, 9)],
+        "g string, x long, y long")
+    got = {r["g"]: (r["n_obs"], r["slope_ppm"], r["intercept_ppm"])
+           for r in linreg(df, ["g"], "x", "y").collect()}
+    assert got["a"] == (5, 2_000_000, 1_000_000)
+    assert got["c"] == (2, None, None)
+
+
+def test_linreg_matches_duckdb_twin(spark):
+    rows = [(f"g{i % 4}", i % 50, (i * 37 + 11) % 1000)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = sorted(tuple(r) for r in linreg(df, ["g"], "x", "y").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, x BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = sorted(con.execute(
+        linreg_sql("SELECT g, x, y FROM t", ["g"], "x", "y"))
+        .fetchall())
+    assert got == want
+
+
+def test_chisq_independent_and_diagonal(spark):
+    # perfectly independent 2x2 (uniform 25/25/25/25) -> chi2 = 0;
+    # a==b always on 2 categories (2 observed + 2 unobserved cells)
+    # -> chi2 = N exactly, via the observed-cell identity.
+    ind = spark.createDataFrame(
+        [("g", i % 2, (i // 2) % 2) for i in range(100)],
+        "g string, a long, b long")
+    r = chisq(ind, ["g"], "a", "b").collect()[0]
+    assert (r["n_obs"], r["n_cells"], r["dof"], r["chi2_ppm"]) \
+        == (100, 4, 1, 0)
+    diag = spark.createDataFrame(
+        [("g", i % 2, i % 2) for i in range(60)],
+        "g string, a long, b long")
+    r = chisq(diag, ["g"], "a", "b").collect()[0]
+    assert (r["n_obs"], r["n_cells"], r["chi2_ppm"]) \
+        == (60, 2, 60_000_000)
+
+
+def test_chisq_matches_duckdb_twin(spark):
+    rows = [(f"g{i % 3}", f"a{(i * 7) % 4}", f"b{(i * 11) % 3}")
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, a string, b string")
+    got = sorted(tuple(r) for r in chisq(df, ["g"], "a", "b").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = sorted(con.execute(
+        chisq_sql("SELECT g, a, b FROM t", ["g"], "a", "b"))
+        .fetchall())
+    assert got == want
+
+
+def test_linreg_chisq_reject_bad_args(spark):
+    df = spark.createDataFrame([("a", 1, 2)], "g string, x long, n_obs long")
+    with pytest.raises(ValueError):
+        linreg(df, [], "x", "n_obs")
+    with pytest.raises(ValueError):
+        linreg(df, ["g"], "x", "n_obs")
+    with pytest.raises(ValueError):
+        chisq(df, [], "g", "x")
+    with pytest.raises(ValueError):
+        chisq(df, ["g"], "x", "n_obs")
