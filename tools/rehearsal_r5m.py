@@ -1,5 +1,5 @@
-"""10x scale rehearsal for the round-5m operators: per-group Gini and
-PMI collocations.
+"""10x scale rehearsal for the round-5m operators: per-group Gini,
+PMI collocations, OLS trend, chi-square independence.
 
 Same contract as rehearsal_r5b..r5k: each op runs at N and 10N in one
 JVM (warmup excluded); claimed shapes:
@@ -9,7 +9,11 @@ JVM (warmup excluded); claimed shapes:
   histogram escape hatch is documented, not exercised here);
 * pmi — tokenize map-side, two n-gram groupBys with map-side combine,
   vocab-sized window for N, min_count-pruned vocab joins, TakeOrdered
-  top-k: ~linear in tokens at fixed vocabulary.
+  top-k: ~linear in tokens at fixed vocabulary;
+* linreg — ONE mergeable moment groupBy: ~linear, shuffle-constant
+  bound at small group counts;
+* chisq — one cell groupBy (map-side combine) + windows over the
+  |A|x|B| aggregated cells: ~linear in rows at fixed grid.
 
 Prints ONE JSON line per op and writes tools/rehearsal_r5m.json.
 """
@@ -55,12 +59,39 @@ def run_pmi(spark, n_docs: int) -> dict:
     return {"docs": n_docs, "out": out, "sec": round(time.time() - t0, 2)}
 
 
+def run_linreg(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.stats import linreg
+
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("grp"),
+        (F.col("id") % 365).alias("x"),
+        ((F.col("id") * 37 + 11) % 100000).alias("y"))
+    t0 = time.time()
+    out = linreg(df, ["grp"], "x", "y").count()
+    return {"rows": n, "out": out, "sec": round(time.time() - t0, 2)}
+
+
+def run_chisq(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.stats import chisq
+
+    i = F.col("id")
+    df = spark.range(n).select(
+        (i % 16).alias("grp"),
+        ((i * 7) % 12).alias("a"),
+        ((i * 11 + (i / 13).cast("long")) % 9).alias("b"))
+    t0 = time.time()
+    out = chisq(df, ["grp"], "a", "b").count()
+    return {"rows": n, "out": out, "sec": round(time.time() - t0, 2)}
+
+
 def main() -> None:
     spark = get_spark("rehearsal-r5m")
     spark.sparkContext.setLogLevel("ERROR")
     runs = {}
     for name, fn, n in [("gini", run_gini, 5_000_000),
-                        ("pmi", run_pmi, 200_000)]:
+                        ("pmi", run_pmi, 200_000),
+                        ("linreg", run_linreg, 5_000_000),
+                        ("chisq", run_chisq, 5_000_000)]:
         fn(spark, max(n // 50, 1000))  # warmup, excluded
         a = fn(spark, n)
         b = fn(spark, n * 10)
