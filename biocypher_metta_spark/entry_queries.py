@@ -6616,6 +6616,57 @@ REL_GINI_SQL = _gini_sql(
 QUERIES["rel_gini"] = (rel_gini, REL_GINI_SQL)
 
 
+def kg_four_cycles(spark, sf_dir):
+    """Per-node 4-cycle census (graph.four_cycles) over a planted
+    16x16 grid graph (all 4-cycles in a grid are its 225 unit faces:
+    corners lie on 1, border nodes 2, interior 4 — total c4 sum
+    900). The opposite-pair/codegree identity composes on the
+    cooccurrence projection, so the plan is the audited
+    distinct + doc-keyed self-join + two mergeable groupBys. Oracle:
+    four_cycles_sql over the same modular edge synthesis."""
+    ids = _ids(spark, sf_dir)
+    i = F.col("i")
+    right = (ids.select((i % 256).alias("src"),
+                        (i % 256 + 1).alias("dst"))
+             .filter((i % 256) % 16 != 15))
+    down = ids.select((i % 240).alias("src"),
+                      (i % 240 + 16).alias("dst"))
+    return graph_ops.four_cycles(right.unionAll(down))
+
+
+_C4_EDGES_SQL = """SELECT i % 256 AS src, i % 256 + 1 AS dst
+  FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+  WHERE (i % 256) % 16 <> 15
+UNION ALL SELECT i % 240, i % 240 + 16
+  FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)"""
+
+KG_FOUR_CYCLES_SQL = graph_ops.four_cycles_sql(_C4_EDGES_SQL)
+
+QUERIES["kg_four_cycles"] = (kg_four_cycles, KG_FOUR_CYCLES_SQL)
+
+
+def kg_collab_weight(spark, sf_dir):
+    """Newman collaboration-weight projection
+    (graph.collab_weight_edges) of the (customer, order-priority)
+    membership table — item pairs co-held by a customer, each
+    customer contributing floor(1e6/(m-1)) per pair so small
+    focused baskets outweigh broad ones. min_count=5 prunes the
+    tail. Oracle: collab_weight_edges_sql, same distinct /
+    size-filter / per-doc floor / self-join recurrence."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderpriority").alias("prio"))
+    return graph_ops.collab_weight_edges(o, "cust", "prio",
+                                         min_count=5)
+
+
+KG_COLLAB_WEIGHT_SQL = graph_ops.collab_weight_edges_sql(
+    "SELECT o_custkey AS cust, o_orderpriority AS prio FROM orders",
+    "cust", "prio", min_count=5)
+
+QUERIES["kg_collab_weight"] = (kg_collab_weight, KG_COLLAB_WEIGHT_SQL)
+
+
 def rel_linreg(spark, sf_dir):
     """Per-group OLS spend trend (stats.linreg): cents vs days since
     1992-01-01 per customer bucket — the drift detector next to
@@ -6894,6 +6945,8 @@ CK_COLUMNS = {
     "rel_benford": ["grp", "mad_ppm", "n_obs"],
     "rel_gini": ["gini_ppm", "grp", "n_obs", "sum_v"],
     "rel_linreg": ["grp", "intercept_ppm", "n_obs", "slope_ppm"],
+    "kg_four_cycles": ["c4", "id"],
+    "kg_collab_weight": ["item_a", "item_b", "n_docs", "w_ppm"],
     "rel_chisq": ["chi2_ppm", "dof", "grp", "n_cells", "n_obs"],
     "doc_pmi_collocations": ["n_pair", "pmi_ratio_ppm", "w1", "w2"],
     "doc_readability": ["doc_id", "fk_grade_milli", "n_sentences",
@@ -6960,7 +7013,8 @@ CK_COMPOSITES = {
                         "kg_entity_resolution", "kg_scc",
                         "emb_random_projection", "emb_ivfpq_topk",
                         "kg_link_predict", "kg_assortativity",
-                        "kg_ktruss"],
+                        "kg_ktruss", "kg_four_cycles",
+                        "kg_collab_weight"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",

@@ -1801,3 +1801,169 @@ FROM kt_e{rounds} e
 JOIN kt_sup{fin} s ON e.a = s.a AND e.b = s.b
 WHERE s.support >= {k - 2}""")
     return "".join(parts)
+
+
+def four_cycles(edges: DataFrame, src: str = "src", dst: str = "dst",
+                max_degree: int | None = None) -> DataFrame:
+    """Per-node 4-cycle (quadrilateral) census over the undirected
+    simple graph: (id, c4) for every node on at least one 4-cycle —
+    the next motif after triangle_count, and the one that catches
+    bipartite-style redundancy triangles are blind to (two entities
+    linked through two independent intermediates: mirror pages,
+    duplicated records, A-buys-B-through-two-brokers).
+
+    Opposite-pair identity: a 4-cycle u-w-v-x is determined by its
+    opposite pair {u, v} plus an unordered pair of their common
+    neighbors {w, x}, and each cycle contains node u in exactly one
+    opposite pair — so
+
+        c4(u) = sum over v of C(codeg(u, v), 2)
+
+    counts each cycle at u exactly once, with no division and no
+    orientation step. codeg pairs ARE the co-occurrence projection
+    of the (neighbor, node) membership table, so this composes on
+    cooccurrence_edges and inherits its quadratic hub guard:
+    `max_degree` caps each hub's VOTE at a deterministic hash-uniform
+    subset (codeg becomes a documented under-count through capped
+    hubs, same contract as neighborhood_jaccard). C(n,2) = n*(n-1)/2
+    is exact — n*(n-1) is always even, so integer `div` 2 is the
+    true value, no floor quantization at all.
+
+    Scale shape: distinct + doc-keyed self-join + pair-count groupBy
+    (cooccurrence's shape), then one explode-to-both-endpoints union
+    and a mergeable per-node sum. Pair volume is sum(deg^2) bounded
+    by the cap — the same budget rule as the projection."""
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .filter(F.col("s").isNotNull() & F.col("d").isNotNull()
+                 & (F.col("s") != F.col("d"))))
+    und = (e.select(F.least("s", "d").alias("a"),
+                    F.greatest("s", "d").alias("b"))
+           .distinct())
+    adj = (und.select(F.col("a").alias("node"), F.col("b").alias("nb"))
+           .unionAll(und.select(F.col("b").alias("node"),
+                                F.col("a").alias("nb"))))
+    common = cooccurrence_edges(adj, "nb", "node", min_count=2,
+                                max_items_per_doc=max_degree)
+    contrib = (common.select(
+        F.col("item_a").alias("id"),
+        F.col("item_b").alias("_other"),
+        (F.col("n_docs") * (F.col("n_docs") - 1)).alias("_2c")))
+    both = contrib.select("id", "_2c").unionAll(
+        contrib.select(F.col("_other").alias("id"), "_2c"))
+    # `div`, not `/`: the pair-sum can pass 2^53 where double
+    # division goes inexact (the winnowing lesson); n*(n-1) terms are
+    # even, so integer div IS the exact value
+    return (both.groupBy("id")
+            .agg(F.expr("sum(_2c) div 2").cast("long").alias("c4")))
+
+
+def four_cycles_sql(edges_sql: str, src: str = "src",
+                    dst: str = "dst") -> str:
+    """DuckDB twin of four_cycles — the cooccurrence twin over the
+    adjacency, then the same C(n,2) sum per endpoint."""
+    adj_sql = f"""WITH c4_u AS (
+  SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+  FROM (
+{edges_sql.strip()}
+  )
+  WHERE {src} IS NOT NULL AND {dst} IS NOT NULL AND {src} <> {dst}
+)
+SELECT a AS node, b AS nb FROM c4_u
+UNION ALL SELECT b, a FROM c4_u"""
+    cooc = cooccurrence_edges_sql(adj_sql, "nb", "node", min_count=2)
+    return f"""WITH c4_pairs AS MATERIALIZED (
+{cooc}
+), c4_sides AS (
+  SELECT item_a AS id, n_docs * (n_docs - 1) AS c2 FROM c4_pairs
+  UNION ALL
+  SELECT item_b, n_docs * (n_docs - 1) FROM c4_pairs
+)
+SELECT id, CAST(sum(c2) // 2 AS BIGINT) AS c4
+FROM c4_sides GROUP BY id"""
+
+
+def collab_weight_edges(df: DataFrame, doc_col: str, item_col: str,
+                        min_count: int = 1,
+                        max_items_per_doc: int | None = None,
+                        scale: int = 1_000_000) -> DataFrame:
+    """Newman collaboration-weight bipartite projection [Newman PRE
+    64, 2001]: (doc, item) memberships -> (item_a < item_b, n_docs,
+    w_ppm) where each shared doc contributes 1/(m_d - 1) (m_d = the
+    doc's item count) instead of co-occurrence's flat 1 — so a pair
+    sharing an exclusive 2-item doc outweighs one sharing a
+     10^4-item crawl-debris doc. THE weighting that makes projected
+    entity graphs usable when doc sizes span orders of magnitude.
+
+    w_ppm = sum over shared docs of floor(scale / (m_d - 1)): the
+    per-doc floor is part of the operator definition, so both
+    engines sum identical integers in any order. 1-item docs emit no
+    pairs (and would divide by zero) — filtered. With a hub cap,
+    m_d is the CAPPED size, keeping each term consistent with the
+    pairs actually emitted.
+
+    Scale shape: cooccurrence's distinct + per-doc count (mergeable
+    groupBy joined back on the doc key) + doc-keyed self-join; the
+    weight term rides the join projection, and the final pair
+    groupBy sums it map-side. Same quadratic hub guard and budget
+    rule as cooccurrence_edges."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if max_items_per_doc is not None and max_items_per_doc < 2:
+        raise ValueError("max_items_per_doc must be >= 2, got "
+                         f"{max_items_per_doc}")
+    items = (df.select(F.col(doc_col).alias("d"),
+                       F.col(item_col).alias("it"))
+             .filter(F.col("d").isNotNull() & F.col("it").isNotNull())
+             .distinct())
+    if max_items_per_doc is not None:
+        from pyspark.sql.window import Window
+
+        from biocypher_metta_spark.operators.text import portable_hash
+
+        h = portable_hash(F.concat_ws(":", F.lit("collab"),
+                                      F.col("d").cast("string"),
+                                      F.col("it").cast("string")))
+        w = Window.partitionBy("d").orderBy(h.asc(), F.col("it").asc())
+        items = (items.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") <= max_items_per_doc).drop("_rn"))
+    sizes = (items.groupBy("d")
+             .agg(F.count(F.lit(1)).alias("_m"))
+             .filter(F.col("_m") >= 2)
+             .withColumn("_w", F.floor(F.lit(scale)
+                                       / (F.col("_m") - 1))
+                         .cast("long")))
+    weighted = items.join(sizes, "d")
+    a = weighted.select("d", F.col("it").alias("item_a"), "_w")
+    b = weighted.select("d", F.col("it").alias("item_b"))
+    return (a.join(b, "d")
+            .filter(F.col("item_a") < F.col("item_b"))
+            .groupBy("item_a", "item_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("_w").cast("long").alias("w_ppm"))
+            .filter(F.col("n_docs") >= min_count))
+
+
+def collab_weight_edges_sql(memberships_sql: str, doc_col: str,
+                            item_col: str, min_count: int = 1,
+                            scale: int = 1_000_000) -> str:
+    """DuckDB twin of collab_weight_edges (uncapped form): same
+    distinct / size-filter / per-doc floor / self-join / sum."""
+    return f"""WITH cw_items AS MATERIALIZED (
+  SELECT DISTINCT {doc_col} AS d, {item_col} AS it
+  FROM (
+{memberships_sql.strip()}
+  )
+  WHERE {doc_col} IS NOT NULL AND {item_col} IS NOT NULL
+), cw_sizes AS MATERIALIZED (
+  SELECT d, count(*) AS m,
+         CAST({scale} // (count(*) - 1) AS BIGINT) AS w
+  FROM cw_items GROUP BY d HAVING count(*) >= 2
+)
+SELECT a.it AS item_a, b.it AS item_b,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(s.w) AS BIGINT) AS w_ppm
+FROM cw_items a
+JOIN cw_items b ON a.d = b.d AND a.it < b.it
+JOIN cw_sizes s ON a.d = s.d
+GROUP BY a.it, b.it
+HAVING count(*) >= {min_count}"""

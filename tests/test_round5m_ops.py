@@ -190,3 +190,97 @@ def test_linreg_chisq_reject_bad_args(spark):
         chisq(df, [], "g", "x")
     with pytest.raises(ValueError):
         chisq(df, ["g"], "x", "n_obs")
+
+
+from biocypher_metta_spark.operators.graph import (  # noqa: E402
+    collab_weight_edges,
+    collab_weight_edges_sql,
+    four_cycles,
+    four_cycles_sql,
+)
+
+
+def test_four_cycles_hand_graphs(spark):
+    # single square: every node on 1 cycle; K4: all 3 cycles at each
+    # node; triangle: none; K(2,3): left nodes on all C(3,2)=3,
+    # right nodes on the 2 cycles using them (total/4 = 3 cycles).
+    sq = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1)],
+                               "src long, dst long")
+    assert {r["id"]: r["c4"] for r in four_cycles(sq).collect()} \
+        == {1: 1, 2: 1, 3: 1, 4: 1}
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "src long, dst long")
+    assert {r["id"]: r["c4"] for r in four_cycles(k4).collect()} \
+        == {0: 3, 1: 3, 2: 3, 3: 3}
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)],
+                                "src long, dst long")
+    assert four_cycles(tri).count() == 0
+    k23 = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (2, 12)],
+        "src long, dst long")
+    assert {r["id"]: r["c4"] for r in four_cycles(k23).collect()} \
+        == {1: 3, 2: 3, 10: 2, 11: 2, 12: 2}
+
+
+def test_four_cycles_grid_matches_duckdb(spark):
+    # 5x5 grid: 16 unit squares are ALL its 4-cycles; corner nodes
+    # on 1, border on 2, interior on 4; sum = 64.
+    edges = []
+    for r in range(5):
+        for c in range(5):
+            n = r * 5 + c
+            if c < 4:
+                edges.append((n, n + 1))
+            if r < 4:
+                edges.append((n, n + 5))
+    g = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["c4"] for r in four_cycles(g).collect()}
+    assert got[0] == 1 and got[1] == 2 and got[6] == 4
+    assert sum(got.values()) == 64
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    want = dict(con.execute(
+        four_cycles_sql("SELECT src, dst FROM e")).fetchall())
+    assert got == want
+
+
+def test_collab_weight_hand_and_twin(spark):
+    # doc A{1,2}: term floor(1e6/1) = 1_000_000; doc B{1,2,3}: term
+    # floor(1e6/2) = 500_000; singleton doc C emits nothing.
+    mem = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("B", 1), ("B", 2), ("B", 3), ("C", 9)],
+        "d string, it long")
+    got = {(r["item_a"], r["item_b"]): (r["n_docs"], r["w_ppm"])
+           for r in collab_weight_edges(mem, "d", "it").collect()}
+    assert got == {(1, 2): (2, 1_500_000), (1, 3): (1, 500_000),
+                   (2, 3): (1, 500_000)}
+    rows = [(f"d{(i * 3) % 40}", (i * 7 + 1) % 25) for i in range(300)]
+    df = spark.createDataFrame(rows, "d string, it long")
+    got = sorted(tuple(r) for r in
+                 collab_weight_edges(df, "d", "it").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE m (d VARCHAR, it BIGINT)")
+    con.executemany("INSERT INTO m VALUES (?, ?)", rows)
+    want = sorted(con.execute(collab_weight_edges_sql(
+        "SELECT d, it FROM m", "d", "it")).fetchall())
+    assert got == want
+
+
+def test_collab_weight_cap_is_deterministic_subset(spark):
+    # capping a 6-item doc at 3: terms become floor(1e6/2) over
+    # C(3,2) pairs — the capped SIZE drives the weight, consistent
+    # with the pairs actually emitted; rerun gives the same subset.
+    mem = spark.createDataFrame([("D", i) for i in range(6)],
+                                "d string, it long")
+    out1 = sorted(tuple(r) for r in collab_weight_edges(
+        mem, "d", "it", max_items_per_doc=3).collect())
+    out2 = sorted(tuple(r) for r in collab_weight_edges(
+        mem, "d", "it", max_items_per_doc=3).collect())
+    assert out1 == out2 and len(out1) == 3
+    assert all(w == 500_000 for (_, _, _, w) in out1)
+    with pytest.raises(ValueError):
+        collab_weight_edges(mem, "d", "it", max_items_per_doc=1)
+    with pytest.raises(ValueError):
+        collab_weight_edges(mem, "d", "it", min_count=0)
