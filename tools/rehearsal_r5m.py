@@ -1,5 +1,6 @@
 """10x scale rehearsal for the round-5m operators: per-group Gini,
-PMI collocations, OLS trend, chi-square independence.
+PMI collocations, OLS trend, chi-square independence,
+4-cycle census, collaboration-weight projection.
 
 Same contract as rehearsal_r5b..r5k: each op runs at N and 10N in one
 JVM (warmup excluded); claimed shapes:
@@ -13,7 +14,11 @@ JVM (warmup excluded); claimed shapes:
 * linreg — ONE mergeable moment groupBy: ~linear, shuffle-constant
   bound at small group counts;
 * chisq — one cell groupBy (map-side combine) + windows over the
-  |A|x|B| aggregated cells: ~linear in rows at fixed grid.
+  |A|x|B| aggregated cells: ~linear in rows at fixed grid;
+* four_cycles — cooccurrence projection over the adjacency: pair
+  volume sum(deg^2); on the fixed-degree grid here, ~linear in edges;
+* collab — distinct + size join + doc-keyed self-join: ~linear when
+  per-doc membership is bounded (5 priorities per customer here).
 
 Prints ONE JSON line per op and writes tools/rehearsal_r5m.json.
 """
@@ -84,6 +89,45 @@ def run_chisq(spark, n: int) -> dict:
     return {"rows": n, "out": out, "sec": round(time.time() - t0, 2)}
 
 
+def run_c4(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.graph import four_cycles
+
+    # n/2560 disjoint COMPLETE 16x16 grid blocks (blk = i mod B,
+    # pos = (i div B) mod 256 — decoupled strides, so every block
+    # covers all 256 positions ~10x): fixed degree, 225 unit faces
+    # per block, cycles scale linearly with n
+    b_cnt = max(n // 2560, 1)
+    i = F.col("id")
+    pos = (i / b_cnt).cast("long") % 256
+    base = (i % b_cnt) * 256 + pos
+    right = (spark.range(n).select(base.alias("src"),
+                                   (base + 1).alias("dst"))
+             .filter(pos % 16 != 15))
+    down = (spark.range(n).select(base.alias("src"),
+                                  (base + 16).alias("dst"))
+            .filter(pos < 240))
+    t0 = time.time()
+    out = four_cycles(right.unionAll(down)).count()
+    return {"rows": n, "out": out, "sec": round(time.time() - t0, 2)}
+
+
+def run_collab(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.graph import collab_weight_edges
+
+    # 8 memberships per doc over a 50-item universe: d = i mod D,
+    # k = i div D in 0..7, item = (3d + 13k) mod 50 — 13k mod 50 is
+    # injective on 0..7, so every doc holds 8 DISTINCT items
+    d_cnt = max(n // 8, 1)
+    i = F.col("id")
+    df = spark.range(n).select(
+        (i % d_cnt).alias("d"),
+        ((i % d_cnt) * 3 + (i / d_cnt).cast("long") * 13).alias("_x")
+    ).select("d", (F.col("_x") % 50).alias("it"))
+    t0 = time.time()
+    out = collab_weight_edges(df, "d", "it", min_count=2).count()
+    return {"rows": n, "out": out, "sec": round(time.time() - t0, 2)}
+
+
 def main() -> None:
     spark = get_spark("rehearsal-r5m")
     spark.sparkContext.setLogLevel("ERROR")
@@ -91,7 +135,9 @@ def main() -> None:
     for name, fn, n in [("gini", run_gini, 5_000_000),
                         ("pmi", run_pmi, 200_000),
                         ("linreg", run_linreg, 5_000_000),
-                        ("chisq", run_chisq, 5_000_000)]:
+                        ("chisq", run_chisq, 5_000_000),
+                        ("four_cycles", run_c4, 2_000_000),
+                        ("collab", run_collab, 2_000_000)]:
         fn(spark, max(n // 50, 1000))  # warmup, excluded
         a = fn(spark, n)
         b = fn(spark, n * 10)
