@@ -6747,6 +6747,24 @@ from biocypher_metta_spark.operators.text import (  # noqa: E402
 QUERIES["doc_pmi_collocations"] = (doc_pmi_collocations, _pmi_sql())
 
 
+def doc_rake_keyphrases(spark, sf_dir):
+    """RAKE keyphrase extraction (text.rake_keyphrases, top-100) over
+    documents — the multi-word complement to doc_tfidf_topk: boundary
+    mapping is per-token CASE logic (no lookaround, RE2-safe), word
+    score = floor(1e6*deg/freq), phrase score = sum of already-floored
+    word scores. Oracle: rake_keyphrases_sql, same recurrence."""
+    from biocypher_metta_spark.operators.text import rake_keyphrases
+
+    return rake_keyphrases(_t(spark, sf_dir, "documents"))
+
+
+from biocypher_metta_spark.operators.text import (  # noqa: E402
+    rake_keyphrases_sql as _rake_sql,
+)
+
+QUERIES["doc_rake_keyphrases"] = (doc_rake_keyphrases, _rake_sql())
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -6949,6 +6967,7 @@ CK_COLUMNS = {
     "kg_collab_weight": ["item_a", "item_b", "n_docs", "w_ppm"],
     "rel_chisq": ["chi2_ppm", "dof", "grp", "n_cells", "n_obs"],
     "doc_pmi_collocations": ["n_pair", "pmi_ratio_ppm", "w1", "w2"],
+    "doc_rake_keyphrases": ["n_occ", "n_words", "phrase", "score_ppm"],
     "doc_readability": ["doc_id", "fk_grade_milli", "n_sentences",
                         "n_syllables", "n_words"],
     "emb_mmr_rerank": ["mmr_rank", "mmr_score", "vec_id"],
@@ -6989,7 +7008,8 @@ CK_COMPOSITES = {
                          "doc_fingerprint", "doc_lm_train",
                          "doc_set_similarity", "doc_bpe_train",
                          "doc_bpe_encode", "doc_winnowing",
-                         "doc_readability", "doc_pmi_collocations"],
+                         "doc_readability", "doc_pmi_collocations",
+                         "doc_rake_keyphrases"],
     # round-5b training-data curation family (sampling / caps / BM25 /
     # CMS) and graph-analytics family (PageRank, SemDeDup) — folded so
     # the registry stays at the 50-row driver snapshot cap

@@ -1222,3 +1222,112 @@ SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
 FROM pm_j
 ORDER BY pmi_ratio_ppm DESC, w1, w2
 LIMIT {k}"""
+
+
+def rake_keyphrases(df: DataFrame, text_col: str = "text",
+                    max_words: int = 4, k: int = 100,
+                    scale: int = 1_000_000) -> DataFrame:
+    """Corpus-level RAKE keyphrase extraction [Rose et al. 2010]:
+    (phrase, n_words, n_occ, score_ppm) for the top-k candidate
+    phrases — the multi-word complement to tfidf_topk (tf-idf ranks
+    single tokens; RAKE surfaces the noun-phrase vocabulary a corpus
+    is ABOUT, and the recurring boilerplate phrases worth excising).
+
+    Candidate phrases are maximal runs of word tokens between
+    boundaries; a token is a boundary unless it matches ^[a-z]+$
+    after lowering AND is not a stopword (the shared STOPWORDS list
+    — the mapping is per-token CASE logic over the split array, NOT
+    a lookaround regex, which RE2 (the DuckDB side) does not
+    support). Word score = floor(scale * deg(w) / freq(w)) with
+    freq = occurrences and deg = sum of containing-phrase lengths
+    (co-occurrence degree, RAKE's definition); phrase score = sum of
+    its words' ALREADY-FLOORED scores, occurrence multiplicity
+    included — per-word quantization is part of the operator
+    definition, so both engines sum identical integers. Tie-break
+    (score DESC, phrase ASC) totally orders the top-k.
+
+    Scale shape: tokenize + boundary-map + phrase-split are all
+    map-side; word stats are ONE mergeable groupBy on the exploded
+    words (stopword heat is gone by construction — stopwords never
+    enter phrases); the score join hits the vocabulary-sized word
+    table (broadcast when it fits); phrase counts are a groupBy on
+    phrase text with map-side combine; top-k is
+    TakeOrderedAndProject. No window over raw rows, no self-join."""
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    mapped = F.expr(
+        f"transform(split(trim(lower({text_col})), '\\\\s+'), "
+        f"t -> CASE WHEN t rlike '^[a-z]+$' AND t NOT IN ({stop_list}) "
+        f"THEN t ELSE '|' END)")
+    phrases = (df.select(F.explode(F.split(F.array_join(mapped, " "),
+                                           "\\|")).alias("_p"))
+               .select(F.trim(F.col("_p")).alias("phrase"))
+               .filter(F.col("phrase") != "")
+               .withColumn("n_words",
+                           F.size(F.split("phrase", " ")).cast("long"))
+               .filter(F.col("n_words") <= max_words))
+    words = (phrases.select("n_words",
+                            F.explode(F.split("phrase", " "))
+                            .alias("w"))
+             .groupBy("w")
+             .agg(F.count(F.lit(1)).alias("_freq"),
+                  F.sum("n_words").alias("_deg")))
+    wscore = words.select(
+        "w", F.floor(F.lit(scale) * F.col("_deg") / F.col("_freq"))
+        .cast("long").alias("_ws"))
+    pcount = (phrases.groupBy("phrase", "n_words")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_occ")))
+    pscore = (pcount.select("phrase",
+                            F.explode(F.split("phrase", " "))
+                            .alias("w"))
+              .join(wscore, "w")
+              .groupBy("phrase")
+              .agg(F.sum("_ws").cast("long").alias("score_ppm")))
+    return (pcount.join(pscore, "phrase")
+            .select("phrase", "n_words", "n_occ", "score_ppm")
+            .orderBy(F.col("score_ppm").desc(), "phrase")
+            .limit(k))
+
+
+def rake_keyphrases_sql(src: str = "documents",
+                        text_col: str = "text", max_words: int = 4,
+                        k: int = 100, scale: int = 1_000_000) -> str:
+    """DuckDB twin of rake_keyphrases: same token CASE mapping, same
+    split/trim phrase extraction, same per-word floor then sum."""
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""WITH rk_m AS MATERIALIZED (
+  SELECT list_transform(
+    regexp_split_to_array(trim(lower({text_col})), '\\s+'),
+    t -> CASE WHEN regexp_matches(t, '^[a-z]+$')
+              AND t NOT IN ({stop_list})
+         THEN t ELSE '|' END) AS a
+  FROM {src}
+), rk_p AS MATERIALIZED (
+  SELECT phrase, CAST(len(string_split(phrase, ' ')) AS BIGINT)
+           AS n_words
+  FROM (
+    SELECT trim(unnest(string_split(array_to_string(a, ' '), '|')))
+      AS phrase
+    FROM rk_m
+  ) WHERE phrase <> ''
+    AND len(string_split(phrase, ' ')) <= {max_words}
+), rk_w AS (
+  SELECT w,
+         CAST(floor({scale}.0 * sum(n_words) / count(*)) AS BIGINT)
+           AS ws
+  FROM (SELECT n_words, unnest(string_split(phrase, ' ')) AS w
+        FROM rk_p)
+  GROUP BY w
+), rk_c AS (
+  SELECT phrase, n_words, CAST(count(*) AS BIGINT) AS n_occ
+  FROM rk_p GROUP BY phrase, n_words
+), rk_s AS (
+  SELECT e.phrase, CAST(sum(rk_w.ws) AS BIGINT) AS score_ppm
+  FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+        FROM rk_c) e
+  JOIN rk_w ON e.w = rk_w.w
+  GROUP BY e.phrase
+)
+SELECT c.phrase, c.n_words, c.n_occ, s.score_ppm
+FROM rk_c c JOIN rk_s s ON c.phrase = s.phrase
+ORDER BY s.score_ppm DESC, c.phrase
+LIMIT {k}"""

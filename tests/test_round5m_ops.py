@@ -284,3 +284,56 @@ def test_collab_weight_cap_is_deterministic_subset(spark):
         collab_weight_edges(mem, "d", "it", max_items_per_doc=1)
     with pytest.raises(ValueError):
         collab_weight_edges(mem, "d", "it", min_count=0)
+
+
+from biocypher_metta_spark.operators.text import (  # noqa: E402
+    rake_keyphrases,
+    rake_keyphrases_sql,
+)
+
+
+def test_rake_hand_scores(spark):
+    # phrases: "deep learning", "deep sea" (of/the are boundaries),
+    # "deep learning works". freq/deg: deep 3/7, learning 2/5,
+    # sea 1/2, works 1/3 -> word scores 2333333/2500000/2000000/
+    # 3000000; phrase scores are their sums of FLOORED terms.
+    hand = spark.createDataFrame(
+        [("1", "Deep learning of the deep sea"),
+         ("2", "deep learning works")],
+        "doc_id string, text string")
+    out = {r["phrase"]: (r["n_words"], r["n_occ"], r["score_ppm"])
+           for r in rake_keyphrases(hand, k=20).collect()}
+    assert out == {"deep learning": (2, 1, 4_833_333),
+                   "deep sea": (2, 1, 4_333_333),
+                   "deep learning works": (3, 1, 7_833_333)}
+
+
+def test_rake_boundaries_and_max_words(spark):
+    # punctuation-bearing and non-alpha tokens are boundaries; runs
+    # longer than max_words are dropped, not truncated; all-stopword
+    # docs emit nothing.
+    docs = spark.createDataFrame(
+        [("1", "alpha beta. gamma"), ("2", "the of and to"),
+         ("3", "one two three four five"), ("4", "x9 mixed")],
+        "doc_id string, text string")
+    out = {r["phrase"] for r in rake_keyphrases(docs, k=50).collect()}
+    assert "alpha beta." not in out and "gamma" in out
+    assert "one two three four five" not in out
+    assert "mixed" in out and "x9" not in out
+
+
+def test_rake_matches_duckdb_twin(spark):
+    words = ["spark", "engine", "the", "fast", "query", "of", "plan"]
+    texts = [" ".join(words[(i * 5 + j) % 7] for j in range(15))
+             for i in range(60)]
+    docs = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)],
+        "doc_id string, text string")
+    got = sorted(tuple(r) for r in rake_keyphrases(docs, k=80).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    [(str(i), t) for i, t in enumerate(texts)])
+    want = sorted(con.execute(
+        rake_keyphrases_sql("documents", k=80)).fetchall())
+    assert got == want
