@@ -1,6 +1,6 @@
 """10x scale rehearsal for the round-5m operators: per-group Gini,
 PMI collocations, OLS trend, chi-square independence,
-4-cycle census, collaboration-weight projection.
+4-cycle census, collaboration-weight projection, RAKE keyphrases.
 
 Same contract as rehearsal_r5b..r5k: each op runs at N and 10N in one
 JVM (warmup excluded); claimed shapes:
@@ -18,7 +18,9 @@ JVM (warmup excluded); claimed shapes:
 * four_cycles — cooccurrence projection over the adjacency: pair
   volume sum(deg^2); on the fixed-degree grid here, ~linear in edges;
 * collab — distinct + size join + doc-keyed self-join: ~linear when
-  per-doc membership is bounded (5 priorities per customer here).
+  per-doc membership is bounded (5 priorities per customer here);
+* rake — map-side phrase extraction + one word groupBy + vocab join
+  + phrase groupBy: ~linear in tokens at fixed vocabulary.
 
 Prints ONE JSON line per op and writes tools/rehearsal_r5m.json.
 """
@@ -128,6 +130,26 @@ def run_collab(spark, n: int) -> dict:
     return {"rows": n, "out": out, "sec": round(time.time() - t0, 2)}
 
 
+def run_rake(spark, n_docs: int) -> dict:
+    from biocypher_metta_spark.operators.text import rake_keyphrases
+
+    i = F.col("id")
+    # 30-token docs with stopword boundaries
+    # digits translate to letters so tokens match ^[a-z]+$ (a digit
+    # anywhere makes the token a BOUNDARY and no phrase ever forms)
+    word = lambda e: F.concat(F.lit("w"), F.translate(  # noqa: E731
+        (e % 800).cast("string"), "0123456789", "abcdefghij"))
+    # boundary every 4th token -> 3-word runs (a 5-word run would
+    # exceed max_words=4 and be dropped, not truncated)
+    parts = [F.lit("the") if j % 4 == 3
+             else word(i * 31 + j * 13) for j in range(30)]
+    docs = spark.range(n_docs).select(
+        F.concat_ws(" ", *parts).alias("text"))
+    t0 = time.time()
+    out = rake_keyphrases(docs, k=100).count()
+    return {"docs": n_docs, "out": out, "sec": round(time.time() - t0, 2)}
+
+
 def main() -> None:
     spark = get_spark("rehearsal-r5m")
     spark.sparkContext.setLogLevel("ERROR")
@@ -137,7 +159,8 @@ def main() -> None:
                         ("linreg", run_linreg, 5_000_000),
                         ("chisq", run_chisq, 5_000_000),
                         ("four_cycles", run_c4, 2_000_000),
-                        ("collab", run_collab, 2_000_000)]:
+                        ("collab", run_collab, 2_000_000),
+                        ("rake", run_rake, 200_000)]:
         fn(spark, max(n // 50, 1000))  # warmup, excluded
         a = fn(spark, n)
         b = fn(spark, n * 10)
