@@ -147,7 +147,7 @@ def main() -> None:
              "kg_ktruss", "rel_benford", "doc_readability",
              "rel_gini", "doc_pmi_collocations", "rel_linreg",
              "rel_chisq", "kg_four_cycles", "kg_collab_weight",
-             "doc_rake_keyphrases"]
+             "doc_rake_keyphrases", "rel_winsorize"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):

@@ -6700,6 +6700,36 @@ REL_LINREG_SQL = _linreg_sql(
 QUERIES["rel_linreg"] = (rel_linreg, REL_LINREG_SQL)
 
 
+def rel_winsorize(spark, sf_dir):
+    """Per-group winsorization (stats.winsorize, p=25 permille) of
+    order cents per customer bucket — the heavy-tail taming pass in
+    front of the moment-driven screens (outlier_flags, linreg).
+    Exact rank quantiles (integer-ceil cut, no interpolation), one
+    key shuffle serving both the rank and count windows, bounds
+    joined back co-partitioned. Oracle: winsorize_sql, same order
+    statistics."""
+    from biocypher_metta_spark.operators.stats import winsorize
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 8).alias("grp"),
+        F.col("o_orderkey").alias("okey"),
+        F.floor(F.col("o_totalprice") * 100).cast("long")
+        .alias("cents"))
+    return winsorize(o, ["grp"], "cents", p_permille=25)
+
+
+from biocypher_metta_spark.operators.stats import (  # noqa: E402
+    winsorize_sql as _winsorize_sql,
+)
+
+REL_WINSORIZE_SQL = _winsorize_sql(
+    """SELECT o_custkey % 8 AS grp, o_orderkey AS okey,
+  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders""",
+    ["grp"], "cents", ["grp", "okey", "cents"], p_permille=25)
+
+QUERIES["rel_winsorize"] = (rel_winsorize, REL_WINSORIZE_SQL)
+
+
 def rel_chisq(spark, sf_dir):
     """Per-group chi-square independence (stats.chisq) of order
     priority vs order status per customer bucket — the categorical
@@ -6966,6 +6996,7 @@ CK_COLUMNS = {
     "kg_four_cycles": ["c4", "id"],
     "kg_collab_weight": ["item_a", "item_b", "n_docs", "w_ppm"],
     "rel_chisq": ["chi2_ppm", "dof", "grp", "n_cells", "n_obs"],
+    "rel_winsorize": ["cents", "grp", "is_clamped", "okey"],
     "doc_pmi_collocations": ["n_pair", "pmi_ratio_ppm", "w1", "w2"],
     "doc_rake_keyphrases": ["n_occ", "n_words", "phrase", "score_ppm"],
     "doc_readability": ["doc_id", "fk_grade_milli", "n_sentences",
@@ -6999,7 +7030,8 @@ CK_COMPOSITES = {
                           "rel_funnel", "rel_outlier_flags",
                           "rel_event_transitions", "rel_twap",
                           "rel_funnel_windowed", "rel_autocorr",
-                          "rel_attribution", "rel_crosscorr"],
+                          "rel_attribution", "rel_crosscorr",
+                          "rel_winsorize"],
     "rel_range_family": ["rel_range_join", "rel_interval_overlap",
                          "rel_interval_merge", "rel_interval_stab"],
     "kg_peregrine_checks": ["kg_peregrine_enhancers", "kg_peregrine_edges"],

@@ -527,3 +527,103 @@ SELECT {keys}, CAST(max(n) AS BIGINT) AS n_obs,
        CAST(sum(term) + max(n) * 1000000::HUGEINT - sum(adj)
             AS BIGINT) AS chi2_ppm
 FROM x2_t GROUP BY {keys}"""
+
+
+def winsorize(df: DataFrame, key_cols: list[str], value_col: str,
+              p_permille: int = 10) -> DataFrame:
+    """Per-group winsorization: clamp each value into its group's
+    [p, 1000-p] permille band — the standard heavy-tail taming pass
+    before moment-based stats (outlier_flags and linreg are both
+    mean-driven; one fat-fingered 10^9 entry drags every flag and
+    slope with it).
+
+    Exact rank quantiles, no interpolation: on the ascending sort
+    x_(1..n), lo = x_(max(1, ceil(n*p/1000))) and
+    hi = x_(n+1-max(1, ceil(n*p/1000))) — ceil spelled as integer
+    (n*p + 999) div 1000, so both engines pick the identical order
+    statistic (a permille band narrower than 1/n clamps to the
+    min/max, i.e. nothing). Output: input columns with the value
+    REPLACED by its clamped form, plus is_clamped. NULL values pass
+    through unclamped (is_clamped false), never entering the ranks.
+
+    Scale shape: one shuffle on the group key for the rank window
+    (hot-group caveat as gini — the histogram form is the escape
+    hatch), a two-row-per-group bounds aggregate, and one
+    co-partitioned join back (bounds side is one row per key)."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if not 0 < p_permille < 500:
+        raise ValueError("p_permille must be in (0, 500), got "
+                         f"{p_permille}")
+    for c in ("is_clamped", "_rn", "_lo", "_hi"):
+        if c in df.columns:
+            raise ValueError(f"input must not already have column {c!r}")
+    from pyspark.sql.window import Window
+
+    vals = df.filter(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*key_cols).orderBy(F.col("_v"))
+    wk = Window.partitionBy(*key_cols)
+    # the count window rides the same key partitioning as the rank —
+    # one shuffle serves both
+    ranked = (vals.select(*key_cols, F.col(value_col).alias("_v"))
+              .withColumn("_rn", F.row_number().over(w))
+              .withColumn("_n", F.count(F.lit(1)).over(wk)))
+    cut = F.greatest(
+        F.expr(f"(_n * {p_permille} + 999) div 1000"), F.lit(1))
+    bounds = (ranked.groupBy(*key_cols)
+              .agg(F.min(F.when(F.col("_rn") >= cut, F.col("_v")))
+                   .alias("_lo"),
+                   F.max(F.when(F.col("_rn") <= F.col("_n") - cut + 1,
+                                F.col("_v"))).alias("_hi")))
+    j = df.join(bounds, key_cols, "left")
+    v = F.col(value_col)
+    clamped = F.when(v.isNull(), v) \
+        .when(v < F.col("_lo"), F.col("_lo")) \
+        .when(v > F.col("_hi"), F.col("_hi")) \
+        .otherwise(v)
+    return j.select(
+        *[clamped.alias(c) if c == value_col else F.col(c)
+          for c in df.columns],
+        (v.isNotNull() & ((v < F.col("_lo")) | (v > F.col("_hi"))))
+        .alias("is_clamped"))
+
+
+def winsorize_sql(input_sql: str, key_cols: list[str],
+                  value_col: str, out_cols: list[str],
+                  p_permille: int = 10) -> str:
+    """DuckDB twin of winsorize: same rank recurrence and integer
+    ceil, window spelling for the bounds."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if not 0 < p_permille < 500:
+        raise ValueError("p_permille must be in (0, 500)")
+    keys = ", ".join(key_cols)
+    v = value_col
+    cols = ", ".join(
+        (f"CASE WHEN {v} IS NULL THEN {v} "
+         f"WHEN {v} < b.lo THEN b.lo "
+         f"WHEN {v} > b.hi THEN b.hi ELSE {v} END AS {v}")
+        if c == v else c for c in out_cols)
+    return f"""WITH wz_in AS MATERIALIZED (
+  SELECT * FROM (
+{input_sql.strip()}
+  )
+), wz_r AS (
+  SELECT {keys}, {v} AS vv,
+         row_number() OVER (PARTITION BY {keys} ORDER BY {v}) AS rn,
+         count(*) OVER (PARTITION BY {keys}) AS n
+  FROM wz_in WHERE {v} IS NOT NULL
+), wz_b AS (
+  SELECT {keys},
+         min(CASE WHEN rn >= greatest((n * {p_permille} + 999)
+                                      // 1000, 1)
+                  THEN vv END) AS lo,
+         max(CASE WHEN rn <= n - greatest((n * {p_permille} + 999)
+                                          // 1000, 1) + 1
+                  THEN vv END) AS hi
+  FROM wz_r GROUP BY {keys}
+)
+SELECT {cols},
+       ({v} IS NOT NULL AND ({v} < b.lo OR {v} > b.hi))
+         AS is_clamped
+FROM wz_in LEFT JOIN wz_b b USING ({keys})"""

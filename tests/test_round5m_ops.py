@@ -337,3 +337,60 @@ def test_rake_matches_duckdb_twin(spark):
     want = sorted(con.execute(
         rake_keyphrases_sql("documents", k=80)).fetchall())
     assert got == want
+
+
+from biocypher_metta_spark.operators.stats import (  # noqa: E402
+    winsorize,
+    winsorize_sql,
+)
+
+
+def test_winsorize_hand_band_and_nulls(spark):
+    # 1..100 at p=50: cut = ceil(100*50/1000) = 5, band [x_5, x_96]
+    # = [5, 96]; 8 rows clamp (1-4, 97-100); the NULL row passes
+    # through unclamped with is_clamped FALSE (not NULL).
+    df = spark.createDataFrame(
+        [("g", i) for i in range(1, 101)] + [("g", None)],
+        "g string, v long")
+    out = winsorize(df, ["g"], "v", p_permille=50).collect()
+    vals = sorted(r["v"] for r in out if r["v"] is not None)
+    assert vals[0] == 5 and vals[-1] == 96
+    assert sum(1 for r in out if r["is_clamped"]) == 8
+    assert [r for r in out if r["v"] is None][0]["is_clamped"] is False
+
+
+def test_winsorize_tiny_group_clamps_nothing(spark):
+    # n=3 at p=10: cut = ceil(0.03) = 1 -> band [min, max], nothing
+    # clamps; a band narrower than 1/n degrades to the identity.
+    df = spark.createDataFrame([("g", 1), ("g", 50), ("g", 99)],
+                               "g string, v long")
+    out = winsorize(df, ["g"], "v", p_permille=10).collect()
+    assert sorted(r["v"] for r in out) == [1, 50, 99]
+    assert not any(r["is_clamped"] for r in out)
+
+
+def test_winsorize_matches_duckdb_twin(spark):
+    rows = [(f"g{i % 3}", i, (i * 37 + 11) % 10007) for i in range(600)]
+    df = spark.createDataFrame(rows, "g string, k long, v long")
+    got = sorted(tuple(r) for r in
+                 winsorize(df, ["g"], "v", 25).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, k BIGINT, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = sorted(tuple(r) for r in con.execute(winsorize_sql(
+        "SELECT g, k, v FROM t", ["g"], "v", ["g", "k", "v"], 25))
+        .fetchall())
+    assert got == want
+
+
+def test_winsorize_rejects_bad_args(spark):
+    df = spark.createDataFrame([("a", 1)], "g string, is_clamped long")
+    with pytest.raises(ValueError):
+        winsorize(df, [], "is_clamped")
+    with pytest.raises(ValueError):
+        winsorize(df, ["g"], "is_clamped")
+    df2 = spark.createDataFrame([("a", 1)], "g string, v long")
+    with pytest.raises(ValueError):
+        winsorize(df2, ["g"], "v", p_permille=0)
+    with pytest.raises(ValueError):
+        winsorize(df2, ["g"], "v", p_permille=500)
