@@ -147,7 +147,8 @@ def main() -> None:
              "kg_ktruss", "rel_benford", "doc_readability",
              "rel_gini", "doc_pmi_collocations", "rel_linreg",
              "rel_chisq", "kg_four_cycles", "kg_collab_weight",
-             "doc_rake_keyphrases", "rel_winsorize"]
+             "doc_rake_keyphrases", "rel_winsorize",
+             "rel_decile_lift", "doc_ngram_novelty"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):

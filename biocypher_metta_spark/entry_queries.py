@@ -6777,6 +6777,54 @@ from biocypher_metta_spark.operators.text import (  # noqa: E402
 QUERIES["doc_pmi_collocations"] = (doc_pmi_collocations, _pmi_sql())
 
 
+def rel_decile_lift(spark, sf_dir):
+    """Gains/lift table (stats.decile_lift): order spend deciles vs
+    the finished-status flag. Scale-true VALUE-TIED deciles — rows
+    aggregate per distinct score first, the only single-partition
+    step runs over the score-cardinality-sized value rows, and a tie
+    block lands wholly in bucket (cum_before*10) div N, identically
+    in both engines. Oracle: decile_lift_sql, same recurrence."""
+    from biocypher_metta_spark.operators.stats import decile_lift
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("long")
+        .alias("cents"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("y"))
+    return decile_lift(o, "cents", "y")
+
+
+from biocypher_metta_spark.operators.stats import (  # noqa: E402
+    decile_lift_sql as _decile_lift_sql,
+)
+
+REL_DECILE_LIFT_SQL = _decile_lift_sql(
+    """SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+  CAST(o_orderstatus = 'F' AS BIGINT) AS y FROM orders""",
+    "cents", "y")
+
+QUERIES["rel_decile_lift"] = (rel_decile_lift, REL_DECILE_LIFT_SQL)
+
+
+def doc_ngram_novelty(spark, sf_dir):
+    """Cross-doc 5-gram novelty (text.ngram_novelty) over documents
+    — the memorization-risk / boilerplate-assembly screen
+    complementing the within-doc Gopher repetition filters; the
+    corpus is its own reference (vs doc_ngram_excise's external
+    list). Grams travel as 60-bit portable hashes. Oracle:
+    ngram_novelty_sql, same hash and sharing rule."""
+    from biocypher_metta_spark.operators.text import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"))
+
+
+from biocypher_metta_spark.operators.text import (  # noqa: E402
+    ngram_novelty_sql as _ngram_novelty_sql,
+)
+
+QUERIES["doc_ngram_novelty"] = (doc_ngram_novelty,
+                                _ngram_novelty_sql())
+
+
 def doc_rake_keyphrases(spark, sf_dir):
     """RAKE keyphrase extraction (text.rake_keyphrases, top-100) over
     documents — the multi-word complement to doc_tfidf_topk: boundary
@@ -6997,6 +7045,10 @@ CK_COLUMNS = {
     "kg_collab_weight": ["item_a", "item_b", "n_docs", "w_ppm"],
     "rel_chisq": ["chi2_ppm", "dof", "grp", "n_cells", "n_obs"],
     "rel_winsorize": ["cents", "grp", "is_clamped", "okey"],
+    "rel_decile_lift": ["bucket", "conv", "cum_lift_ppm", "n",
+                        "rate_ppm"],
+    "doc_ngram_novelty": ["doc_id", "n_grams", "n_shared",
+                          "novelty_ppm"],
     "doc_pmi_collocations": ["n_pair", "pmi_ratio_ppm", "w1", "w2"],
     "doc_rake_keyphrases": ["n_occ", "n_words", "phrase", "score_ppm"],
     "doc_readability": ["doc_id", "fk_grade_milli", "n_sentences",
@@ -7023,7 +7075,7 @@ CK_COMPOSITES = {
                        "rel_dq_profile", "rel_retention", "rel_skyline",
                        "rel_itemsets", "rel_hll_sketch",
                        "rel_benford", "rel_gini", "rel_linreg",
-                       "rel_chisq"],
+                       "rel_chisq", "rel_decile_lift"],
     "rel_window_checks": ["rel_window_rank", "rel_events_hourly",
                           "rel_session_window", "rel_scd2_intervals",
                           "rel_gapfill_locf", "rel_ewma",
@@ -7053,7 +7105,8 @@ CK_COMPOSITES = {
                             "doc_strip_markup", "web_link_edges",
                             "doc_rrf_fusion", "emb_mmr_rerank",
                             "doc_dsir_scores",
-                            "doc_retrieval_ladder", "web_anchor_text"],
+                            "doc_retrieval_ladder", "web_anchor_text",
+                            "doc_ngram_novelty"],
     "kg_graph_checks": ["kg_pagerank", "kg_hits", "emb_semantic_dedup",
                         "emb_kmeans", "emb_pq_topk",
                         "kg_triangles", "kg_kcore",

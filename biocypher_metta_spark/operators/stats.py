@@ -627,3 +627,112 @@ SELECT {cols},
        ({v} IS NOT NULL AND ({v} < b.lo OR {v} > b.hi))
          AS is_clamped
 FROM wz_in LEFT JOIN wz_b b USING ({keys})"""
+
+
+def decile_lift(df: DataFrame, score_col: str, label_col: str,
+                buckets: int = 10) -> DataFrame:
+    """Gains/lift table: rank rows by score DESC into `buckets`
+    bands and report each band's response rate and cumulative lift
+    vs the base rate — THE model-evaluation readout for any scoring
+    pipeline (does the top decile really convert more?).
+
+    Scale-true decile assignment: ntile() needs a global row order —
+    a single-partition sort over the FULL input. Instead deciles are
+    VALUE-TIED (percentile_disc-style, documented semantics): rows
+    aggregate per distinct score first, the cumulative count runs
+    over the AGGREGATED value rows (score-cardinality-sized, the
+    only single-partition step), and a tie block lands wholly in the
+    bucket of its first element: bucket = (cum_before * B) div N.
+    Identical formula both engines, so ties can never straddle
+    differently. label is 0/1 (NULL label counts as 0; NULL scores
+    dropped).
+
+    rate_ppm = floor(1e6 * conv / n) per bucket;
+    cum_lift_ppm = floor(1e6 * cum_conv * N / (cum_n * C)) — exact
+    integer floors (IEEE-stable division of exact ints), lift > 1e6
+    means the top bands beat the base rate. All-zero-conversion
+    inputs (C = 0) emit NULL lift rather than dividing by zero."""
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    for c in ("bucket", "n", "conv", "rate_ppm", "cum_lift_ppm"):
+        if c in df.columns:
+            raise ValueError(f"input must not already have column {c!r}")
+    from pyspark.sql.window import Window
+
+    # NB: totals are _nt/_ct, NOT _N/_C — Spark resolves column names
+    # case-insensitively by default, so withColumn("_N", ...) would
+    # silently REPLACE "_n"
+    per_v = (df.filter(F.col(score_col).isNotNull())
+             .groupBy(F.col(score_col).alias("_s"))
+             .agg(F.count(F.lit(1)).alias("_n"),
+                  F.sum(F.coalesce(F.col(label_col), F.lit(0)))
+                  .alias("_c")))
+    wall = Window.partitionBy()
+    wcum = (Window.partitionBy().orderBy(F.col("_s").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    v = (per_v
+         .withColumn("_nt", F.sum("_n").over(wall))
+         .withColumn("_ct", F.sum("_c").over(wall))
+         .withColumn("_cum", F.sum("_n").over(wcum)))
+    v = v.withColumn(
+        "bucket",
+        F.expr(f"(( _cum - _n) * {buckets}) div _nt").cast("long"))
+    agg = (v.groupBy("bucket")
+           .agg(F.sum("_n").cast("long").alias("n"),
+                F.sum("_c").cast("long").alias("conv"),
+                F.max("_nt").alias("_nt"), F.max("_ct").alias("_ct")))
+    wb = (Window.partitionBy().orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    agg = (agg.withColumn("_cn", F.sum("n").over(wb))
+           .withColumn("_cc", F.sum("conv").over(wb)))
+    return agg.select(
+        "bucket", "n", "conv",
+        F.floor(F.col("conv") * 1_000_000.0 / F.col("n"))
+        .cast("long").alias("rate_ppm"),
+        F.when(F.col("_ct") == 0, F.lit(None)).otherwise(
+            F.floor(F.col("_cc") * 1_000_000.0 * F.col("_nt")
+                    / (F.col("_cn") * F.col("_ct"))))
+        .cast("long").alias("cum_lift_ppm"))
+
+
+def decile_lift_sql(input_sql: str, score_col: str, label_col: str,
+                    buckets: int = 10) -> str:
+    """DuckDB twin of decile_lift: same value-tied bucket formula,
+    same integer floors."""
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    s, lb = score_col, label_col
+    return f"""WITH dl_v AS (
+  SELECT {s} AS sv, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(coalesce({lb}, 0)) AS BIGINT) AS c
+  FROM (
+{input_sql.strip()}
+  ) WHERE {s} IS NOT NULL
+  GROUP BY {s}
+), dl_c AS (
+  SELECT sv, n, c,
+         sum(n) OVER () AS nn, sum(c) OVER () AS cc,
+         sum(n) OVER (ORDER BY sv DESC
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM dl_v
+), dl_b AS (
+  SELECT ((cum - n) * {buckets}) // nn AS bucket, n, c, nn, cc
+  FROM dl_c
+), dl_a AS (
+  SELECT bucket, CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS conv,
+         max(nn) AS nn, max(cc) AS cc
+  FROM dl_b GROUP BY bucket
+), dl_w AS (
+  SELECT *, sum(n) OVER (ORDER BY bucket
+                         ROWS UNBOUNDED PRECEDING) AS cn,
+            sum(conv) OVER (ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS ccum
+  FROM dl_a
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, n, conv,
+       CAST(floor(conv * 1000000.0 / n) AS BIGINT) AS rate_ppm,
+       CASE WHEN cc = 0 THEN NULL
+            ELSE CAST(floor(ccum * 1000000.0 * nn / (cn * cc))
+                      AS BIGINT) END AS cum_lift_ppm
+FROM dl_w"""

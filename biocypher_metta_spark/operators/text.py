@@ -1331,3 +1331,99 @@ SELECT c.phrase, c.n_words, c.n_occ, s.score_ppm
 FROM rk_c c JOIN rk_s s ON c.phrase = s.phrase
 ORDER BY s.score_ppm DESC, c.phrase
 LIMIT {k}"""
+
+
+def ngram_novelty(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 5) -> DataFrame:
+    """Per-doc cross-corpus n-gram novelty: (doc_id, n_grams,
+    n_shared, novelty_ppm) where n_shared counts the doc's word
+    n-gram positions whose gram also appears in ANOTHER doc, and
+    novelty_ppm = floor(1e6 * (n_grams - n_shared) / n_grams) — the
+    cross-doc complement to the WITHIN-doc Gopher repetition
+    screens: low novelty means the doc is assembled from corpus
+    boilerplate (template farms, mirrored passages), the
+    memorization-risk signal RefinedWeb-style pipelines threshold
+    on. Distinct from doc_ngram_excise (which removes grams matching
+    an EXTERNAL contamination list; here the corpus is its own
+    reference).
+
+    A gram occurring twice inside one doc only is NOT shared —
+    sharing means distinct-doc count >= 2, computed on the distinct
+    (gram, doc) pairs. Docs shorter than n words emit n_grams = 0
+    with NULL novelty (no denominator to quantize).
+
+    Scale shape: map-side gram explode; ONE distinct + groupBy on
+    the gram key (map-side combine absorbs boilerplate heat);
+    join back on the gram key (frequency-skewed but build side is
+    one row per gram — AQE skew territory); final mergeable per-doc
+    sum. Grams travel as 60-bit portable hashes, not strings — the
+    shuffle carries 8 bytes per gram either side."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = (df.select(F.col(id_col), toks.alias("_t"))
+             .select(F.col(id_col),
+                     F.explode(F.when(
+                         F.size("_t") >= n,
+                         F.expr(f"transform(sequence(1, size(_t) - "
+                                f"{n - 1}), i -> concat_ws(' ', "
+                                f"slice(_t, i, {n})))"))
+                         .otherwise(F.array())).alias("_g"))
+             .select(F.col(id_col), portable_hash(F.col("_g"))
+                     .alias("_h")))
+    doc_freq = (grams.select(id_col, "_h").distinct()
+                .groupBy("_h")
+                .agg(F.count(F.lit(1)).alias("_df")))
+    per_doc = (grams.join(doc_freq, "_h")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+                    F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0))
+                    .cast("long").alias("n_shared")))
+    short = (df.select(F.col(id_col), toks.alias("_t"))
+             .filter(F.size("_t") < n)
+             .select(F.col(id_col),
+                     F.lit(0).cast("long").alias("n_grams"),
+                     F.lit(0).cast("long").alias("n_shared")))
+    out = per_doc.unionByName(short)
+    return out.select(
+        id_col, "n_grams", "n_shared",
+        F.when(F.col("n_grams") == 0, F.lit(None)).otherwise(
+            F.floor((F.col("n_grams") - F.col("n_shared"))
+                    * 1_000_000.0 / F.col("n_grams")))
+        .cast("long").alias("novelty_ppm"))
+
+
+def ngram_novelty_sql(src: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 5) -> str:
+    """DuckDB twin of ngram_novelty: same tokenization, same 60-bit
+    gram hash, same distinct-doc sharing rule and floors."""
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    return f"""WITH nv_t AS MATERIALIZED (
+  SELECT {id_col},
+         regexp_split_to_array(trim(lower({text_col})), '\\s+') AS a
+  FROM {src}
+), nv_g AS MATERIALIZED (
+  SELECT {id_col},
+         ('0x' || substr(md5(array_to_string(
+            a[CAST(i AS INT):CAST(i AS INT) + {n - 1}], ' ')),
+            1, 15))::BIGINT AS h
+  FROM (SELECT {id_col}, a, unnest(range(1, len(a) - {n - 2})) AS i
+        FROM nv_t WHERE len(a) >= {n})
+), nv_df AS (
+  SELECT h, count(*) AS df
+  FROM (SELECT DISTINCT {id_col}, h FROM nv_g) GROUP BY h
+), nv_d AS (
+  SELECT g.{id_col}, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared
+  FROM nv_g g JOIN nv_df f ON g.h = f.h
+  GROUP BY g.{id_col}
+  UNION ALL
+  SELECT {id_col}, 0, 0 FROM nv_t WHERE len(a) < {n}
+)
+SELECT {id_col}, n_grams, n_shared,
+       CASE WHEN n_grams = 0 THEN NULL
+            ELSE CAST(floor((n_grams - n_shared) * 1000000.0
+                            / n_grams) AS BIGINT) END AS novelty_ppm
+FROM nv_d"""

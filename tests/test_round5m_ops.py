@@ -394,3 +394,94 @@ def test_winsorize_rejects_bad_args(spark):
         winsorize(df2, ["g"], "v", p_permille=0)
     with pytest.raises(ValueError):
         winsorize(df2, ["g"], "v", p_permille=500)
+
+
+from biocypher_metta_spark.operators.stats import (  # noqa: E402
+    decile_lift,
+    decile_lift_sql,
+)
+from biocypher_metta_spark.operators.text import (  # noqa: E402
+    ngram_novelty,
+    ngram_novelty_sql,
+)
+
+
+def test_decile_lift_hand_and_zero_conv(spark):
+    # unique scores 1..100, top 20 convert: buckets 0/1 fully
+    # convert (rate 1e6, cum lift 5x base), bucket 2 dilutes the
+    # cumulative to 20/30 over base 0.2 -> 3333333.
+    df = spark.createDataFrame(
+        [(i, 1 if i > 80 else 0) for i in range(1, 101)],
+        "s long, y long")
+    out = {r["bucket"]: (r["n"], r["conv"], r["rate_ppm"],
+                         r["cum_lift_ppm"])
+           for r in decile_lift(df, "s", "y").collect()}
+    assert out[0] == (10, 10, 1_000_000, 5_000_000)
+    assert out[1] == (10, 10, 1_000_000, 5_000_000)
+    assert out[2] == (10, 0, 0, 3_333_333)
+    assert out[9][1] == 0
+    # zero conversions anywhere: lift NULL, not a crash
+    z = spark.createDataFrame([(i, 0) for i in range(50)],
+                              "s long, y long")
+    zo = decile_lift(z, "s", "y").collect()
+    assert all(r["cum_lift_ppm"] is None for r in zo)
+
+
+def test_decile_lift_tie_block_stays_whole(spark):
+    # 90 rows score=5 and 10 rows score=9: the tie block lands
+    # WHOLLY in the bucket of its first element (value-tied
+    # semantics) — buckets are {1: the 10 nines}, {1..9 would have
+    # split under ntile}: here (cum_before=10)*10 div 100 = 1.
+    df = spark.createDataFrame(
+        [(9, 1)] * 10 + [(5, 0)] * 90, "s long, y long")
+    out = {r["bucket"]: (r["n"], r["conv"])
+           for r in decile_lift(df, "s", "y").collect()}
+    assert out == {0: (10, 10), 1: (90, 0)}
+
+
+def test_decile_lift_matches_duckdb_twin(spark):
+    rows = [((i * 37) % 97, 1 if (i * 11) % 5 == 0 else 0)
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "s long, y long")
+    got = sorted(tuple(r) for r in decile_lift(df, "s", "y").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (s BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(con.execute(
+        decile_lift_sql("SELECT s, y FROM t", "s", "y")).fetchall())
+    assert got == want
+
+
+def test_ngram_novelty_hand_cases(spark):
+    # doc1's single 5-gram is shared with doc2; doc2's second gram
+    # is unique; doc3 fully novel; doc4 too short (0 grams, NULL);
+    # a gram repeated WITHIN one doc only is not shared.
+    docs = spark.createDataFrame(
+        [("1", "a b c d e"), ("2", "a b c d e f"),
+         ("3", "one two three four five six"), ("4", "tiny doc"),
+         ("5", "x y z w x y z w x y z w")],
+        "doc_id string, text string")
+    out = {r["doc_id"]: (r["n_grams"], r["n_shared"],
+                         r["novelty_ppm"])
+           for r in ngram_novelty(docs).collect()}
+    assert out["1"] == (1, 1, 0)
+    assert out["2"] == (2, 1, 500_000)
+    assert out["3"] == (2, 0, 1_000_000)
+    assert out["4"] == (0, 0, None)
+    assert out["5"] == (8, 0, 1_000_000)  # self-repeats not shared
+
+
+def test_ngram_novelty_matches_duckdb_twin(spark):
+    words = ["red", "blue", "green", "gold", "gray", "pink"]
+    texts = [" ".join(words[(i * 5 + j) % 6] for j in range(12))
+             for i in range(40)] + ["one two"]
+    docs = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)],
+        "doc_id string, text string")
+    got = sorted(tuple(r) for r in ngram_novelty(docs).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    [(str(i), t) for i, t in enumerate(texts)])
+    want = sorted(con.execute(ngram_novelty_sql()).fetchall())
+    assert got == want
