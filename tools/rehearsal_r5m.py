@@ -1,6 +1,7 @@
 """10x scale rehearsal for the round-5m operators: per-group Gini,
 PMI collocations, OLS trend, chi-square independence,
-4-cycle census, collaboration-weight projection, RAKE keyphrases.
+4-cycle census, collaboration-weight projection, RAKE keyphrases,
+winsorize, decile lift, n-gram novelty.
 
 Same contract as rehearsal_r5b..r5k: each op runs at N and 10N in one
 JVM (warmup excluded); claimed shapes:
@@ -20,7 +21,13 @@ JVM (warmup excluded); claimed shapes:
 * collab — distinct + size join + doc-keyed self-join: ~linear when
   per-doc membership is bounded (5 priorities per customer here);
 * rake — map-side phrase extraction + one word groupBy + vocab join
-  + phrase groupBy: ~linear in tokens at fixed vocabulary.
+  + phrase groupBy: ~linear in tokens at fixed vocabulary;
+* winsorize — rank+count windows on one key shuffle + bounds join:
+  ~linear while groups stay sortable;
+* decile_lift — per-value groupBy then value-cardinality-sized
+  single-partition windows: ~linear in rows at fixed value domain;
+* novelty — gram explode + distinct + gram groupBy + join back:
+  ~linear in tokens (gram keys are 60-bit hashes).
 
 Prints ONE JSON line per op and writes tools/rehearsal_r5m.json.
 """
@@ -150,6 +157,47 @@ def run_rake(spark, n_docs: int) -> dict:
     return {"docs": n_docs, "out": out, "sec": round(time.time() - t0, 2)}
 
 
+def run_winsorize(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.stats import winsorize
+
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("grp"),
+        ((F.col("id") * 37 + 11) % 100000).alias("v"))
+    t0 = time.time()
+    # count CLAMPED rows — a bare count() lets the optimizer prune
+    # the clamp projection; filtering on is_clamped forces the rank
+    # window and bounds join to actually run
+    out = winsorize(df, ["grp"], "v", 25).filter("is_clamped").count()
+    return {"rows": n, "out": out, "sec": round(time.time() - t0, 2)}
+
+
+def run_decile(spark, n: int) -> dict:
+    from biocypher_metta_spark.operators.stats import decile_lift
+
+    i = F.col("id")
+    df = spark.range(n).select(
+        ((i * 37 + 11) % 10007).alias("s"),
+        ((i * 13) % 7 == 0).cast("long").alias("y"))
+    t0 = time.time()
+    out = decile_lift(df, "s", "y").count()
+    return {"rows": n, "out": out, "sec": round(time.time() - t0, 2)}
+
+
+def run_novelty(spark, n_docs: int) -> dict:
+    from biocypher_metta_spark.operators.text import ngram_novelty
+
+    i = F.col("id")
+    word = lambda e: F.concat(F.lit("w"), F.translate(  # noqa: E731
+        (e % 3000).cast("string"), "0123456789", "abcdefghij"))
+    docs = spark.range(n_docs).select(
+        i.cast("string").alias("doc_id"),
+        F.concat_ws(" ", *[word(i * 29 + j * 11)
+                           for j in range(25)]).alias("text"))
+    t0 = time.time()
+    out = ngram_novelty(docs).count()
+    return {"docs": n_docs, "out": out, "sec": round(time.time() - t0, 2)}
+
+
 def main() -> None:
     spark = get_spark("rehearsal-r5m")
     spark.sparkContext.setLogLevel("ERROR")
@@ -160,7 +208,10 @@ def main() -> None:
                         ("chisq", run_chisq, 5_000_000),
                         ("four_cycles", run_c4, 2_000_000),
                         ("collab", run_collab, 2_000_000),
-                        ("rake", run_rake, 200_000)]:
+                        ("rake", run_rake, 200_000),
+                        ("winsorize", run_winsorize, 5_000_000),
+                        ("decile", run_decile, 5_000_000),
+                        ("novelty", run_novelty, 200_000)]:
         fn(spark, max(n // 50, 1000))  # warmup, excluded
         a = fn(spark, n)
         b = fn(spark, n * 10)
