@@ -6843,6 +6843,41 @@ from biocypher_metta_spark.operators.text import (  # noqa: E402
 QUERIES["doc_rake_keyphrases"] = (doc_rake_keyphrases, _rake_sql())
 
 
+def doc_heavy_tokens(spark, sf_dir):
+    """Exact heavy-hitter tokens (sketch.heavy_hitters: per-partition
+    Misra-Gries candidates, map-only, then an exact rescan of only the
+    bounded candidate set) over the documents token stream — the
+    shuffle-bounded sibling of doc_cms_topfreq for domains with 10^9+
+    distinct keys where a plain groupBy's shuffle is the bottleneck.
+    Threshold 33 permille splits this corpus's vocabulary
+    non-trivially; output is EXACT counts, so the oracle is the plain
+    GROUP BY ... HAVING the two-pass path provably equals."""
+    from biocypher_metta_spark.operators.sketch import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.filter(F.col("text").isNotNull())
+            .select(F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+                    .alias("tok"))
+            .filter(F.col("tok") != ""))
+    return heavy_hitters(toks, "tok", min_freq_permille=33, capacity=64)
+
+
+from biocypher_metta_spark.operators.sketch import (  # noqa: E402
+    heavy_hitters_sql as _hh_sql,
+)
+
+_HH_TOK_SRC = r"""
+SELECT tok FROM (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+) WHERE tok <> ''
+"""
+
+QUERIES["doc_heavy_tokens"] = (
+    doc_heavy_tokens,
+    _hh_sql(_HH_TOK_SRC, col="tok", min_freq_permille=33))
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -7049,6 +7084,7 @@ CK_COLUMNS = {
                         "rate_ppm"],
     "doc_ngram_novelty": ["doc_id", "n_grams", "n_shared",
                           "novelty_ppm"],
+    "doc_heavy_tokens": ["cnt", "value"],
     "doc_pmi_collocations": ["n_pair", "pmi_ratio_ppm", "w1", "w2"],
     "doc_rake_keyphrases": ["n_occ", "n_words", "phrase", "score_ppm"],
     "doc_readability": ["doc_id", "fk_grade_milli", "n_sentences",
@@ -7106,7 +7142,7 @@ CK_COMPOSITES = {
                             "doc_rrf_fusion", "emb_mmr_rerank",
                             "doc_dsir_scores",
                             "doc_retrieval_ladder", "web_anchor_text",
-                            "doc_ngram_novelty"],
+                            "doc_ngram_novelty", "doc_heavy_tokens"],
     "kg_graph_checks": ["kg_pagerank", "kg_hits", "emb_semantic_dedup",
                         "emb_kmeans", "emb_pq_topk",
                         "kg_triangles", "kg_kcore",

@@ -642,3 +642,121 @@ def hll_distinct_by(df: DataFrame, group_cols: list,
     ~2.5*HLL_M distinct)."""
     return hll_estimate_from_registers(
         hll_registers_by(df, group_cols, col), group_cols)
+
+
+# ===========================================================================
+# Exact heavy hitters via Misra-Gries candidates + exact rescan
+# ===========================================================================
+
+HH_SUMMARY_SCHEMA = "value string, cnt long"
+
+
+def _mg_summarize(col: str, capacity: int):
+    """mapInPandas generator factory: one Misra-Gries summary per
+    PARTITION (the generator sees every Arrow batch of its partition,
+    so the dict persists across batches). Merging a batch is the
+    Agarwal et al. (PODS'12) mergeable-summaries reduction: add the
+    batch's exact value_counts into the dict, then — if over capacity —
+    subtract the (capacity+1)-th largest count from everything and
+    drop the non-positives. Each reduction removes >= (capacity+1)*t
+    mass, so the cumulative undercount of any surviving item is
+    <= N_part/(capacity+1): every item with partition frequency above
+    that bound is guaranteed to survive as a candidate. Emits the
+    candidate rows plus one (NULL, partition_total) row so the caller
+    can recover exact N without another scan."""
+    def gen(batches):
+        import pandas as pd
+
+        counts: dict = {}
+        total = 0
+        for pdf in batches:
+            vc = pdf[col].dropna().value_counts()
+            total += int(vc.sum())
+            for v, c in vc.items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > capacity:
+                t = sorted(counts.values(), reverse=True)[capacity]
+                counts = {k: c - t for k, c in counts.items() if c > t}
+        out = pd.DataFrame(
+            {"value": list(counts.keys()) + [None],
+             "cnt": list(counts.values()) + [total]})
+        yield out.astype({"cnt": "int64"})
+
+    return gen
+
+
+def heavy_hitters(df: DataFrame, col: str, min_freq_permille: int = 20,
+                  capacity: int = 256) -> DataFrame:
+    """EXACT (value, cnt) rows for every value of `col` whose frequency
+    is >= ceil(total * min_freq_permille / 1000) — the two-pass
+    candidate/rescan pattern that finds heavy hitters WITHOUT shuffling
+    the full key domain:
+
+      pass 1 (map-only, zero shuffle): a Misra-Gries summary per
+        partition bounds state to `capacity` rows per task regardless
+        of how many distinct values the partition holds;
+      pass 2: only rows matching the <= n_partitions*capacity
+        candidates (broadcast semi-join, pushed to the scan) are
+        grouped — the shuffle carries at most the candidate keys.
+
+    A plain groupBy+HAVING shuffles one record per distinct key per
+    partition after map-side combine — fine for small vocabularies,
+    the bottleneck when the domain is URLs/user-ids with 10^9+ distinct
+    values. Here the shuffle is bounded by the operator's parameters.
+
+    Correctness is parameter-checked, not hoped for: the MG guarantee
+    covers any item with global frequency > N/(capacity+1) (averaging:
+    such an item beats the bound in at least one partition), so the
+    constructor raises unless threshold > N/(capacity+1). The output is
+    therefore the EXACT heavy-hitter set with EXACT counts — candidates
+    below the threshold are discarded by the rescan, so partition
+    order / MG internals never leak into the result (what makes the
+    cross-engine oracle a plain GROUP BY ... HAVING).
+
+    The summaries are localCheckpoint'ed (tiny: <= partitions*capacity
+    + 1 rows each) and the one-row total pull is the same bounded
+    legitimacy class as bloom_prefilter's word collect."""
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    if not 1 <= min_freq_permille <= 1000:
+        raise ValueError("min_freq_permille must be in [1, 1000]")
+    src = (df.filter(F.col(col).isNotNull())
+           .select(F.col(col).cast("string").alias("_v")))
+    summ = src.mapInPandas(_mg_summarize("_v", capacity),
+                           schema=HH_SUMMARY_SCHEMA)
+    summ = summ.localCheckpoint(eager=True)
+    n_total = (summ.filter(F.col("value").isNull())
+               .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("n"))
+               .first()["n"])
+    threshold = (n_total * min_freq_permille + 999) // 1000
+    if n_total and threshold * (capacity + 1) <= n_total:
+        raise ValueError(
+            f"guarantee void: threshold {threshold} <= N/(capacity+1) "
+            f"= {n_total}/{capacity + 1} — raise capacity above "
+            f"{n_total // max(threshold, 1)} or the permille cutoff")
+    cand = summ.filter(F.col("value").isNotNull()).select("value").distinct()
+    return (src.join(F.broadcast(cand), src["_v"] == cand["value"],
+                     "left_semi")
+            .groupBy(F.col("_v").alias("value"))
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .filter(F.col("cnt") >= threshold))
+
+
+def heavy_hitters_sql(source_sql: str, col: str = "value",
+                      min_freq_permille: int = 20) -> str:
+    """DuckDB twin of heavy_hitters: the exact GROUP BY ... HAVING the
+    two-pass engine path is provably equal to (same integer ceil
+    threshold). `source_sql` yields one row per occurrence."""
+    return f"""
+WITH hh_src AS (
+  SELECT CAST("{col}" AS VARCHAR) AS value
+  FROM ({source_sql.strip()})
+  WHERE "{col}" IS NOT NULL
+), hh_tot AS (
+  SELECT count(*) AS n FROM hh_src
+)
+SELECT value, CAST(count(*) AS BIGINT) AS cnt
+FROM hh_src, hh_tot
+GROUP BY value, hh_tot.n
+HAVING count(*) >= (hh_tot.n * {min_freq_permille} + 999) // 1000
+"""
