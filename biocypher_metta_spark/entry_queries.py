@@ -6878,6 +6878,31 @@ QUERIES["doc_heavy_tokens"] = (
     _hh_sql(_HH_TOK_SRC, col="tok", min_freq_permille=33))
 
 
+def kg_betweenness(spark, sf_dir):
+    """Sampled-source betweenness centrality (graph.betweenness,
+    max_depth=5) over the same pseudorandom out-degree-2 cyclic graph
+    as kg_bfs from the same 5-seed source set — the bridge/bottleneck
+    centrality completing the family next to kg_pagerank/kg_hits/
+    kg_ppr (flow through a node, not into it). Per-edge dependency
+    terms are floor-quantized at scale 10^6 (the operator definition,
+    so both engines sum identical integers). Oracle: recursive-CTE
+    walk enumeration for (dist, sigma) + the backward recurrence
+    unrolled per depth (graph.betweenness_sql)."""
+    ids = _ids(spark, sf_dir)
+    m = F.col("i") % 5000
+    edges = (ids.select(m.alias("src"), ((m * 7 + 3) % 5000).alias("dst"))
+             .unionAll(ids.select(m.alias("src"),
+                                  ((m * 3 + 1) % 5000).alias("dst"))))
+    sources = ids.filter("i < 5").select(F.col("i").alias("node"))
+    return graph_ops.betweenness(edges, sources, max_depth=5)
+
+
+KG_BETWEENNESS_SQL = graph_ops.betweenness_sql(
+    _BFS_EDGES_SQL, _BFS_SOURCES_SQL, max_depth=5)
+
+QUERIES["kg_betweenness"] = (kg_betweenness, KG_BETWEENNESS_SQL)
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -7085,6 +7110,7 @@ CK_COLUMNS = {
     "doc_ngram_novelty": ["doc_id", "n_grams", "n_shared",
                           "novelty_ppm"],
     "doc_heavy_tokens": ["cnt", "value"],
+    "kg_betweenness": ["bc_scaled", "node"],
     "doc_pmi_collocations": ["n_pair", "pmi_ratio_ppm", "w1", "w2"],
     "doc_rake_keyphrases": ["n_occ", "n_words", "phrase", "score_ppm"],
     "doc_readability": ["doc_id", "fk_grade_milli", "n_sentences",
@@ -7155,7 +7181,7 @@ CK_COMPOSITES = {
                         "emb_random_projection", "emb_ivfpq_topk",
                         "kg_link_predict", "kg_assortativity",
                         "kg_ktruss", "kg_four_cycles",
-                        "kg_collab_weight"],
+                        "kg_collab_weight", "kg_betweenness"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",

@@ -1967,3 +1967,177 @@ JOIN cw_items b ON a.d = b.d AND a.it < b.it
 JOIN cw_sizes s ON a.d = s.d
 GROUP BY a.it, b.it
 HAVING count(*) >= {min_count}"""
+
+
+def betweenness(edges: DataFrame, sources: DataFrame, max_depth: int,
+                src: str = "src", dst: str = "dst",
+                scale: int = 1_000_000) -> DataFrame:
+    """Sampled-source betweenness centrality [Brandes 2001; sampling
+    per Brandes-Pich 2007]: (node, bc_scaled) where bc_scaled sums,
+    over the given source set, each node's shortest-path dependency
+    delta_s(v) = sum over successors w of (sigma_v/sigma_w) *
+    (scale + delta_s(w)) — the bridge/bottleneck centrality the degree
+    family (pagerank/HITS/PPR/assortativity) cannot see. Paths are
+    bounded at `max_depth` hops (the sssp_bounded contract: the bound
+    IS the semantics — total on cyclic graphs, equal to classic
+    betweenness when max_depth >= diameter). Nodes on no shortest-path
+    interior are absent (bc 0); each source's own row is excluded per
+    Brandes.
+
+    Deterministic quantization, not floats: each per-edge term is the
+    INTEGER floor(sigma_v * (scale + delta_w) / sigma_w) in
+    decimal(38,0), so both engines sum identical integers in any order
+    (the decile_lift/RAKE contract — per-edge quantization is the
+    operator definition). sigma_v <= sigma_w by the predecessor-sum
+    recurrence, so every term is <= scale + delta_w: no overflow
+    before 38 digits.
+
+    Scale shape: the forward pass is bfs_distances' frontier loop
+    lifted to (source, node) keys — each round shuffles O(frontier x
+    avg-degree) plus one sigma-sum groupBy, settled mass never
+    recirculates, early exit on an empty frontier; sigma rides the
+    frontier as a long. The predecessor DAG is built ONCE with two
+    co-keyed equi-joins, then each backward round is a depth-filtered
+    broadcast-sized lookup join + one groupBy — max_depth rounds
+    forward and backward, one localCheckpoint per round
+    (connected_components' lineage contract). Everything is linear in
+    |sources|: sampling the sources is the documented 100-TB bound.
+
+    Oracle twin (betweenness_sql) is an INDEPENDENT spelling: a
+    recursive-CTE walk enumeration (sigma = count of walks whose
+    length equals the min — a minimal-length walk cannot revisit, so
+    it IS a shortest path) and the backward recurrence unrolled as one
+    generated CTE per depth."""
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    dec = "decimal(38,0)"
+    e = (edges.select(F.col(src).alias("_es"), F.col(dst).alias("_ed"))
+         .filter(F.col("_es").isNotNull() & F.col("_ed").isNotNull()
+                 & (F.col("_es") != F.col("_ed")))
+         .distinct())
+    e = e.localCheckpoint(eager=True)
+    sp = (sources.select(F.col(sources.columns[0]).alias("s"))
+          .filter(F.col("s").isNotNull())
+          .distinct()
+          .select("s", F.col("s").alias("node"),
+                  F.lit(0).cast("int").alias("dist"),
+                  F.lit(1).cast("long").alias("sigma")))
+    sp = sp.localCheckpoint(eager=True)
+    frontier = sp
+    for k in range(1, max_depth + 1):
+        cand = (frontier.join(e, frontier["node"] == e["_es"])
+                .groupBy("s", F.col("_ed").alias("node"))
+                .agg(F.sum("sigma").alias("sigma")))
+        new = (cand.join(sp.select("s", "node"), ["s", "node"],
+                         "left_anti")
+               .select("s", "node", F.lit(k).cast("int").alias("dist"),
+                       "sigma"))
+        new = new.localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        sp = sp.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    sv = sp.select("s", F.col("node").alias("v"),
+                   F.col("dist").alias("dv"),
+                   F.col("sigma").alias("sig_v"))
+    sw = sp.select(F.col("s").alias("_ws"), F.col("node").alias("w"),
+                   F.col("dist").alias("dw"),
+                   F.col("sigma").alias("sig_w"))
+    pred = (sv.join(e, sv["v"] == e["_es"])
+            .join(sw, (F.col("s") == F.col("_ws"))
+                  & (F.col("_ed") == F.col("w"))
+                  & (F.col("dw") == F.col("dv") + 1))
+            .select("s", "v", "w", "dv", "sig_v", "sig_w"))
+    pred = pred.localCheckpoint(eager=True)
+    deeper = None
+    parts = []
+    for d in range(max_depth - 1, -1, -1):
+        pd_ = pred.filter(F.col("dv") == d)
+        if deeper is not None:
+            pd_ = pd_.join(
+                deeper.select("s", F.col("node").alias("w"),
+                              F.col("delta").alias("_dw")),
+                ["s", "w"], "left")
+        else:
+            pd_ = pd_.withColumn("_dw", F.lit(None).cast(dec))
+        num = (F.col("sig_v").cast(dec)
+               * (F.lit(scale).cast(dec)
+                  + F.coalesce(F.col("_dw"), F.lit(0).cast(dec))))
+        den = F.col("sig_w").cast(dec)
+        contrib = (num - num % den) / den  # all-nonneg floor division
+        cur = (pd_.groupBy("s", F.col("v").alias("node"))
+               .agg(F.sum(contrib).cast(dec).alias("delta")))
+        cur = cur.localCheckpoint(eager=True)
+        deeper = cur
+        parts.append(cur)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (out.filter(F.col("node") != F.col("s"))
+            .groupBy("node")
+            .agg(F.sum("delta").cast("long").alias("bc_scaled")))
+
+
+def betweenness_sql(edges_sql: str, sources_sql: str, max_depth: int,
+                    src: str = "src", dst: str = "dst",
+                    scale: int = 1_000_000) -> str:
+    """DuckDB twin of betweenness: recursive-CTE walk enumeration for
+    (dist, sigma) — sigma = count of minimal-length walks — and the
+    quantized backward recurrence unrolled as one generated CTE per
+    depth, HUGEINT `//` matching the engine's decimal(38,0) floor."""
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    delta_ctes = []
+    union_parts = []
+    for d in range(max_depth - 1, -1, -1):
+        if d == max_depth - 1:
+            delta_ctes.append(f"""bw_d{d} AS (
+  SELECT s, v AS node,
+         CAST(sum((sig_v * CAST({scale} AS HUGEINT)) // sig_w)
+              AS HUGEINT) AS delta
+  FROM bw_pred WHERE dv = {d} GROUP BY 1, 2
+)""")
+        else:
+            delta_ctes.append(f"""bw_d{d} AS (
+  SELECT p.s, p.v AS node,
+         CAST(sum((p.sig_v * (CAST({scale} AS HUGEINT)
+                              + coalesce(nd.delta, 0))) // p.sig_w)
+              AS HUGEINT) AS delta
+  FROM bw_pred p
+  LEFT JOIN bw_d{d + 1} nd ON nd.s = p.s AND nd.node = p.w
+  WHERE p.dv = {d} GROUP BY 1, 2
+)""")
+        union_parts.append(f"SELECT s, node, delta FROM bw_d{d}")
+    return f"""WITH RECURSIVE bw_edges AS MATERIALIZED (
+  SELECT DISTINCT {src} AS s, {dst} AS d FROM (
+{edges_sql.strip()}
+  ) WHERE {src} IS NOT NULL AND {dst} IS NOT NULL AND {src} <> {dst}
+), bw_src AS (
+  SELECT DISTINCT node FROM (
+{sources_sql.strip()}
+  ) WHERE node IS NOT NULL
+), bw_walk AS (
+  SELECT node AS s, node AS node, 0 AS len FROM bw_src
+  UNION ALL
+  SELECT w.s, e.d AS node, w.len + 1 AS len
+  FROM bw_walk w JOIN bw_edges e ON e.s = w.node
+  WHERE w.len < {max_depth}
+), bw_dist AS (
+  SELECT s, node, min(len) AS dist FROM bw_walk GROUP BY 1, 2
+), bw_ds AS (
+  SELECT dt.s, dt.node, dt.dist, CAST(count(*) AS HUGEINT) AS sig
+  FROM bw_walk w
+  JOIN bw_dist dt ON dt.s = w.s AND dt.node = w.node
+                 AND dt.dist = w.len
+  GROUP BY 1, 2, 3
+), bw_pred AS (
+  SELECT v.s, v.node AS v, wn.node AS w, v.dist AS dv,
+         v.sig AS sig_v, wn.sig AS sig_w
+  FROM bw_ds v
+  JOIN bw_edges e ON e.s = v.node
+  JOIN bw_ds wn ON wn.s = v.s AND wn.node = e.d
+               AND wn.dist = v.dist + 1
+), {", ".join(delta_ctes)}
+SELECT node, CAST(sum(delta) AS BIGINT) AS bc_scaled
+FROM ({" UNION ALL ".join(union_parts)})
+WHERE node <> s GROUP BY node"""

@@ -1,0 +1,68 @@
+"""Scale rehearsal for the round-5o operator: sampled-source
+betweenness (graph.betweenness).
+
+Claimed shape: forward = bfs-style frontier joins keyed by
+(source, node) — each of the max_depth rounds joins the frontier
+against the full edge table, so wall-clock tracks edges x rounds;
+everything downstream (pred DAG, backward rounds) is linear in
+|sources| x reachable-set. Two axes, one JVM, warmup excluded:
+
+  A: edges 2M -> 20M at fixed 1000 sources (edge-scan bound);
+  B: sources 1k -> 10k at fixed 2M edges (linear-in-sources bound).
+
+Prints ONE JSON line per run and writes tools/rehearsal_r5o.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from biocypher_metta_spark.session import get_spark  # noqa: E402
+
+
+def run_bw(spark, n_edges: int, n_sources: int) -> dict:
+    from biocypher_metta_spark.operators.graph import betweenness
+
+    n_nodes = n_edges // 2
+    i = F.col("id")
+    m = i % n_nodes
+    half = spark.range(n_edges // 2)
+    edges = (half.select(m.alias("src"),
+                         ((m * 7 + 3) % n_nodes).alias("dst"))
+             .unionAll(half.select(m.alias("src"),
+                                   ((m * 3 + 1) % n_nodes).alias("dst"))))
+    sources = spark.range(n_sources).select(F.col("id").alias("node"))
+    t0 = time.time()
+    out = betweenness(edges, sources, max_depth=5).count()
+    return {"edges": n_edges, "sources": n_sources, "out": out,
+            "sec": round(time.time() - t0, 2)}
+
+
+def main() -> None:
+    spark = get_spark("rehearsal-r5o")
+    spark.sparkContext.setLogLevel("ERROR")
+    run_bw(spark, 100_000, 100)  # warmup, excluded
+    a1 = run_bw(spark, 2_000_000, 1000)
+    a2 = run_bw(spark, 20_000_000, 1000)
+    b2 = run_bw(spark, 2_000_000, 10_000)
+    runs = {"edges_axis": {"n": a1, "10n": a2},
+            "sources_axis": {"n": a1, "10n": b2}}
+    print(json.dumps(runs))
+    ratios = {"edges_10x": round(a2["sec"] / max(a1["sec"], 0.01), 2),
+              "sources_10x": round(b2["sec"] / max(a1["sec"], 0.01), 2)}
+    out = {"runs": runs, "ratios": ratios}
+    (Path(__file__).parent / "rehearsal_r5o.json").write_text(
+        json.dumps(out) + "\n")
+    print(json.dumps({"ratios": ratios}))
+
+
+if __name__ == "__main__":
+    main()
