@@ -6903,6 +6903,43 @@ KG_BETWEENNESS_SQL = graph_ops.betweenness_sql(
 QUERIES["kg_betweenness"] = (kg_betweenness, KG_BETWEENNESS_SQL)
 
 
+def rel_cusum(spark, sf_dir):
+    """Two-sided CUSUM changepoint detection (stats.cusum) over the
+    same per-customer-bucket daily order-cents series as rel_ewma —
+    the mean-drift detector completing the time-series family (a slow
+    creep that never point-flags in rel_outlier_flags accumulates
+    here). The sequential Page recurrence runs distributed via its
+    running-extremum closed form: two stacked window passes on ONE
+    key shuffle. Oracle: the same closed form as DuckDB windows
+    (stats.cusum_sql)."""
+    from biocypher_metta_spark.operators.stats import cusum
+
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+    obs = (o.select((F.col("o_custkey") % 100).alias("grp"),
+                    day.cast("long").alias("day"),
+                    F.floor(F.col("o_totalprice") * 100).cast("long")
+                    .alias("c"))
+           .groupBy("grp", "day").agg(F.max("c").alias("cents")))
+    return cusum(obs, ["grp"], "day", "cents",
+                 target=15_000_000, slack=3_000_000, h=60_000_000)
+
+
+from biocypher_metta_spark.operators.stats import (  # noqa: E402
+    cusum_sql as _cusum_sql,
+)
+
+_CUSUM_OBS_SQL = """SELECT o_custkey % 100 AS grp,
+  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day,
+  max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+FROM orders GROUP BY 1, 2"""
+
+QUERIES["rel_cusum"] = (
+    rel_cusum,
+    _cusum_sql(_CUSUM_OBS_SQL, ["grp"], "day", "cents",
+               target=15_000_000, slack=3_000_000, h=60_000_000))
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -7111,6 +7148,8 @@ CK_COLUMNS = {
                           "novelty_ppm"],
     "doc_heavy_tokens": ["cnt", "value"],
     "kg_betweenness": ["bc_scaled", "node"],
+    "rel_cusum": ["alarm", "cusum_neg", "cusum_pos", "day", "grp",
+                  "value"],
     "doc_pmi_collocations": ["n_pair", "pmi_ratio_ppm", "w1", "w2"],
     "doc_rake_keyphrases": ["n_occ", "n_words", "phrase", "score_ppm"],
     "doc_readability": ["doc_id", "fk_grade_milli", "n_sentences",
@@ -7145,7 +7184,7 @@ CK_COMPOSITES = {
                           "rel_event_transitions", "rel_twap",
                           "rel_funnel_windowed", "rel_autocorr",
                           "rel_attribution", "rel_crosscorr",
-                          "rel_winsorize"],
+                          "rel_winsorize", "rel_cusum"],
     "rel_range_family": ["rel_range_join", "rel_interval_overlap",
                          "rel_interval_merge", "rel_interval_stab"],
     "kg_peregrine_checks": ["kg_peregrine_enhancers", "kg_peregrine_edges"],

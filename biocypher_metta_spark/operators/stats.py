@@ -21,7 +21,7 @@ window, no second shuffle of the big side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _DEC = "decimal(38,0)"
@@ -736,3 +736,97 @@ SELECT CAST(bucket AS BIGINT) AS bucket, n, conv,
             ELSE CAST(floor(ccum * 1000000.0 * nn / (cn * cc))
                       AS BIGINT) END AS cum_lift_ppm
 FROM dl_w"""
+
+
+def cusum(df: DataFrame, key_cols: list[str], ts_col: str,
+          value_col: str, target: int, slack: int,
+          h: int) -> DataFrame:
+    """Two-sided CUSUM changepoint detection [Page 1954] per key:
+    (key..., ts, value, cusum_pos, cusum_neg, alarm) where
+    cusum_pos_t = max(0-prefix form) of the classic recurrence
+    S+_t = max(0, S+_{t-1} + x_t - (target + slack)) and cusum_neg is
+    its downward mirror with k' = target - slack; alarm = 1 when
+    either side exceeds `h`. The mean-DRIFT detector completing the
+    time-series family next to outlier_flags (point deviations),
+    autocorr/crosscorr (dependence) and ewma (smoothing): a slow creep
+    that never individually z-flags still accumulates here.
+
+    The recurrence looks inherently sequential, but it has the exact
+    running-extremum closed form
+        S+_t = P_t - min(0, min_{j<=t} P_j),   P_t = prefix sum of
+                                                (x - target - slack)
+        S-_t = max(0, max_{j<=t} P'_j) - P'_t,  P' with k' = target
+                                                - slack
+    (the min(0, ...) term is the empty prefix: S+ restarts from 0), so
+    it distributes as TWO stacked window passes over ONE key shuffle
+    and one sort — prefix sums first, running extrema over them second,
+    identical window spec so no second exchange. All arithmetic is
+    int64 on pre-quantized integer values (the ewma caller contract:
+    unique (key, ts) pairs — ties would make the frame order
+    engine-dependent — and NULL values are dropped).
+
+    Oracle twin (cusum_sql) is the same closed form spelled as DuckDB
+    windows — the cross-engine check would be impossible for a
+    row-at-a-time recurrence, which is exactly why the closed form is
+    the operator definition."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if slack < 0:
+        raise ValueError(f"slack must be >= 0, got {slack}")
+    if h <= 0:
+        raise ValueError(f"h must be > 0, got {h}")
+    for c in ("_pp", "_pm", "value", "cusum_pos", "cusum_neg", "alarm"):
+        if c in key_cols or c == ts_col:
+            raise ValueError(f"reserved output column name {c!r}")
+    x = F.col(value_col).cast("long")
+    w = (Window.partitionBy(*key_cols).orderBy(ts_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    p = (df.filter(F.col(value_col).isNotNull())
+         .select(*key_cols, F.col(ts_col),
+                 x.alias("value"),
+                 F.sum(x - F.lit(target + slack)).over(w).alias("_pp"),
+                 F.sum(x - F.lit(target - slack)).over(w).alias("_pm")))
+    s_pos = (F.col("_pp")
+             - F.least(F.lit(0).cast("long"), F.min("_pp").over(w)))
+    s_neg = (F.greatest(F.lit(0).cast("long"), F.max("_pm").over(w))
+             - F.col("_pm"))
+    return (p.select(*key_cols, ts_col, "value",
+                     s_pos.cast("long").alias("cusum_pos"),
+                     s_neg.cast("long").alias("cusum_neg"))
+            .withColumn("alarm",
+                        ((F.col("cusum_pos") > h)
+                         | (F.col("cusum_neg") > h))
+                        .cast("int")))
+
+
+def cusum_sql(input_sql: str, key_cols: list[str], ts_col: str,
+              value_col: str, target: int, slack: int, h: int) -> str:
+    """DuckDB twin of cusum: the same running-extremum closed form as
+    two stacked window CTEs."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    keys = ", ".join(key_cols)
+    return f"""WITH cs_in AS MATERIALIZED (
+  SELECT * FROM (
+{input_sql.strip()}
+  ) WHERE {value_col} IS NOT NULL
+), cs_p AS (
+  SELECT {keys}, {ts_col},
+         CAST({value_col} AS BIGINT) AS value,
+         sum(CAST({value_col} AS BIGINT) - {target + slack}) OVER w
+           AS pp,
+         sum(CAST({value_col} AS BIGINT) - {target - slack}) OVER w
+           AS pm
+  FROM cs_in
+  WINDOW w AS (PARTITION BY {keys} ORDER BY {ts_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT {keys}, {ts_col}, value,
+       CAST(pp - least(0, min(pp) OVER w) AS BIGINT) AS cusum_pos,
+       CAST(greatest(0, max(pm) OVER w) - pm AS BIGINT) AS cusum_neg,
+       CAST(CASE WHEN pp - least(0, min(pp) OVER w) > {h}
+                   OR greatest(0, max(pm) OVER w) - pm > {h}
+                 THEN 1 ELSE 0 END AS INTEGER) AS alarm
+FROM cs_p
+WINDOW w AS (PARTITION BY {keys} ORDER BY {ts_col}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""

@@ -79,3 +79,69 @@ def test_betweenness_randomized_twin(spark):
     want = _twin(edges, srcs, 4)
     assert got == want
     assert len(got) > 5  # non-trivial interior
+
+
+from biocypher_metta_spark.operators.stats import cusum, cusum_sql  # noqa: E402
+
+
+def _cusum_rows(spark, rows, target, slack, h):
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    out = cusum(df, ["g"], "t", "v", target, slack, h)
+    return sorted((r["g"], r["t"], r["value"], r["cusum_pos"],
+                   r["cusum_neg"], r["alarm"]) for r in out.collect())
+
+
+def test_cusum_upward_shift(spark):
+    rows = [("a", i + 1, v)
+            for i, v in enumerate([10, 10, 10, 20, 20])]
+    got = _cusum_rows(spark, rows, target=10, slack=2, h=5)
+    # k=12: P = -2,-4,-6,2,10; S+ = 0,0,0,8,16; k'=8: P'=2,4,6,18,30
+    # rises monotonically so S- = 0 throughout
+    assert got == [("a", 1, 10, 0, 0, 0), ("a", 2, 10, 0, 0, 0),
+                   ("a", 3, 10, 0, 0, 0), ("a", 4, 20, 8, 0, 1),
+                   ("a", 5, 20, 16, 0, 1)]
+
+
+def test_cusum_downward_mirror(spark):
+    rows = [("a", i + 1, v)
+            for i, v in enumerate([10, 10, 10, 0, 0])]
+    got = _cusum_rows(spark, rows, target=10, slack=2, h=5)
+    assert [r[4] for r in got] == [0, 0, 0, 8, 16]  # cusum_neg
+    assert [r[3] for r in got] == [0, 0, 0, 0, 0]   # cusum_pos
+    assert [r[5] for r in got] == [0, 0, 0, 1, 1]
+
+
+def test_cusum_restarts_from_zero(spark):
+    # a dip below target drains S+ to 0 and it restarts — the max(0,.)
+    # semantics the running-min closed form must reproduce
+    rows = [("a", i + 1, v)
+            for i, v in enumerate([20, 0, 0, 20, 20])]
+    got = _cusum_rows(spark, rows, target=10, slack=0, h=100)
+    # P = 10, 0, -10, 0, 10; runmin(0,.) = 0,0,-10,-10,-10
+    assert [r[3] for r in got] == [10, 0, 0, 10, 20]
+
+
+def test_cusum_nulls_dropped_and_validation(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, None), ("a", 3, 10)],
+        "g string, t long, v long")
+    assert cusum(df, ["g"], "t", "v", 10, 0, 5).count() == 2
+    import pytest as _pt
+    with _pt.raises(ValueError, match="slack"):
+        cusum(df, ["g"], "t", "v", 10, -1, 5)
+    with _pt.raises(ValueError, match="h must"):
+        cusum(df, ["g"], "t", "v", 10, 0, 0)
+
+
+def test_cusum_randomized_twin(spark):
+    rows = [(f"g{i % 3}", i // 3, ((i * 37 + 11) % 50) + (10 if i > 60 else 0))
+            for i in range(90)]
+    got = _cusum_rows(spark, rows, target=25, slack=3, h=40)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE src (g VARCHAR, t BIGINT, v BIGINT)")
+    con.executemany("INSERT INTO src VALUES (?, ?, ?)", rows)
+    sql = cusum_sql("SELECT g, t, v FROM src", ["g"], "t", "v",
+                    target=25, slack=3, h=40)
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want
+    assert any(r[5] == 1 for r in got)  # the planted shift alarms

@@ -46,6 +46,25 @@ def run_bw(spark, n_edges: int, n_sources: int) -> dict:
             "sec": round(time.time() - t0, 2)}
 
 
+def run_cusum(spark, n: int) -> dict:
+    """cusum claim: the sequential Page recurrence distributes as two
+    stacked windows on one key shuffle — ~linear in rows while groups
+    stay sortable (64 groups here, the winsorize regime)."""
+    from biocypher_metta_spark.operators.stats import cusum
+
+    i = F.col("id")
+    df = spark.range(n).select(
+        (i % 64).alias("grp"), (i / 64).cast("long").alias("t"),
+        (((i * 37 + 11) % 1000)
+         + F.when(i > n * 3 / 4, 200).otherwise(0)).alias("v"))
+    t0 = time.time()
+    out = (cusum(df, ["grp"], "t", "v", target=500, slack=50,
+                 h=100_000)
+           .filter(F.col("alarm") == 1).count())
+    return {"rows": n, "alarms": out,
+            "sec": round(time.time() - t0, 2)}
+
+
 def main() -> None:
     spark = get_spark("rehearsal-r5o")
     spark.sparkContext.setLogLevel("ERROR")
@@ -53,11 +72,16 @@ def main() -> None:
     a1 = run_bw(spark, 2_000_000, 1000)
     a2 = run_bw(spark, 20_000_000, 1000)
     b2 = run_bw(spark, 2_000_000, 10_000)
+    run_cusum(spark, 100_000)  # warmup, excluded
+    c1 = run_cusum(spark, 5_000_000)
+    c2 = run_cusum(spark, 50_000_000)
     runs = {"edges_axis": {"n": a1, "10n": a2},
-            "sources_axis": {"n": a1, "10n": b2}}
+            "sources_axis": {"n": a1, "10n": b2},
+            "cusum": {"n": c1, "10n": c2}}
     print(json.dumps(runs))
     ratios = {"edges_10x": round(a2["sec"] / max(a1["sec"], 0.01), 2),
-              "sources_10x": round(b2["sec"] / max(a1["sec"], 0.01), 2)}
+              "sources_10x": round(b2["sec"] / max(a1["sec"], 0.01), 2),
+              "cusum_10x": round(c2["sec"] / max(c1["sec"], 0.01), 2)}
     out = {"runs": runs, "ratios": ratios}
     (Path(__file__).parent / "rehearsal_r5o.json").write_text(
         json.dumps(out) + "\n")
