@@ -6903,6 +6903,29 @@ KG_BETWEENNESS_SQL = graph_ops.betweenness_sql(
 QUERIES["kg_betweenness"] = (kg_betweenness, KG_BETWEENNESS_SQL)
 
 
+def kg_closeness(spark, sf_dir):
+    """Harmonic closeness from sampled seeds (graph.harmonic_closeness,
+    max_depth=5) over the kg_bfs graph and 5-seed set — the DISTANCE
+    face completing the centrality triad (kg_pagerank/kg_ppr = flow
+    in, kg_betweenness = flow through): per-term floor(10^6/d) so
+    unreachable pairs contribute 0 instead of poisoning a mean.
+    Oracle: recursive-CTE walk enumeration + min(len) + the same
+    floored harmonic sum (graph.harmonic_closeness_sql)."""
+    ids = _ids(spark, sf_dir)
+    m = F.col("i") % 5000
+    edges = (ids.select(m.alias("src"), ((m * 7 + 3) % 5000).alias("dst"))
+             .unionAll(ids.select(m.alias("src"),
+                                  ((m * 3 + 1) % 5000).alias("dst"))))
+    sources = ids.filter("i < 5").select(F.col("i").alias("node"))
+    return graph_ops.harmonic_closeness(edges, sources, max_depth=5)
+
+
+KG_CLOSENESS_SQL = graph_ops.harmonic_closeness_sql(
+    _BFS_EDGES_SQL, _BFS_SOURCES_SQL, max_depth=5)
+
+QUERIES["kg_closeness"] = (kg_closeness, KG_CLOSENESS_SQL)
+
+
 def rel_cusum(spark, sf_dir):
     """Two-sided CUSUM changepoint detection (stats.cusum) over the
     same per-customer-bucket daily order-cents series as rel_ewma —
@@ -7148,6 +7171,7 @@ CK_COLUMNS = {
                           "novelty_ppm"],
     "doc_heavy_tokens": ["cnt", "value"],
     "kg_betweenness": ["bc_scaled", "node"],
+    "kg_closeness": ["h_scaled", "n_seen", "node"],
     "rel_cusum": ["alarm", "cusum_neg", "cusum_pos", "day", "grp",
                   "value"],
     "doc_pmi_collocations": ["n_pair", "pmi_ratio_ppm", "w1", "w2"],
@@ -7220,7 +7244,8 @@ CK_COMPOSITES = {
                         "emb_random_projection", "emb_ivfpq_topk",
                         "kg_link_predict", "kg_assortativity",
                         "kg_ktruss", "kg_four_cycles",
-                        "kg_collab_weight", "kg_betweenness"],
+                        "kg_collab_weight", "kg_betweenness",
+                        "kg_closeness"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",

@@ -2141,3 +2141,97 @@ def betweenness_sql(edges_sql: str, sources_sql: str, max_depth: int,
 SELECT node, CAST(sum(delta) AS BIGINT) AS bc_scaled
 FROM ({" UNION ALL ".join(union_parts)})
 WHERE node <> s GROUP BY node"""
+
+
+def harmonic_closeness(edges: DataFrame, sources: DataFrame,
+                       max_depth: int, src: str = "src",
+                       dst: str = "dst",
+                       scale: int = 1_000_000) -> DataFrame:
+    """Harmonic closeness from a sampled source set [Marchiori-Latora
+    2000; sampling per Eppstein-Wang 2004]: (node, h_scaled, n_seen)
+    where h_scaled = sum over sources s with 1 <= d(s, v) <= max_depth
+    of floor(scale / d(s, v)) and n_seen counts the contributing
+    sources — the DISTANCE face of the centrality triad this module
+    now covers in full (pagerank/HITS/PPR = flow INTO a node,
+    betweenness = flow THROUGH it, closeness = how NEAR it sits to
+    everything). Harmonic, not classic closeness, because unreachable
+    pairs contribute 0 instead of poisoning the mean — the standard
+    fix on disconnected graphs, and per-term floors make it the usual
+    deterministic quantization (sum of identical integers in any
+    order).
+
+    Scale shape: bfs_distances' frontier-settled loop lifted to
+    (source, node) keys — the betweenness forward pass without sigma:
+    each round shuffles O(frontier x avg-degree) plus the settled
+    anti-join, early exit on an empty frontier, one localCheckpoint
+    per round; the final groupBy(node) is the only extra exchange.
+    Linear in |sources| — sampling the sources is the documented
+    100-TB bound (Eppstein-Wang: O(log n / eps^2) samples suffice).
+
+    Oracle twin (harmonic_closeness_sql): recursive-CTE walk
+    enumeration + min(len) per (source, node) + the same floored
+    harmonic sum — independent evaluation, same answer by BFS
+    optimality."""
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    e = (edges.select(F.col(src).alias("_es"), F.col(dst).alias("_ed"))
+         .filter(F.col("_es").isNotNull() & F.col("_ed").isNotNull()
+                 & (F.col("_es") != F.col("_ed")))
+         .distinct())
+    e = e.localCheckpoint(eager=True)
+    settled = (sources.select(F.col(sources.columns[0]).alias("s"))
+               .filter(F.col("s").isNotNull())
+               .distinct()
+               .select("s", F.col("s").alias("node"),
+                       F.lit(0).cast("int").alias("dist")))
+    settled = settled.localCheckpoint(eager=True)
+    frontier = settled
+    for k in range(1, max_depth + 1):
+        nxt = (frontier.join(e, frontier["node"] == e["_es"])
+               .select("s", F.col("_ed").alias("node"))
+               .distinct()
+               .join(settled.select("s", "node"), ["s", "node"],
+                     "left_anti")
+               .select("s", "node", F.lit(k).cast("int").alias("dist")))
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return (settled.filter(F.col("dist") >= 1)
+            .groupBy("node")
+            .agg(F.sum(F.floor(F.lit(scale) / F.col("dist"))
+                       .cast("long")).cast("long").alias("h_scaled"),
+                 F.count(F.lit(1)).cast("long").alias("n_seen")))
+
+
+def harmonic_closeness_sql(edges_sql: str, sources_sql: str,
+                           max_depth: int, src: str = "src",
+                           dst: str = "dst",
+                           scale: int = 1_000_000) -> str:
+    """DuckDB twin of harmonic_closeness: recursive-CTE walk
+    enumeration + min(len) per (source, node) + the floored harmonic
+    sum."""
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    return f"""WITH RECURSIVE hc_edges AS MATERIALIZED (
+  SELECT DISTINCT {src} AS s, {dst} AS d FROM (
+{edges_sql.strip()}
+  ) WHERE {src} IS NOT NULL AND {dst} IS NOT NULL AND {src} <> {dst}
+), hc_src AS (
+  SELECT DISTINCT node FROM (
+{sources_sql.strip()}
+  ) WHERE node IS NOT NULL
+), hc_walk AS (
+  SELECT node AS s, node AS node, 0 AS len FROM hc_src
+  UNION
+  SELECT w.s, e.d AS node, w.len + 1 AS len
+  FROM hc_walk w JOIN hc_edges e ON e.s = w.node
+  WHERE w.len < {max_depth}
+), hc_dist AS (
+  SELECT s, node, min(len) AS dist FROM hc_walk GROUP BY 1, 2
+)
+SELECT node,
+       CAST(sum({scale} // dist) AS BIGINT) AS h_scaled,
+       CAST(count(*) AS BIGINT) AS n_seen
+FROM hc_dist WHERE dist >= 1 GROUP BY node"""

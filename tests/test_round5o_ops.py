@@ -145,3 +145,54 @@ def test_cusum_randomized_twin(spark):
     want = sorted(map(tuple, con.execute(sql).fetchall()))
     assert got == want
     assert any(r[5] == 1 for r in got)  # the planted shift alarms
+
+
+from biocypher_metta_spark.operators.graph import (  # noqa: E402
+    harmonic_closeness,
+    harmonic_closeness_sql,
+)
+
+
+def _hc(spark, edges, srcs, depth):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in srcs], "node long")
+    return {r["node"]: (r["h_scaled"], r["n_seen"])
+            for r in harmonic_closeness(e, s, depth).collect()}
+
+
+def test_harmonic_closeness_path(spark):
+    # 1->2->3->4 from 1: d=1,2,3 -> 1e6, 5e5, 333333; source itself
+    # (d=0) excluded
+    got = _hc(spark, [(1, 2), (2, 3), (3, 4)], [1], 3)
+    assert got == {2: (1_000_000, 1), 3: (500_000, 1),
+                   4: (333_333, 1)}
+
+
+def test_harmonic_closeness_multi_source_and_unreachable(spark):
+    # two sources; node 4 unreachable within depth 1 contributes 0
+    # rows (harmonic semantics: absent, not poisoned)
+    got = _hc(spark, [(1, 2), (2, 3), (3, 4)], [1, 3], 1)
+    assert got == {2: (1_000_000, 1), 4: (1_000_000, 1)}
+
+
+def test_harmonic_closeness_randomized_twin(spark):
+    n = 60
+    edges = []
+    for i in range(n):
+        edges.append((i, (i * 7 + 3) % n))
+        edges.append((i, (i * 3 + 1) % n))
+    srcs = [0, 1, 2]
+    got = _hc(spark, edges, srcs, 4)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    con.execute("CREATE TABLE srcs (node BIGINT)")
+    con.executemany("INSERT INTO srcs VALUES (?)", [(x,) for x in srcs])
+    sql = harmonic_closeness_sql("SELECT src, dst FROM e",
+                                 "SELECT node FROM srcs", 4)
+    want = {n_: (h, c) for n_, h, c in con.execute(sql).fetchall()}
+    assert got == want
+    with pytest.raises(ValueError, match="max_depth"):
+        harmonic_closeness(
+            spark.createDataFrame([(1, 2)], "src long, dst long"),
+            spark.createDataFrame([(1,)], "node long"), 0)

@@ -46,6 +46,25 @@ def run_bw(spark, n_edges: int, n_sources: int) -> dict:
             "sec": round(time.time() - t0, 2)}
 
 
+def run_hc(spark, n_edges: int, n_sources: int) -> dict:
+    """harmonic_closeness claim: the betweenness forward pass without
+    sigma — linear in |sources| at fixed edges."""
+    from biocypher_metta_spark.operators.graph import harmonic_closeness
+
+    n_nodes = n_edges // 2
+    m = F.col("id") % n_nodes
+    half = spark.range(n_edges // 2)
+    edges = (half.select(m.alias("src"),
+                         ((m * 7 + 3) % n_nodes).alias("dst"))
+             .unionAll(half.select(m.alias("src"),
+                                   ((m * 3 + 1) % n_nodes).alias("dst"))))
+    sources = spark.range(n_sources).select(F.col("id").alias("node"))
+    t0 = time.time()
+    out = harmonic_closeness(edges, sources, max_depth=5).count()
+    return {"edges": n_edges, "sources": n_sources, "out": out,
+            "sec": round(time.time() - t0, 2)}
+
+
 def run_cusum(spark, n: int) -> dict:
     """cusum claim: the sequential Page recurrence distributes as two
     stacked windows on one key shuffle — ~linear in rows while groups
@@ -75,13 +94,18 @@ def main() -> None:
     run_cusum(spark, 100_000)  # warmup, excluded
     c1 = run_cusum(spark, 5_000_000)
     c2 = run_cusum(spark, 50_000_000)
+    h1 = run_hc(spark, 2_000_000, 1000)
+    h2 = run_hc(spark, 2_000_000, 10_000)
     runs = {"edges_axis": {"n": a1, "10n": a2},
             "sources_axis": {"n": a1, "10n": b2},
-            "cusum": {"n": c1, "10n": c2}}
+            "cusum": {"n": c1, "10n": c2},
+            "closeness_sources": {"n": h1, "10n": h2}}
     print(json.dumps(runs))
     ratios = {"edges_10x": round(a2["sec"] / max(a1["sec"], 0.01), 2),
               "sources_10x": round(b2["sec"] / max(a1["sec"], 0.01), 2),
-              "cusum_10x": round(c2["sec"] / max(c1["sec"], 0.01), 2)}
+              "cusum_10x": round(c2["sec"] / max(c1["sec"], 0.01), 2),
+              "closeness_sources_10x": round(
+                  h2["sec"] / max(h1["sec"], 0.01), 2)}
     out = {"runs": runs, "ratios": ratios}
     (Path(__file__).parent / "rehearsal_r5o.json").write_text(
         json.dumps(out) + "\n")
