@@ -6903,6 +6903,39 @@ KG_BETWEENNESS_SQL = graph_ops.betweenness_sql(
 QUERIES["kg_betweenness"] = (kg_betweenness, KG_BETWEENNESS_SQL)
 
 
+def rel_proximity_join(spark, sf_dir):
+    """Planar proximity join (spatial.proximity_join, r=60): all
+    event-point pairs within radius 60 on a deterministic integer
+    scatter derived from event ids — the 2D member of the blocking-
+    join family next to the 1D bucketed range joins: grid cells turn
+    the distance inequality into an equi-join on (cell_x, cell_y)
+    with 9x neighbor expansion on one side, each qualifying pair
+    emitted exactly once. Oracle: the direct inequality-join spelling
+    (spatial.proximity_join_sql) — the plan the operator exists to
+    avoid."""
+    from biocypher_metta_spark.operators.spatial import proximity_join
+
+    e = _t(spark, sf_dir, "events")
+    i = F.col("event_id").cast("long")
+    pts = e.select(i.alias("id"),
+                   ((i * 37 + 5) % 2000).alias("x"),
+                   ((i * 91 + 3) % 2000).alias("y"))
+    return proximity_join(pts, r=60)
+
+
+from biocypher_metta_spark.operators.spatial import (  # noqa: E402
+    proximity_join_sql as _prox_sql,
+)
+
+_PROX_PTS_SQL = """SELECT CAST(event_id AS BIGINT) AS id,
+  (CAST(event_id AS BIGINT) * 37 + 5) % 2000 AS x,
+  (CAST(event_id AS BIGINT) * 91 + 3) % 2000 AS y
+FROM events"""
+
+QUERIES["rel_proximity_join"] = (
+    rel_proximity_join, _prox_sql(_PROX_PTS_SQL, r=60))
+
+
 def kg_closeness(spark, sf_dir):
     """Harmonic closeness from sampled seeds (graph.harmonic_closeness,
     max_depth=5) over the kg_bfs graph and 5-seed set — the DISTANCE
@@ -7172,6 +7205,7 @@ CK_COLUMNS = {
     "doc_heavy_tokens": ["cnt", "value"],
     "kg_betweenness": ["bc_scaled", "node"],
     "kg_closeness": ["h_scaled", "n_seen", "node"],
+    "rel_proximity_join": ["dist_sq", "id_a", "id_b"],
     "rel_cusum": ["alarm", "cusum_neg", "cusum_pos", "day", "grp",
                   "value"],
     "doc_pmi_collocations": ["n_pair", "pmi_ratio_ppm", "w1", "w2"],
@@ -7210,7 +7244,8 @@ CK_COMPOSITES = {
                           "rel_attribution", "rel_crosscorr",
                           "rel_winsorize", "rel_cusum"],
     "rel_range_family": ["rel_range_join", "rel_interval_overlap",
-                         "rel_interval_merge", "rel_interval_stab"],
+                         "rel_interval_merge", "rel_interval_stab",
+                         "rel_proximity_join"],
     "kg_peregrine_checks": ["kg_peregrine_enhancers", "kg_peregrine_edges"],
     "doc_text_metrics": ["doc_token_stats", "doc_tfidf_topk",
                          "doc_repetition", "doc_split", "doc_simhash",
