@@ -6996,6 +6996,61 @@ QUERIES["rel_cusum"] = (
                target=15_000_000, slack=3_000_000, h=60_000_000))
 
 
+_RANKSTAT_OBS_SQL = """SELECT user_id % 20 AS grp, event_type,
+  CAST(floor(value * 1000) AS BIGINT) AS v_milli
+FROM events"""
+
+
+def _rankstat_obs(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        (F.col("user_id") % 20).alias("grp"), "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("v_milli"))
+
+
+def rel_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov distance (stats.ks_test) between
+    the 'click' and 'view' value distributions per user bucket — the
+    distribution-drift screen completing the A/B family (chisq tests
+    category mixes, mannwhitney tests location, KS tests the whole
+    CDF). Exact integer statistic max|c_a*n_b - c_b*n_a| with
+    RANGE-frame tie handling; one key shuffle (both window frames
+    share the (grp, v) sort). Oracle: identical recurrence as DuckDB
+    windows (stats.ks_test_sql)."""
+    from biocypher_metta_spark.operators.stats import ks_test
+
+    return ks_test(_rankstat_obs(spark, sf_dir), ["grp"],
+                   "event_type", "v_milli", "click", "view")
+
+
+def rel_mannwhitney(spark, sf_dir):
+    """Mann-Whitney U / rank-sum AUC (stats.mannwhitney) for the same
+    click-vs-view split — u_a/(n_a*n_b) is the exact AUC of 'does a
+    click value exceed a view value', the separability number
+    training pipelines read off a quality score. Tie-averaged ranks
+    kept integral by doubling; one key shuffle. Oracle: identical
+    doubled-rank recurrence in DuckDB (stats.mannwhitney_sql)."""
+    from biocypher_metta_spark.operators.stats import mannwhitney
+
+    return mannwhitney(_rankstat_obs(spark, sf_dir), ["grp"],
+                       "event_type", "v_milli", "click", "view")
+
+
+from biocypher_metta_spark.operators.stats import (  # noqa: E402
+    ks_test_sql as _ks_test_sql,
+    mannwhitney_sql as _mannwhitney_sql,
+)
+
+QUERIES["rel_ks_test"] = (
+    rel_ks_test,
+    _ks_test_sql(_RANKSTAT_OBS_SQL, ["grp"], "event_type", "v_milli",
+                 "click", "view"))
+QUERIES["rel_mannwhitney"] = (
+    rel_mannwhitney,
+    _mannwhitney_sql(_RANKSTAT_OBS_SQL, ["grp"], "event_type",
+                     "v_milli", "click", "view"))
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -7208,6 +7263,8 @@ CK_COLUMNS = {
     "rel_proximity_join": ["dist_sq", "id_a", "id_b"],
     "rel_cusum": ["alarm", "cusum_neg", "cusum_pos", "day", "grp",
                   "value"],
+    "rel_ks_test": ["d_ppm", "d_scaled", "grp", "n_a", "n_b"],
+    "rel_mannwhitney": ["auc_ppm", "grp", "n_a", "n_b", "u_a_x2"],
     "doc_pmi_collocations": ["n_pair", "pmi_ratio_ppm", "w1", "w2"],
     "doc_rake_keyphrases": ["n_occ", "n_words", "phrase", "score_ppm"],
     "doc_readability": ["doc_id", "fk_grade_milli", "n_sentences",
@@ -7242,7 +7299,8 @@ CK_COMPOSITES = {
                           "rel_event_transitions", "rel_twap",
                           "rel_funnel_windowed", "rel_autocorr",
                           "rel_attribution", "rel_crosscorr",
-                          "rel_winsorize", "rel_cusum"],
+                          "rel_winsorize", "rel_cusum",
+                          "rel_ks_test", "rel_mannwhitney"],
     "rel_range_family": ["rel_range_join", "rel_interval_overlap",
                          "rel_interval_merge", "rel_interval_stab",
                          "rel_proximity_join"],

@@ -830,3 +830,199 @@ SELECT {keys}, {ts_col}, value,
 FROM cs_p
 WINDOW w AS (PARTITION BY {keys} ORDER BY {ts_col}
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+
+def ks_test(df: DataFrame, key_cols: list[str], sample_col: str,
+            value_col: str, a_label, b_label) -> DataFrame:
+    """Per-group two-sample Kolmogorov-Smirnov distance, exact in
+    integers — the distribution-drift screen in the quality family
+    (did this shard's score distribution shift vs the control
+    shard? are 'click' and 'view' value profiles the same?).
+
+    The textbook D = sup_v |F_a(v) - F_b(v)| multiplied through by
+    n_a * n_b is pure counting:
+
+        d_scaled = max over rows of |c_a(v) * n_b - c_b(v) * n_a|
+
+    with c_s(v) = #{x in s : x <= v} evaluated AFTER the full tie
+    block (RANGE frame, not ROWS), so tied values contribute one
+    common step and the statistic is invariant to tie order —
+    cross-engine exact with no tie-break column. d_ppm is the exact
+    floor of d_scaled * 1e6 / (n_a * n_b) (DECIMAL / HUGEINT).
+
+    Rows whose sample label is neither a_label nor b_label and NULL
+    values are dropped; groups missing one sample entirely emit
+    d_scaled = d_ppm = 0 (nothing to compare). Caller contract:
+    integer-quantized values (the RANGE frame needs a numeric sort
+    key); per-group counts fit int64 products (n_a, n_b <= ~3e9).
+
+    Scale shape: ONE shuffle on the group key — the cumulative
+    counts and the per-group totals are two frames over the same
+    (keys, value) sort, then a mergeable groupBy max. A mega-hot
+    group serializes its sort on one task (the documented rank-op
+    shape, see gini); the histogram escape hatch (groupBy
+    (keys, value) counts first) bounds tasks at the distinct-value
+    count when a profile demands it."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    for c in ("_fa", "_fb", "_ca", "_cb", "_na", "_nb", "n_a", "n_b",
+              "d_scaled", "d_ppm"):
+        if c in df.columns:
+            raise ValueError(f"input must not already have column {c!r}")
+    base = (df.filter(F.col(value_col).isNotNull()
+                      & F.col(sample_col).isin(a_label, b_label))
+            .select(*key_cols, F.col(value_col).alias("_v"),
+                    F.when(F.col(sample_col) == a_label, 1)
+                    .otherwise(0).cast("long").alias("_fa")))
+    w_cum = (Window.partitionBy(*key_cols).orderBy("_v")
+             .rangeBetween(Window.unboundedPreceding, 0))
+    w_all = Window.partitionBy(*key_cols)
+    stepped = base.select(
+        *key_cols,
+        F.sum("_fa").over(w_cum).alias("_ca"),
+        F.sum(F.lit(1) - F.col("_fa")).over(w_cum).alias("_cb"),
+        F.sum("_fa").over(w_all).alias("_na"),
+        F.sum(F.lit(1) - F.col("_fa")).over(w_all).alias("_nb"))
+    agg = (stepped.groupBy(*key_cols)
+           .agg(F.max("_na").alias("n_a"), F.max("_nb").alias("n_b"),
+                F.max(F.abs(F.col("_ca") * F.col("_nb")
+                            - F.col("_cb") * F.col("_na")))
+                .alias("d_scaled")))
+    num = F.col("d_scaled").cast(_DEC) * F.lit(1_000_000).cast(_DEC)
+    den = (F.col("n_a").cast(_DEC) * F.col("n_b").cast(_DEC))
+    return agg.select(
+        *key_cols, "n_a", "n_b",
+        F.col("d_scaled").cast("long").alias("d_scaled"),
+        F.when((F.col("n_a") == 0) | (F.col("n_b") == 0), F.lit(0))
+        .otherwise((num - num % den) / den)
+        .cast("long").alias("d_ppm"))
+
+
+def ks_test_sql(input_sql: str, key_cols: list[str], sample_col: str,
+                value_col: str, a_label: str, b_label: str) -> str:
+    """DuckDB twin of ks_test: same RANGE-frame step counts, HUGEINT
+    ppm floor. Labels are embedded as SQL string literals."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    keys = ", ".join(key_cols)
+    return f"""WITH ks_in AS MATERIALIZED (
+  SELECT {keys}, {value_col} AS v,
+         CASE WHEN {sample_col} = '{a_label}' THEN 1 ELSE 0 END
+           ::BIGINT AS fa
+  FROM (
+{input_sql.strip()}
+  ) WHERE {value_col} IS NOT NULL
+    AND {sample_col} IN ('{a_label}', '{b_label}')
+), ks_c AS (
+  SELECT {keys},
+         sum(fa) OVER wc AS ca, sum(1 - fa) OVER wc AS cb,
+         sum(fa) OVER wa AS na, sum(1 - fa) OVER wa AS nb
+  FROM ks_in
+  WINDOW wc AS (PARTITION BY {keys} ORDER BY v
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wa AS (PARTITION BY {keys})
+), ks_a AS (
+  SELECT {keys}, max(na) AS n_a, max(nb) AS n_b,
+         max(abs(ca * nb - cb * na)) AS d_scaled
+  FROM ks_c GROUP BY {keys}
+)
+SELECT {keys}, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(d_scaled AS BIGINT) AS d_scaled,
+       CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+            ELSE CAST((d_scaled::HUGEINT * 1000000)
+                      // (n_a::HUGEINT * n_b::HUGEINT) AS BIGINT)
+       END AS d_ppm
+FROM ks_a"""
+
+
+def mannwhitney(df: DataFrame, key_cols: list[str], sample_col: str,
+                value_col: str, a_label, b_label) -> DataFrame:
+    """Per-group Mann-Whitney U (rank-sum) with exact tie handling —
+    the nonparametric A-vs-B location test next to ks_test (KS asks
+    'same distribution?', U asks 'does sample a stochastically
+    dominate?'), and u_a / (n_a*n_b) IS the AUC of the label-vs-score
+    separability, which is how training pipelines read it.
+
+    Tie-averaged ranks are kept integral by doubling: a tie block
+    starting at min-rank r with t members has average rank
+    r + (t-1)/2, so
+
+        r2 = 2*rank() + tie_count - 1          (exact integer)
+        2*U_a = sum(r2 over sample a) - 2 * n_a*(n_a+1)/2
+
+    rank() (min rank) and the tie count are the same (keys, value)
+    sort — tie-order invariant, no tie-break column, cross-engine
+    exact. auc_ppm = floor(2*U_a * 1e6 / (2 * n_a * n_b)) in
+    DECIMAL/HUGEINT. Same drop rules and one-shuffle scale shape as
+    ks_test; groups missing a sample emit u_a_x2 = auc_ppm = 0."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    for c in ("_fa", "_r2", "n_a", "n_b", "u_a_x2", "auc_ppm"):
+        if c in df.columns:
+            raise ValueError(f"input must not already have column {c!r}")
+    base = (df.filter(F.col(value_col).isNotNull()
+                      & F.col(sample_col).isin(a_label, b_label))
+            .select(*key_cols, F.col(value_col).alias("_v"),
+                    F.when(F.col(sample_col) == a_label, 1)
+                    .otherwise(0).cast("long").alias("_fa")))
+    w_ord = Window.partitionBy(*key_cols).orderBy("_v")
+    w_tie = (Window.partitionBy(*key_cols).orderBy("_v")
+             .rangeBetween(0, 0))
+    ranked = base.select(
+        *key_cols, "_fa",
+        (F.lit(2) * F.rank().over(w_ord).cast("long")
+         + F.count(F.lit(1)).over(w_tie) - F.lit(1)).alias("_r2"))
+    agg = (ranked.groupBy(*key_cols)
+           .agg(F.sum("_fa").alias("n_a"),
+                F.sum(F.lit(1) - F.col("_fa")).alias("n_b"),
+                F.sum(F.col("_fa") * F.col("_r2")).alias("_ra2")))
+    u2 = F.col("_ra2") - F.col("n_a") * (F.col("n_a") + 1)
+    num = u2.cast(_DEC) * F.lit(1_000_000).cast(_DEC)
+    den = (F.lit(2).cast(_DEC) * F.col("n_a").cast(_DEC)
+           * F.col("n_b").cast(_DEC))
+    return agg.select(
+        *key_cols, "n_a", "n_b",
+        F.when((F.col("n_a") == 0) | (F.col("n_b") == 0), F.lit(0))
+        .otherwise(u2).cast("long").alias("u_a_x2"),
+        F.when((F.col("n_a") == 0) | (F.col("n_b") == 0), F.lit(0))
+        .otherwise((num - num % den) / den)
+        .cast("long").alias("auc_ppm"))
+
+
+def mannwhitney_sql(input_sql: str, key_cols: list[str],
+                    sample_col: str, value_col: str,
+                    a_label: str, b_label: str) -> str:
+    """DuckDB twin of mannwhitney: same doubled tie-averaged ranks,
+    HUGEINT ppm floor."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    keys = ", ".join(key_cols)
+    return f"""WITH mw_in AS MATERIALIZED (
+  SELECT {keys}, {value_col} AS v,
+         CASE WHEN {sample_col} = '{a_label}' THEN 1 ELSE 0 END
+           ::BIGINT AS fa
+  FROM (
+{input_sql.strip()}
+  ) WHERE {value_col} IS NOT NULL
+    AND {sample_col} IN ('{a_label}', '{b_label}')
+), mw_r AS (
+  SELECT {keys}, fa,
+         2 * rank() OVER (PARTITION BY {keys} ORDER BY v)
+           + count(*) OVER (PARTITION BY {keys} ORDER BY v
+                            RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+           - 1 AS r2
+  FROM mw_in
+), mw_a AS (
+  SELECT {keys}, sum(fa) AS n_a, sum(1 - fa) AS n_b,
+         sum(fa * r2) - sum(fa) * (sum(fa) + 1) AS u2
+  FROM mw_r GROUP BY {keys}
+)
+SELECT {keys}, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+            ELSE CAST(u2 AS BIGINT) END AS u_a_x2,
+       CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+            ELSE CAST((u2::HUGEINT * 1000000)
+                      // (2::HUGEINT * n_a::HUGEINT * n_b::HUGEINT)
+                      AS BIGINT)
+       END AS auc_ppm
+FROM mw_a"""
