@@ -7051,6 +7051,33 @@ QUERIES["rel_mannwhitney"] = (
                      "v_milli", "click", "view"))
 
 
+def kg_modularity(spark, sf_dir):
+    """Newman modularity of the kg_lpa partition (graph.modularity)
+    over the same two-nuclei-plus-one-bridge graph — the quality
+    score FOR the community detector: each planted nucleus must
+    contribute a strongly positive Q_c (denser inside than its degree
+    mass predicts), closing the loop on what kg_lpa only shows
+    structurally. ppm-exact integer arithmetic, m broadcast as a
+    one-row join (no driver collect). Oracle: the same
+    canonicalization + HUGEINT pmod floor over the unrolled LPA twin
+    (graph.modularity_sql(_LPA_EDGES_SQL, KG_LPA_SQL))."""
+    ids = _ids(spark, sf_dir)
+    ca = ids.select((F.col("i") % 10).alias("src"),
+                    ((F.col("i") / 3).cast("long") % 10).alias("dst"))
+    cb = ids.select((F.col("i") % 10 + 200).alias("src"),
+                    ((F.col("i") / 3).cast("long") % 10 + 200).alias("dst"))
+    bridge = ids.select((F.col("i") % 1 + 5).alias("src"),
+                        (F.col("i") % 1 + 205).alias("dst"))
+    edges = ca.unionAll(cb).unionAll(bridge)
+    labels = graph_ops.label_propagation(edges, rounds=3)
+    return graph_ops.modularity(edges, labels)
+
+
+QUERIES["kg_modularity"] = (
+    kg_modularity,
+    graph_ops.modularity_sql(_LPA_EDGES_SQL, KG_LPA_SQL))
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -7265,6 +7292,8 @@ CK_COLUMNS = {
                   "value"],
     "rel_ks_test": ["d_ppm", "d_scaled", "grp", "n_a", "n_b"],
     "rel_mannwhitney": ["auc_ppm", "grp", "n_a", "n_b", "u_a_x2"],
+    "kg_modularity": ["contrib_ppm", "d_sum", "e_in", "label",
+                      "n_nodes"],
     "doc_pmi_collocations": ["n_pair", "pmi_ratio_ppm", "w1", "w2"],
     "doc_rake_keyphrases": ["n_occ", "n_words", "phrase", "score_ppm"],
     "doc_readability": ["doc_id", "fk_grade_milli", "n_sentences",
@@ -7338,7 +7367,7 @@ CK_COMPOSITES = {
                         "kg_link_predict", "kg_assortativity",
                         "kg_ktruss", "kg_four_cycles",
                         "kg_collab_weight", "kg_betweenness",
-                        "kg_closeness"],
+                        "kg_closeness", "kg_modularity"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",

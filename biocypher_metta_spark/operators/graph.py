@@ -53,6 +53,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_DEC = "decimal(38,0)"
+
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iterations: int = 5, damping_permille: int = 850,
@@ -2235,3 +2237,133 @@ SELECT node,
        CAST(sum({scale} // dist) AS BIGINT) AS h_scaled,
        CAST(count(*) AS BIGINT) AS n_seen
 FROM hc_dist WHERE dist >= 1 GROUP BY node"""
+
+
+def modularity(edges: DataFrame, labels: DataFrame, src: str = "src",
+               dst: str = "dst") -> DataFrame:
+    """Per-community Newman modularity contributions in ppm — the
+    quality score FOR the partitions label_propagation/kcore emit
+    (did LPA actually find dense communities, or noise?). On the
+    undirected simple graph (same least/greatest canonicalization as
+    label_propagation) with m total edges, community c with e_c
+    intra-community edges and degree mass d_c contributes
+
+        Q_c = e_c/m - (d_c / 2m)^2  =  (4m*e_c - d_c^2) / (4m^2)
+
+    contrib_ppm is the exact floor of Q_c * 1e6 (pmod idiom — Q_c can
+    be NEGATIVE for anti-communities, so plain % would round toward
+    zero) in DECIMAL(38,0)/HUGEINT; sum(contrib_ppm) approximates
+    global Q*1e6 within one ulp per community, and consumers wanting
+    the exact global floor sum the integer numerators first.
+
+    `labels` is (id, label), e.g. straight from label_propagation;
+    edges whose endpoint has no label row are dropped from e_in but
+    still count in m and in labeled endpoints' degrees (m is a
+    property of the GRAPH, not the labeling — this keeps Q comparable
+    across labelings of the same graph).
+
+    Scale shape: m is injected as a SCALAR SUBQUERY (the repo-wide
+    pattern — a crossJoin(broadcast(1-row-agg)) would plan the
+    forbidden BroadcastNestedLoopJoin, see operators/retrieval.py:44);
+    the degree sum and intra-edge count are two mergeable groupBys;
+    the intra check joins the (small) label map onto both endpoints —
+    co-keyed equi-joins, hub skew absorbed by the map-side partial
+    counts."""
+    for c in ("n_nodes", "e_in", "d_sum", "contrib_ppm"):
+        if c in labels.columns:
+            raise ValueError(f"labels must not already have column {c!r}")
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .filter(F.col("s").isNotNull() & F.col("d").isNotNull()
+                 & (F.col("s") != F.col("d"))))
+    und = (e.select(F.least("s", "d").alias("a"),
+                    F.greatest("s", "d").alias("b"))
+           .distinct())
+    lab = labels.select(F.col("id").alias("_id"),
+                        F.col("label").alias("_lb"))
+    deg = (und.select(F.col("a").alias("_id"))
+           .unionAll(und.select(F.col("b").alias("_id")))
+           .groupBy("_id").agg(F.count(F.lit(1)).alias("_deg")))
+    members = (lab.join(deg, "_id", "left")
+               .groupBy("_lb")
+               .agg(F.count(F.lit(1)).alias("n_nodes"),
+                    F.coalesce(F.sum("_deg"), F.lit(0)).cast(_DEC)
+                    .alias("_d")))
+    intra = (und
+             .join(lab.select(F.col("_id").alias("a"),
+                              F.col("_lb").alias("_la")), "a")
+             .join(lab.select(F.col("_id").alias("b"),
+                              F.col("_lb").alias("_lb2")), "b")
+             .filter(F.col("_la") == F.col("_lb2"))
+             .groupBy(F.col("_la").alias("_lb"))
+             .agg(F.count(F.lit(1)).alias("_e")))
+    joined = (members.join(intra, "_lb", "left")
+              .select("_lb", "n_nodes", "_d",
+                      F.coalesce(F.col("_e"), F.lit(0)).cast(_DEC)
+                      .alias("_e")))
+    spark = edges.sparkSession
+    per = spark.sql(
+        "SELECT *, (SELECT CAST(count(*) AS decimal(38,0)) FROM {und})"
+        " AS _m FROM {joined}", und=und, joined=joined)
+    four_m = F.lit(4).cast(_DEC) * F.col("_m")
+    num = ((four_m * F.col("_e") - F.col("_d") * F.col("_d"))
+           * F.lit(1_000_000).cast(_DEC))
+    den = four_m * F.col("_m")
+    ppm = (num - ((num % den) + den) % den) / den
+    return per.select(
+        F.col("_lb").alias("label"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("_e").cast("long").alias("e_in"),
+        F.col("_d").cast("long").alias("d_sum"),
+        F.when(F.col("_m") == F.lit(0).cast(_DEC), F.lit(0))
+        .otherwise(ppm).cast("long").alias("contrib_ppm"))
+
+
+def modularity_sql(edges_sql: str, labels_sql: str, src: str = "src",
+                   dst: str = "dst") -> str:
+    """DuckDB twin of modularity(): same canonicalization, HUGEINT
+    terms, same pmod floor."""
+    return f"""WITH md_u AS MATERIALIZED (
+  SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+  FROM (
+{edges_sql.strip()}
+  )
+  WHERE {src} IS NOT NULL AND {dst} IS NOT NULL AND {src} <> {dst}
+), md_m AS (
+  SELECT count(*)::HUGEINT AS m FROM md_u
+), md_lab AS MATERIALIZED (
+  SELECT id AS _id, label AS _lb FROM (
+{labels_sql.strip()}
+  )
+), md_deg AS (
+  SELECT _id, count(*)::HUGEINT AS deg FROM (
+    SELECT a AS _id FROM md_u UNION ALL SELECT b FROM md_u
+  ) GROUP BY _id
+), md_mem AS (
+  SELECT l._lb, count(*)::HUGEINT AS n_nodes,
+         coalesce(sum(d.deg), 0)::HUGEINT AS dsum
+  FROM md_lab l LEFT JOIN md_deg d ON l._id = d._id
+  GROUP BY l._lb
+), md_e AS (
+  SELECT la._lb, count(*)::HUGEINT AS e_in
+  FROM md_u u
+  JOIN md_lab la ON u.a = la._id
+  JOIN md_lab lb ON u.b = lb._id
+  WHERE la._lb = lb._lb
+  GROUP BY la._lb
+), md_per AS (
+  SELECT mem._lb, mem.n_nodes, mem.dsum,
+         coalesce(e.e_in, 0)::HUGEINT AS e_in, m.m
+  FROM md_mem mem LEFT JOIN md_e e ON mem._lb = e._lb CROSS JOIN md_m m
+), md_q AS (
+  SELECT _lb, n_nodes, e_in, dsum,
+         (4::HUGEINT * m * e_in - dsum * dsum) * 1000000::HUGEINT
+           AS num,
+         4::HUGEINT * m * m AS den, m
+  FROM md_per
+)
+SELECT _lb AS label, CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(e_in AS BIGINT) AS e_in, CAST(dsum AS BIGINT) AS d_sum,
+       CASE WHEN m = 0 THEN 0
+            ELSE CAST((num - (((num % den) + den) % den)) // den
+                      AS BIGINT) END AS contrib_ppm
+FROM md_q"""

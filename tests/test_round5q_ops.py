@@ -133,3 +133,81 @@ def test_rankstats_column_clash_raises(spark):
         mannwhitney(df, ["grp"], "s", "v", "a", "b")
     with pytest.raises(ValueError):
         ks_test(df.drop("n_a"), [], "s", "v", "a", "b")
+
+
+# ---------------------------------------------------------------------------
+# modularity (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+from biocypher_metta_spark.operators.graph import (  # noqa: E402
+    modularity,
+    modularity_sql,
+)
+
+EDGE_SCHEMA = "src long, dst long"
+LAB_SCHEMA = "id long, label long"
+
+
+def _mod(spark, edges, labels):
+    e = spark.createDataFrame(edges, EDGE_SCHEMA)
+    l = spark.createDataFrame(labels, LAB_SCHEMA)
+    return {r["label"]: (r["n_nodes"], r["e_in"], r["d_sum"],
+                         r["contrib_ppm"])
+            for r in modularity(e, l).collect()}
+
+
+def test_modularity_two_triangles_bridge(spark):
+    # two triangles joined by one bridge: m=7, each community has
+    # e_in=3, d_sum=7 -> Q_c = 3/7 - (7/14)^2 = 0.1785714...
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    labels = [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)]
+    got = _mod(spark, edges, labels)
+    assert got == {1: (3, 3, 7, 178571), 4: (3, 3, 7, 178571)}
+
+
+def test_modularity_negative_contribution_floors_down(spark):
+    # a singleton community inside one triangle: Q_c = -(2/6)^2 =
+    # -0.111111... -> ppm floor is -111112, NOT truncation to -111111
+    edges = [(1, 2), (2, 3), (1, 3)]
+    labels = [(1, 1), (2, 2), (3, 2)]
+    got = _mod(spark, edges, labels)
+    assert got[1] == (1, 0, 2, -111112)
+    # {2,3}: e_in=1, d=4, m=3: 1/3 - (4/6)^2 = -0.11111.. -> -111112
+    assert got[2] == (2, 1, 4, -111112)
+
+
+def test_modularity_unlabeled_nodes_keep_m(spark):
+    # node 3 unlabeled: the 2-3 edge still counts in m and in node
+    # 2's degree, but can never be intra
+    edges = [(1, 2), (2, 3)]
+    labels = [(1, 1), (2, 1)]
+    got = _mod(spark, edges, labels)
+    # m=2, e_in=1, d_sum=1+2=3: 1/2 - (3/4)^2 = -0.0625
+    assert got == {1: (2, 1, 3, -62500)}
+
+
+def test_modularity_self_loops_dup_edges_dropped(spark):
+    edges = [(1, 2), (2, 1), (1, 1), (1, 2)]
+    labels = [(1, 7), (2, 7)]
+    # m=1, e_in=1, d=2: Q = 1/1 - (2/2)^2 = 0
+    assert _mod(spark, edges, labels) == {7: (2, 1, 2, 0)}
+
+
+def test_modularity_duckdb_twin_agrees(spark):
+    import random
+    rng = random.Random(11)
+    edges = [(rng.randrange(0, 30), rng.randrange(0, 30))
+             for _ in range(120)]
+    labels = [(i, i % 4) for i in range(30)]
+    e = spark.createDataFrame(edges, EDGE_SCHEMA)
+    l = spark.createDataFrame(labels, LAB_SCHEMA)
+    spark_rows = set(map(tuple, modularity(e, l).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    con.execute("CREATE TABLE lab (id BIGINT, label BIGINT)")
+    con.executemany("INSERT INTO lab VALUES (?, ?)", labels)
+    duck_rows = set(map(tuple, con.execute(
+        modularity_sql("SELECT src, dst FROM e",
+                       "SELECT id, label FROM lab")).fetchall()))
+    assert spark_rows == duck_rows
