@@ -7078,6 +7078,82 @@ QUERIES["kg_modularity"] = (
     graph_ops.modularity_sql(_LPA_EDGES_SQL, KG_LPA_SQL))
 
 
+# ---------------------------------------------------------------------------
+# WebDataset tar shards (operators/shards.py): three formula-built ustar
+# variants cycled over the doc ids; the DuckDB twin recomputes every
+# member's name/size/byte-sum straight from the generation formula, so
+# hash equality proves the full header-walk -> checksum-verify ->
+# payload-slice path block-exactly (tar_pack itself is cross-checked
+# against stdlib tarfile in tests/test_round5q_ops.py).
+# ---------------------------------------------------------------------------
+
+from biocypher_metta_spark.operators.shards import (  # noqa: E402
+    tar_pack as _tar_pack,
+)
+
+
+def _tar_formula_members(v: int) -> list[tuple[str, bytes]]:
+    out = []
+    for j in range(3 + v):
+        ext = "txt" if j % 2 == 0 else "bin"
+        size = 10 + (j * 7 + v * 13) % 50
+        data = bytes((i * 3 + j * 11 + v * 29) % 256
+                     for i in range(size))
+        out.append((f"{j:04d}.{ext}", data))
+    return out
+
+
+_TAR_VARIANTS = [_tar_pack(_tar_formula_members(v)) for v in range(3)]
+
+
+def multimodal_tar_members(spark, sf_dir):
+    """WebDataset shard explosion (shards.tar_members): binary tar
+    rows -> one row per regular-file member with the sample-key/ext
+    split the WebDataset convention defines. Map-only mapInPandas —
+    zero shuffles; the shard bytes never visit the driver."""
+    from biocypher_metta_spark.operators.shards import tar_members
+
+    ids = _ids(spark, sf_dir)
+    variants = F.array(*[F.lit(bytearray(b)) for b in _TAR_VARIANTS])
+    shards = ids.select(
+        F.concat(F.lit("tar://"), F.col("i").cast("string"))
+        .alias("media_ref"),
+        F.element_at(variants, (F.col("i") % 3 + 1).cast("int"))
+        .alias("content"))
+    return tar_members(shards)
+
+
+MULTIMODAL_TAR_SQL = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+vj AS (
+  SELECT v.v, j.j FROM (SELECT unnest(range(0, 3)) AS v) v
+  CROSS JOIN (SELECT unnest(range(0, 5)) AS j) j
+  WHERE j.j < 3 + v.v
+),
+mem AS (
+  SELECT v, j,
+         lpad(CAST(j AS VARCHAR), 4, '0') AS sample_key,
+         CASE WHEN j % 2 = 0 THEN 'txt' ELSE 'bin' END AS ext,
+         10 + (j * 7 + v * 13) % 50 AS size
+  FROM vj
+),
+expected AS (
+  SELECT v, sample_key || '.' || ext AS member_name,
+         CAST(size AS BIGINT) AS size,
+         CAST(list_sum(list_transform(range(0, size), i ->
+           (i * 3 + j * 11 + v * 29) % 256)) AS BIGINT) AS byte_sum,
+         sample_key, ext
+  FROM mem
+)
+SELECT 'tar://' || i AS media_ref, e.member_name, e.size, e.byte_sum,
+       e.sample_key, e.ext
+FROM ids JOIN expected e ON e.v = i % 3
+"""
+
+QUERIES["multimodal_tar_members"] = (multimodal_tar_members,
+                                     MULTIMODAL_TAR_SQL)
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -7294,6 +7370,8 @@ CK_COLUMNS = {
     "rel_mannwhitney": ["auc_ppm", "grp", "n_a", "n_b", "u_a_x2"],
     "kg_modularity": ["contrib_ppm", "d_sum", "e_in", "label",
                       "n_nodes"],
+    "multimodal_tar_members": ["byte_sum", "ext", "media_ref",
+                               "member_name", "sample_key", "size"],
     "doc_pmi_collocations": ["n_pair", "pmi_ratio_ppm", "w1", "w2"],
     "doc_rake_keyphrases": ["n_occ", "n_words", "phrase", "score_ppm"],
     "doc_readability": ["doc_id", "fk_grade_milli", "n_sentences",
@@ -7371,7 +7449,8 @@ CK_COMPOSITES = {
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",
-                          "multimodal_frame_sample"],
+                          "multimodal_frame_sample",
+                          "multimodal_tar_members"],
     "multimodal_resize_family": ["multimodal_resize",
                                  "multimodal_jpeg_resize"],
     # both sub-gates run real checkpointed AvailableNow increments; the

@@ -211,3 +211,76 @@ def test_modularity_duckdb_twin_agrees(spark):
         modularity_sql("SELECT src, dst FROM e",
                        "SELECT id, label FROM lab")).fetchall()))
     assert spark_rows == duck_rows
+
+
+# ---------------------------------------------------------------------------
+# tar shards (operators/shards.py)
+# ---------------------------------------------------------------------------
+
+import io  # noqa: E402
+import tarfile  # noqa: E402
+
+from biocypher_metta_spark.operators.shards import (  # noqa: E402
+    parse_ustar,
+    split_sample_key,
+    tar_members,
+    tar_pack,
+)
+
+
+def test_tar_pack_readable_by_stdlib_tarfile():
+    members = [("017.txt", b"hello"), ("017.json", b"{}"),
+               ("018.txt", b"\x00" * 600)]
+    blob = tar_pack(members)
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        got = [(m.name, tf.extractfile(m).read()) for m in tf]
+    assert got == members
+
+
+def test_parse_ustar_reads_stdlib_tarfile_output():
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        tf.addfile(tarfile.TarInfo("a/017.seg.png"), io.BytesIO())
+        ti = tarfile.TarInfo("b.bin")
+        ti.size = 513
+        tf.addfile(ti, io.BytesIO(b"x" * 513))
+        d = tarfile.TarInfo("somedir")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+    got = parse_ustar(buf.getvalue())
+    assert got == [("a/017.seg.png", 0, b""), ("b.bin", 513, b"x" * 513)]
+
+
+def test_parse_ustar_rejects_corruption():
+    blob = bytearray(tar_pack([("a.txt", b"abc")]))
+    blob[0] ^= 0xFF                      # name byte -> checksum breaks
+    with pytest.raises(ValueError, match="checksum"):
+        parse_ustar(bytes(blob))
+    trunc = tar_pack([("a.txt", b"x" * 100)])[:512 + 50]
+    with pytest.raises(ValueError, match="truncated"):
+        parse_ustar(trunc)
+    with pytest.raises(ValueError, match="100 bytes"):
+        tar_pack([("x" * 101, b"")])
+
+
+def test_split_sample_key_convention():
+    assert split_sample_key("a/017.seg.png") == ("017", "seg.png")
+    assert split_sample_key("017.txt") == ("017", "txt")
+    assert split_sample_key("noext") == ("noext", None)
+
+
+def test_tar_members_explode_and_error_row(spark):
+    good = tar_pack([("017.txt", b"ab"), ("017.bin", b"\xff\xff")])
+    bad = b"\x01" * 600
+    df = spark.createDataFrame(
+        [("s1", bytearray(good)), ("s2", bytearray(bad)), ("s3", None)],
+        "media_ref string, content binary")
+    rows = {(r["media_ref"], r["member_name"], r["size"], r["byte_sum"],
+             r["sample_key"], r["ext"])
+            for r in tar_members(df).collect()}
+    assert rows == {
+        ("s1", "017.txt", 2, ord("a") + ord("b"), "017", "txt"),
+        ("s1", "017.bin", 2, 510, "017", "bin"),
+        ("s2", None, None, None, None, None),
+        # s3: None content -> empty archive -> no member rows
+    }
