@@ -7154,6 +7154,80 @@ QUERIES["multimodal_tar_members"] = (multimodal_tar_members,
                                      MULTIMODAL_TAR_SQL)
 
 
+def _tar_paired_members(v: int) -> list[tuple[str, bytes]]:
+    out = []
+    for j in range(2 * (2 + v)):
+        ext = "txt" if j % 2 == 0 else "bin"
+        size = 8 + (j * 5 + v * 11) % 40
+        data = bytes((i * 7 + j * 13 + v * 31) % 256
+                     for i in range(size))
+        out.append((f"{j // 2:04d}.{ext}", data))
+    return out
+
+
+_TAR_PAIRED_VARIANTS = [_tar_pack(_tar_paired_members(v))
+                        for v in range(3)]
+
+
+def multimodal_samples(spark, sf_dir):
+    """WebDataset sample assembly (shards.sample_assembly on top of
+    tar_members): paired .txt/.bin members sharing each sample key
+    reassemble to one row per (shard, key) with the sorted-extension
+    manifest — the completeness-filter primitive ('exts = bin,txt'
+    keeps fully-populated samples). One mergeable groupBy over the
+    map-only explode."""
+    from biocypher_metta_spark.operators.shards import (
+        sample_assembly,
+        tar_members,
+    )
+
+    ids = _ids(spark, sf_dir)
+    variants = F.array(*[F.lit(bytearray(b))
+                         for b in _TAR_PAIRED_VARIANTS])
+    shards = ids.select(
+        F.concat(F.lit("tar://"), F.col("i").cast("string"))
+        .alias("media_ref"),
+        F.element_at(variants, (F.col("i") % 3 + 1).cast("int"))
+        .alias("content"))
+    return sample_assembly(tar_members(shards))
+
+
+MULTIMODAL_SAMPLES_SQL = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+vj AS (
+  SELECT v.v, j.j FROM (SELECT unnest(range(0, 3)) AS v) v
+  CROSS JOIN (SELECT unnest(range(0, 10)) AS j) j
+  WHERE j.j < 2 * (2 + v.v)
+),
+mem AS (
+  SELECT v, j, lpad(CAST(j // 2 AS VARCHAR), 4, '0') AS sample_key,
+         CASE WHEN j % 2 = 0 THEN 'txt' ELSE 'bin' END AS ext,
+         8 + (j * 5 + v * 11) % 40 AS size
+  FROM vj
+),
+memsum AS (
+  SELECT v, j, sample_key, ext, size,
+         CAST(list_sum(list_transform(range(0, size), i ->
+           (i * 7 + j * 13 + v * 31) % 256)) AS BIGINT) AS byte_sum
+  FROM mem
+),
+samples AS (
+  SELECT v, sample_key,
+         CAST(count(*) AS BIGINT) AS n_members,
+         string_agg(ext, ',' ORDER BY ext) AS exts,
+         CAST(sum(size) AS BIGINT) AS total_bytes,
+         CAST(sum(byte_sum) AS BIGINT) AS content_sum
+  FROM memsum GROUP BY v, sample_key
+)
+SELECT 'tar://' || i AS media_ref, s.sample_key, s.n_members, s.exts,
+       s.total_bytes, s.content_sum
+FROM ids JOIN samples s ON s.v = i % 3
+"""
+
+QUERIES["multimodal_samples"] = (multimodal_samples,
+                                 MULTIMODAL_SAMPLES_SQL)
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -7372,6 +7446,8 @@ CK_COLUMNS = {
                       "n_nodes"],
     "multimodal_tar_members": ["byte_sum", "ext", "media_ref",
                                "member_name", "sample_key", "size"],
+    "multimodal_samples": ["content_sum", "exts", "media_ref",
+                           "n_members", "sample_key", "total_bytes"],
     "doc_pmi_collocations": ["n_pair", "pmi_ratio_ppm", "w1", "w2"],
     "doc_rake_keyphrases": ["n_occ", "n_words", "phrase", "score_ppm"],
     "doc_readability": ["doc_id", "fk_grade_milli", "n_sentences",
@@ -7450,7 +7526,8 @@ CK_COMPOSITES = {
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",
                           "multimodal_frame_sample",
-                          "multimodal_tar_members"],
+                          "multimodal_tar_members",
+                          "multimodal_samples"],
     "multimodal_resize_family": ["multimodal_resize",
                                  "multimodal_jpeg_resize"],
     # both sub-gates run real checkpointed AvailableNow increments; the

@@ -149,3 +149,30 @@ def tar_members(shards: DataFrame, ref_col: str = "media_ref",
             yield pd.DataFrame(rows, columns=cols)
 
     return shards.mapInPandas(batches, TAR_MEMBER_SCHEMA)
+
+
+def sample_assembly(members: DataFrame, shard_col: str = "media_ref",
+                    key_col: str = "sample_key") -> DataFrame:
+    """Assemble exploded member rows back into WebDataset SAMPLES —
+    one row per (shard, sample_key) with the extension manifest:
+    (shard, sample_key, n_members, exts, total_bytes, content_sum),
+    where exts is the comma-joined SORTED extension list ('bin,txt')
+    so a downstream completeness filter is one string equality
+    (exts = 'jpg,json,txt' keeps exactly the fully-populated
+    samples). Error rows (null member_name, the tar_members corrupt-
+    shard contract) are excluded — a corrupt shard contributes no
+    phantom sample.
+
+    Scale shape: one mergeable groupBy on (shard, key); the
+    collect_list is bounded by members-per-sample (single digits in
+    every WebDataset layout), so no skew concern even on a hub
+    shard."""
+    from pyspark.sql import functions as F
+
+    ok = members.filter(F.col("member_name").isNotNull())
+    return (ok.groupBy(shard_col, key_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
+                 F.concat_ws(",", F.array_sort(F.collect_list("ext")))
+                 .alias("exts"),
+                 F.sum("size").cast("long").alias("total_bytes"),
+                 F.sum("byte_sum").cast("long").alias("content_sum")))

@@ -284,3 +284,24 @@ def test_tar_members_explode_and_error_row(spark):
         ("s2", None, None, None, None, None),
         # s3: None content -> empty archive -> no member rows
     }
+
+
+def test_sample_assembly_manifest_and_error_rows(spark):
+    from biocypher_metta_spark.operators.shards import sample_assembly
+
+    members = spark.createDataFrame(
+        [("s1", "017.txt", 2, 10, "017", "txt"),
+         ("s1", "017.json", 3, 20, "017", "json"),
+         ("s1", "018.txt", 5, 30, "018", "txt"),
+         ("s1", "noext", 1, 7, "noext", None),    # null ext kept, not listed
+         ("s2", None, None, None, None, None)],   # error row excluded
+        "media_ref string, member_name string, size long, "
+        "byte_sum long, sample_key string, ext string")
+    got = {(r["media_ref"], r["sample_key"]):
+           (r["n_members"], r["exts"], r["total_bytes"], r["content_sum"])
+           for r in sample_assembly(members).collect()}
+    assert got == {
+        ("s1", "017"): (2, "json,txt", 5, 30),
+        ("s1", "018"): (1, "txt", 5, 30),
+        ("s1", "noext"): (1, "", 1, 7),
+    }
