@@ -7228,6 +7228,29 @@ QUERIES["multimodal_samples"] = (multimodal_samples,
                                  MULTIMODAL_SAMPLES_SQL)
 
 
+def kg_anf(spark, sf_dir):
+    """ANF neighborhood function (graph.neighborhood_function,
+    max_hops=3, k=64) over kg_bfs's out-degree-2 pseudorandom graph:
+    per (node, hop) reach-set sizes — effective-diameter/reach-
+    distribution material. With out-degree 2 the 3-hop reach is at
+    most 1+2+4+8 = 15 < k = 64, so the KMV sketch is PROVABLY exact
+    here and the oracle can be an independent exact-BFS spelling
+    (hop-unrolled closure + count DISTINCT, no hashing at all,
+    graph.neighborhood_function_sql) — the twin checks the whole
+    sketch-merge machinery against set semantics."""
+    ids = _ids(spark, sf_dir)
+    m = F.col("i") % 5000
+    edges = (ids.select(m.alias("src"), ((m * 7 + 3) % 5000).alias("dst"))
+             .unionAll(ids.select(m.alias("src"),
+                                  ((m * 3 + 1) % 5000).alias("dst"))))
+    return graph_ops.neighborhood_function(edges, max_hops=3, k=64)
+
+
+QUERIES["kg_anf"] = (
+    kg_anf, graph_ops.neighborhood_function_sql(_BFS_EDGES_SQL,
+                                                max_hops=3))
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -7448,6 +7471,7 @@ CK_COLUMNS = {
                                "member_name", "sample_key", "size"],
     "multimodal_samples": ["content_sum", "exts", "media_ref",
                            "n_members", "sample_key", "total_bytes"],
+    "kg_anf": ["est", "hop", "n_sketch", "node"],
     "doc_pmi_collocations": ["n_pair", "pmi_ratio_ppm", "w1", "w2"],
     "doc_rake_keyphrases": ["n_occ", "n_words", "phrase", "score_ppm"],
     "doc_readability": ["doc_id", "fk_grade_milli", "n_sentences",
@@ -7521,7 +7545,7 @@ CK_COMPOSITES = {
                         "kg_link_predict", "kg_assortativity",
                         "kg_ktruss", "kg_four_cycles",
                         "kg_collab_weight", "kg_betweenness",
-                        "kg_closeness", "kg_modularity"],
+                        "kg_closeness", "kg_modularity", "kg_anf"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",

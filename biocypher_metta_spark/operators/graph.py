@@ -2367,3 +2367,112 @@ SELECT _lb AS label, CAST(n_nodes AS BIGINT) AS n_nodes,
             ELSE CAST((num - (((num % den) + den) % den)) // den
                       AS BIGINT) END AS contrib_ppm
 FROM md_q"""
+
+
+def neighborhood_function(edges: DataFrame, max_hops: int,
+                          k: int = 64, src: str = "src",
+                          dst: str = "dst") -> DataFrame:
+    """ANF / HyperBall-style neighborhood function [Palmer-Gibbons-
+    Faloutsos 2002; Boldi-Rosa-Vigna 2011, with KMV in place of HLL
+    for cross-engine determinism — the kmv_distinct rationale]: for
+    every node v and hop h in 1..max_hops, estimate
+    |{u : dist(v, u) <= h}| over the DIRECTED graph, self included.
+    Output (node, hop, n_sketch, est) — the effective-diameter /
+    reach-distribution primitive behind 'how much of the ontology is
+    within 3 is_a hops of each term'.
+
+    Each node carries its k smallest 60-bit member hashes (exact
+    below k, estimate floor((k-1) * 2^60/h_k) above — the
+    kmv_distinct contract, bit-identical cross-engine because both
+    engines do the int64->double division under IEEE round-to-
+    nearest). One round per hop: neighbor sketches flow along
+    reversed edges, merge is flatten -> distinct -> sort -> slice k —
+    associative and exact on the k-minima lattice, so the sketch
+    after h rounds is EXACTLY kmin_k over the h-hop neighborhood
+    (no resampling drift), which is what lets the gate run an
+    independent exact-BFS oracle at k > max reach.
+
+    Scale shape: per-node state is k longs; each round is one edge
+    equi-join + one mergeable groupBy whose collect_list holds
+    deg(v)+1 arrays — fine to the ~10^4-degree range; a mega-hub
+    should route through kmv_minima_by's salted two-stage top-k
+    (same lattice, bounded task state) — the documented escape
+    hatch, same class as the as-of hot key. Lineage cut per round
+    (localCheckpoint), the iterative-family contract."""
+    from biocypher_metta_spark.operators.text import portable_hash
+
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+         .distinct()
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("s").alias("node"))
+             .unionAll(e.select(F.col("d").alias("node")))
+             .distinct())
+    sk = (nodes.select(
+        "node",
+        F.array(portable_hash(F.col("node").cast("string")))
+        .alias("sketch"))
+        .localCheckpoint(eager=True))
+    est = (F.when(F.size("sketch") < k, F.size("sketch"))
+           .otherwise(F.floor(
+               (k - 1)
+               * (F.lit(float(1 << 60))
+                  / F.element_at("sketch", k))))
+           .cast("long"))
+    out = None
+    for hop in range(1, max_hops + 1):
+        contrib = (e.join(sk.withColumnRenamed("node", "d"), "d")
+                   .select(F.col("s").alias("node"), "sketch"))
+        sk = (contrib.unionAll(sk)
+              .groupBy("node")
+              .agg(F.slice(
+                  F.array_sort(F.array_distinct(
+                      F.flatten(F.collect_list("sketch")))),
+                  1, k).alias("sketch"))
+              .localCheckpoint(eager=True))
+        hop_rows = sk.select(
+            "node", F.lit(hop).cast("int").alias("hop"),
+            F.size("sketch").cast("long").alias("n_sketch"),
+            est.alias("est"))
+        out = hop_rows if out is None else out.unionAll(hop_rows)
+    return out
+
+
+def neighborhood_function_sql(edges_sql: str, max_hops: int,
+                              src: str = "src",
+                              dst: str = "dst") -> str:
+    """EXACT-count oracle for neighborhood_function at k > max
+    reachable-set size (where the KMV sketch is provably exact):
+    hop-unrolled reachability closure with per-hop distinct counts —
+    an INDEPENDENT spelling (set semantics, no hashing at all)."""
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    parts = [f"""WITH nf_e AS MATERIALIZED (
+  SELECT DISTINCT {src} AS s, {dst} AS d FROM (
+{edges_sql.strip()}
+  ) WHERE {src} IS NOT NULL AND {dst} IS NOT NULL
+), nf_r0 AS MATERIALIZED (
+  SELECT node, node AS u FROM (
+    SELECT DISTINCT s AS node FROM nf_e
+    UNION SELECT DISTINCT d FROM nf_e
+  )
+)"""]
+    for h in range(1, max_hops + 1):
+        parts.append(f""", nf_r{h} AS MATERIALIZED (
+  SELECT DISTINCT node, u FROM (
+    SELECT node, u FROM nf_r{h - 1}
+    UNION ALL
+    SELECT r.node, e.d AS u FROM nf_r{h - 1} r JOIN nf_e e ON r.u = e.s
+  )
+)""")
+    selects = [
+        f"""SELECT node, {h} AS hop, count(*) AS n_sketch,
+       count(*) AS est FROM nf_r{h} GROUP BY node"""
+        for h in range(1, max_hops + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)

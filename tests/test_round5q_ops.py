@@ -305,3 +305,69 @@ def test_sample_assembly_manifest_and_error_rows(spark):
         ("s1", "018"): (1, "txt", 5, 30),
         ("s1", "noext"): (1, "", 1, 7),
     }
+
+
+# ---------------------------------------------------------------------------
+# ANF neighborhood function (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+from biocypher_metta_spark.operators.graph import (  # noqa: E402
+    neighborhood_function,
+    neighborhood_function_sql,
+)
+
+
+def _anf(spark, edges, max_hops, k):
+    df = spark.createDataFrame(edges, EDGE_SCHEMA)
+    return {(r["node"], r["hop"]): (r["n_sketch"], r["est"])
+            for r in neighborhood_function(df, max_hops, k=k)
+            .collect()}
+
+
+def test_anf_path_graph_exact(spark):
+    got = _anf(spark, [(1, 2), (2, 3)], 2, 64)
+    assert got == {
+        (1, 1): (2, 2), (2, 1): (2, 2), (3, 1): (1, 1),
+        (1, 2): (3, 3), (2, 2): (2, 2), (3, 2): (1, 1),
+    }
+
+
+def test_anf_estimate_mode_matches_kmv_formula(spark):
+    # a star 0 -> 1..40 with k=4: hop-1 sketch of node 0 holds the 4
+    # smallest of 41 member hashes; est must follow the kmv formula
+    import hashlib
+
+    k = 4
+    edges = [(0, i) for i in range(1, 41)]
+    got = _anf(spark, edges, 1, k)
+    hashes = sorted(int(hashlib.md5(str(v).encode()).hexdigest()[:15],
+                        16) for v in range(0, 41))
+    expect = int((k - 1) * (float(1 << 60) / hashes[k - 1]))
+    assert got[(0, 1)] == (k, expect)
+    # leaves have no out-edges: singleton sketch, exact
+    assert got[(5, 1)] == (1, 1)
+
+
+def test_anf_validation(spark):
+    df = spark.createDataFrame([(1, 2)], EDGE_SCHEMA)
+    with pytest.raises(ValueError):
+        neighborhood_function(df, 0)
+    with pytest.raises(ValueError):
+        neighborhood_function(df, 1, k=1)
+
+
+def test_anf_duckdb_exact_twin_agrees(spark):
+    import random
+    rng = random.Random(13)
+    edges = [(rng.randrange(0, 40), rng.randrange(0, 40))
+             for _ in range(60)]
+    df = spark.createDataFrame(edges, EDGE_SCHEMA)
+    spark_rows = set(map(tuple,
+                         neighborhood_function(df, 3, k=64).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    duck_rows = set(map(tuple, con.execute(
+        neighborhood_function_sql("SELECT src, dst FROM e",
+                                  3)).fetchall()))
+    assert spark_rows == duck_rows
