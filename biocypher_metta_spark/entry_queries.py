@@ -7251,6 +7251,91 @@ QUERIES["kg_anf"] = (
                                                 max_hops=3))
 
 
+# ---------------------------------------------------------------------------
+# robots.txt crawl-permission filtering (operators/web.py). The three
+# host fixtures exercise the RFC group machinery: specific-agent group
+# ignored for '*' (h0), consecutive User-agent lines sharing one group
+# + comment line + empty Disallow dropped (h1), exact-agent-only host
+# where '*' groups bind because no group names the agent (h2), plus
+# the Allow-wins-length-tie rule ('/a' on h2) and longest-match
+# override ('/private/ok' over '/private' on h0). The same Python
+# variant list builds BOTH the Spark dimension and the SQL VALUES
+# literal, so fixture and oracle cannot drift.
+# ---------------------------------------------------------------------------
+
+_ROBOTS_VARIANTS = [
+    ("h0.example.com",
+     "User-agent: *\nDisallow: /private\nAllow: /private/ok\n\n"
+     "User-agent: evilbot\nDisallow: /"),
+    ("h1.example.com",
+     "# crawl policy\nUser-agent: googlebot\nUser-agent: *\n"
+     "Disallow: /tmp\nDisallow:\nAllow: /tmp/pub"),
+    ("h2.example.com",
+     "User-agent: otherbot\nDisallow: /\n\nUser-agent: *\n"
+     "Allow: /a\nDisallow: /a"),
+]
+
+_ROBOTS_PATHS = ["/", "/private", "/private/ok/x", "/tmp/pub/y",
+                 "/tmp/z", "/a", "/ab", "/b/c"]
+
+
+def _robots_text_sql(text: str) -> str:
+    return " || chr(10) || ".join(
+        "'" + line.replace("'", "''") + "'"
+        for line in text.split("\n"))
+
+
+_ROBOTS_TABLE_SQL = ("SELECT * FROM (VALUES "
+                     + ", ".join(f"('{h}', {_robots_text_sql(t)})"
+                                 for h, t in _ROBOTS_VARIANTS)
+                     + ") AS rb(host, robots_txt)")
+
+_ROBOTS_URLS_SQL = ("""SELECT 'https://'
+  || CASE WHEN i % 2 = 0 THEN 'www.' ELSE '' END
+  || 'h' || (i % 3) || '.example.com' || p.path AS url
+FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents) ids
+JOIN (VALUES """
+                    + ", ".join(f"({pc}, '{p}')"
+                                for pc, p in enumerate(_ROBOTS_PATHS))
+                    + ") AS p(pc, path) ON p.pc = i % 8")
+
+
+def web_robots_filter(spark, sf_dir):
+    """robots.txt verdicts (web.robots_rules + web.robots_filter,
+    agent='*') for formula URLs over the three fixture hosts —
+    longest-match / Allow-tie / group-binding semantics end to end,
+    www-stripping exercised on half the URLs. One host equi-join +
+    one per-url window over the few candidate rules."""
+    from biocypher_metta_spark.operators.web import (
+        robots_filter,
+        robots_rules,
+    )
+
+    ids = _ids(spark, sf_dir)
+    paths = F.array(*[F.lit(p) for p in _ROBOTS_PATHS])
+    urls = ids.select(
+        F.concat(F.lit("https://"),
+                 F.when(F.col("i") % 2 == 0, F.lit("www."))
+                 .otherwise(F.lit("")),
+                 F.lit("h"), (F.col("i") % 3).cast("string"),
+                 F.lit(".example.com"),
+                 F.element_at(paths, (F.col("i") % 8 + 1).cast("int")))
+        .alias("url"))
+    robots = spark.createDataFrame(_ROBOTS_VARIANTS,
+                                   "host string, robots_txt string")
+    return robots_filter(urls, robots_rules(robots, agent="*"))
+
+
+from biocypher_metta_spark.operators.web import (  # noqa: E402
+    robots_filter_sql as _robots_filter_sql,
+)
+
+QUERIES["web_robots_filter"] = (
+    web_robots_filter,
+    _robots_filter_sql(_ROBOTS_URLS_SQL, _ROBOTS_TABLE_SQL,
+                       agent="*"))
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -7472,6 +7557,8 @@ CK_COLUMNS = {
     "multimodal_samples": ["content_sum", "exts", "media_ref",
                            "n_members", "sample_key", "total_bytes"],
     "kg_anf": ["est", "hop", "n_sketch", "node"],
+    "web_robots_filter": ["allowed", "host", "path", "rule_len",
+                          "rule_path", "url"],
     "doc_pmi_collocations": ["n_pair", "pmi_ratio_ppm", "w1", "w2"],
     "doc_rake_keyphrases": ["n_occ", "n_words", "phrase", "score_ppm"],
     "doc_readability": ["doc_id", "fk_grade_milli", "n_sentences",
@@ -7531,7 +7618,8 @@ CK_COMPOSITES = {
                             "doc_rrf_fusion", "emb_mmr_rerank",
                             "doc_dsir_scores",
                             "doc_retrieval_ladder", "web_anchor_text",
-                            "doc_ngram_novelty", "doc_heavy_tokens"],
+                            "doc_ngram_novelty", "doc_heavy_tokens",
+                            "web_robots_filter"],
     "kg_graph_checks": ["kg_pagerank", "kg_hits", "emb_semantic_dedup",
                         "emb_kmeans", "emb_pq_topk",
                         "kg_triangles", "kg_kcore",

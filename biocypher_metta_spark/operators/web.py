@@ -211,3 +211,220 @@ def anchor_text_summary(df: DataFrame, doc_col: str = "doc_id",
     return (counts.withColumn("rank", F.row_number().over(w)
                               .cast("long"))
             .filter(F.col("rank") <= top_k))
+
+
+# robots.txt (RFC 9309 core): crawl-permission filtering for the web
+# family. Plain-prefix rules only — the RFC's percent-encoding and the
+# '*'/'$' wildcard EXTENSION are out of scope and documented so (rules
+# containing them still flow through literally). Longest-match wins,
+# Allow wins length ties, no matching rule means allowed — the RFC
+# defaults. Group selection is per host: if any group names the agent
+# exactly, only those groups bind; otherwise the '*' groups do.
+
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+
+
+def robots_rules(robots: DataFrame, agent: str = "*",
+                 host_col: str = "host",
+                 text_col: str = "robots_txt") -> DataFrame:
+    """Parse raw robots.txt bodies into bindable rule rows
+    (host, rule_path, is_allow, rule_len) for `agent`.
+
+    The line walk is declarative: posexplode the lines, strip
+    comments, regexp the directive/value pair, then reconstruct the
+    RFC's group structure with two window passes over the line
+    positions — a group starts at a User-agent line whose predecessor
+    is NOT one (consecutive User-agent lines share the group), and
+    gid is the running count of group starts. Rules with empty values
+    ('Disallow:' = allow everything) are dropped, as are rules in
+    groups that don't bind the agent.
+
+    Scale shape: robots bodies are small and one-per-host — the
+    windows sort line counts per host, and the output rule table is
+    the small build side of robots_filter's host join."""
+    from pyspark.sql import Window
+
+    a = agent.lower()
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("pos", "raw"))
+    clean = F.trim(F.substring_index(F.col("raw"), "#", 1))
+    parsed = lines.select(
+        "host", "pos",
+        F.lower(F.regexp_extract(clean, r"^([A-Za-z-]+)\s*:", 1))
+        .alias("dir"),
+        F.trim(F.regexp_extract(clean, r"^[A-Za-z-]+\s*:\s*(\S*)", 1))
+        .alias("val"))
+    w = Window.partitionBy("host").orderBy("pos")
+    parsed = parsed.withColumn(
+        "is_ua", (F.col("dir") == "user-agent").cast("int"))
+    parsed = parsed.withColumn(
+        "grp_start",
+        ((F.col("is_ua") == 1)
+         & (F.coalesce(F.lag("is_ua").over(w), F.lit(0)) == 0))
+        .cast("int"))
+    parsed = parsed.withColumn("gid", F.sum("grp_start").over(w))
+    grp = (parsed.filter(F.col("is_ua") == 1)
+           .groupBy("host", "gid")
+           .agg(F.max((F.lower(F.col("val")) == a).cast("int"))
+                .alias("m_exact"),
+                F.max((F.col("val") == "*").cast("int"))
+                .alias("m_star")))
+    grp = grp.withColumn(
+        "host_exact",
+        F.max("m_exact").over(Window.partitionBy("host")))
+    keep = grp.filter(
+        ((F.col("host_exact") == 1) & (F.col("m_exact") == 1))
+        | ((F.col("host_exact") == 0) & (F.col("m_star") == 1))
+    ).select("host", "gid")
+    return (parsed
+            .filter(F.col("dir").isin("allow", "disallow")
+                    & (F.col("val") != ""))
+            .join(keep, ["host", "gid"])
+            .select("host", F.col("val").alias("rule_path"),
+                    (F.col("dir") == "allow").cast("int")
+                    .alias("is_allow"),
+                    F.length("val").cast("long").alias("rule_len"))
+            .distinct())
+
+
+def robots_filter(urls: DataFrame, rules: DataFrame,
+                  url_col: str = "url") -> DataFrame:
+    """Verdict per DISTINCT url against robots_rules output:
+    (url, host, path, allowed, rule_path, rule_len) — longest
+    matching prefix rule binds, Allow wins length ties, hosts with
+    no binding rule (or absent from the rule table) default to
+    allowed with NULL rule columns. Prefix match is spelled
+    substring(path, 1, len) = rule in BOTH engines — no LIKE
+    metacharacter hazards from %/_ in rule paths.
+
+    Scale shape: one equi-join on host (rule side is small — broadcast
+    it when the host universe allows) + one per-url window over the
+    handful of candidate rules; Zipf host skew lands in the join
+    where AQE's skew split applies."""
+    from pyspark.sql import Window
+
+    p = F.regexp_extract(F.col("url"), _PATH_RE, 1)
+    u = (urls.select(F.col(url_col).alias("url"))
+         .withColumn("host", extract_host(F.col("url")))
+         .withColumn("path", F.when(p == "", "/").otherwise(p)))
+    j = u.join(rules, "host", "left")
+    j = j.withColumn(
+        "mlen",
+        F.coalesce(
+            F.when(F.expr("substring(path, 1, length(rule_path))"
+                          " = rule_path"), F.col("rule_len")),
+            F.lit(-1)))
+    w = Window.partitionBy("url").orderBy(
+        F.col("mlen").desc(),
+        F.coalesce(F.col("is_allow"), F.lit(-1)).desc(),
+        F.coalesce(F.col("rule_path"), F.lit("")).desc())
+    best = (j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    no_match = F.col("mlen") < 0
+    return best.select(
+        "url", "host", "path",
+        F.when(no_match, F.lit(1)).otherwise(F.col("is_allow"))
+        .cast("int").alias("allowed"),
+        F.when(no_match, F.lit(None)).otherwise(F.col("rule_path"))
+        .alias("rule_path"),
+        F.when(no_match, F.lit(None)).otherwise(F.col("rule_len"))
+        .cast("long").alias("rule_len"))
+
+
+def robots_rules_sql(robots_sql: str, agent: str = "*") -> str:
+    """DuckDB twin of robots_rules: same line walk, same two window
+    passes, same group-binding recurrence."""
+    a = agent.lower().replace("'", "''")
+    return f"""WITH rb_in AS MATERIALIZED (
+  SELECT host, robots_txt FROM (
+{robots_sql.strip()}
+  )
+), rb_lines AS (
+  SELECT host,
+         unnest(string_split(robots_txt, chr(10))) AS raw,
+         unnest(range(1, len(string_split(robots_txt, chr(10))) + 1))
+           AS pos
+  FROM rb_in
+), rb_p AS (
+  SELECT host, pos,
+         lower(regexp_extract(trim(split_part(raw, '#', 1)),
+                              '^([A-Za-z-]+)\\s*:', 1)) AS dir,
+         trim(regexp_extract(trim(split_part(raw, '#', 1)),
+                             '^[A-Za-z-]+\\s*:\\s*(\\S*)', 1)) AS val
+  FROM rb_lines
+), rb_g0 AS (
+  SELECT *, CASE WHEN dir = 'user-agent' THEN 1 ELSE 0 END AS is_ua
+  FROM rb_p
+), rb_g1 AS (
+  SELECT *, CASE WHEN is_ua = 1 AND coalesce(
+           lag(is_ua) OVER (PARTITION BY host ORDER BY pos), 0) = 0
+         THEN 1 ELSE 0 END AS grp_start
+  FROM rb_g0
+), rb_g2 AS (
+  SELECT *, sum(grp_start) OVER (PARTITION BY host ORDER BY pos)
+            AS gid
+  FROM rb_g1
+), rb_grp AS (
+  SELECT host, gid,
+         max(CASE WHEN lower(val) = '{a}' THEN 1 ELSE 0 END)
+           AS m_exact,
+         max(CASE WHEN val = '*' THEN 1 ELSE 0 END) AS m_star
+  FROM rb_g2 WHERE is_ua = 1 GROUP BY host, gid
+), rb_grp2 AS (
+  SELECT *, max(m_exact) OVER (PARTITION BY host) AS host_exact
+  FROM rb_grp
+), rb_keep AS (
+  SELECT host, gid FROM rb_grp2
+  WHERE (host_exact = 1 AND m_exact = 1)
+     OR (host_exact = 0 AND m_star = 1)
+)
+SELECT DISTINCT g.host, g.val AS rule_path,
+       CASE WHEN g.dir = 'allow' THEN 1 ELSE 0 END AS is_allow,
+       CAST(length(g.val) AS BIGINT) AS rule_len
+FROM rb_g2 g JOIN rb_keep k USING (host, gid)
+WHERE g.dir IN ('allow', 'disallow') AND g.val <> ''"""
+
+
+def robots_filter_sql(urls_sql: str, robots_sql: str,
+                      agent: str = "*") -> str:
+    """DuckDB twin of robots_filter stacked on robots_rules_sql."""
+    rules = robots_rules_sql(robots_sql, agent)
+    return f"""WITH rf_rules AS MATERIALIZED (
+  SELECT * FROM (
+{rules}
+  )
+), rf_u AS (
+  SELECT url,
+         regexp_replace(lower(regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)),
+           '^www\\.', '') AS host,
+         CASE WHEN regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+           THEN '/' ELSE regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) END
+           AS path
+  FROM (
+{urls_sql.strip()}
+  )
+), rf_j AS (
+  SELECT u.url, u.host, u.path, r.rule_path, r.is_allow, r.rule_len,
+         coalesce(CASE WHEN substring(u.path, 1, length(r.rule_path))
+                          = r.rule_path
+                       THEN r.rule_len END, -1) AS mlen
+  FROM rf_u u LEFT JOIN rf_rules r ON u.host = r.host
+), rf_best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY url
+    ORDER BY mlen DESC, coalesce(is_allow, -1) DESC,
+             coalesce(rule_path, '') DESC) AS rn
+  FROM rf_j
+)
+SELECT url, host, path,
+       CAST(CASE WHEN mlen < 0 THEN 1 ELSE is_allow END AS INTEGER)
+         AS allowed,
+       CASE WHEN mlen < 0 THEN NULL ELSE rule_path END AS rule_path,
+       CAST(CASE WHEN mlen < 0 THEN NULL ELSE rule_len END AS BIGINT)
+         AS rule_len
+FROM rf_best WHERE rn = 1"""

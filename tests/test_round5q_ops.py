@@ -371,3 +371,128 @@ def test_anf_duckdb_exact_twin_agrees(spark):
         neighborhood_function_sql("SELECT src, dst FROM e",
                                   3)).fetchall()))
     assert spark_rows == duck_rows
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (operators/web.py)
+# ---------------------------------------------------------------------------
+
+from biocypher_metta_spark.operators.web import (  # noqa: E402
+    robots_filter,
+    robots_filter_sql,
+    robots_rules,
+)
+
+_RB = ("User-agent: *\nDisallow: /private\nAllow: /private/ok\n\n"
+       "User-agent: evilbot\nDisallow: /")
+
+
+def _verdicts(spark, robots_rows, urls, agent="*"):
+    r = spark.createDataFrame(robots_rows,
+                              "host string, robots_txt string")
+    u = spark.createDataFrame([(x,) for x in urls], "url string")
+    return {row["url"]: (row["allowed"], row["rule_path"])
+            for row in robots_filter(u, robots_rules(r, agent=agent))
+            .collect()}
+
+
+def test_robots_longest_match_and_default_allow(spark):
+    got = _verdicts(spark, [("h.com", _RB)], [
+        "https://h.com/private/ok/x",     # Allow len 11 beats len 8
+        "https://h.com/private/no",       # Disallow /private
+        "https://www.h.com/other",        # no match -> allowed, www strip
+        "https://unknown.com/x",          # host absent -> allowed
+        "https://h.com",                  # empty path -> '/'
+    ])
+    assert got == {
+        "https://h.com/private/ok/x": (1, "/private/ok"),
+        "https://h.com/private/no": (0, "/private"),
+        "https://www.h.com/other": (1, None),
+        "https://unknown.com/x": (1, None),
+        "https://h.com": (1, None),
+    }
+
+
+def test_robots_agent_group_binding(spark):
+    # evilbot binds its own group (Disallow /), not the '*' group
+    got = _verdicts(spark, [("h.com", _RB)],
+                    ["https://h.com/private/ok/x"], agent="EvilBot")
+    assert got == {"https://h.com/private/ok/x": (0, "/")}
+
+
+def test_robots_allow_wins_ties_and_empty_disallow(spark):
+    rb = ("User-agent: a\nUser-agent: *\nAllow: /a\nDisallow: /a\n"
+          "Disallow:\n# note")
+    got = _verdicts(spark, [("h.com", rb)],
+                    ["https://h.com/ab", "https://h.com/b"])
+    assert got == {"https://h.com/ab": (1, "/a"),
+                   "https://h.com/b": (1, None)}
+
+
+def _brute_robots(robots_txt, path, agent="*"):
+    # independent reference: RFC 9309 core (plain prefixes)
+    groups, cur_agents, cur_rules, in_ua = [], [], [], False
+    for raw in robots_txt.split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        m = line.split(":", 1)
+        d = m[0].strip().lower() if len(m) == 2 else ""
+        v = m[1].strip().split()[0] if len(m) == 2 and m[1].strip() else ""
+        if d == "user-agent":
+            if not in_ua:
+                if cur_agents:
+                    groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+            cur_agents.append(v.lower())
+            in_ua = True
+        elif d in ("allow", "disallow"):
+            if v:
+                cur_rules.append((v, d == "allow"))
+            in_ua = False
+        else:
+            in_ua = False
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+    exact = [g for g in groups if agent.lower() in g[0]]
+    bind = exact or [g for g in groups if "*" in g[0]]
+    rules = [r for g in bind for r in g[1]]
+    best = max((r for r in rules if path.startswith(r[0])),
+               key=lambda r: (len(r[0]), r[1], r[0]), default=None)
+    return (1, None) if best is None else (int(best[1]), best[0])
+
+
+def test_robots_randomized_vs_brute_and_twin(spark):
+    import random
+    rng = random.Random(23)
+    segs = ["/a", "/ab", "/a/b", "/b", "/c/d", "/"]
+    hosts, robots_rows = [], []
+    for h in range(6):
+        lines, host = [], f"h{h}.com"
+        for _ in range(rng.randrange(1, 4)):
+            lines.append("User-agent: " +
+                         rng.choice(["*", "botx", "boty"]))
+            for _ in range(rng.randrange(0, 4)):
+                lines.append(rng.choice(["Allow: ", "Disallow: "])
+                             + rng.choice(segs + [""]))
+        txt = "\n".join(lines)
+        robots_rows.append((host, txt))
+        hosts.append((host, txt))
+    urls = [f"https://h{rng.randrange(0, 7)}.com{rng.choice(segs)}x"
+            for _ in range(60)]
+    got = _verdicts(spark, robots_rows, sorted(set(urls)))
+    for u in sorted(set(urls)):
+        host = u.split("//")[1].split("/")[0]
+        path = "/" + u.split(".com", 1)[1].lstrip("/")
+        txt = dict(hosts).get(host)
+        expect = (1, None) if txt is None else _brute_robots(txt, path)
+        assert got[u] == expect, (u, got[u], expect)
+    # and the DuckDB twin agrees row-for-row
+    import duckdb as _dd
+    con = _dd.connect()
+    robots_sql = ("SELECT * FROM (VALUES " + ", ".join(
+        "('%s', '%s')" % (h, t.replace("'", "''").replace("\n", "' || chr(10) || '"))
+        for h, t in robots_rows) + ") AS rb(host, robots_txt)")
+    urls_sql = ("SELECT * FROM (VALUES " + ", ".join(
+        f"('{u}')" for u in sorted(set(urls))) + ") AS uu(url)")
+    duck = {r[0]: (r[3], r[4]) for r in con.execute(
+        robots_filter_sql(urls_sql, robots_sql)).fetchall()}
+    assert duck == got
