@@ -7336,6 +7336,108 @@ QUERIES["web_robots_filter"] = (
                        agent="*"))
 
 
+def rel_k_anonymity(spark, sf_dir):
+    """Privacy release audit (privacy.k_anonymity): violating
+    equivalence classes of orders under QI = (priority, status,
+    order year, customer bucket) with the price band as the
+    sensitive attribute, k_min=3 / l_min=2 — the screen a metadata
+    sidecar passes before a corpus ships. Pure counting, no
+    quantization; output bounded by the risky classes. One groupBy
+    shuffle, mergeable count + count-distinct."""
+    from biocypher_metta_spark.operators.privacy import k_anonymity
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        (F.col("o_custkey") % 200).alias("cust_bucket"),
+        F.floor(F.col("o_totalprice") / 50000).cast("long")
+        .alias("price_band"))
+    return k_anonymity(o, ["prio", "status", "yr", "cust_bucket"],
+                       "price_band", k_min=3, l_min=2)
+
+
+from biocypher_metta_spark.operators.privacy import (  # noqa: E402
+    k_anonymity_sql as _k_anonymity_sql,
+)
+
+REL_K_ANONYMITY_SQL = _k_anonymity_sql(
+    """SELECT o_orderpriority AS prio, o_orderstatus AS status,
+  CAST(year(o_orderdate) AS INT) AS yr,
+  o_custkey % 200 AS cust_bucket,
+  CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_band
+FROM orders""",
+    ["prio", "status", "yr", "cust_bucket"], "price_band",
+    k_min=3, l_min=2)
+
+QUERIES["rel_k_anonymity"] = (rel_k_anonymity, REL_K_ANONYMITY_SQL)
+
+
+def rel_cohens_kappa(spark, sf_dir):
+    """Inter-annotator agreement (stats.cohens_kappa) between two
+    synthetic labelings of events per user bucket: rater A is
+    event_type with every 7th row replaced by an 'aa'-noise tag,
+    rater B with every 4th row replaced by 'zz' — partial agreement
+    with asymmetric marginals, so the chance-corrected N^2 identity
+    and the categories-missing-from-one-marginal path (noise tags
+    contribute 0 to S) are both exercised. Exact integer kappa in
+    ppm. Oracle: cohens_kappa_sql from the same identity."""
+    from biocypher_metta_spark.operators.stats import cohens_kappa
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("grp"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("aa"))
+        .otherwise(F.col("event_type")).alias("rater_a"),
+        F.when(F.col("event_id") % 4 == 0, F.lit("zz"))
+        .otherwise(F.col("event_type")).alias("rater_b"))
+    return cohens_kappa(e, ["grp"], "rater_a", "rater_b")
+
+
+from biocypher_metta_spark.operators.stats import (  # noqa: E402
+    cohens_kappa_sql as _cohens_kappa_sql,
+)
+
+REL_COHENS_KAPPA_SQL = _cohens_kappa_sql(
+    """SELECT user_id % 4 AS grp,
+  CASE WHEN event_id % 7 = 0 THEN 'aa' ELSE event_type END AS rater_a,
+  CASE WHEN event_id % 4 = 0 THEN 'zz' ELSE event_type END AS rater_b
+FROM events""",
+    ["grp"], "rater_a", "rater_b")
+
+QUERIES["rel_cohens_kappa"] = (rel_cohens_kappa, REL_COHENS_KAPPA_SQL)
+
+
+def doc_rocchio(spark, sf_dir):
+    """Nearest-centroid language router (classify.rocchio_centroids +
+    rocchio_classify): train token centroids per lang on the
+    doc_id % 5 != 0 split, predict the held-out % 5 == 0 docs —
+    the integer-exact supervised counterpart of doc_lang_trigram
+    (model learned from the corpus instead of shipped marker lists).
+    Broadcast model join, one tf shuffle, per-doc argmax window with
+    the explicit (score DESC, label ASC) tie-break."""
+    from biocypher_metta_spark.operators.classify import (
+        rocchio_centroids,
+        rocchio_classify,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0).select(
+        "text", F.col("lang").alias("label"))
+    test = d.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    return rocchio_classify(rocchio_centroids(train), test)
+
+
+from biocypher_metta_spark.operators.classify import (  # noqa: E402
+    rocchio_sql as _rocchio_sql,
+)
+
+DOC_ROCCHIO_SQL = _rocchio_sql(
+    "SELECT text, lang AS label FROM documents WHERE doc_id % 5 <> 0",
+    "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0")
+
+QUERIES["doc_rocchio"] = (doc_rocchio, DOC_ROCCHIO_SQL)
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -7565,6 +7667,11 @@ CK_COLUMNS = {
                         "n_syllables", "n_words"],
     "emb_mmr_rerank": ["mmr_rank", "mmr_score", "vec_id"],
     "doc_retrieval_ladder": ["mmr_rank", "mmr_score", "vec_id"],
+    "rel_k_anonymity": ["cust_bucket", "k_size", "k_violation",
+                        "l_distinct", "l_violation", "prio", "status",
+                        "yr"],
+    "rel_cohens_kappa": ["grp", "kappa_ppm", "n_agree", "n_obs"],
+    "doc_rocchio": ["doc_id", "pred_label", "score_ppb"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
@@ -7585,7 +7692,8 @@ CK_COMPOSITES = {
                        "rel_dq_profile", "rel_retention", "rel_skyline",
                        "rel_itemsets", "rel_hll_sketch",
                        "rel_benford", "rel_gini", "rel_linreg",
-                       "rel_chisq", "rel_decile_lift"],
+                       "rel_chisq", "rel_decile_lift",
+                       "rel_k_anonymity", "rel_cohens_kappa"],
     "rel_window_checks": ["rel_window_rank", "rel_events_hourly",
                           "rel_session_window", "rel_scd2_intervals",
                           "rel_gapfill_locf", "rel_ewma",
@@ -7619,7 +7727,7 @@ CK_COMPOSITES = {
                             "doc_dsir_scores",
                             "doc_retrieval_ladder", "web_anchor_text",
                             "doc_ngram_novelty", "doc_heavy_tokens",
-                            "web_robots_filter"],
+                            "web_robots_filter", "doc_rocchio"],
     "kg_graph_checks": ["kg_pagerank", "kg_hits", "emb_semantic_dedup",
                         "emb_kmeans", "emb_pq_topk",
                         "kg_triangles", "kg_kcore",

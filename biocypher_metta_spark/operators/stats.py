@@ -1026,3 +1026,118 @@ SELECT {keys}, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
                       AS BIGINT)
        END AS auc_ppm
 FROM mw_a"""
+
+
+def cohens_kappa(df: DataFrame, key_cols: list[str], a_col: str,
+                 b_col: str) -> DataFrame:
+    """Per-group Cohen's kappa in parts-per-million — chance-corrected
+    agreement between two categorical annotators (a rater column and a
+    model prediction, two labeling runs, heuristic-vs-LLM tags). The
+    inter-annotator screen a labeled-training-data pipeline runs before
+    trusting a label column, next to ks_test/mannwhitney in the
+    two-sample family.
+
+    Multiplying po = D/N and pe = S/N^2 through by N^2 removes every
+    division until the final floor:
+
+        kappa = (N*D - S) / (N^2 - S)
+
+    with N = rows, D = agreements (a = b), S = sum over categories of
+    row-marginal * column-marginal. All exact integers in
+    DECIMAL(38,0) / HUGEINT; kappa_ppm is the pmod floor of the ratio
+    * 1e6 (negative kappas — worse than chance — floor consistently in
+    both engines by the same pmod identity). Degenerate groups where
+    pe = 1 (both raters constant on the same category; then N^2 = S)
+    emit 1e6 when D = N else 0. Rows where either label is NULL are
+    dropped. Caller contract: N^2 * 1e6 inside 38 digits (N up to
+    ~10^15 — any real annotation set).
+
+    Scale shape: three mergeable groupBys (totals, row marginals,
+    column marginals) over the same shuffled key — AQE coalesces them
+    onto one exchange of the base projection — then a marginal-side
+    join that is one row per (key, category), never row-volume. No
+    windows, no collect; hot groups are absorbed by partial
+    aggregation since every term is a sum.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    reserved = {"n_obs", "n_agree", "kappa_ppm", "_cat", "_na", "_nb",
+                "_a", "_b", "_n", "_d", "_s"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"input must not already have columns {clash}")
+    base = (df.filter(F.col(a_col).isNotNull()
+                      & F.col(b_col).isNotNull())
+            .select(*key_cols, F.col(a_col).alias("_a"),
+                    F.col(b_col).alias("_b")))
+    tot = base.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast(_DEC).alias("_n"),
+        F.sum((F.col("_a") == F.col("_b")).cast("long"))
+        .cast(_DEC).alias("_d"))
+    ra = (base.groupBy(*key_cols, F.col("_a").alias("_cat"))
+          .agg(F.count(F.lit(1)).cast(_DEC).alias("_na")))
+    cb = (base.groupBy(*key_cols, F.col("_b").alias("_cat"))
+          .agg(F.count(F.lit(1)).cast(_DEC).alias("_nb")))
+    # categories missing from either marginal contribute 0 to S, so the
+    # inner join on (key, category) is exact.
+    s = (ra.join(cb, [*key_cols, "_cat"])
+         .groupBy(*key_cols)
+         .agg(F.sum(F.col("_na") * F.col("_nb")).alias("_s")))
+    j = tot.join(s, key_cols, "left").withColumn(
+        "_s", F.coalesce(F.col("_s"), F.lit(0).cast(_DEC)))
+    num = (F.col("_n") * F.col("_d") - F.col("_s")) \
+        * F.lit(1_000_000).cast(_DEC)
+    den = F.col("_n") * F.col("_n") - F.col("_s")
+    ppm = (num - ((num % den) + den) % den) / den
+    return j.select(
+        *key_cols,
+        F.col("_n").cast("long").alias("n_obs"),
+        F.col("_d").cast("long").alias("n_agree"),
+        F.when(den == F.lit(0).cast(_DEC),
+               F.when(F.col("_d") == F.col("_n"), F.lit(1_000_000))
+               .otherwise(F.lit(0)))
+        .otherwise(ppm).cast("long").alias("kappa_ppm"))
+
+
+def cohens_kappa_sql(input_sql: str, key_cols: list[str], a_col: str,
+                     b_col: str) -> str:
+    """DuckDB twin of cohens_kappa: same N^2-scaled integer identity,
+    HUGEINT terms, same pmod floor and pe=1 guard."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    keys = ", ".join(key_cols)
+    return f"""WITH ck_in AS MATERIALIZED (
+  SELECT {keys}, {a_col} AS a, {b_col} AS b FROM (
+{input_sql.strip()}
+  ) WHERE {a_col} IS NOT NULL AND {b_col} IS NOT NULL
+), ck_tot AS (
+  SELECT {keys}, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS HUGEINT) AS d
+  FROM ck_in GROUP BY {keys}
+), ck_ra AS (
+  SELECT {keys}, a AS cat, CAST(count(*) AS HUGEINT) AS na
+  FROM ck_in GROUP BY {keys}, a
+), ck_cb AS (
+  SELECT {keys}, b AS cat, CAST(count(*) AS HUGEINT) AS nb
+  FROM ck_in GROUP BY {keys}, b
+), ck_s AS (
+  SELECT {", ".join("ck_ra." + k for k in key_cols)},
+         sum(na * nb) AS s
+  FROM ck_ra JOIN ck_cb
+    ON {" AND ".join(f"ck_ra.{k} = ck_cb.{k}" for k in key_cols)}
+   AND ck_ra.cat = ck_cb.cat
+  GROUP BY {", ".join("ck_ra." + k for k in key_cols)}
+), ck_j AS (
+  SELECT ck_tot.*, coalesce(ck_s.s, 0::HUGEINT) AS s
+  FROM ck_tot LEFT JOIN ck_s USING ({keys})
+), ck_d AS (
+  SELECT {keys}, n, d,
+         (n * d - s) * 1000000::HUGEINT AS num,
+         n * n - s AS den
+  FROM ck_j
+)
+SELECT {keys}, CAST(n AS BIGINT) AS n_obs, CAST(d AS BIGINT) AS n_agree,
+       CASE WHEN den = 0 THEN (CASE WHEN d = n THEN 1000000 ELSE 0 END)
+            ELSE CAST((num - (((num % den) + den) % den)) // den
+                      AS BIGINT) END AS kappa_ppm
+FROM ck_d"""
