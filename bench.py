@@ -148,7 +148,13 @@ def main() -> None:
              "rel_gini", "doc_pmi_collocations", "rel_linreg",
              "rel_chisq", "kg_four_cycles", "kg_collab_weight",
              "doc_rake_keyphrases", "rel_winsorize",
-             "rel_decile_lift", "doc_ngram_novelty"]
+             "rel_decile_lift", "doc_ngram_novelty",
+             "doc_heavy_tokens", "kg_betweenness", "kg_closeness",
+             "rel_cusum", "rel_ks_test", "rel_mannwhitney",
+             "rel_proximity_join", "kg_modularity",
+             "multimodal_tar_members", "multimodal_samples",
+             "kg_anf", "web_robots_filter", "kg_finemap",
+             "rel_k_anonymity", "rel_cohens_kappa", "doc_rocchio"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):
