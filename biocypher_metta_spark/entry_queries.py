@@ -7438,6 +7438,96 @@ DOC_ROCCHIO_SQL = _rocchio_sql(
 QUERIES["doc_rocchio"] = (doc_rocchio, DOC_ROCCHIO_SQL)
 
 
+def rel_spearman(spark, sf_dir):
+    """Monotone association (stats.spearman) between quantity and
+    extended price per lineitem position — heavy ties on both sides
+    (quantity is 1..50, price floored to hundreds), so the doubled
+    tie-averaged ranks and the zero-variance guard are both live.
+    Integer rank moments; the single float ratio is the correctly-
+    rounded sqrt/divide pattern shared with expr_gene_corr."""
+    from biocypher_metta_spark.operators.stats import spearman
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_linenumber").alias("grp"),
+        F.col("l_quantity").cast("long").alias("qx"),
+        F.floor(F.col("l_extendedprice") / 100).cast("long").alias("py"))
+    return spearman(li, ["grp"], "qx", "py")
+
+
+from biocypher_metta_spark.operators.stats import (  # noqa: E402
+    spearman_sql as _spearman_sql,
+)
+
+REL_SPEARMAN_SQL = _spearman_sql(
+    """SELECT l_linenumber AS grp, CAST(l_quantity AS BIGINT) AS qx,
+  CAST(floor(l_extendedprice/100) AS BIGINT) AS py FROM lineitem""",
+    ["grp"], "qx", "py")
+
+QUERIES["rel_spearman"] = (rel_spearman, REL_SPEARMAN_SQL)
+
+
+def rel_theil_sen(spark, sf_dir):
+    """Robust daily-volume trend (stats.theil_sen): median pairwise
+    slope of events-per-day per event_type — the outlier-proof twin
+    of rel_linreg's OLS slope. The raw stream pre-aggregates to one
+    integer point per (type, day) first (the operator's bounded-
+    group contract: pairs grow in days^2, not event rows)."""
+    from biocypher_metta_spark.operators.stats import theil_sen
+
+    ev = (_t(spark, sf_dir, "events")
+          .groupBy(F.col("event_type").alias("grp"),
+                   F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+                   .alias("day"))
+          .agg(F.count(F.lit(1)).alias("n_ev")))
+    return theil_sen(ev, ["grp"], "day", "n_ev")
+
+
+from biocypher_metta_spark.operators.stats import (  # noqa: E402
+    theil_sen_sql as _theil_sen_sql,
+)
+
+REL_THEIL_SEN_SQL = _theil_sen_sql(
+    """SELECT event_type AS grp,
+  datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+  count(*) AS n_ev FROM events GROUP BY 1, 2""",
+    ["grp"], "day", "n_ev")
+
+QUERIES["rel_theil_sen"] = (rel_theil_sen, REL_THEIL_SEN_SQL)
+
+
+def rel_t_closeness(spark, sf_dir):
+    """t-closeness audit (privacy.t_closeness) over orders: QI =
+    (priority, status, customer bucket), ordered sensitive attribute
+    = the price band, t = 0.10 — the distribution-leak screen that
+    k-anonymity/l-diversity miss (a class can be large and diverse
+    yet sit entirely in the top bands). Exact cleared-denominator
+    prefix EMD; the global band histogram (m = ~11) is the bounded
+    driver fetch re-entering as an exploded literal grid."""
+    from biocypher_metta_spark.operators.privacy import t_closeness
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_custkey") % 50).alias("cust_bucket"),
+        F.floor(F.col("o_totalprice") / 50000).cast("long")
+        .alias("price_band"))
+    return t_closeness(o, ["prio", "status", "cust_bucket"],
+                       "price_band", t_ppm=100_000)
+
+
+from biocypher_metta_spark.operators.privacy import (  # noqa: E402
+    t_closeness_sql as _t_closeness_sql,
+)
+
+REL_T_CLOSENESS_SQL = _t_closeness_sql(
+    """SELECT o_orderpriority AS prio, o_orderstatus AS status,
+  o_custkey % 50 AS cust_bucket,
+  CAST(floor(o_totalprice/50000) AS BIGINT) AS price_band FROM orders""",
+    ["prio", "status", "cust_bucket"], "price_band", t_ppm=100_000)
+
+QUERIES["rel_t_closeness"] = (rel_t_closeness, REL_T_CLOSENESS_SQL)
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -7672,6 +7762,10 @@ CK_COLUMNS = {
                         "yr"],
     "rel_cohens_kappa": ["grp", "kappa_ppm", "n_agree", "n_obs"],
     "doc_rocchio": ["doc_id", "pred_label", "score_ppb"],
+    "rel_spearman": ["grp", "n_obs", "rho_ppm"],
+    "rel_theil_sen": ["grp", "n_pairs", "slope_ppm"],
+    "rel_t_closeness": ["cust_bucket", "emd_ppm", "k_size", "prio",
+                        "status"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
@@ -7693,7 +7787,9 @@ CK_COMPOSITES = {
                        "rel_itemsets", "rel_hll_sketch",
                        "rel_benford", "rel_gini", "rel_linreg",
                        "rel_chisq", "rel_decile_lift",
-                       "rel_k_anonymity", "rel_cohens_kappa"],
+                       "rel_k_anonymity", "rel_cohens_kappa",
+                       "rel_spearman", "rel_theil_sen",
+                       "rel_t_closeness"],
     "rel_window_checks": ["rel_window_rank", "rel_events_hourly",
                           "rel_session_window", "rel_scd2_intervals",
                           "rel_gapfill_locf", "rel_ewma",

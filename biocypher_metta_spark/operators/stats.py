@@ -1141,3 +1141,206 @@ SELECT {keys}, CAST(n AS BIGINT) AS n_obs, CAST(d AS BIGINT) AS n_agree,
             ELSE CAST((num - (((num % den) + den) % den)) // den
                       AS BIGINT) END AS kappa_ppm
 FROM ck_d"""
+
+
+def spearman(df: DataFrame, key_cols: list[str], x_col: str,
+             y_col: str) -> DataFrame:
+    """Per-group Spearman rank correlation in ppm — the monotone-
+    association screen next to linreg (which is slope-of-values) and
+    mannwhitney (which is two-sample): does y rise with x at all,
+    robust to outliers and any monotone rescaling? A curation pipeline
+    runs it between quality signals (e.g. doc length vs dedup cluster
+    size) before trusting one as a proxy for the other.
+
+    Exactness: Spearman is Pearson over ranks. Tie-averaged ranks stay
+    integral by the mannwhitney doubling (r2 = 2*rank() + tie_count -
+    1, tie-order invariant), and Pearson over integer ranks has exact
+    integer moments in DECIMAL(38,0)/HUGEINT:
+
+        num = n*Sxy - Sx*Sy,  dx = n*Sxx - Sx^2,  dy = n*Syy - Sy^2
+
+    rho_ppm = floor(1e6 * num / (sqrt(dx)*sqrt(dy))) with the division
+    in doubles — every step (int->double cast, sqrt, *, /) is
+    correctly rounded under IEEE 754, so both engines hit the same
+    bits (the expression.gene_corr_topk pattern). Zero-variance groups
+    (dx or dy = 0, incl. n = 1) emit rho_ppm = 0. Rows with a NULL x
+    or y drop. Caller contract: group size <= ~10^8 (doubled ranks
+    ~2n, so n*Sxx ~ 4n^4 must sit inside 38 digits).
+
+    Scale shape: both rank windows partition on the same keys — one
+    exchange, two in-partition sorts — then a single mergeable
+    groupBy on the already-partitioned keys. A mega-hot group
+    serializes its sort on one task like every per-group ranking (the
+    mannwhitney/ks_test family caveat); pre-bucket the keys if a
+    profile shows it.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    for c in ("_x", "_y", "_rx", "_ry", "n_obs", "rho_ppm"):
+        if c in df.columns:
+            raise ValueError(f"input must not already have column {c!r}")
+    base = (df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+            .select(*key_cols, F.col(x_col).alias("_x"),
+                    F.col(y_col).alias("_y")))
+
+    def _r2(col):
+        w_ord = Window.partitionBy(*key_cols).orderBy(col)
+        w_tie = (Window.partitionBy(*key_cols).orderBy(col)
+                 .rangeBetween(0, 0))
+        return (F.lit(2) * F.rank().over(w_ord).cast("long")
+                + F.count(F.lit(1)).over(w_tie) - F.lit(1)).cast(_DEC)
+
+    ranked = base.select(*key_cols, _r2("_x").alias("_rx"),
+                         _r2("_y").alias("_ry"))
+    agg = ranked.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast(_DEC).alias("_n"),
+        F.sum("_rx").alias("_sx"), F.sum("_ry").alias("_sy"),
+        F.sum(F.col("_rx") * F.col("_rx")).alias("_sxx"),
+        F.sum(F.col("_ry") * F.col("_ry")).alias("_syy"),
+        F.sum(F.col("_rx") * F.col("_ry")).alias("_sxy"))
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    dx = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    dy = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    rho = F.floor(F.lit(1000000.0) * num.cast("double")
+                  / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))))
+    return agg.select(
+        *key_cols, F.col("_n").cast("long").alias("n_obs"),
+        F.when((dx == F.lit(0).cast(_DEC)) | (dy == F.lit(0).cast(_DEC)),
+               F.lit(0))
+        .otherwise(rho).cast("long").alias("rho_ppm"))
+
+
+def spearman_sql(input_sql: str, key_cols: list[str], x_col: str,
+                 y_col: str) -> str:
+    """DuckDB twin of spearman: same doubled tie-averaged ranks,
+    HUGEINT moments, identical double expression for the final ratio
+    (correctly-rounded ops -> bit-equal across engines)."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    keys = ", ".join(key_cols)
+    return f"""WITH sp_in AS MATERIALIZED (
+  SELECT {keys}, {x_col} AS x, {y_col} AS y FROM (
+{input_sql.strip()}
+  ) WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+), sp_r AS (
+  SELECT {keys},
+         CAST(2 * rank() OVER (PARTITION BY {keys} ORDER BY x)
+              + count(*) OVER (PARTITION BY {keys} ORDER BY x
+                               RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+              - 1 AS HUGEINT) AS rx,
+         CAST(2 * rank() OVER (PARTITION BY {keys} ORDER BY y)
+              + count(*) OVER (PARTITION BY {keys} ORDER BY y
+                               RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+              - 1 AS HUGEINT) AS ry
+  FROM sp_in
+), sp_a AS (
+  SELECT {keys}, CAST(count(*) AS HUGEINT) AS n,
+         sum(rx) AS sx, sum(ry) AS sy,
+         sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+         sum(rx * ry) AS sxy
+  FROM sp_r GROUP BY {keys}
+), sp_d AS (
+  SELECT {keys}, n,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS dx,
+         n * syy - sy * sy AS dy
+  FROM sp_a
+)
+SELECT {keys}, CAST(n AS BIGINT) AS n_obs,
+       CASE WHEN dx = 0 OR dy = 0 THEN 0
+            ELSE CAST(floor(1000000.0 * CAST(num AS DOUBLE)
+                            / (sqrt(CAST(dx AS DOUBLE))
+                               * sqrt(CAST(dy AS DOUBLE))))
+                 AS BIGINT) END AS rho_ppm
+FROM sp_d"""
+
+
+def theil_sen(df: DataFrame, key_cols: list[str], x_col: str,
+              y_col: str) -> DataFrame:
+    """Per-group Theil-Sen trend: the MEDIAN of all pairwise slopes
+    (y2-y1)/(x2-x1) over x1 < x2 — the robust counterpart of linreg's
+    least-squares slope (one wild day in a daily-volume series drags
+    OLS arbitrarily; the slope median ignores up to ~29% corruption).
+
+    Exactness: x and y must arrive integer-valued (caller quantizes —
+    the repo contract shared by linreg/cusum). Each pairwise slope is
+    the pmod floor of 1e6*(y2-y1) over the strictly positive dx, an
+    exact integer; the median of integers is an exact rank selection:
+    row_number ordered by slope = (m+1) DIV 2 (lower median —
+    deterministic both engines; equal slope values make the tie order
+    irrelevant to the selected VALUE). Pairs with x1 = x2 have no
+    slope and drop, the Theil-Sen convention. Groups with no valid
+    pair emit nothing.
+
+    Scale shape: the pair generator is an equi-join on the group keys
+    with the x1 < x2 inequality as a post-join filter — never a
+    cartesian — so work is sum over groups of n_g^2/2. That is the
+    operator's honest cost (Theil-Sen IS quadratic); the caller
+    contract is bounded group size, e.g. a per-entity DAILY series
+    pre-aggregated from raw events (the gate's shape: 10^3 days =
+    ~5*10^5 pairs per key, trivial; raw un-aggregated events would
+    not be). Median selection is one more window sort on the same
+    keys.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    for c in ("_x1", "_y1", "_x2", "_y2", "_s", "_m", "_rn",
+              "n_pairs", "slope_ppm"):
+        if c in df.columns:
+            raise ValueError(f"input must not already have column {c!r}")
+    base = (df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+            .select(*key_cols, F.col(x_col).cast("long").alias("_x1"),
+                    F.col(y_col).cast("long").alias("_y1")))
+    right = base.select(*key_cols, F.col("_x1").alias("_x2"),
+                        F.col("_y1").alias("_y2"))
+    pairs = (base.join(right, key_cols)
+             .filter(F.col("_x1") < F.col("_x2")))
+    num = ((F.col("_y2") - F.col("_y1")).cast(_DEC)
+           * F.lit(1_000_000).cast(_DEC))
+    den = (F.col("_x2") - F.col("_x1")).cast(_DEC)
+    slope = (num - ((num % den) + den) % den) / den
+    slopes = pairs.select(*key_cols, slope.cast("long").alias("_s"))
+    w_ord = Window.partitionBy(*key_cols).orderBy("_s")
+    w_all = Window.partitionBy(*key_cols)
+    ranked = slopes.select(
+        *key_cols, "_s",
+        F.row_number().over(w_ord).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).alias("_m"))
+    return (ranked
+            .filter(F.col("_rn")
+                    == F.floor((F.col("_m") + F.lit(1)) / F.lit(2)))
+            .select(*key_cols, F.col("_m").alias("n_pairs"),
+                    F.col("_s").alias("slope_ppm")))
+
+
+def theil_sen_sql(input_sql: str, key_cols: list[str], x_col: str,
+                  y_col: str) -> str:
+    """DuckDB twin of theil_sen: same equi-join pair generator, pmod
+    slope floor, and lower-median row_number selection."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    keys = ", ".join(key_cols)
+    a_keys = ", ".join(f"a.{k}" for k in key_cols)
+    on = " AND ".join(f"a.{k} = b.{k}" for k in key_cols)
+    return f"""WITH ts_in AS MATERIALIZED (
+  SELECT {keys}, CAST({x_col} AS BIGINT) AS x, CAST({y_col} AS BIGINT) AS y
+  FROM (
+{input_sql.strip()}
+  ) WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+), ts_p AS (
+  SELECT {a_keys},
+         CAST(b.y - a.y AS HUGEINT) * 1000000::HUGEINT AS num,
+         CAST(b.x - a.x AS HUGEINT) AS den
+  FROM ts_in a JOIN ts_in b ON {on} AND a.x < b.x
+), ts_s AS (
+  SELECT {keys},
+         CAST((num - (((num % den) + den) % den)) // den AS BIGINT) AS s
+  FROM ts_p
+), ts_r AS (
+  SELECT {keys}, s,
+         row_number() OVER (PARTITION BY {keys} ORDER BY s) AS rn,
+         count(*) OVER (PARTITION BY {keys}) AS m
+  FROM ts_s
+)
+SELECT {keys}, CAST(m AS BIGINT) AS n_pairs, s AS slope_ppm
+FROM ts_r WHERE rn = (m + 1) // 2"""
