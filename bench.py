@@ -155,7 +155,9 @@ def main() -> None:
              "multimodal_tar_members", "multimodal_samples",
              "kg_anf", "web_robots_filter", "kg_finemap",
              "rel_k_anonymity", "rel_cohens_kappa", "doc_rocchio",
-             "rel_spearman", "rel_theil_sen", "rel_t_closeness"]
+             "rel_spearman", "rel_theil_sen", "rel_t_closeness",
+             "rel_kaplan_meier", "kg_eff_radius",
+             "multimodal_audio_frames"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):

@@ -7528,6 +7528,120 @@ REL_T_CLOSENESS_SQL = _t_closeness_sql(
 QUERIES["rel_t_closeness"] = (rel_t_closeness, REL_T_CLOSENESS_SQL)
 
 
+def rel_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve (stats.kaplan_meier) per user
+    bucket over events: duration = day index, event = purchase
+    (everything else right-censored at its own day) — the retention/
+    time-to-removal estimator. The per-step ppm floor recurrence is
+    identical on both sides; the twin spells it as a recursive CTE,
+    an independent spelling of the same recurrence (the Spark side
+    is a sort_array + F.aggregate fold)."""
+    from biocypher_metta_spark.operators.stats import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("grp"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("dur"),
+        (F.col("event_type") == "purchase").cast("int").alias("ev"))
+    return kaplan_meier(ev, ["grp"], "dur", "ev")
+
+
+from biocypher_metta_spark.operators.stats import (  # noqa: E402
+    kaplan_meier_sql as _kaplan_meier_sql,
+)
+
+REL_KAPLAN_MEIER_SQL = _kaplan_meier_sql(
+    """SELECT user_id % 4 AS grp,
+  datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dur,
+  CAST(event_type = 'purchase' AS INT) AS ev FROM events""",
+    ["grp"], "dur", "ev")
+
+QUERIES["rel_kaplan_meier"] = (rel_kaplan_meier, REL_KAPLAN_MEIER_SQL)
+
+
+def kg_eff_radius(spark, sf_dir):
+    """Per-node effective radius (graph.effective_radius, q = 0.9,
+    max_hops = 3, k = 64) over kg_anf's out-degree-2 pseudorandom
+    graph — the composition readout of the ANF sketches ('how deep
+    before a node's reach saturates'). Same k-exact regime as
+    kg_anf (3-hop reach <= 15 < 64), so the oracle composes the
+    exact hop-unrolled BFS twin with the identical integer
+    threshold."""
+    ids = _ids(spark, sf_dir)
+    m = F.col("i") % 5000
+    edges = (ids.select(m.alias("src"), ((m * 7 + 3) % 5000).alias("dst"))
+             .unionAll(ids.select(m.alias("src"),
+                                  ((m * 3 + 1) % 5000).alias("dst"))))
+    return graph_ops.effective_radius(edges, max_hops=3, k=64,
+                                      q_permille=900)
+
+
+QUERIES["kg_eff_radius"] = (
+    kg_eff_radius,
+    graph_ops.effective_radius_sql(_BFS_EDGES_SQL, max_hops=3,
+                                   q_permille=900))
+
+
+def multimodal_audio_frames(spark, sf_dir):
+    """Frame-level audio features (multimodal.audio_frame_features,
+    frame_len=48) over the four WAV codec variants — per-frame
+    integer energy / peak / strict zero-crossings, the VAD
+    precursor. Variant lengths 40/96/56/128 samples exercise
+    single-frame, exact-multiple, and trailing-partial-frame paths;
+    the twin recomputes every frame from the sample FORMULA, so hash
+    equality proves decode + frame split + pairwise crossing count
+    end-to-end."""
+    from biocypher_metta_spark.operators import multimodal as mm
+
+    ids = _ids(spark, sf_dir)
+    variants = F.array(*[F.lit(bytearray(b)) for b in _WAV_VARIANTS])
+    media = ids.select(
+        F.concat(F.lit("wav://"),
+                 F.col("i").cast("string")).alias("media_ref"),
+        F.lit("audio").alias("kind"),
+        F.element_at(variants,
+                     (F.col("i") % 4 + 1).cast("int")).alias("content"))
+    return mm.audio_frame_features(media, frame_len=48)
+
+
+MULTIMODAL_AUDIO_FRAMES_SQL = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+af_meta AS (
+  SELECT v, (40 + 8 * v) * (1 + (v % 2)) AS m,
+         CASE WHEN v < 2 THEN 8 ELSE 16 END AS bits
+  FROM (SELECT unnest(range(0, 4)) AS v)
+), af_samples AS (
+  SELECT v, m,
+         list_transform(range(0, m), i ->
+           CASE WHEN bits = 8 THEN ((i * 37 + v * 101) % 256) - 128
+                ELSE ((i * 523 + v * 40503) % 65536) - 32768 END) AS s
+  FROM af_meta
+), af_frames AS (
+  SELECT v, m, s, unnest(range(0, (m + 47) // 48)) AS f
+  FROM af_samples
+), af_fr AS (
+  SELECT v, f, s[(f * 48 + 1):least((f + 1) * 48, m)] AS fs
+  FROM af_frames
+), af_stats AS (
+  SELECT v, f, len(fs) AS n,
+         CAST(list_sum(list_transform(fs, x -> x * x)) AS BIGINT)
+           AS energy,
+         CAST(list_max(list_transform(fs, x -> abs(x))) AS BIGINT)
+           AS peak_abs,
+         CAST(coalesce(list_sum(list_transform(range(1, len(fs)), j ->
+           CASE WHEN fs[j] * fs[j + 1] < 0 THEN 1 ELSE 0 END)), 0)
+           AS BIGINT) AS zero_crossings
+  FROM af_fr
+)
+SELECT 'wav://' || i AS media_ref, CAST(st.f AS BIGINT) AS frame_idx,
+       CAST(st.n AS BIGINT) AS n, st.energy, st.peak_abs,
+       st.zero_crossings
+FROM ids JOIN af_stats st ON st.v = i % 4
+"""
+
+QUERIES["multimodal_audio_frames"] = (multimodal_audio_frames,
+                                      MULTIMODAL_AUDIO_FRAMES_SQL)
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -7766,6 +7880,10 @@ CK_COLUMNS = {
     "rel_theil_sen": ["grp", "n_pairs", "slope_ppm"],
     "rel_t_closeness": ["cust_bucket", "emd_ppm", "k_size", "prio",
                         "status"],
+    "rel_kaplan_meier": ["d_events", "grp", "n_risk", "surv_ppm", "t"],
+    "kg_eff_radius": ["eff_radius", "node", "reach_est"],
+    "multimodal_audio_frames": ["energy", "frame_idx", "media_ref",
+                                "n", "peak_abs", "zero_crossings"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
@@ -7798,7 +7916,8 @@ CK_COMPOSITES = {
                           "rel_funnel_windowed", "rel_autocorr",
                           "rel_attribution", "rel_crosscorr",
                           "rel_winsorize", "rel_cusum",
-                          "rel_ks_test", "rel_mannwhitney"],
+                          "rel_ks_test", "rel_mannwhitney",
+                          "rel_kaplan_meier"],
     "rel_range_family": ["rel_range_join", "rel_interval_overlap",
                          "rel_interval_merge", "rel_interval_stab",
                          "rel_proximity_join"],
@@ -7837,13 +7956,15 @@ CK_COMPOSITES = {
                         "kg_link_predict", "kg_assortativity",
                         "kg_ktruss", "kg_four_cycles",
                         "kg_collab_weight", "kg_betweenness",
-                        "kg_closeness", "kg_modularity", "kg_anf"],
+                        "kg_closeness", "kg_modularity", "kg_anf",
+                        "kg_eff_radius"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",
                           "multimodal_frame_sample",
                           "multimodal_tar_members",
-                          "multimodal_samples"],
+                          "multimodal_samples",
+                          "multimodal_audio_frames"],
     "multimodal_resize_family": ["multimodal_resize",
                                  "multimodal_jpeg_resize"],
     # both sub-gates run real checkpointed AvailableNow increments; the

@@ -2427,7 +2427,15 @@ def neighborhood_function(edges: DataFrame, max_hops: int,
     for hop in range(1, max_hops + 1):
         contrib = (e.join(sk.withColumnRenamed("node", "d"), "d")
                    .select(F.col("s").alias("node"), "sketch"))
-        sk = (contrib.unionAll(sk)
+        # the checkpointed sk MUST be the union's first child: Union
+        # binds output attributes to the first child, and putting the
+        # join-derived contrib (whose attrs alias sk's) first makes
+        # localCheckpoint's LogicalRDD.fromDataset fail with
+        # "key not found: node#N" on self-union-shaped inputs (e.g.
+        # spark.range-built edge lists). Merge order is irrelevant to
+        # the groupBy. Regression-pinned by
+        # tests/test_round5t_ops.py::test_effective_radius_range_input.
+        sk = (sk.unionAll(contrib)
               .groupBy("node")
               .agg(F.slice(
                   F.array_sort(F.array_distinct(
@@ -2476,3 +2484,64 @@ def neighborhood_function_sql(edges_sql: str, max_hops: int,
     ]
     parts.append("\n" + "\nUNION ALL\n".join(selects))
     return "".join(parts)
+
+
+def effective_radius(edges: DataFrame, max_hops: int, k: int = 64,
+                     q_permille: int = 900, src: str = "src",
+                     dst: str = "dst") -> DataFrame:
+    """Per-node effective radius by COMPOSITION on
+    neighborhood_function: the smallest hop h at which the node
+    already reaches >= q_permille/1000 of everything it reaches
+    within max_hops — the ANF paper's effective-diameter readout
+    [Palmer-Gibbons-Faloutsos 2002 §4] turned per-node (the graph's
+    effective diameter is then a quantile over this column, one tiny
+    aggregate the caller picks). 'How deep must is_a traversal go
+    before an ontology query saturates' is this number.
+
+    Output (node, eff_radius, reach_est): reach_est is the max_hops
+    estimate the threshold is taken against. All-integer comparison
+    (1000 * est_h >= q * est_H) on the KMV estimates, so the gate's
+    exact-regime proof (k > reachable-set size -> est is the true
+    count) carries over verbatim; h = max_hops always satisfies it,
+    so every node emits exactly one row.
+
+    Scale shape: inherits neighborhood_function's per-hop join +
+    sketch-merge rounds, then ONE extra self-join on node (the
+    max_hops slice is one row per node) and a min-hop groupBy — both
+    on the already-partitioned node key."""
+    nf = neighborhood_function(edges, max_hops, k=k, src=src, dst=dst)
+    if not 1 <= q_permille <= 1000:
+        raise ValueError(
+            f"q_permille must be in [1, 1000], got {q_permille}")
+    fin = (nf.filter(F.col("hop") == max_hops)
+           .select("node", F.col("est").alias("reach_est")))
+    hit = (nf.join(fin, "node")
+           .filter(F.lit(1000) * F.col("est")
+                   >= F.lit(q_permille) * F.col("reach_est")))
+    return (hit.groupBy("node", "reach_est")
+            .agg(F.min("hop").cast("int").alias("eff_radius"))
+            .select("node", "eff_radius", "reach_est"))
+
+
+def effective_radius_sql(edges_sql: str, max_hops: int,
+                         q_permille: int = 900, src: str = "src",
+                         dst: str = "dst") -> str:
+    """Exact-count oracle for effective_radius in the k-exact regime:
+    wraps the independent hop-unrolled BFS twin
+    (neighborhood_function_sql) with the same integer threshold."""
+    anf = neighborhood_function_sql(edges_sql, max_hops,
+                                    src=src, dst=dst)
+    return f"""WITH er_nf AS MATERIALIZED (
+  SELECT * FROM (
+{anf}
+  )
+), er_fin AS (
+  SELECT node, est AS reach_est FROM er_nf WHERE hop = {max_hops}
+), er_hit AS (
+  SELECT er_nf.node, er_nf.hop, er_fin.reach_est
+  FROM er_nf JOIN er_fin ON er_nf.node = er_fin.node
+  WHERE 1000 * er_nf.est >= {q_permille} * er_fin.reach_est
+)
+SELECT node, CAST(min(hop) AS INT) AS eff_radius,
+       CAST(reach_est AS BIGINT) AS reach_est
+FROM er_hit GROUP BY node, reach_est"""

@@ -220,6 +220,75 @@ def audio_stats(media: DataFrame, decode: Callable | None = None) -> DataFrame:
             .mapInPandas(batches, AUDIO_STATS_SCHEMA))
 
 
+AUDIO_FRAME_SCHEMA = StructType([
+    StructField("media_ref", StringType()),
+    StructField("frame_idx", LongType()),
+    StructField("n", LongType()),
+    StructField("energy", LongType()),
+    StructField("peak_abs", LongType()),
+    StructField("zero_crossings", LongType()),
+])
+
+
+def audio_frame_features(media: DataFrame, frame_len: int = 160,
+                         decode: Callable | None = None) -> DataFrame:
+    """Frame-level audio features over decoded PCM — the VAD /
+    silence-trim / loudness-normalization precursor a speech-corpus
+    pipeline runs before deciding which clips to keep: one row per
+    NON-OVERLAPPING frame of `frame_len` samples with the exact
+    integer energy (sum of squares), peak amplitude, and strict
+    zero-crossing count (s[i-1]*s[i] < 0 — touching zero is not a
+    crossing, pinned so both engines agree). Frames never span the
+    document boundary; the last frame keeps its true shorter `n`.
+    Crossings are counted within the frame only (the first sample of
+    a frame never pairs with the last of the previous one), so frame
+    rows are independently recomputable — what makes the formula
+    oracle possible.
+
+    Multi-channel audio is profiled over the channel-interleaved
+    stream as decoded — a deliberate screen-level simplification
+    (documented here because a true per-channel VAD would de-
+    interleave first; the frame plumbing is identical).
+
+    Scale shape: map-only explode inside mapInPandas — audio bytes
+    decode once per row on executors and emit frames/doc rows, never
+    visiting the driver; zero shuffles. Same pure-Python-codec CPU
+    caveat and pluggable-decoder seam as audio_stats. Undecodable
+    rows emit a single all-NULL frame row (the decode_images error
+    contract: corrupt media degrades to one inspectable row, never a
+    lost task)."""
+    from biocypher_metta_spark.operators.wav import wav_decode
+
+    if frame_len < 2:
+        raise ValueError(f"frame_len must be >= 2, got {frame_len}")
+    dec = decode or wav_decode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                try:
+                    _, _, _, samples = dec(
+                        bytes(content) if content is not None else b"")
+                except ValueError:
+                    rows.append((ref, None, None, None, None, None))
+                    continue
+                for f in range(0, max(len(samples), 1), frame_len):
+                    fr = samples[f:f + frame_len]
+                    zc = sum(1 for a, b in zip(fr, fr[1:]) if a * b < 0)
+                    rows.append((ref, f // frame_len, len(fr),
+                                 sum(s * s for s in fr),
+                                 max((abs(s) for s in fr), default=0),
+                                 zc))
+            yield pd.DataFrame(rows, columns=[
+                "media_ref", "frame_idx", "n", "energy", "peak_abs",
+                "zero_crossings"])
+
+    return (media.filter(F.col("kind") == "audio")
+            .select("media_ref", "content")
+            .mapInPandas(batches, AUDIO_FRAME_SCHEMA))
+
+
 def fake_resize(content: bytes, w: int, h: int) -> bytes:
     """Deterministic truncate/pad fake for NON-PNG formats (no PIL/cv2
     in this environment) — keeps the plumbing testable for payloads the

@@ -1344,3 +1344,130 @@ def theil_sen_sql(input_sql: str, key_cols: list[str], x_col: str,
 )
 SELECT {keys}, CAST(m AS BIGINT) AS n_pairs, s AS slope_ppm
 FROM ts_r WHERE rn = (m + 1) // 2"""
+
+
+def kaplan_meier(df: DataFrame, key_cols: list[str], t_col: str,
+                 event_col: str) -> DataFrame:
+    """Per-group Kaplan-Meier survival curve with right censoring —
+    'how long do documents survive in the corpus before a dedup or
+    quality pass removes them' is a survival question (removal =
+    event, still-present-at-snapshot = censored), as is user/session
+    retention; the classic estimator is
+
+        S(t_i) = prod_{j <= i} (1 - d_j / n_j)
+
+    over EVENT times t_j (d_j = events at t_j, n_j = at-risk count =
+    rows with t >= t_j; censored rows leave the risk set but never
+    create a step). The product is made engine-portable by carrying
+    it in ppm with a floor at EVERY step:
+
+        s_0 = 1e6;  s_i = floor(s_{i-1} * (n_i - d_i) / n_i)
+
+    — the identical integer recurrence on both sides (the doc_cdc
+    shared-recurrence rationale), so no float product ever diverges.
+    Bias from flooring is < 1 ppm per step, one-sided, and identical
+    cross-engine. Output one row per (group, event time): keys, t,
+    n_risk, d_events, surv_ppm. NULL t or event drops.
+
+    Scale shape: one groupBy to (keys, t) step counts, the at-risk
+    reverse cumsum as a window on the step rows (steps, not raw
+    rows), then the sequential recurrence runs inside ONE
+    sort_array(collect_list) + F.aggregate per group — the ordered-
+    PWM-collect pattern (SURVEY A1): per-group state is bounded by
+    DISTINCT EVENT TIMES, the caller contract (a daily/hourly
+    time grid, not raw microsecond stamps — pre-bucket t first).
+    Events land exactly; s stays <= 1e6 so the widest intermediate is
+    1e6 * n in DECIMAL(38,0)/HUGEINT.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    for c in ("_t", "_e", "_a", "_d", "_n", "_st", "_steps", "t",
+              "n_risk", "d_events", "surv_ppm"):
+        if c in df.columns:
+            raise ValueError(f"input must not already have column {c!r}")
+    base = (df.filter(F.col(t_col).isNotNull()
+                      & F.col(event_col).isNotNull())
+            .select(*key_cols, F.col(t_col).cast("long").alias("_t"),
+                    F.col(event_col).cast("long").alias("_e")))
+    per_t = base.groupBy(*key_cols, "_t").agg(
+        F.count(F.lit(1)).cast("long").alias("_a"),
+        F.sum("_e").cast("long").alias("_d"))
+    w = (Window.partitionBy(*key_cols).orderBy(F.col("_t").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    steps = per_t.select(*key_cols, "_t", "_d",
+                         F.sum("_a").over(w).cast("long").alias("_n"))
+    ev = (steps.filter(F.col("_d") > 0)
+          .select(*key_cols,
+                  F.struct(F.col("_t").alias("t"),
+                           F.col("_n").alias("n"),
+                           F.col("_d").alias("d")).alias("_st")))
+    grp = ev.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_list("_st")).alias("_steps"))
+    out_t = ("array<struct<t:bigint,n_risk:bigint,"
+             "d_events:bigint,surv_ppm:bigint>>")
+    zero = F.struct(
+        F.lit(1_000_000).cast("long").alias("s"),
+        F.expr(f"CAST(array() AS {out_t})").alias("o"))
+
+    def merge(acc, x):
+        num = (acc["s"] * (x["n"] - x["d"])).cast(_DEC)
+        den = x["n"].cast(_DEC)
+        s2 = ((num - num % den) / den).cast("long")
+        row = F.struct(x["t"].alias("t"), x["n"].alias("n_risk"),
+                       x["d"].alias("d_events"), s2.alias("surv_ppm"))
+        return F.struct(s2.alias("s"),
+                        F.concat(acc["o"], F.array(row)).alias("o"))
+
+    curve = grp.select(*key_cols,
+                       F.aggregate("_steps", zero, merge)["o"]
+                       .alias("_curve"))
+    return (curve.select(*key_cols, F.explode("_curve").alias("_r"))
+            .select(*key_cols, F.col("_r.t").alias("t"),
+                    F.col("_r.n_risk").alias("n_risk"),
+                    F.col("_r.d_events").alias("d_events"),
+                    F.col("_r.surv_ppm").alias("surv_ppm")))
+
+
+def kaplan_meier_sql(input_sql: str, key_cols: list[str], t_col: str,
+                     event_col: str) -> str:
+    """DuckDB twin of kaplan_meier: same per-step ppm floor
+    recurrence, spelled as a recursive CTE over row_number-indexed
+    event steps (HUGEINT throughout; num >= 0 so // IS the pmod
+    floor)."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    keys = ", ".join(key_cols)
+    e_keys = ", ".join(f"e.{k}" for k in key_cols)
+    on = " AND ".join(f"e.{k} = r.{k}" for k in key_cols)
+    return f"""WITH RECURSIVE km_in AS MATERIALIZED (
+  SELECT {keys}, CAST({t_col} AS BIGINT) AS t,
+         CAST({event_col} AS BIGINT) AS e
+  FROM (
+{input_sql.strip()}
+  ) WHERE {t_col} IS NOT NULL AND {event_col} IS NOT NULL
+), km_t AS (
+  SELECT {keys}, t, CAST(count(*) AS BIGINT) AS a,
+         CAST(sum(e) AS BIGINT) AS d
+  FROM km_in GROUP BY {keys}, t
+), km_s AS (
+  SELECT {keys}, t, d,
+         sum(a) OVER (PARTITION BY {keys} ORDER BY t DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS n
+  FROM km_t
+), km_e AS (
+  SELECT {keys}, t, d, n,
+         row_number() OVER (PARTITION BY {keys} ORDER BY t) AS idx
+  FROM km_s WHERE d > 0
+), km_r AS (
+  SELECT {keys}, idx, t, n, d,
+         (1000000::HUGEINT * (n - d)::HUGEINT) // n::HUGEINT AS s
+  FROM km_e WHERE idx = 1
+  UNION ALL
+  SELECT {e_keys}, e.idx, e.t, e.n, e.d,
+         (r.s * (e.n - e.d)::HUGEINT) // e.n::HUGEINT
+  FROM km_e e JOIN km_r r ON {on} AND e.idx = r.idx + 1
+)
+SELECT {keys}, t, CAST(n AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS d_events, CAST(s AS BIGINT) AS surv_ppm
+FROM km_r"""
