@@ -157,7 +157,9 @@ def main() -> None:
              "rel_k_anonymity", "rel_cohens_kappa", "doc_rocchio",
              "rel_spearman", "rel_theil_sen", "rel_t_closeness",
              "rel_kaplan_meier", "kg_eff_radius",
-             "multimodal_audio_frames"]
+             "multimodal_audio_frames", "kg_dag_depth",
+             "multimodal_dhash", "rel_bh_fdr", "rel_seasonal",
+             "multimodal_scene_cuts"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):

@@ -7642,6 +7642,213 @@ QUERIES["multimodal_audio_frames"] = (multimodal_audio_frames,
                                       MULTIMODAL_AUDIO_FRAMES_SQL)
 
 
+def kg_dag_depth(spark, sf_dir):
+    """Ontology term depth (graph.dag_depth): longest-path length per
+    node over a 5000-node DAG with two parent edges per node (m ->
+    m//2 and m -> m//3, both strictly decreasing -> acyclic) — the
+    max-plus path-doubling twin of kg_isa_closure's reachability
+    doubling. Depth ~log(n) with mixed /2-/3 chains, so several
+    doubling rounds are live. Oracle: single-step recursive-CTE
+    longest path, an independent spelling."""
+    ids = _ids(spark, sf_dir)
+    m = F.col("i") % 5000
+    edges = (ids.filter(m >= 1)
+             .select(m.alias("src"),
+                     F.floor(m / 2).cast("long").alias("dst"))
+             .unionAll(ids.filter(m >= 1).select(
+                 m.alias("src"),
+                 F.floor(m / 3).cast("long").alias("dst"))))
+    return graph_ops.dag_depth(edges)
+
+
+_DAG_EDGES_SQL = """SELECT doc_id % 5000 AS src,
+  (doc_id % 5000) // 2 AS dst FROM documents WHERE doc_id % 5000 >= 1
+UNION ALL
+SELECT doc_id % 5000 AS src, (doc_id % 5000) // 3 AS dst
+FROM documents WHERE doc_id % 5000 >= 1"""
+
+QUERIES["kg_dag_depth"] = (kg_dag_depth,
+                           graph_ops.dag_depth_sql(_DAG_EDGES_SQL))
+
+
+def multimodal_dhash(spark, sf_dir):
+    """Perceptual dHash (multimodal.image_dhash, 4x3 grid -> 9 bits)
+    over the five PNG filter-type variants: decode -> integer
+    grayscale -> floor-grid box downsample -> adjacent-cell bits.
+    The twin recomputes the hash from the pixel FORMULA (grayscale,
+    box averages, bit packing all in SQL), so hash equality proves
+    the whole perceptual pipeline, not just the decode. Near-dup
+    pairing composes with dedup.hamming_near_pairs (pytest-covered;
+    pairing the gate corpus itself would be quadratic by construction
+    since variants repeat every 5 docs)."""
+    from biocypher_metta_spark.operators import multimodal as mm
+
+    ids = _ids(spark, sf_dir)
+    variants = F.array(*[F.lit(bytearray(b)) for b in _PNG_VARIANTS])
+    media = ids.select(
+        F.concat(F.lit("png://"),
+                 F.col("i").cast("string")).alias("media_ref"),
+        F.lit("image").alias("kind"),
+        F.element_at(variants,
+                     (F.col("i") % 5 + 1).cast("int")).alias("content"))
+    return mm.image_dhash(media, grid_w=4, grid_h=3)
+
+
+MULTIMODAL_DHASH_SQL = f"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+dh_dims AS (
+  SELECT v, {_PNG_W} + v AS w, {_PNG_H} AS h
+  FROM (SELECT unnest(range(0, 5)) AS v)
+), dh_px AS (
+  SELECT d.v, d.w, yy.y, xx.x,
+         (((xx.x * 7 + yy.y * 13 + d.v * 101) % 256)
+          + ((xx.x * 7 + yy.y * 13 + 29 + d.v * 101) % 256)
+          + ((xx.x * 7 + yy.y * 13 + 58 + d.v * 101) % 256)) // 3
+           AS gray
+  FROM dh_dims d
+  JOIN (SELECT unnest(range(0, {_PNG_H})) AS y) yy ON true
+  JOIN (SELECT unnest(range(0, {_PNG_W} + 4)) AS x) xx ON xx.x < d.w
+), dh_cells AS (
+  SELECT v,
+         y // 2 AS gy,
+         list_sum(list_transform(range(0, 4), g ->
+           CASE WHEN (g * w) // 4 <= x THEN 1 ELSE 0 END)) - 1 AS gx,
+         sum(gray) // count(*) AS cell
+  FROM dh_px GROUP BY v, y // 2,
+         list_sum(list_transform(range(0, 4), g ->
+           CASE WHEN (g * w) // 4 <= x THEN 1 ELSE 0 END)) - 1
+), dh_bits AS (
+  SELECT a.v,
+         sum(CASE WHEN a.cell > b.cell
+                  THEN 1 << (a.gy * 3 + a.gx) ELSE 0 END) AS dhash
+  FROM dh_cells a JOIN dh_cells b
+    ON a.v = b.v AND a.gy = b.gy AND b.gx = a.gx + 1
+  GROUP BY a.v
+)
+SELECT 'png://' || i AS media_ref,
+       CAST({_PNG_W} + e.v AS INTEGER) AS width,
+       CAST({_PNG_H} AS INTEGER) AS height,
+       CAST(e.dhash AS BIGINT) AS dhash
+FROM ids JOIN dh_bits e ON e.v = i % 5
+"""
+
+QUERIES["multimodal_dhash"] = (multimodal_dhash, MULTIMODAL_DHASH_SQL)
+
+
+def rel_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR (stats.bh_fdr, alpha = 0.05) over a
+    synthetic per-event p-value battery: purchases carry planted
+    signal (p < 0.001), everything else a hash-uniform null — so the
+    step-up cutoff lands strictly inside each group and both the
+    reject and non-reject branches are populated. Pure-integer
+    cleared-denominator rule (p_ppm*m <= alpha_ppm*rank)."""
+    from biocypher_metta_spark.operators.stats import bh_fdr
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("grp"),
+        F.col("event_id").alias("eid"),
+        F.when(F.col("event_type") == "purchase",
+               (F.col("event_id") * 7919) % 1000)
+        .otherwise((F.col("event_id") * 2654435761) % 1_000_000)
+        .alias("p"))
+    return bh_fdr(e, ["grp"], "eid", "p", alpha_ppm=50_000)
+
+
+from biocypher_metta_spark.operators.stats import (  # noqa: E402
+    bh_fdr_sql as _bh_fdr_sql,
+)
+
+REL_BH_FDR_SQL = _bh_fdr_sql(
+    """SELECT user_id % 4 AS grp, event_id AS eid,
+  CASE WHEN event_type = 'purchase' THEN (event_id * 7919) % 1000
+       ELSE (event_id * 2654435761) % 1000000 END AS p
+FROM events""",
+    ["grp"], "eid", "p", alpha_ppm=50_000)
+
+QUERIES["rel_bh_fdr"] = (rel_bh_fdr, REL_BH_FDR_SQL)
+
+
+def rel_seasonal(spark, sf_dir):
+    """Additive seasonal decomposition (stats.seasonal_decompose,
+    period = 24) of the hourly event-count series per event type —
+    the daily-rhythm splitter upstream of anomaly flags. Counts are
+    integers on a regular hour grid by construction; trend is the
+    centered 25-hour pmod-floor average, seasonal the per-hour-of-day
+    phase mean of the detrended values."""
+    from biocypher_metta_spark.operators.stats import seasonal_decompose
+
+    ev = (_t(spark, sf_dir, "events")
+          .groupBy(F.col("event_type").alias("grp"),
+                   (F.unix_timestamp("ts") / 3600).cast("long")
+                   .alias("hr"))
+          .agg(F.count(F.lit(1)).alias("n_ev")))
+    return seasonal_decompose(ev, ["grp"], "hr", "n_ev", period=24)
+
+
+from biocypher_metta_spark.operators.stats import (  # noqa: E402
+    seasonal_decompose_sql as _seasonal_decompose_sql,
+)
+
+REL_SEASONAL_SQL = _seasonal_decompose_sql(
+    """SELECT event_type AS grp,
+  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+  count(*) AS n_ev FROM events GROUP BY 1, 2""",
+    ["grp"], "hr", "n_ev", period=24)
+
+QUERIES["rel_seasonal"] = (rel_seasonal, REL_SEASONAL_SQL)
+
+
+def multimodal_scene_cuts(spark, sf_dir):
+    """Consecutive-frame difference profile (multimodal.
+    video_scene_cuts, stride=1) over the five AVI variants: exact
+    integer |diff| and diff^2 sums per frame pair. The twin
+    recomputes both from the pixel formula — the frame-PAIRING proof
+    on top of multimodal_frame_sample's per-frame decode proof."""
+    from biocypher_metta_spark.operators import multimodal as mm
+
+    ids = _ids(spark, sf_dir)
+    variants = F.array(*[F.lit(bytearray(b)) for b in _AVI_VARIANTS])
+    media = ids.select(
+        F.concat(F.lit("avi://"),
+                 F.col("i").cast("string")).alias("media_ref"),
+        F.lit("video").alias("kind"),
+        F.element_at(variants,
+                     (F.col("i") % 5 + 1).cast("int")).alias("content"))
+    return mm.video_scene_cuts(media, stride=1, max_frames=8)
+
+
+MULTIMODAL_SCENE_CUTS_SQL = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+sc_pairs AS (
+  SELECT v, unnest(range(0, 2 + v)) AS fa
+  FROM (SELECT unnest(range(0, 5)) AS v)
+), sc_diffs AS (
+  SELECT v, fa, fa + 1 AS fb,
+         CAST((4 + v) * (3 + v) * 3 AS BIGINT) AS n_px_bytes,
+         CAST(list_sum(flatten(list_transform(range(0, 3 + v), y ->
+           flatten(list_transform(range(0, 4 + v), x ->
+             list_transform(range(0, 3), ch ->
+               abs(((x * 7 + y * 13 + ch * 29 + fa * 31 + v * 101) % 256)
+                   - ((x * 7 + y * 13 + ch * 29 + (fa + 1) * 31
+                       + v * 101) % 256)))))))) AS BIGINT) AS diff_abs,
+         CAST(list_sum(flatten(list_transform(range(0, 3 + v), y ->
+           flatten(list_transform(range(0, 4 + v), x ->
+             list_transform(range(0, 3), ch ->
+               (((x * 7 + y * 13 + ch * 29 + fa * 31 + v * 101) % 256)
+                - ((x * 7 + y * 13 + ch * 29 + (fa + 1) * 31
+                    + v * 101) % 256)) ** 2)))))) AS BIGINT) AS diff_sq
+  FROM sc_pairs
+)
+SELECT 'avi://' || i AS media_ref, CAST(e.fa AS INTEGER) AS f_prev,
+       CAST(e.fb AS INTEGER) AS f_next, e.n_px_bytes, e.diff_abs,
+       e.diff_sq
+FROM ids JOIN sc_diffs e ON e.v = i % 5
+"""
+
+QUERIES["multimodal_scene_cuts"] = (multimodal_scene_cuts,
+                                    MULTIMODAL_SCENE_CUTS_SQL)
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -7884,6 +8091,13 @@ CK_COLUMNS = {
     "kg_eff_radius": ["eff_radius", "node", "reach_est"],
     "multimodal_audio_frames": ["energy", "frame_idx", "media_ref",
                                 "n", "peak_abs", "zero_crossings"],
+    "kg_dag_depth": ["depth", "node"],
+    "multimodal_dhash": ["dhash", "height", "media_ref", "width"],
+    "rel_bh_fdr": ["grp", "id", "m", "p_ppm", "rank", "reject"],
+    "rel_seasonal": ["grp", "remainder", "seasonal", "t", "trend",
+                     "value"],
+    "multimodal_scene_cuts": ["diff_abs", "diff_sq", "f_next",
+                              "f_prev", "media_ref", "n_px_bytes"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
@@ -7917,7 +8131,8 @@ CK_COMPOSITES = {
                           "rel_attribution", "rel_crosscorr",
                           "rel_winsorize", "rel_cusum",
                           "rel_ks_test", "rel_mannwhitney",
-                          "rel_kaplan_meier"],
+                          "rel_kaplan_meier", "rel_bh_fdr",
+                          "rel_seasonal"],
     "rel_range_family": ["rel_range_join", "rel_interval_overlap",
                          "rel_interval_merge", "rel_interval_stab",
                          "rel_proximity_join"],
@@ -7957,14 +8172,16 @@ CK_COMPOSITES = {
                         "kg_ktruss", "kg_four_cycles",
                         "kg_collab_weight", "kg_betweenness",
                         "kg_closeness", "kg_modularity", "kg_anf",
-                        "kg_eff_radius"],
+                        "kg_eff_radius", "kg_dag_depth"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",
                           "multimodal_frame_sample",
                           "multimodal_tar_members",
                           "multimodal_samples",
-                          "multimodal_audio_frames"],
+                          "multimodal_audio_frames",
+                          "multimodal_dhash",
+                          "multimodal_scene_cuts"],
     "multimodal_resize_family": ["multimodal_resize",
                                  "multimodal_jpeg_resize"],
     # both sub-gates run real checkpointed AvailableNow increments; the

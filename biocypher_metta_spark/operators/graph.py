@@ -2545,3 +2545,100 @@ def effective_radius_sql(edges_sql: str, max_hops: int,
 SELECT node, CAST(min(hop) AS INT) AS eff_radius,
        CAST(reach_est AS BIGINT) AS reach_est
 FROM er_hit GROUP BY node, reach_est"""
+
+
+def dag_depth(edges: DataFrame, src: str = "src", dst: str = "dst",
+              max_iter: int = 20) -> DataFrame:
+    """Longest-path depth per node over a DAG — ontology TERM DEPTH:
+    with is_a edges pointing child -> parent, depth(v) = the longest
+    is_a chain above v (GO/Biolink term depth, the standard
+    information-content normalizer), and roots sit at depth 0. The
+    max-plus twin of canonicalize.transitive_closure: same path
+    doubling, same checkpoint-per-round discipline, but the closure
+    carries the LONGEST length per (s, d) pair instead of bare
+    reachability.
+
+    Each round joins the current length table with itself (paths of
+    length <= 2^k after k rounds: len = a.len + b.len, max per pair),
+    so a depth-D DAG converges in ceil(log2 D) shuffles. Convergence
+    = (pair count, total length) both stable; exhaustion raises (the
+    transitive_closure contract). A cycle makes 'longest path'
+    undefined — detected exactly as a positive diagonal (s = d)
+    entry, which path doubling necessarily materializes within the
+    cycle's doubling horizon, and raises ValueError rather than
+    looping to exhaustion.
+
+    Output (node, depth) for EVERY node incident to an edge; depth 0
+    for pure roots. Self-loops are rejected up front (they are
+    1-cycles). Scale caveat shared with transitive_closure: the
+    length table is O(reachable pairs) — log-depth ontology DAGs with
+    bounded ancestor sets are the domain; a deep chain is quadratic
+    in its length.
+    """
+    cur = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+           .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+           .distinct())
+    if cur.filter(F.col("s") == F.col("d")).limit(1).count() > 0:
+        raise ValueError("self-loop edge: input is not a DAG")
+    cur = (cur.withColumn("len", F.lit(1).cast("long"))
+           .localCheckpoint(eager=True))
+    stat = cur.agg(F.count(F.lit(1)), F.sum("len")).collect()[0]
+    n, t = int(stat[0]), int(stat[1])
+    converged = False
+    for _ in range(max_iter):
+        hop = (cur.alias("a")
+               .join(cur.alias("b"), F.col("a.d") == F.col("b.s"))
+               .select(F.col("a.s").alias("s"), F.col("b.d").alias("d"),
+                       (F.col("a.len") + F.col("b.len")).alias("len")))
+        nxt = (cur.unionByName(hop)
+               .groupBy("s", "d").agg(F.max("len").alias("len")))
+        nxt = nxt.localCheckpoint(eager=True)
+        bad = nxt.filter(F.col("s") == F.col("d")).limit(1).count()
+        if bad:
+            raise ValueError(
+                "cycle detected (positive-length path from a node to "
+                "itself): input is not a DAG")
+        stat = nxt.agg(F.count(F.lit(1)), F.sum("len")).collect()[0]
+        m, u = int(stat[0]), int(stat[1])
+        cur = nxt
+        if (m, u) == (n, t):
+            converged = True
+            break
+        n, t = m, u
+    if not converged:
+        raise RuntimeError(
+            f"dag_depth did not reach a fixed point within {max_iter} "
+            f"path-doubling rounds (covers depth 2^{max_iter}); "
+            "raise max_iter")
+    nodes = (cur.select(F.col("s").alias("node"))
+             .unionAll(cur.select(F.col("d").alias("node")))
+             .distinct())
+    depths = (cur.groupBy("s").agg(F.max("len").alias("depth"))
+              .withColumnRenamed("s", "node"))
+    return (nodes.join(depths, "node", "left")
+            .select("node",
+                    F.coalesce(F.col("depth"), F.lit(0))
+                    .cast("long").alias("depth")))
+
+
+def dag_depth_sql(edges_sql: str, src: str = "src",
+                  dst: str = "dst") -> str:
+    """Oracle twin of dag_depth for acyclic inputs: single-step
+    recursive CTE (terminates on DAGs because path length is bounded
+    by the longest path) + max per start node, 0 for pure roots — an
+    independent spelling of the same longest-path semantics."""
+    return f"""WITH RECURSIVE dd_e AS MATERIALIZED (
+  SELECT DISTINCT {src} AS s, {dst} AS d FROM (
+{edges_sql.strip()}
+  ) WHERE {src} IS NOT NULL AND {dst} IS NOT NULL
+), dd_p AS (
+  SELECT s, d, 1 AS len FROM dd_e
+  UNION
+  SELECT p.s, e.d, p.len + 1 FROM dd_p p JOIN dd_e e ON p.d = e.s
+), dd_n AS (
+  SELECT s AS node FROM dd_e UNION SELECT d FROM dd_e
+)
+SELECT dd_n.node,
+       CAST(coalesce(max(dd_p.len), 0) AS BIGINT) AS depth
+FROM dd_n LEFT JOIN dd_p ON dd_p.s = dd_n.node
+GROUP BY dd_n.node"""

@@ -289,6 +289,96 @@ def audio_frame_features(media: DataFrame, frame_len: int = 160,
             .mapInPandas(batches, AUDIO_FRAME_SCHEMA))
 
 
+DHASH_SCHEMA = StructType([
+    StructField("media_ref", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("dhash", LongType()),
+])
+
+
+def image_dhash(media: DataFrame, grid_w: int = 9, grid_h: int = 8,
+                decode: Callable | None = None) -> DataFrame:
+    """Difference-hash perceptual fingerprint per image — the image
+    counterpart of text SimHash, and the standard first screen for
+    IMAGE near-dup dedup in multimodal training corpora (re-encoded /
+    slightly-recompressed copies keep their dHash within a few bits;
+    exact byte dedup misses them entirely). Pipeline: decode ->
+    integer grayscale (floor of the channel mean) -> grid_h x grid_w
+    box-average downsample (floor; box edges at the floor-division
+    grid, so every pixel lands in exactly one box) -> one bit per
+    horizontally adjacent cell pair, bit k = gy*(grid_w-1)+gx set iff
+    cell[gy][gx] > cell[gy][gx+1]. Every step is integer arithmetic —
+    the whole hash is reproducible by an oracle that knows the pixel
+    values.
+
+    Output (media_ref, width, height, dhash): dhash packs
+    (grid_w-1)*grid_h bits (<= 64; the default 9x8 grid is the
+    classic 64-bit dHash) into a signed long (two's complement for
+    bit 63). Images smaller than the grid emit NULL dhash with their
+    real dimensions (distinguishable from undecodable rows, which
+    null everything — the decode_images contract).
+
+    Near-dup pairs compose with dedup.hamming_near_pairs (rename
+    dhash -> simhash, bits = (grid_w-1)*grid_h): the pigeonhole
+    banding and popcount verify carry over unchanged — one blocked
+    bucket join, never all-pairs.
+
+    Scale shape: map-only mapInPandas, zero shuffles; pure-Python
+    decode CPU regime with the pluggable-decoder seam (PIL/cv2 slot
+    in via `decode` on a real cluster)."""
+    if grid_w < 2 or grid_h < 1:
+        raise ValueError(
+            f"grid must be >= 2x1, got {grid_w}x{grid_h}")
+    if (grid_w - 1) * grid_h > 64:
+        raise ValueError(
+            f"(grid_w-1)*grid_h = {(grid_w - 1) * grid_h} bits "
+            "exceeds the 64-bit hash")
+    dec = decode or sniff_image_decode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                try:
+                    w, h, c, pix = dec(
+                        bytes(content) if content is not None else b"")
+                except ValueError:
+                    rows.append((ref, None, None, None))
+                    continue
+                if w < grid_w or h < grid_h:
+                    rows.append((ref, w, h, None))
+                    continue
+                gray = [sum(pix[(y * w + x) * c + k]
+                            for k in range(c)) // c
+                        for y in range(h) for x in range(w)]
+                bits = 0
+                k = 0
+                for gy in range(grid_h):
+                    y0, y1 = gy * h // grid_h, (gy + 1) * h // grid_h
+                    row_cells = []
+                    for gx in range(grid_w):
+                        x0 = gx * w // grid_w
+                        x1 = (gx + 1) * w // grid_w
+                        s = sum(gray[y * w + x]
+                                for y in range(y0, y1)
+                                for x in range(x0, x1))
+                        row_cells.append(s // ((y1 - y0) * (x1 - x0)))
+                    for gx in range(grid_w - 1):
+                        if row_cells[gx] > row_cells[gx + 1]:
+                            bits |= 1 << k
+                        k += 1
+                if bits >= 1 << 63:  # two's complement into a long
+                    bits -= 1 << 64
+                rows.append((ref, w, h, bits))
+            yield pd.DataFrame(rows, columns=[
+                "media_ref", "width", "height", "dhash"])
+
+    return (media.filter(F.col("kind") == "image")
+            .select("media_ref", "content")
+            .mapInPandas(batches, DHASH_SCHEMA))
+
+
 def fake_resize(content: bytes, w: int, h: int) -> bytes:
     """Deterministic truncate/pad fake for NON-PNG formats (no PIL/cv2
     in this environment) — keeps the plumbing testable for payloads the
@@ -443,3 +533,60 @@ def synth_media_table(spark, n: int) -> DataFrame:
         F.lit("application/octet-stream").alias("content_type"),
         F.lit(72).cast("long").alias("n_bytes"),
     )
+
+
+SCENE_CUT_SCHEMA = StructType([
+    StructField("media_ref", StringType()),
+    StructField("f_prev", IntegerType()),
+    StructField("f_next", IntegerType()),
+    StructField("n_px_bytes", LongType()),
+    StructField("diff_abs", LongType()),
+    StructField("diff_sq", LongType()),
+])
+
+
+def video_scene_cuts(media: DataFrame, stride: int = 1,
+                     max_frames: int = 16) -> DataFrame:
+    """Consecutive-frame difference profile per video — the shot/
+    scene-cut detector a video-corpus pipeline runs to pick keyframes
+    and drop static clips: one row per consecutive SAMPLED frame pair
+    with the exact integer sum of absolute pixel-byte differences and
+    of squared differences (threshold either downstream; a cut is a
+    spike, a frozen clip is all-zeros). Both sums are recomputable
+    from the source pixels, so a formula oracle checks the decode +
+    pairing end-to-end.
+
+    Pairs are between consecutive sampled indices (stride s pairs
+    frame i with i+s), each frame's DIB span converted once per pair
+    list. Videos with < 2 sampled frames emit nothing; undecodable
+    payloads emit one all-NULL row (the single-inspectable-row error
+    contract, unlike video_frame_stats' zero-row explode — a cut
+    profile with silently missing videos would read as 'no cuts').
+
+    Scale shape: map-only mapInPandas, zero shuffles, frames never
+    visit the driver; pure-Python DIB conversion CPU regime."""
+    from biocypher_metta_spark.operators.avi import avi_sample_frames
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                try:
+                    _, _, frames = avi_sample_frames(blob, stride,
+                                                     max_frames)
+                except ValueError:
+                    rows.append((ref, None, None, None, None, None))
+                    continue
+                for (fa, ra), (fb, rb) in zip(frames, frames[1:]):
+                    d = [a - b for a, b in zip(ra, rb)]
+                    rows.append((ref, fa, fb, len(ra),
+                                 sum(abs(x) for x in d),
+                                 sum(x * x for x in d)))
+            yield pd.DataFrame(rows, columns=[
+                "media_ref", "f_prev", "f_next", "n_px_bytes",
+                "diff_abs", "diff_sq"])
+
+    return (media.filter(F.col("kind") == "video")
+            .select("media_ref", "content")
+            .mapInPandas(batches, SCENE_CUT_SCHEMA))

@@ -1471,3 +1471,191 @@ def kaplan_meier_sql(input_sql: str, key_cols: list[str], t_col: str,
 SELECT {keys}, t, CAST(n AS BIGINT) AS n_risk,
        CAST(d AS BIGINT) AS d_events, CAST(s AS BIGINT) AS surv_ppm
 FROM km_r"""
+
+
+def bh_fdr(df: DataFrame, key_cols: list[str], id_col: str,
+           p_col: str, alpha_ppm: int) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control per group — the
+    multiple-testing gate downstream of any per-hypothesis screen
+    (GWAS leads, per-feature chisq/linreg batteries): with m
+    hypotheses sorted by p ascending, reject ranks 1..k where k is
+    the LARGEST i with p_(i) <= alpha * i / m.
+
+    Exactness: p-values arrive as integer ppm (the repo contract —
+    produce them with any of the integer-exact tests above); the BH
+    condition clears its denominators to p_ppm * m <= alpha_ppm * i,
+    pure int64. The rejection SET is tie-order invariant: if
+    p_(k+1) = p_(k) at the maximal k, then p_(k+1) <= alpha*k/m <=
+    alpha*(k+1)/m would extend k — contradiction — so a tie can
+    never straddle the cutoff and row_number's (p, id) tie-break
+    only names ranks, never changes who rejects.
+
+    Output: every input row as (keys, id, p_ppm, rank, m, reject).
+    NULL p drops.
+
+    Scale shape: one key exchange, one in-partition sort feeding
+    both windows (rank and the group max of satisfied ranks), no
+    joins. The per-group sort serializes on a mega-hot group like
+    every ranking (ks_test-family caveat).
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if alpha_ppm < 1:
+        raise ValueError(f"alpha_ppm must be >= 1, got {alpha_ppm}")
+    for c in ("p_ppm", "rank", "m", "reject", "_hit", "_k"):
+        if c in df.columns:
+            raise ValueError(f"input must not already have column {c!r}")
+    base = (df.filter(F.col(p_col).isNotNull())
+            .select(*key_cols, F.col(id_col).alias("id"),
+                    F.col(p_col).cast("long").alias("p_ppm")))
+    w_ord = Window.partitionBy(*key_cols).orderBy("p_ppm", "id")
+    w_all = Window.partitionBy(*key_cols)
+    ranked = base.select(
+        *key_cols, "id", "p_ppm",
+        F.row_number().over(w_ord).cast("long").alias("rank"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("m"))
+    hit = F.when(F.col("p_ppm") * F.col("m")
+                 <= F.lit(alpha_ppm) * F.col("rank"),
+                 F.col("rank")).otherwise(F.lit(0))
+    return (ranked
+            .withColumn("_k", F.max(hit).over(w_all))
+            .select(*key_cols, "id", "p_ppm", "rank", "m",
+                    (F.col("rank") <= F.col("_k")).alias("reject")))
+
+
+def bh_fdr_sql(input_sql: str, key_cols: list[str], id_col: str,
+               p_col: str, alpha_ppm: int) -> str:
+    """DuckDB twin of bh_fdr: same cleared-denominator step-up rule,
+    same (p, id) rank naming."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    keys = ", ".join(key_cols)
+    return f"""WITH bh_in AS MATERIALIZED (
+  SELECT {keys}, {id_col} AS id, CAST({p_col} AS BIGINT) AS p_ppm
+  FROM (
+{input_sql.strip()}
+  ) WHERE {p_col} IS NOT NULL
+), bh_r AS (
+  SELECT {keys}, id, p_ppm,
+         CAST(row_number() OVER (PARTITION BY {keys}
+                                 ORDER BY p_ppm, id) AS BIGINT) AS rank,
+         CAST(count(*) OVER (PARTITION BY {keys}) AS BIGINT) AS m
+  FROM bh_in
+), bh_k AS (
+  SELECT {keys}, id, p_ppm, rank, m,
+         max(CASE WHEN p_ppm * m <= {alpha_ppm} * rank
+                  THEN rank ELSE 0 END)
+           OVER (PARTITION BY {keys}) AS k
+  FROM bh_r
+)
+SELECT {keys}, id, p_ppm, rank, m, rank <= k AS reject
+FROM bh_k"""
+
+
+def seasonal_decompose(df: DataFrame, key_cols: list[str], t_col: str,
+                       value_col: str, period: int) -> DataFrame:
+    """Classical additive seasonal decomposition per group — the
+    weekly/daily-rhythm splitter a volume-monitoring pipeline runs
+    before calling a dip an anomaly (cusum/outlier_flags fire on the
+    REMAINDER, not the raw series): value = trend + seasonal +
+    remainder.
+
+    Integer recipe, exact cross-engine: the series is integer-valued
+    on a REGULAR integer grid t (caller contract: gap-fill first —
+    rel_gapfill_locf is the repo's tool); trend is the centered
+    moving average over the odd window 2*(period//2)+1 as the pmod
+    floor of sum/window (emitted only where the full window exists —
+    RANGE frame over t, row count checked, so any gap simply yields
+    no trend row rather than a wrong one); detrended = value - trend;
+    seasonal_j = pmod floor of the per-phase (t mod period) mean of
+    the detrended values; remainder = detrended - seasonal. Output
+    one row per input point that has a full trend window: (keys, t,
+    value, trend, seasonal, remainder).
+
+    Scale shape: one key exchange feeds the RANGE window; the phase
+    means are a (keys, phase)-sized mergeable groupBy joined back on
+    its composite key (never row-volume on the build side). Floors
+    bias each component < 1 unit one-sided, identically both
+    engines."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    for c in ("_t", "_v", "_w", "_s", "_n", "trend", "_detr",
+              "_phase", "seasonal", "remainder", "_sn", "_sd"):
+        if c in df.columns:
+            raise ValueError(f"input must not already have column {c!r}")
+    h = period // 2
+    win = 2 * h + 1
+    base = (df.filter(F.col(t_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+            .select(*key_cols, F.col(t_col).cast("long").alias("_t"),
+                    F.col(value_col).cast("long").alias("_v")))
+    w = (Window.partitionBy(*key_cols).orderBy("_t")
+         .rangeBetween(-h, h))
+    num = F.sum("_v").over(w).cast(_DEC)
+    den = F.lit(win).cast(_DEC)
+    trend = ((num - ((num % den) + den) % den) / den).cast("long")
+    trended = (base
+               .withColumn("_n", F.count(F.lit(1)).over(w))
+               .withColumn("trend", trend)
+               .filter(F.col("_n") == win)
+               .drop("_n")
+               .withColumn("_detr", F.col("_v") - F.col("trend"))
+               .withColumn("_phase", F.pmod(F.col("_t"),
+                                            F.lit(period))))
+    sn = F.sum("_detr").cast(_DEC)
+    sd = F.count(F.lit(1)).cast(_DEC)
+    seas = (trended.groupBy(*key_cols, "_phase")
+            .agg(((sn - ((sn % sd) + sd) % sd) / sd).cast("long")
+                 .alias("seasonal")))
+    return (trended.join(seas, [*key_cols, "_phase"])
+            .select(*key_cols, F.col("_t").alias("t"),
+                    F.col("_v").alias("value"), "trend", "seasonal",
+                    (F.col("_detr") - F.col("seasonal"))
+                    .alias("remainder")))
+
+
+def seasonal_decompose_sql(input_sql: str, key_cols: list[str],
+                           t_col: str, value_col: str,
+                           period: int) -> str:
+    """DuckDB twin of seasonal_decompose: same RANGE-frame centered
+    average, same pmod floors, same phase-mean join."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    h = period // 2
+    win = 2 * h + 1
+    keys = ", ".join(key_cols)
+    on = " AND ".join(f"sd_t.{k} = sd_s.{k}" for k in key_cols)
+    t_keys = ", ".join(f"sd_t.{k}" for k in key_cols)
+    return f"""WITH sd_in AS MATERIALIZED (
+  SELECT {keys}, CAST({t_col} AS BIGINT) AS t,
+         CAST({value_col} AS BIGINT) AS v
+  FROM (
+{input_sql.strip()}
+  ) WHERE {t_col} IS NOT NULL AND {value_col} IS NOT NULL
+), sd_w AS (
+  SELECT {keys}, t, v,
+         sum(v) OVER w AS s, count(*) OVER w AS n
+  FROM sd_in
+  WINDOW w AS (PARTITION BY {keys} ORDER BY t
+               RANGE BETWEEN {h} PRECEDING AND {h} FOLLOWING)
+), sd_t AS (
+  SELECT {keys}, t, v,
+         CAST((s::HUGEINT - (((s::HUGEINT % {win}) + {win}) % {win}))
+              // {win} AS BIGINT) AS trend,
+         ((t % {period}) + {period}) % {period} AS phase
+  FROM sd_w WHERE n = {win}
+), sd_s AS (
+  SELECT {keys}, phase,
+         CAST((sum(v - trend)::HUGEINT
+               - (((sum(v - trend)::HUGEINT % count(*))
+                   + count(*)) % count(*)))
+              // count(*) AS BIGINT) AS seasonal
+  FROM sd_t GROUP BY {keys}, phase
+)
+SELECT {t_keys}, sd_t.t, sd_t.v AS value, sd_t.trend, sd_s.seasonal,
+       sd_t.v - sd_t.trend - sd_s.seasonal AS remainder
+FROM sd_t JOIN sd_s ON {on} AND sd_t.phase = sd_s.phase"""
