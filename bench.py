@@ -159,7 +159,8 @@ def main() -> None:
              "rel_kaplan_meier", "kg_eff_radius",
              "multimodal_audio_frames", "kg_dag_depth",
              "multimodal_dhash", "rel_bh_fdr", "rel_seasonal",
-             "multimodal_scene_cuts"]
+             "multimodal_scene_cuts", "doc_containment",
+             "emb_hamming_topk"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):

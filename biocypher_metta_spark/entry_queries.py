@@ -7849,6 +7849,72 @@ QUERIES["multimodal_scene_cuts"] = (multimodal_scene_cuts,
                                     MULTIMODAL_SCENE_CUTS_SQL)
 
 
+def doc_containment(spark, sf_dir):
+    """Asymmetric containment join (dedup.containment_join, tau =
+    0.9): ordered near-superset pairs |A∩B|/|A| >= 0.9 over distinct
+    token sets — the page-embedded-in-aggregator screen Jaccard
+    misses. The synthetic corpus is template-heavy, so the gate
+    exercises a DENSE true-pair regime (~79k pairs over 500 docs at
+    sf0.01 — honest output volume, the exact join's lower bound).
+    Oracle: brute-force all-pairs token join with NO pruning — its
+    agreement certifies the pigeonhole prefix theorem."""
+    from biocypher_metta_spark.operators.dedup import containment_join
+
+    return containment_join(_t(spark, sf_dir, "documents"),
+                            tau_permille=900)
+
+
+from biocypher_metta_spark.operators.dedup import (  # noqa: E402
+    containment_join_sql as _containment_join_sql,
+)
+
+DOC_CONTAINMENT_SQL = _containment_join_sql(
+    "SELECT doc_id, text FROM documents", tau_permille=900)
+
+QUERIES["doc_containment"] = (doc_containment, DOC_CONTAINMENT_SQL)
+
+
+def emb_hamming_topk(spark, sf_dir):
+    """Binary-quantized retrieval (similarity.sign_pack +
+    hamming_topk): sign-pack the corpus into 2x32-bit words, score
+    the vec_id=0 query by XOR popcount, top-10 with id tie-break —
+    the 32x-compressed counterpart of emb_dot_topk. The twin counts
+    sign DISAGREEMENTS directly on the float arrays (no packing at
+    all), so agreement proves pack + XOR + popcount end-to-end."""
+    from biocypher_metta_spark.operators.similarity import (
+        hamming_topk,
+        sign_pack,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    q = [float(x) for x in qrow[0]] if qrow else [0.0] * 64
+    qwords = []
+    for w in range(2):
+        word = 0
+        for i in range(32):
+            if q[w * 32 + i] > 0:
+                word |= 1 << i
+        qwords.append(word)
+    packed = sign_pack(emb.filter(F.col("vec_id") != 0), dim=64)
+    return hamming_topk(packed, qwords, k=10)
+
+
+EMB_HAMMING_TOPK_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       CAST(list_sum(list_transform(list_zip(e.embedding, q.qv),
+            p -> CASE WHEN (p[1] > 0) != (p[2] > 0) THEN 1 ELSE 0 END))
+         AS BIGINT) AS hamming
+FROM embeddings e, q
+WHERE e.vec_id != 0
+ORDER BY hamming, vec_id
+LIMIT 10
+"""
+
+QUERIES["emb_hamming_topk"] = (emb_hamming_topk, EMB_HAMMING_TOPK_SQL)
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -8098,6 +8164,9 @@ CK_COLUMNS = {
                      "value"],
     "multimodal_scene_cuts": ["diff_abs", "diff_sq", "f_next",
                               "f_prev", "media_ref", "n_px_bytes"],
+    "doc_containment": ["containment_permille", "id_a", "id_b",
+                        "n_a", "n_common"],
+    "emb_hamming_topk": ["hamming", "vec_id"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
@@ -8157,7 +8226,8 @@ CK_COMPOSITES = {
                             "doc_dsir_scores",
                             "doc_retrieval_ladder", "web_anchor_text",
                             "doc_ngram_novelty", "doc_heavy_tokens",
-                            "web_robots_filter", "doc_rocchio"],
+                            "web_robots_filter", "doc_rocchio",
+                            "doc_containment"],
     "kg_graph_checks": ["kg_pagerank", "kg_hits", "emb_semantic_dedup",
                         "emb_kmeans", "emb_pq_topk",
                         "kg_triangles", "kg_kcore",
@@ -8172,7 +8242,8 @@ CK_COMPOSITES = {
                         "kg_ktruss", "kg_four_cycles",
                         "kg_collab_weight", "kg_betweenness",
                         "kg_closeness", "kg_modularity", "kg_anf",
-                        "kg_eff_radius", "kg_dag_depth"],
+                        "kg_eff_radius", "kg_dag_depth",
+                        "emb_hamming_topk"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",

@@ -467,3 +467,77 @@ def random_projection_sql(table_sql: str, dim: int, out_dim: int,
         outs.append(f"CAST({body} AS BIGINT) AS p{j}")
     return (f"SELECT {id_col}, {', '.join(outs)} "
             f"FROM ({table_sql.strip()}) AS rp_in")
+
+
+def sign_pack(emb: DataFrame, dim: int, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Binary sign quantization of an embedding column — the 32x
+    storage compression step (64 float32 -> 8 bytes) behind
+    Hamming-space retrieval: bit i of word w is (e[32w+i] > 0),
+    packed into ceil(dim/32) NON-NEGATIVE longs (32 bits per word,
+    deliberately not 64: the sign bit never enters play, so the OR-
+    fold, XOR and popcount are portably identical in Spark and
+    DuckDB with zero two's-complement casework).
+
+    Output (id_col, words: array<long>). Strict-positive is the bit
+    (zero and negative are 0) — pinned so both engines agree on
+    exact-zero components. Dimension mismatches raise like
+    quantized_dot_topk (zip semantics would silently zero-pad).
+
+    Map-only; pure expressions (sequence + aggregate OR-fold inside
+    whole-stage codegen). The packed table is what a 100-TB corpus
+    PERSISTS for reranking pipelines: hamming_topk scans words
+    instead of float arrays, and hamming-banded blocking
+    (dedup.hamming_near_pairs on any single word) gives the self-join
+    path."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    n_words = (dim + 31) // 32
+    # literal shifts, one term per dimension; bit positions are
+    # disjoint so the sum IS the OR and each word stays < 2^32
+    words = F.array(*[
+        sum((F.when(F.element_at(F.col(vec_col), w * 32 + i + 1)
+                    > F.lit(0.0).cast("float"),
+                    F.lit(1 << i).cast("long"))
+             .otherwise(F.lit(0).cast("long"))
+             for i in range(min(32, dim - w * 32))),
+            start=F.lit(0).cast("long"))
+        for w in range(n_words)
+    ])
+    return emb.select(
+        F.col(id_col),
+        F.when(F.col(vec_col).isNull() | (F.size(vec_col) != dim),
+               F.raise_error(F.concat(
+                   F.lit(f"sign_pack: NULL or non-{dim}-dim vector at id "),
+                   F.col(id_col).cast("string"))))
+        .otherwise(words).alias("words"))
+
+
+def hamming_topk(packed: DataFrame, query_words: list[int], k: int = 10,
+                 id_col: str = "vec_id") -> DataFrame:
+    """Top-k nearest neighbors in Hamming space over sign_pack
+    signatures: distance = popcount of the per-word XOR against the
+    broadcast query signature, ties broken by id — the binary-
+    quantized counterpart of quantized_dot_topk (sign-Hamming
+    approximates angular distance; Charikar 2002). Map-only scoring
+    over 8-byte words + one global top-k; at corpus scale the scan
+    reads the packed table only, never the float vectors."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if any(w < 0 or w >= (1 << 32) for w in query_words):
+        raise ValueError("query_words must be 32-bit non-negative "
+                         "(sign_pack output)")
+    q = F.array(*[F.lit(w).cast("long") for w in query_words])
+    nw = len(query_words)
+    dist = F.aggregate(
+        F.zip_with(F.col("words"), q,
+                   lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    scored = packed.select(
+        F.col(id_col),
+        F.when(F.size("words") != nw,
+               F.raise_error(F.lit(
+                   f"hamming_topk: signature is not {nw} words")))
+        .otherwise(dist).alias("hamming"))
+    return (scored.orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+            .limit(k))
