@@ -160,7 +160,8 @@ def main() -> None:
              "multimodal_audio_frames", "kg_dag_depth",
              "multimodal_dhash", "rel_bh_fdr", "rel_seasonal",
              "multimodal_scene_cuts", "doc_containment",
-             "emb_hamming_topk"]
+             "emb_hamming_topk", "kg_clustering_coef",
+             "doc_skipgrams"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):

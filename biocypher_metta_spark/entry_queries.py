@@ -7915,6 +7915,54 @@ LIMIT 10
 QUERIES["emb_hamming_topk"] = (emb_hamming_topk, EMB_HAMMING_TOPK_SQL)
 
 
+def kg_clustering_coef(spark, sf_dir):
+    """Local clustering coefficient (graph.clustering_coefficient)
+    over a 300-node quadratic-map graph (m -> m^2+1, m -> 5m+2 mod
+    300 — irregular degrees, real triangles): the KG-quality readout
+    where low-cc hubs flag linking noise and high-cc clumps flag
+    over-merges. Pure composition on triangle_count; exact permille
+    via decimal pmod floor."""
+    ids = _ids(spark, sf_dir)
+    m = F.col("i") % 300
+    edges = (ids.select(m.alias("src"),
+                        ((m * m + 1) % 300).alias("dst"))
+             .unionAll(ids.select(m.alias("src"),
+                                  ((m * 5 + 2) % 300).alias("dst"))))
+    return graph_ops.clustering_coefficient(edges)
+
+
+_CC_EDGES_SQL = """SELECT doc_id % 300 AS src,
+  ((doc_id % 300) * (doc_id % 300) + 1) % 300 AS dst FROM documents
+UNION ALL
+SELECT doc_id % 300, ((doc_id % 300) * 5 + 2) % 300 FROM documents"""
+
+QUERIES["kg_clustering_coef"] = (
+    kg_clustering_coef,
+    graph_ops.clustering_coefficient_sql(_CC_EDGES_SQL))
+
+
+def doc_skipgrams(spark, sf_dir):
+    """Skip-gram co-occurrence counts (text.skipgram_counts, window
+    2, min_count 3) over the documents corpus — the (center,
+    context, n) table embedding training consumes. Map-only
+    slice-zip pair generation; the twin is an independent positional
+    self-join spelling of the same window semantics."""
+    from biocypher_metta_spark.operators.text import skipgram_counts
+
+    return skipgram_counts(_t(spark, sf_dir, "documents"),
+                           window=2, min_count=3)
+
+
+from biocypher_metta_spark.operators.text import (  # noqa: E402
+    skipgram_counts_sql as _skipgram_counts_sql,
+)
+
+DOC_SKIPGRAMS_SQL = _skipgram_counts_sql(
+    "SELECT doc_id, text FROM documents", window=2, min_count=3)
+
+QUERIES["doc_skipgrams"] = (doc_skipgrams, DOC_SKIPGRAMS_SQL)
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -8167,6 +8215,8 @@ CK_COLUMNS = {
     "doc_containment": ["containment_permille", "id_a", "id_b",
                         "n_a", "n_common"],
     "emb_hamming_topk": ["hamming", "vec_id"],
+    "kg_clustering_coef": ["cc_permille", "deg", "id", "triangles"],
+    "doc_skipgrams": ["center", "context", "n"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
@@ -8227,7 +8277,7 @@ CK_COMPOSITES = {
                             "doc_retrieval_ladder", "web_anchor_text",
                             "doc_ngram_novelty", "doc_heavy_tokens",
                             "web_robots_filter", "doc_rocchio",
-                            "doc_containment"],
+                            "doc_containment", "doc_skipgrams"],
     "kg_graph_checks": ["kg_pagerank", "kg_hits", "emb_semantic_dedup",
                         "emb_kmeans", "emb_pq_topk",
                         "kg_triangles", "kg_kcore",
@@ -8243,7 +8293,7 @@ CK_COMPOSITES = {
                         "kg_collab_weight", "kg_betweenness",
                         "kg_closeness", "kg_modularity", "kg_anf",
                         "kg_eff_radius", "kg_dag_depth",
-                        "emb_hamming_topk"],
+                        "emb_hamming_topk", "kg_clustering_coef"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",

@@ -2642,3 +2642,74 @@ SELECT dd_n.node,
        CAST(coalesce(max(dd_p.len), 0) AS BIGINT) AS depth
 FROM dd_n LEFT JOIN dd_p ON dd_p.s = dd_n.node
 GROUP BY dd_n.node"""
+
+
+def clustering_coefficient(edges: DataFrame, src: str = "src",
+                           dst: str = "dst") -> DataFrame:
+    """Per-node LOCAL clustering coefficient over the undirected
+    simple graph — the KG-quality counterpart of the global triangle
+    census: cc(v) = triangles(v) / C(deg(v), 2), i.e. how much of
+    v's neighborhood is itself connected. Low-cc high-degree nodes
+    are the classic mention-linking-noise signature (a hub whose
+    'neighbors' share nothing); high-cc clumps are candidate
+    over-merged entities. Emitted as the exact integer permille
+    floor(2000 * triangles / (deg * (deg - 1))); deg < 2 nodes emit
+    0 (no pair to close).
+
+    Pure composition on two already-oracled primitives:
+    triangle_count (degree-oriented O(m^1.5) wedge join — hub-proof)
+    and the endpoint-degree aggregate, joined on the node id. Output
+    (id, deg, triangles, cc_permille), every endpoint present.
+    """
+    tri = triangle_count(edges, src=src, dst=dst)
+    und = (edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+        .distinct())
+    deg = (und.select(F.col("a").alias("id"))
+           .unionAll(und.select(F.col("b").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).cast("long")
+                              .alias("deg")))
+    # exact decimal floor (a double divide drifts from the twin's
+    # integer // once 2000*triangles passes 2^53)
+    num = (F.lit(2000).cast("decimal(38,0)")
+           * F.col("triangles").cast("decimal(38,0)"))
+    den = (F.col("deg").cast("decimal(38,0)")
+           * (F.col("deg") - 1).cast("decimal(38,0)"))
+    return (tri.join(deg, "id")
+            .select("id", "deg", "triangles",
+                    F.when(F.col("deg") < 2, F.lit(0))
+                    .otherwise((num - num % den) / den)
+                    .cast("long").alias("cc_permille")))
+
+
+def clustering_coefficient_sql(edges_sql: str, src: str = "src",
+                               dst: str = "dst") -> str:
+    """Oracle twin of clustering_coefficient: composes the
+    triangle_count twin (same orientation recipe) with the degree
+    aggregate and the same permille floor."""
+    tri = triangle_count_sql(edges_sql, src=src, dst=dst)
+    return f"""WITH cc_tri AS MATERIALIZED (
+  SELECT * FROM (
+{tri}
+  )
+), cc_und AS (
+  SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+  FROM (
+{edges_sql.strip()}
+  )
+  WHERE {src} IS NOT NULL AND {dst} IS NOT NULL AND {src} <> {dst}
+), cc_deg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT a AS id FROM cc_und UNION ALL SELECT b FROM cc_und)
+  GROUP BY 1
+)
+SELECT cc_tri.id, cc_deg.deg, cc_tri.triangles,
+       CASE WHEN cc_deg.deg < 2 THEN 0
+            ELSE CAST((2000::HUGEINT * cc_tri.triangles)
+                      // (cc_deg.deg::HUGEINT * (cc_deg.deg - 1))
+                 AS BIGINT)
+       END AS cc_permille
+FROM cc_tri JOIN cc_deg ON cc_tri.id = cc_deg.id"""

@@ -1427,3 +1427,101 @@ SELECT {id_col}, n_grams, n_shared,
             ELSE CAST(floor((n_grams - n_shared) * 1000000.0
                             / n_grams) AS BIGINT) END AS novelty_ppm
 FROM nv_d"""
+
+
+def skipgram_counts(df: DataFrame, window: int = 2,
+                    min_count: int = 1, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide skip-gram co-occurrence counts — the (center,
+    context, n) table word2vec-family embedding training consumes
+    [Mikolov et al. 2013], and the raw material for PMI-style
+    association mining beyond the bigram collocations operator:
+    every ordered pair of tokens at distance 1..window within a
+    document counts once per occurrence, in BOTH directions
+    (symmetric context, the SGNS convention — so n(a,b) = n(b,a) by
+    construction and the table doubles as an undirected
+    co-occurrence matrix).
+
+    Pair generation is MAP-ONLY: for each offset o in 1..window the
+    token array zips with itself shifted by o (two slices of the
+    same materialized array — no posexplode self-join, which would
+    shuffle token-position rows just to rediscover adjacency), then
+    one explode feeds the (center, context) groupBy with map-side
+    combine. The offset loop unrolls at plan-build time (window is a
+    small literal). Empty tokens drop; docs shorter than 2 tokens
+    contribute nothing; `min_count` prunes the long tail (the
+    word2vec vocabulary floor) AFTER counting, bounding output by
+    the frequent-pair vocabulary.
+
+    Skew note: stopword-stopword pairs are the hot keys; counting is
+    a mergeable sum, so partial aggregation absorbs them — the same
+    argument as exact dedup's hash groupBy."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    arr = F.col("_toks")
+    n = F.size(arr)
+    per_off = []
+    for o in range(1, window + 1):
+        # docs shorter than the offset have no pairs at this o; a raw
+        # n - o would hand slice() a negative length and fail the task
+        ln = F.greatest(n - F.lit(o), F.lit(0))
+        fwd = F.zip_with(
+            F.slice(arr, F.lit(1), ln),
+            F.slice(arr, F.lit(o + 1), ln),
+            lambda a, b: F.struct(a.alias("center"),
+                                  b.alias("context")))
+        rev = F.zip_with(
+            F.slice(arr, F.lit(o + 1), ln),
+            F.slice(arr, F.lit(1), ln),
+            lambda a, b: F.struct(a.alias("center"),
+                                  b.alias("context")))
+        per_off.extend([fwd, rev])
+    pairs = F.concat(*per_off)
+    return (df.select(toks.alias("_toks"))
+            .filter(n >= 2)
+            .select(F.explode(pairs).alias("_p"))
+            .groupBy(F.col("_p.center").alias("center"),
+                     F.col("_p.context").alias("context"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .filter(F.col("n") >= min_count))
+
+
+def skipgram_counts_sql(docs_sql: str, window: int = 2,
+                        min_count: int = 1, text_col: str = "text",
+                        id_col: str = "doc_id") -> str:
+    """Oracle twin of skipgram_counts: an INDEPENDENT positional
+    spelling — unnest tokens with their positions and self-join per
+    doc on 1 <= pos_b - pos_a <= window (the slice-zip's semantics,
+    rediscovered through a join instead of adjacency)."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    return rf"""WITH sg_d AS MATERIALIZED (
+  SELECT {id_col} AS id,
+         list_filter(regexp_split_to_array(trim({text_col}), '\s+'),
+                     t -> t <> '') AS toks
+  FROM (
+{docs_sql.strip()}
+  )
+), sg_t AS MATERIALIZED (
+  SELECT id, unnest(range(1, len(toks) + 1)) AS pos, toks
+  FROM sg_d WHERE len(toks) >= 2
+), sg_p AS (
+  SELECT id, pos, toks[pos] AS tok FROM sg_t
+), sg_pairs AS (
+  SELECT a.tok AS center, b.tok AS context
+  FROM sg_p a JOIN sg_p b
+    ON a.id = b.id AND b.pos - a.pos BETWEEN 1 AND {window}
+)
+SELECT center, context, n FROM (
+  SELECT center, context, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT center, context FROM sg_pairs
+    UNION ALL
+    SELECT context, center FROM sg_pairs
+  ) GROUP BY center, context
+) WHERE n >= {min_count}"""
