@@ -161,7 +161,8 @@ def main() -> None:
              "multimodal_dhash", "rel_bh_fdr", "rel_seasonal",
              "multimodal_scene_cuts", "doc_containment",
              "emb_hamming_topk", "kg_clustering_coef",
-             "doc_skipgrams"]
+             "doc_skipgrams", "multimodal_bmp_decode",
+             "multimodal_ulaw_decode", "web_sitemap"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):

@@ -7963,6 +7963,179 @@ DOC_SKIPGRAMS_SQL = _skipgram_counts_sql(
 QUERIES["doc_skipgrams"] = (doc_skipgrams, DOC_SKIPGRAMS_SQL)
 
 
+# BMP variants: formula pixels at five widths (stride padding 0..3
+# bytes exercised), encoded driver-side by the stdlib BMP codec and
+# decoded back through the sniffing chain on executors.
+from biocypher_metta_spark.operators.bmp import bmp_encode as _bmp_encode
+
+_BMP_H = 4
+_BMP_VARIANTS = [
+    _bmp_encode(5 + v, _BMP_H,
+                _png_formula_pixels(5 + v, _BMP_H, 3, v))
+    for v in range(5)
+]
+
+
+def multimodal_bmp_decode(spark, sf_dir):
+    """Stdlib BMP codec (operators/bmp.py) through image_stats via the
+    format-sniffing chain: 24-bit BI_RGB with bottom-up rows and
+    4-byte stride padding (widths 5..9 cover every pad length). The
+    twin recomputes pixel sums from the formula, proving the
+    BGR/flip/stride walk exactly."""
+    from biocypher_metta_spark.operators import multimodal as mm
+
+    ids = _ids(spark, sf_dir)
+    variants = F.array(*[F.lit(bytearray(b)) for b in _BMP_VARIANTS])
+    media = ids.select(
+        F.concat(F.lit("bmp://"),
+                 F.col("i").cast("string")).alias("media_ref"),
+        F.lit("image").alias("kind"),
+        F.element_at(variants,
+                     (F.col("i") % 5 + 1).cast("int")).alias("content"))
+    return mm.image_stats(media).select(
+        "media_ref", "width", "height", "channels", "pix_sum")
+
+
+MULTIMODAL_BMP_SQL = f"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+bmp_e AS (
+  SELECT v, 5 + v AS width, {_BMP_H} AS height, 3 AS channels,
+         CAST(list_sum(flatten(list_transform(range(0, {_BMP_H}), y ->
+           flatten(list_transform(range(0, 5 + v), x ->
+             list_transform(range(0, 3), ch ->
+               (x * 7 + y * 13 + ch * 29 + v * 101) % 256))))))
+           AS BIGINT) AS pix_sum
+  FROM (SELECT unnest(range(0, 5)) AS v)
+)
+SELECT 'bmp://' || i AS media_ref,
+       CAST(e.width AS INTEGER) AS width,
+       CAST(e.height AS INTEGER) AS height,
+       CAST(e.channels AS INTEGER) AS channels,
+       e.pix_sum
+FROM ids JOIN bmp_e e ON e.v = i % 5
+"""
+
+QUERIES["multimodal_bmp_decode"] = (multimodal_bmp_decode,
+                                    MULTIMODAL_BMP_SQL)
+
+
+# mu-law variants: linear int16 formula samples companded driver-side
+# (G.711 encode), expanded back on executors by the tag-7 wav_decode
+# path; the twin applies the SAME closed-form quantization
+# (wav.ulaw_quantize_sql, generated from the kernel's constants) to
+# the sample formula.
+from biocypher_metta_spark.operators.wav import (  # noqa: E402
+    ulaw_quantize_sql as _ulaw_quantize_sql,
+    wav_encode_ulaw as _wav_encode_ulaw,
+)
+
+
+def _ulaw_variant_samples(v: int) -> list[int]:
+    m = 50 + 10 * v
+    return [((i * 1103 + v * 40503) % 65536) - 32768 for i in range(m)]
+
+
+_ULAW_VARIANTS = [
+    _wav_encode_ulaw(_ulaw_variant_samples(v), sample_rate=8000,
+                     n_channels=1)
+    for v in range(4)
+]
+
+
+def multimodal_ulaw_decode(spark, sf_dir):
+    """G.711 mu-law WAV (format tag 7) through audio_stats: telephony
+    companding expanded by the closed-form integer formula. Lossy by
+    design, so the twin quantizes the linear sample formula with the
+    identical CASE expression (ulaw_quantize_sql) before taking
+    peak/sum-of-squares."""
+    from biocypher_metta_spark.operators import multimodal as mm
+
+    ids = _ids(spark, sf_dir)
+    variants = F.array(*[F.lit(bytearray(b)) for b in _ULAW_VARIANTS])
+    media = ids.select(
+        F.concat(F.lit("ulaw://"),
+                 F.col("i").cast("string")).alias("media_ref"),
+        F.lit("audio").alias("kind"),
+        F.element_at(variants,
+                     (F.col("i") % 4 + 1).cast("int")).alias("content"))
+    return mm.audio_stats(media)
+
+
+_ULAW_Q = _ulaw_quantize_sql("((s.i * 1103 + s.v * 40503) % 65536) - 32768")
+
+MULTIMODAL_ULAW_SQL = f"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+ul_s AS (
+  SELECT vv.v, unnest(range(0, 50 + 10 * vv.v)) AS i
+  FROM (SELECT unnest(range(0, 4)) AS v) vv
+), ul_q AS (
+  SELECT s.v, {_ULAW_Q} AS q
+  FROM ul_s s
+), ul_e AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(max(abs(q)) AS BIGINT) AS peak_abs,
+         CAST(sum(q * q) AS BIGINT) AS sum_sq
+  FROM ul_q GROUP BY v
+)
+SELECT 'ulaw://' || i AS media_ref,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(8 AS INTEGER) AS bits,
+       e.n_samples, e.peak_abs, e.sum_sq
+FROM ids JOIN ul_e e ON e.v = i % 4
+"""
+
+QUERIES["multimodal_ulaw_decode"] = (multimodal_ulaw_decode,
+                                     MULTIMODAL_ULAW_SQL)
+
+
+def web_sitemap(spark, sf_dir):
+    """Sitemap-protocol parse (web.sitemap_urls) over synthesized
+    messy sitemap XML: per doc, one <url> with whitespace-padded
+    <loc> and a <lastmod>, one <url> without lastmod, one loc-less
+    <url> (must drop), and a <sitemapindex> child. The twin derives
+    the expected rows straight from the generation formula — the
+    tar_members pattern: formula equality proves the block and field
+    regexes end-to-end."""
+    from biocypher_metta_spark.operators.web import sitemap_urls
+
+    ids = _ids(spark, sf_dir)
+    i = F.col("i")
+    site = F.concat(F.lit("https://site"), (i % 20).cast("string"),
+                    F.lit(".example"))
+    xml = F.concat(
+        F.lit("<urlset>\n <url>\n  <loc>  "),
+        site, F.lit("/p/"), i.cast("string"), F.lit("-1 </loc>\n"),
+        F.lit("  <lastmod>2024-0"), (i % 9 + 1).cast("string"),
+        F.lit("-01</lastmod>\n </url>\n <url><loc>"),
+        site, F.lit("/p/"), i.cast("string"),
+        F.lit("-2</loc></url>\n"),
+        F.lit(" <url><lastmod>2099-01-01</lastmod></url>\n"),
+        F.lit("</urlset>\n<sitemapindex><sitemap><loc>"),
+        site, F.lit("/sm/"), i.cast("string"),
+        F.lit(".xml</loc></sitemap></sitemapindex>"))
+    docs = ids.select(i.alias("doc_id"), xml.alias("text"))
+    return sitemap_urls(docs)
+
+
+WEB_SITEMAP_SQL = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+sm_site AS (
+  SELECT i, 'https://site' || (i % 20) || '.example' AS site FROM ids
+)
+SELECT i AS doc, 'url' AS kind,
+       site || '/p/' || i || '-1' AS loc,
+       '2024-0' || (i % 9 + 1) || '-01' AS lastmod
+FROM sm_site
+UNION ALL
+SELECT i, 'url', site || '/p/' || i || '-2', NULL FROM sm_site
+UNION ALL
+SELECT i, 'sitemap', site || '/sm/' || i || '.xml', NULL FROM sm_site
+"""
+
+QUERIES["web_sitemap"] = (web_sitemap, WEB_SITEMAP_SQL)
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -8217,6 +8390,12 @@ CK_COLUMNS = {
     "emb_hamming_topk": ["hamming", "vec_id"],
     "kg_clustering_coef": ["cc_permille", "deg", "id", "triangles"],
     "doc_skipgrams": ["center", "context", "n"],
+    "multimodal_bmp_decode": ["channels", "height", "media_ref",
+                              "pix_sum", "width"],
+    "multimodal_ulaw_decode": ["bits", "media_ref", "n_channels",
+                               "n_samples", "peak_abs", "sample_rate",
+                               "sum_sq"],
+    "web_sitemap": ["doc", "kind", "lastmod", "loc"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
@@ -8277,7 +8456,8 @@ CK_COMPOSITES = {
                             "doc_retrieval_ladder", "web_anchor_text",
                             "doc_ngram_novelty", "doc_heavy_tokens",
                             "web_robots_filter", "doc_rocchio",
-                            "doc_containment", "doc_skipgrams"],
+                            "doc_containment", "doc_skipgrams",
+                            "web_sitemap"],
     "kg_graph_checks": ["kg_pagerank", "kg_hits", "emb_semantic_dedup",
                         "emb_kmeans", "emb_pq_topk",
                         "kg_triangles", "kg_kcore",
@@ -8302,7 +8482,9 @@ CK_COMPOSITES = {
                           "multimodal_samples",
                           "multimodal_audio_frames",
                           "multimodal_dhash",
-                          "multimodal_scene_cuts"],
+                          "multimodal_scene_cuts",
+                          "multimodal_bmp_decode",
+                          "multimodal_ulaw_decode"],
     "multimodal_resize_family": ["multimodal_resize",
                                  "multimodal_jpeg_resize"],
     # both sub-gates run real checkpointed AvailableNow increments; the

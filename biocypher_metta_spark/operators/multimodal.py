@@ -70,8 +70,12 @@ def sniff_image_decode(content: bytes) -> tuple[int, int, int, bytes]:
         from biocypher_metta_spark.operators.jpeg import jpeg_decode
 
         return jpeg_decode(content)
-    raise ValueError("unrecognized image format (PNG and baseline JPEG "
-                     "are the stdlib-decodable formats)")
+    if content[:2] == b"BM":
+        from biocypher_metta_spark.operators.bmp import bmp_decode
+
+        return bmp_decode(content)
+    raise ValueError("unrecognized image format (PNG, baseline JPEG "
+                     "and 24-bit BMP are the stdlib-decodable formats)")
 
 
 def real_image_decode(content: bytes) -> tuple[int, int, int, list[float]]:

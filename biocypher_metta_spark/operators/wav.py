@@ -88,11 +88,18 @@ def wav_decode(data: bytes) -> tuple[int, int, int, list[int]]:
     if fmt is None or pcm is None:
         raise ValueError("missing fmt or data chunk")
     tag, n_channels, sample_rate, _byte_rate, _block_align, bits = fmt
-    if tag not in (1, 3):
-        raise ValueError(f"format tag {tag} unsupported (PCM/float only)")
+    if tag not in (1, 3, 7):
+        raise ValueError(f"format tag {tag} unsupported "
+                         "(PCM/float/mu-law only)")
     if sample_rate < 1:
         raise ValueError("sample_rate must be >= 1")
-    if tag == 3:
+    if tag == 7:
+        # G.711 mu-law (telephony/speech corpora): one byte per
+        # sample, expanded by the closed-form integer formula
+        if bits != 8:
+            raise ValueError(f"mu-law WAV must be 8-bit, got {bits}")
+        samples = [ulaw_decode_sample(b) for b in pcm]
+    elif tag == 3:
         # IEEE-float WAV (the other format real audio corpora contain):
         # normalized [-1, 1] float32 samples scale to the int16 range so
         # downstream stats stay width-independent like the 8-bit path
@@ -134,3 +141,74 @@ def wav_resample(data: bytes, target_rate: int) -> bytes:
         si = min(i * rate // target_rate, n_frames - 1)
         out.extend(samples[si * ch:(si + 1) * ch])
     return wav_encode(out, target_rate, ch, bits)
+
+
+# ---------------------------------------------------------------- mu-law
+# ITU-T G.711 mu-law companding (format tag 7): telephony and classic
+# speech corpora (e.g. 8 kHz call audio) ship in it. Both directions
+# are closed-form integer arithmetic — no tables — so an oracle can
+# recompute decode(encode(s)) straight from a sample formula in SQL.
+
+_ULAW_BIAS = 0x84     # 132
+_ULAW_CLIP = 32635
+
+
+def ulaw_encode_sample(sample: int) -> int:
+    """Linear int16 -> one mu-law byte (G.711)."""
+    sign = 0x80 if sample < 0 else 0
+    mag = min(-sample if sample < 0 else sample, _ULAW_CLIP) + _ULAW_BIAS
+    exp = mag.bit_length() - 8          # mag >= 132 -> in [0, 7]
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def ulaw_decode_sample(byte: int) -> int:
+    """One mu-law byte -> linear int16-range value (the G.711 expand
+    formula lands in [-32124, 32124] directly — the audioop width-2
+    convention — so mu-law streams are loudness-comparable with the
+    PCM paths)."""
+    u = ~byte & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+    return -mag if sign else mag
+
+
+def wav_encode_ulaw(samples: list[int], sample_rate: int = 8000,
+                    n_channels: int = 1) -> bytes:
+    """Interleaved linear int16 samples -> G.711 mu-law WAV (format
+    tag 7, 8 bits stored). Lossy by design: decode returns the
+    companded quantization of the input, exactly
+    ulaw_decode_sample(ulaw_encode_sample(s))."""
+    if n_channels < 1 or len(samples) % n_channels:
+        raise ValueError("samples not a whole number of frames")
+    data = bytes(ulaw_encode_sample(s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 7, n_channels, sample_rate,
+                      sample_rate * n_channels, n_channels, 8)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    if len(data) % 2:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def ulaw_quantize_sql(sample_expr: str) -> str:
+    """SQL (DuckDB) expression computing
+    ulaw_decode_sample(ulaw_encode_sample(s)) for a BIGINT sample
+    expression — the companded quantization as one branch-per-
+    exponent CASE, generated from the same constants as the Python
+    kernel so oracle and codec cannot drift."""
+    m = f"(least(abs({sample_expr}), {_ULAW_CLIP}) + {_ULAW_BIAS})"
+    arms = []
+    for e in range(8):
+        mag = (f"(((({m} // {1 << (e + 3)}) % 16) * 8 + {_ULAW_BIAS})"
+               f" * {1 << e} - {_ULAW_BIAS})")
+        if e < 7:
+            arms.append(f"WHEN {m} < {1 << (8 + e)} THEN {mag}")
+        else:
+            arms.append(f"ELSE {mag}")
+    case = "CASE " + " ".join(arms) + " END"
+    return (f"(CASE WHEN {sample_expr} < 0 THEN -({case}) "
+            f"ELSE ({case}) END)")

@@ -428,3 +428,69 @@ SELECT url, host, path,
        CAST(CASE WHEN mlen < 0 THEN NULL ELSE rule_len END AS BIGINT)
          AS rule_len
 FROM rf_best WHERE rn = 1"""
+
+
+_SITEMAP_URL_BLOCK_RE = r"(?i)<url>([\s\S]*?)</url>"
+_SITEMAP_MAP_BLOCK_RE = r"(?i)<sitemap>([\s\S]*?)</sitemap>"
+_SITEMAP_LOC_RE = r"(?i)<loc>\s*([^<]+?)\s*</loc>"
+_SITEMAP_MOD_RE = r"(?i)<lastmod>\s*([^<]+?)\s*</lastmod>"
+
+
+def sitemap_urls(df: DataFrame, doc_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Sitemap-protocol parse (sitemaps.org XML): each document's
+    <urlset> entries and <sitemapindex> children as rows — the crawl
+    seed list a web-corpus pipeline expands BEFORE fetching (and
+    joins against robots_filter for permission). Output (doc, kind,
+    loc, lastmod): kind 'url' for page entries, 'sitemap' for nested
+    index children; lastmod NULL when the tag is absent; entries
+    without a <loc> drop.
+
+    Regexes stay in the RE2/Java shared subset (the extract_links
+    discipline): block capture via the explicit [\\s\\S]*? non-greedy
+    class — no engine-specific dotall flag — then per-block <loc> /
+    <lastmod> sub-extraction; regexp_extract returns '' on a miss in
+    BOTH engines, normalized to NULL with nullif. Map-only
+    (regexp_extract_all + one explode per block kind), fanout bounded
+    by actual entry count; no shuffles at all."""
+    out = None
+    for kind, block_re in (("url", _SITEMAP_URL_BLOCK_RE),
+                           ("sitemap", _SITEMAP_MAP_BLOCK_RE)):
+        rows = (df.select(
+            F.col(doc_col).alias("doc"),
+            F.explode(F.regexp_extract_all(
+                F.col(text_col), F.lit(block_re), 1)).alias("_b"))
+            .select(
+                "doc", F.lit(kind).alias("kind"),
+                F.nullif(F.regexp_extract(F.col("_b"),
+                                          _SITEMAP_LOC_RE, 1),
+                         F.lit("")).alias("loc"),
+                F.nullif(F.regexp_extract(F.col("_b"),
+                                          _SITEMAP_MOD_RE, 1),
+                         F.lit("")).alias("lastmod"))
+            .filter(F.col("loc").isNotNull()))
+        out = rows if out is None else out.unionByName(rows)
+    return out
+
+
+def sitemap_urls_sql(docs_sql: str, doc_col: str = "doc_id",
+                     text_col: str = "text") -> str:
+    """DuckDB twin of sitemap_urls: same RE2-subset block + field
+    regexes (DuckDB's regex engine IS RE2)."""
+    parts = []
+    for kind, block_re in (("url", _SITEMAP_URL_BLOCK_RE),
+                           ("sitemap", _SITEMAP_MAP_BLOCK_RE)):
+        parts.append(f"""SELECT doc, '{kind}' AS kind,
+       nullif(regexp_extract(b, '{_SITEMAP_LOC_RE}', 1), '') AS loc,
+       nullif(regexp_extract(b, '{_SITEMAP_MOD_RE}', 1), '') AS lastmod
+FROM (
+  SELECT {doc_col} AS doc,
+         unnest(regexp_extract_all({text_col},
+                                   '{block_re}', 1)) AS b
+  FROM (
+{docs_sql.strip()}
+  )
+)
+WHERE nullif(regexp_extract(b, '{_SITEMAP_LOC_RE}', 1), '')
+      IS NOT NULL""")
+    return "\nUNION ALL\n".join(parts)
