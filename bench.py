@@ -162,7 +162,8 @@ def main() -> None:
              "multimodal_scene_cuts", "doc_containment",
              "emb_hamming_topk", "kg_clustering_coef",
              "doc_skipgrams", "multimodal_bmp_decode",
-             "multimodal_ulaw_decode", "web_sitemap"]
+             "multimodal_ulaw_decode", "web_sitemap", "kg_mst",
+             "multimodal_gif_decode"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):

@@ -8143,6 +8143,121 @@ SELECT i, 'sitemap', site || '/sm/' || i || '.xml', NULL FROM sm_site
 QUERIES["web_sitemap"] = (web_sitemap, WEB_SITEMAP_SQL)
 
 
+def kg_mst(spark, sf_dir):
+    """Minimum spanning forest (graph.boruvka_mst — distributed
+    Boruvka contraction, (w, a, b) tie order) over a planted
+    ring-plus-chords graph on 60 nodes: the ring guarantees
+    connectivity (so |MSF| = 59 exactly), the two chord families
+    plant cycles at every scale so most edges must LOSE to the cut
+    property, and weights are a formula of the normalized pair so
+    parallel spellings collapse identically in both engines. The
+    engine contracts (log-round groupBy + pointer jumping); the
+    oracle is the INDEPENDENT Kruskal cut property (an edge is in
+    the unique MSF iff its endpoints are not connected by strictly
+    smaller edges) as a recursive CTE — different algorithm, same
+    unique answer."""
+    ids = _ids(spark, sf_dir)
+    ring = ids.select((F.col("i") % 60).alias("src"),
+                      ((F.col("i") + 1) % 60).alias("dst"))
+    chord = ids.select((F.col("i") % 60).alias("src"),
+                       ((F.col("i") * 7 + 3) % 60).alias("dst"))
+    dense = ids.select((F.col("i") % 45).alias("src"),
+                       ((F.col("i") * 11 + 5) % 45).alias("dst"))
+    edges = (ring.unionAll(chord).unionAll(dense)
+             .withColumn("weight",
+                         (F.least("src", "dst") * 73
+                          + F.greatest("src", "dst") * 131) % 997 + 1))
+    return graph_ops.boruvka_mst(edges)
+
+
+_MST_EDGES_SQL = """SELECT src, dst,
+       (least(src, dst) * 73 + greatest(src, dst) * 131) % 997 + 1
+         AS weight
+FROM (
+  SELECT i % 60 AS src, (i + 1) % 60 AS dst
+  FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+  UNION ALL SELECT i % 60, (i * 7 + 3) % 60
+  FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+  UNION ALL SELECT i % 45, (i * 11 + 5) % 45
+  FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+)"""
+
+KG_MST_SQL = graph_ops.boruvka_mst_sql(_MST_EDGES_SQL)
+
+QUERIES["kg_mst"] = (kg_mst, KG_MST_SQL)
+
+
+# GIF variants: palette-formula pixels at five widths, alternating
+# interlaced/sequential frames, encoded driver-side by the stdlib GIF
+# codec (real LZW) and decoded back through the sniffing chain.
+from biocypher_metta_spark.operators.gif import gif_encode as _gif_encode
+
+_GIF_H = 5
+
+
+def _gif_palette_pixels(w: int, h: int, v: int) -> bytes:
+    p = 40 + 7 * v
+    out = bytearray()
+    for y in range(h):
+        for x in range(w):
+            i = (x * 7 + y * 13 + v * 29) % p
+            out += bytes(((i * 11) % 256, (i * 57) % 256,
+                          (i * 199) % 256))
+    return bytes(out)
+
+
+_GIF_VARIANTS = [
+    _gif_encode(6 + v, _GIF_H, _gif_palette_pixels(6 + v, _GIF_H, v),
+                interlace=(v % 2 == 1))
+    for v in range(5)
+]
+
+
+def multimodal_gif_decode(spark, sf_dir):
+    """Stdlib GIF codec (operators/gif.py) through image_stats via the
+    format-sniffing chain: palette indirection + real LZW
+    decompression (variable-width LSB-first codes, dynamic string
+    table, KwKwK case), with the odd variants written INTERLACED so
+    the 4-pass row reorder is proven too. The twin recomputes pixel
+    sums from the palette formula, proving palette -> LZW ->
+    (de)interlace -> RGB end-to-end."""
+    from biocypher_metta_spark.operators import multimodal as mm
+
+    ids = _ids(spark, sf_dir)
+    variants = F.array(*[F.lit(bytearray(b)) for b in _GIF_VARIANTS])
+    media = ids.select(
+        F.concat(F.lit("gif://"),
+                 F.col("i").cast("string")).alias("media_ref"),
+        F.lit("image").alias("kind"),
+        F.element_at(variants,
+                     (F.col("i") % 5 + 1).cast("int")).alias("content"))
+    return mm.image_stats(media).select(
+        "media_ref", "width", "height", "channels", "pix_sum")
+
+
+MULTIMODAL_GIF_SQL = f"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+gif_e AS (
+  SELECT v, 6 + v AS width, {_GIF_H} AS height, 3 AS channels,
+         CAST(list_sum(flatten(list_transform(range(0, {_GIF_H}), y ->
+           flatten(list_transform(range(0, 6 + v), x ->
+             list_transform([(x * 7 + y * 13 + v * 29) % (40 + 7 * v)],
+               p -> (p * 11) % 256 + (p * 57) % 256
+                    + (p * 199) % 256)))))) AS BIGINT) AS pix_sum
+  FROM (SELECT unnest(range(0, 5)) AS v)
+)
+SELECT 'gif://' || i AS media_ref,
+       CAST(e.width AS INTEGER) AS width,
+       CAST(e.height AS INTEGER) AS height,
+       CAST(e.channels AS INTEGER) AS channels,
+       e.pix_sum
+FROM ids JOIN gif_e e ON e.v = i % 5
+"""
+
+QUERIES["multimodal_gif_decode"] = (multimodal_gif_decode,
+                                    MULTIMODAL_GIF_SQL)
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -8403,6 +8518,9 @@ CK_COLUMNS = {
                                "n_samples", "peak_abs", "sample_rate",
                                "sum_sq"],
     "web_sitemap": ["doc", "kind", "lastmod", "loc"],
+    "kg_mst": ["a", "b", "w"],
+    "multimodal_gif_decode": ["channels", "height", "media_ref",
+                              "pix_sum", "width"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
@@ -8480,7 +8598,8 @@ CK_COMPOSITES = {
                         "kg_collab_weight", "kg_betweenness",
                         "kg_closeness", "kg_modularity", "kg_anf",
                         "kg_eff_radius", "kg_dag_depth",
-                        "emb_hamming_topk", "kg_clustering_coef"],
+                        "emb_hamming_topk", "kg_clustering_coef",
+                        "kg_mst"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",
@@ -8491,7 +8610,8 @@ CK_COMPOSITES = {
                           "multimodal_dhash",
                           "multimodal_scene_cuts",
                           "multimodal_bmp_decode",
-                          "multimodal_ulaw_decode"],
+                          "multimodal_ulaw_decode",
+                          "multimodal_gif_decode"],
     "multimodal_resize_family": ["multimodal_resize",
                                  "multimodal_jpeg_resize"],
     # both sub-gates run real checkpointed AvailableNow increments; the

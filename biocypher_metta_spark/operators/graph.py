@@ -2713,3 +2713,170 @@ SELECT cc_tri.id, cc_deg.deg, cc_tri.triangles,
                  AS BIGINT)
        END AS cc_permille
 FROM cc_tri JOIN cc_deg ON cc_tri.id = cc_deg.id"""
+
+
+def boruvka_mst(edges: DataFrame, src: str = "src", dst: str = "dst",
+                weight: str = "weight", max_rounds: int = 32,
+                jump_rounds: int = 32) -> DataFrame:
+    """Minimum spanning forest of the weighted undirected simple
+    graph by distributed Boruvka contraction.  Output: the MSF edge
+    set (a, b, w) with a < b — V-1 edges per connected component.
+
+    Ties are broken by the total order (w, a, b), which makes the
+    MSF unique (equivalent to an infinitesimal perturbation), so the
+    engine's contraction answer and the twin's independent
+    Kruskal-cut-property answer are comparable row-for-row.  Parallel
+    edges collapse to their minimum weight; self loops and null
+    endpoints are dropped.
+
+    The MSF is the classic KG-backbone extractor: keep the cheapest
+    connector per entity cluster (e.g. strongest-evidence link per
+    merged mention group) and drop redundant heavy edges — the
+    dendrogram base for single-linkage clustering over similarity
+    graphs (doc/embedding dedup at corpus scale).
+
+    Scale shape
+    -----------
+    Pure Boruvka is the textbook DISTRIBUTED MST choice precisely
+    because every round is a groupBy, never a sort of the full edge
+    list (Kruskal) or a priority queue (Prim): (1) per-component
+    min-edge via min(struct) over the CURRENT contracted edge list —
+    map-side partial agg absorbs hub skew, (2) contract the chosen
+    pseudoforest by two-cycle rooting + pointer jumping (self-joins
+    on <= #components rows, chain depth halves per hop, fixpoint
+    read as a cheap count off the checkpointed hop — no extra join),
+    (3) rewrite the edge list onto the new component ids and
+    re-collapse parallel pairs to their (w, a, b)-minimum
+    representative, so the WORKING SET shrinks geometrically along
+    with the component count (the original edge list is touched
+    exactly once) while original endpoints ride along for the
+    output.  Component count at least halves per round, so rounds <=
+    log2(V) (~30 at 10^9 nodes); lineage is cut per round with
+    localCheckpoint exactly like transitive_closure.  Exhaustion
+    without fixpoint raises, matching the closure/kcore contract.
+    """
+    if max_rounds < 1 or jump_rounds < 1:
+        raise ValueError("max_rounds and jump_rounds must be >= 1")
+    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                      F.greatest(F.col(src), F.col(dst)).alias("b"),
+                      F.col(weight).cast("long").alias("w"))
+         .filter(F.col("a").isNotNull() & F.col("b").isNotNull()
+                 & F.col("w").isNotNull() & (F.col("a") != F.col("b")))
+         .groupBy("a", "b").agg(F.min("w").alias("w")))
+    # working edges keyed by component (ca < cb); components start as
+    # the node ids themselves, original endpoints ride along as payload
+    work = (e.select(F.col("a").alias("ca"), F.col("b").alias("cb"),
+                     "w", "a", "b")
+            .localCheckpoint())
+    out_cols = ["a", "b", "w"]
+    msf = None
+    for _ in range(max_rounds):
+        if work.isEmpty():
+            break
+        # per-component minimum incident edge under the (w, a, b)
+        # total order; the chosen edge also carries the neighbouring
+        # component -> a pseudoforest parent pointer per component
+        pick = F.struct("w", "a", "b", "oc")
+        inc = (work.select(F.col("ca").alias("c"), "w", "a", "b",
+                           F.col("cb").alias("oc"))
+               .unionAll(work.select(F.col("cb").alias("c"), "w", "a",
+                                     "b", F.col("ca").alias("oc"))))
+        sel = (inc.groupBy("c").agg(F.min(pick).alias("m"))
+               .select("c", F.col("m.a").alias("a"),
+                       F.col("m.b").alias("b"), F.col("m.w").alias("w"),
+                       F.col("m.oc").alias("p"))
+               .localCheckpoint())
+        chosen = sel.select("a", "b", "w").distinct()
+        msf = chosen if msf is None else msf.unionAll(chosen)
+        msf = msf.localCheckpoint()
+        # contract: break the pseudoforest's 2-cycles (u<->v pick the
+        # same minimum edge; root at the smaller id), then pointer-jump
+        par = (sel.alias("x")
+               .join(sel.select(F.col("c").alias("p"),
+                                F.col("p").alias("gp")).alias("y"),
+                     "p", "left")
+               .select("c", F.when((F.col("gp") == F.col("c"))
+                                   & (F.col("c") < F.col("p")),
+                                   F.col("c"))
+                       .otherwise(F.col("p")).alias("p"))
+               .localCheckpoint())
+        for _j in range(jump_rounds):
+            hop = (par.alias("x")
+                   .join(par.select(F.col("c").alias("p"),
+                                    F.col("p").alias("pp")).alias("y"),
+                         "p", "left")
+                   .select("c", "p", F.coalesce("pp", "p").alias("np"))
+                   .localCheckpoint())
+            moved = (hop.filter(F.col("np") != F.col("p"))
+                     .limit(1).count())
+            par = hop.select("c", F.col("np").alias("p"))
+            if moved == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"boruvka_mst pointer jumping did not converge within "
+                f"jump_rounds={jump_rounds}")
+        # rewrite edges onto root components, drop intra-component
+        # edges, re-collapse parallel pairs to the (w, a, b)-minimum
+        # representative -> the working set shrinks with the merge
+        m = F.struct("w", "a", "b")
+        work = (work
+                .join(par.select(F.col("c").alias("ca"),
+                                 F.col("p").alias("ra")), "ca")
+                .join(par.select(F.col("c").alias("cb"),
+                                 F.col("p").alias("rb")), "cb")
+                .filter(F.col("ra") != F.col("rb"))
+                .select(F.least("ra", "rb").alias("ca"),
+                        F.greatest("ra", "rb").alias("cb"),
+                        "w", "a", "b")
+                .groupBy("ca", "cb").agg(F.min(m).alias("m"))
+                .select("ca", "cb", F.col("m.w").alias("w"),
+                        F.col("m.a").alias("a"), F.col("m.b").alias("b"))
+                .localCheckpoint())
+    else:
+        if not work.isEmpty():
+            raise RuntimeError(
+                f"boruvka_mst did not converge within "
+                f"max_rounds={max_rounds}")
+    if msf is None:
+        return work.limit(0).select(*out_cols)
+    return msf.select(*out_cols)
+
+
+def boruvka_mst_sql(edges_sql: str, src: str = "src", dst: str = "dst",
+                    weight: str = "weight") -> str:
+    """DuckDB twin of boruvka_mst — deliberately a DIFFERENT
+    algorithm (independent-oracle rule): the Kruskal cut property.
+    Under the (w, a, b) total order, an edge belongs to the unique
+    MSF iff its endpoints are NOT connected using only strictly
+    smaller edges.  The recursive CTE materializes, per candidate
+    edge rank rk, the set of nodes reachable from its a-endpoint
+    through edges of rank < rk; the edge survives iff b is absent
+    from that set.  O(E*V) state — an oracle-sized spelling, not a
+    scale path (the engine side is the scale path)."""
+    return f"""WITH RECURSIVE bm_e AS MATERIALIZED (
+  SELECT a, b, w,
+         CAST(row_number() OVER (ORDER BY w, a, b) AS BIGINT) AS rk
+  FROM (
+    SELECT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b,
+           CAST(min({weight}) AS BIGINT) AS w
+    FROM (
+{edges_sql.strip()}
+    )
+    WHERE {src} IS NOT NULL AND {dst} IS NOT NULL
+      AND {weight} IS NOT NULL AND {src} <> {dst}
+    GROUP BY 1, 2
+  )
+), bm_reach(rk, node) AS (
+  SELECT rk, a FROM bm_e
+  UNION
+  SELECT r.rk,
+         CASE WHEN e.a = r.node THEN e.b ELSE e.a END
+  FROM bm_reach r
+  JOIN bm_e e ON e.rk < r.rk AND (e.a = r.node OR e.b = r.node)
+)
+SELECT e.a, e.b, e.w
+FROM bm_e e
+WHERE NOT EXISTS (
+  SELECT 1 FROM bm_reach r WHERE r.rk = e.rk AND r.node = e.b
+)"""

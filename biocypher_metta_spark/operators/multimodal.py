@@ -74,8 +74,13 @@ def sniff_image_decode(content: bytes) -> tuple[int, int, int, bytes]:
         from biocypher_metta_spark.operators.bmp import bmp_decode
 
         return bmp_decode(content)
-    raise ValueError("unrecognized image format (PNG, baseline JPEG "
-                     "and 24-bit BMP are the stdlib-decodable formats)")
+    if content[:4] == b"GIF8":
+        from biocypher_metta_spark.operators.gif import gif_decode
+
+        return gif_decode(content)
+    raise ValueError("unrecognized image format (PNG, baseline JPEG, "
+                     "24-bit BMP and GIF are the stdlib-decodable "
+                     "formats)")
 
 
 def real_image_decode(content: bytes) -> tuple[int, int, int, list[float]]:
