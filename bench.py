@@ -163,7 +163,7 @@ def main() -> None:
              "emb_hamming_topk", "kg_clustering_coef",
              "doc_skipgrams", "multimodal_bmp_decode",
              "multimodal_ulaw_decode", "web_sitemap", "kg_mst",
-             "multimodal_gif_decode"]
+             "multimodal_gif_decode", "kg_matching", "kg_mis"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):

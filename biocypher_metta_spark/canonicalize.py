@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from biocypher_metta_spark.ckpt import local_checkpoint_cut as _ckcut
+
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_iter: int = 10) -> DataFrame:
@@ -135,7 +137,7 @@ def transitive_closure(edges: DataFrame, src: str = "src",
     cur = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
            .filter(F.col("s") != F.col("d"))
            .distinct())
-    cur = cur.localCheckpoint(eager=True)
+    cur = _ckcut(cur)
     n = cur.count()
     converged = False
     for _ in range(max_iter):
@@ -145,7 +147,10 @@ def transitive_closure(edges: DataFrame, src: str = "src",
         nxt = (cur.unionByName(hop)
                .filter(F.col("s") != F.col("d"))
                .distinct())
-        nxt = nxt.localCheckpoint(eager=True)
+        # _ckcut, not plain localCheckpoint: path doubling joins cur
+        # with itself, so Spark 4's origin-stats propagation would
+        # SQUARE the sizeInBytes estimate every round (see ckpt.py)
+        nxt = _ckcut(nxt)
         m = nxt.count()
         cur = nxt
         if m == n:

@@ -8258,6 +8258,69 @@ QUERIES["multimodal_gif_decode"] = (multimodal_gif_decode,
                                     MULTIMODAL_GIF_SQL)
 
 
+def kg_matching(spark, sf_dir):
+    """Greedy maximal matching (graph.dominant_matching — parallel
+    locally-dominant rounds == sequential greedy under the (w, a, b)
+    order) over a planted ring-plus-chords graph on 64 nodes with
+    formula weights: the 1:1 entity-alignment primitive. The twin is
+    the SAME recurrence unrolled (dominant_matching_sql, the
+    kcore_sql pattern); the cross-ALGORITHM check against a
+    sequential greedy brute force lives in the pytest suite
+    (tests/test_round5aa_ops.py)."""
+    ids = _ids(spark, sf_dir)
+    ring = ids.select((F.col("i") % 64).alias("src"),
+                      ((F.col("i") + 1) % 64).alias("dst"))
+    chord = ids.select((F.col("i") % 64).alias("src"),
+                       ((F.col("i") * 5 + 2) % 64).alias("dst"))
+    edges = (ring.unionAll(chord)
+             .withColumn("weight",
+                         (F.least("src", "dst") * 37
+                          + F.greatest("src", "dst") * 101) % 499 + 1))
+    return graph_ops.dominant_matching(edges)
+
+
+_MATCH_EDGES_SQL = """SELECT src, dst,
+       (least(src, dst) * 37 + greatest(src, dst) * 101) % 499 + 1
+         AS weight
+FROM (
+  SELECT i % 64 AS src, (i + 1) % 64 AS dst
+  FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+  UNION ALL SELECT i % 64, (i * 5 + 2) % 64
+  FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+)"""
+
+KG_MATCHING_SQL = graph_ops.dominant_matching_sql(_MATCH_EDGES_SQL,
+                                                  rounds=16)
+
+QUERIES["kg_matching"] = (kg_matching, KG_MATCHING_SQL)
+
+
+def kg_mis(spark, sf_dir):
+    """Maximal independent set (graph.greedy_mis — Luby rounds under
+    a FIXED portable-hash priority == sequential greedy in (h, id)
+    order) over the same ring-plus-chords family: the conflict-free
+    diversity-sampling primitive. Twin = the unrolled recurrence
+    with the hash spelled as DuckDB md5 arithmetic (bit-identical
+    priorities); the independent sequential brute force is in
+    tests/test_round5aa_ops.py."""
+    ids = _ids(spark, sf_dir)
+    ring = ids.select((F.col("i") % 60).alias("src"),
+                      ((F.col("i") + 1) % 60).alias("dst"))
+    chord = ids.select((F.col("i") % 60).alias("src"),
+                       ((F.col("i") * 13 + 4) % 60).alias("dst"))
+    return graph_ops.greedy_mis(ring.unionAll(chord))
+
+
+_MIS_EDGES_SQL = """SELECT i % 60 AS src, (i + 1) % 60 AS dst
+FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+UNION ALL SELECT i % 60, (i * 13 + 4) % 60
+FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)"""
+
+KG_MIS_SQL = graph_ops.greedy_mis_sql(_MIS_EDGES_SQL, rounds=16)
+
+QUERIES["kg_mis"] = (kg_mis, KG_MIS_SQL)
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -8521,6 +8584,8 @@ CK_COLUMNS = {
     "kg_mst": ["a", "b", "w"],
     "multimodal_gif_decode": ["channels", "height", "media_ref",
                               "pix_sum", "width"],
+    "kg_matching": ["a", "b", "w"],
+    "kg_mis": ["h", "id"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
@@ -8599,7 +8664,7 @@ CK_COMPOSITES = {
                         "kg_closeness", "kg_modularity", "kg_anf",
                         "kg_eff_radius", "kg_dag_depth",
                         "emb_hamming_topk", "kg_clustering_coef",
-                        "kg_mst"],
+                        "kg_mst", "kg_matching", "kg_mis"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",

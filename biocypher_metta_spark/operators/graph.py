@@ -51,6 +51,8 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame
+
+from biocypher_metta_spark.ckpt import local_checkpoint_cut as _ckcut
 from pyspark.sql import functions as F
 
 _DEC = "decimal(38,0)"
@@ -315,10 +317,14 @@ def kcore(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
                .groupBy("id")
                .agg(F.count(F.lit(1)).cast("long").alias("core_deg")))
         keep = deg.filter(F.col("core_deg") >= k)
-        nxt = (und
-               .join(keep.select(F.col("id").alias("a")), "a", "left_semi")
-               .join(keep.select(F.col("id").alias("b")), "b", "left_semi")
-               .localCheckpoint())
+        # _ckcut, not plain localCheckpoint: keep derives from und, so
+        # this is a self-composition — Spark 4's origin-stats
+        # propagation would square sizeInBytes per peel round (ckpt.py)
+        nxt = _ckcut(und
+                     .join(keep.select(F.col("id").alias("a")), "a",
+                           "left_semi")
+                     .join(keep.select(F.col("id").alias("b")), "b",
+                           "left_semi"))
         m = nxt.count()
         if m == n:
             return keep
@@ -2765,9 +2771,8 @@ def boruvka_mst(edges: DataFrame, src: str = "src", dst: str = "dst",
          .groupBy("a", "b").agg(F.min("w").alias("w")))
     # working edges keyed by component (ca < cb); components start as
     # the node ids themselves, original endpoints ride along as payload
-    work = (e.select(F.col("a").alias("ca"), F.col("b").alias("cb"),
-                     "w", "a", "b")
-            .localCheckpoint())
+    work = _ckcut(e.select(F.col("a").alias("ca"), F.col("b").alias("cb"),
+                     "w", "a", "b"))
     out_cols = ["a", "b", "w"]
     msf = None
     for _ in range(max_rounds):
@@ -2781,32 +2786,29 @@ def boruvka_mst(edges: DataFrame, src: str = "src", dst: str = "dst",
                            F.col("cb").alias("oc"))
                .unionAll(work.select(F.col("cb").alias("c"), "w", "a",
                                      "b", F.col("ca").alias("oc"))))
-        sel = (inc.groupBy("c").agg(F.min(pick).alias("m"))
+        sel = _ckcut(inc.groupBy("c").agg(F.min(pick).alias("m"))
                .select("c", F.col("m.a").alias("a"),
                        F.col("m.b").alias("b"), F.col("m.w").alias("w"),
-                       F.col("m.oc").alias("p"))
-               .localCheckpoint())
+                       F.col("m.oc").alias("p")))
         chosen = sel.select("a", "b", "w").distinct()
         msf = chosen if msf is None else msf.unionAll(chosen)
-        msf = msf.localCheckpoint()
+        msf = _ckcut(msf)
         # contract: break the pseudoforest's 2-cycles (u<->v pick the
         # same minimum edge; root at the smaller id), then pointer-jump
-        par = (sel.alias("x")
+        par = _ckcut(sel.alias("x")
                .join(sel.select(F.col("c").alias("p"),
                                 F.col("p").alias("gp")).alias("y"),
                      "p", "left")
                .select("c", F.when((F.col("gp") == F.col("c"))
                                    & (F.col("c") < F.col("p")),
                                    F.col("c"))
-                       .otherwise(F.col("p")).alias("p"))
-               .localCheckpoint())
+                       .otherwise(F.col("p")).alias("p")))
         for _j in range(jump_rounds):
-            hop = (par.alias("x")
+            hop = _ckcut(par.alias("x")
                    .join(par.select(F.col("c").alias("p"),
                                     F.col("p").alias("pp")).alias("y"),
                          "p", "left")
-                   .select("c", "p", F.coalesce("pp", "p").alias("np"))
-                   .localCheckpoint())
+                   .select("c", "p", F.coalesce("pp", "p").alias("np")))
             moved = (hop.filter(F.col("np") != F.col("p"))
                      .limit(1).count())
             par = hop.select("c", F.col("np").alias("p"))
@@ -2820,7 +2822,7 @@ def boruvka_mst(edges: DataFrame, src: str = "src", dst: str = "dst",
         # edges, re-collapse parallel pairs to the (w, a, b)-minimum
         # representative -> the working set shrinks with the merge
         m = F.struct("w", "a", "b")
-        work = (work
+        work = _ckcut(work
                 .join(par.select(F.col("c").alias("ca"),
                                  F.col("p").alias("ra")), "ca")
                 .join(par.select(F.col("c").alias("cb"),
@@ -2831,8 +2833,7 @@ def boruvka_mst(edges: DataFrame, src: str = "src", dst: str = "dst",
                         "w", "a", "b")
                 .groupBy("ca", "cb").agg(F.min(m).alias("m"))
                 .select("ca", "cb", F.col("m.w").alias("w"),
-                        F.col("m.a").alias("a"), F.col("m.b").alias("b"))
-                .localCheckpoint())
+                        F.col("m.a").alias("a"), F.col("m.b").alias("b")))
     else:
         if not work.isEmpty():
             raise RuntimeError(
@@ -2880,3 +2881,295 @@ FROM bm_e e
 WHERE NOT EXISTS (
   SELECT 1 FROM bm_reach r WHERE r.rk = e.rk AND r.node = e.b
 )"""
+
+
+def dominant_matching(edges: DataFrame, src: str = "src",
+                      dst: str = "dst", weight: str = "weight",
+                      max_rounds: int = 64) -> DataFrame:
+    """Greedy maximal matching of the weighted undirected simple
+    graph under the (w, a, b) total order, computed in parallel
+    rounds of LOCALLY DOMINANT edges: an edge that is the minimum
+    incident edge at BOTH endpoints is exactly an edge the
+    sequential greedy would pick before any of its competitors, so
+    repeatedly taking all dominant edges and retiring their
+    endpoints reproduces the sequential greedy matching exactly
+    (Preis's local-dominance argument) — deterministic, unique,
+    comparable to an independently-spelled twin.  Output: matched
+    (a, b, w) with a < b; each node appears at most once.
+
+    The matching is the 1:1 assignment primitive of entity
+    alignment: candidate cross-source merge pairs scored by
+    similarity, where each entity may merge with at most one
+    counterpart — greedy-by-best-score is the standard baseline
+    (2-approximation on weight) and its determinism is what makes
+    the result auditable.
+
+    Scale shape
+    -----------
+    Each round: one min(struct) groupBy per endpoint (map-side
+    partial agg absorbs hubs), one self-equality join to test
+    dominance at both ends, two anti-joins to retire matched
+    endpoints — all on uniform node keys.  Typical round count is
+    O(log E) (a constant fraction of nodes retires per round on
+    bounded-degree and random-weight graphs); the documented worst
+    case is a monotone chain (one dominant edge per round, the LPA
+    caveat family) — max_rounds bounds it and exhaustion raises.
+    Lineage cut per round with localCheckpoint.
+    """
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    work = _ckcut(edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                         F.greatest(F.col(src), F.col(dst)).alias("b"),
+                         F.col(weight).cast("long").alias("w"))
+            .filter(F.col("a").isNotNull() & F.col("b").isNotNull()
+                    & F.col("w").isNotNull()
+                    & (F.col("a") != F.col("b")))
+            .groupBy("a", "b").agg(F.min("w").alias("w")))
+    matched = None
+    for _ in range(max_rounds):
+        if work.isEmpty():
+            break
+        pick = F.struct("w", "a", "b")
+        inc = (work.select(F.col("a").alias("id"), "w", "a", "b")
+               .unionAll(work.select(F.col("b").alias("id"),
+                                     "w", "a", "b")))
+        best = (inc.groupBy("id").agg(F.min(pick).alias("m"))
+                .select("id", F.col("m.w").alias("bw"),
+                        F.col("m.a").alias("ba"),
+                        F.col("m.b").alias("bb")))
+        dom = _ckcut(work
+               .join(best.select(F.col("id").alias("a"),
+                                 F.col("bw").alias("wa"),
+                                 F.col("ba").alias("aa"),
+                                 F.col("bb").alias("ab")), "a")
+               .join(best.select(F.col("id").alias("b"),
+                                 F.col("bw").alias("wb"),
+                                 F.col("ba").alias("ba"),
+                                 F.col("bb").alias("bb")), "b")
+               .filter((F.col("w") == F.col("wa"))
+                       & (F.col("a") == F.col("aa"))
+                       & (F.col("b") == F.col("ab"))
+                       & (F.col("w") == F.col("wb"))
+                       & (F.col("a") == F.col("ba"))
+                       & (F.col("b") == F.col("bb")))
+               .select("a", "b", "w"))
+        matched = dom if matched is None else matched.unionAll(dom)
+        matched = _ckcut(matched)
+        ids = (dom.select(F.col("a").alias("id"))
+               .unionAll(dom.select(F.col("b").alias("id"))))
+        work = _ckcut(work
+                .join(ids.select(F.col("id").alias("a")), "a",
+                      "left_anti")
+                .join(ids.select(F.col("id").alias("b")), "b",
+                      "left_anti")
+                .select("a", "b", "w"))
+    else:
+        if not work.isEmpty():
+            raise RuntimeError(
+                f"dominant_matching did not converge within "
+                f"max_rounds={max_rounds} (monotone-chain worst "
+                f"case — raise max_rounds)")
+    if matched is None:
+        return work.limit(0).select("a", "b", "w")
+    return matched.select("a", "b", "w")
+
+
+def dominant_matching_sql(edges_sql: str, rounds: int,
+                          src: str = "src", dst: str = "dst",
+                          weight: str = "weight") -> str:
+    """DuckDB twin of dominant_matching: the locally-dominant-edge
+    recurrence unrolled to a fixed `rounds` (the kcore_sql pattern).
+    Greedy uniqueness means the engine's early-stopped fixpoint
+    equals the twin whenever `rounds` covers the actual round count.
+    AS MATERIALIZED per round CTE (each referenced several times)."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    parts = [f"""WITH dm_e0 AS MATERIALIZED (
+  SELECT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b,
+         CAST(min({weight}) AS BIGINT) AS w
+  FROM (
+{edges_sql.strip()}
+  )
+  WHERE {src} IS NOT NULL AND {dst} IS NOT NULL
+    AND {weight} IS NOT NULL AND {src} <> {dst}
+  GROUP BY 1, 2
+)"""]
+    for i in range(1, rounds + 1):
+        p = f"dm_e{i - 1}"
+        parts.append(f""", dm_nb{i} AS MATERIALIZED (
+  SELECT id, w, a, b FROM (
+    SELECT id, w, a, b, row_number() OVER (
+      PARTITION BY id ORDER BY w, a, b) AS rn
+    FROM (SELECT a AS id, w, a, b FROM {p}
+          UNION ALL SELECT b, w, a, b FROM {p})
+  ) WHERE rn = 1
+), dm_d{i} AS MATERIALIZED (
+  SELECT e.a, e.b, e.w FROM {p} e
+  JOIN dm_nb{i} na ON na.id = e.a AND na.w = e.w
+    AND na.a = e.a AND na.b = e.b
+  JOIN dm_nb{i} nb ON nb.id = e.b AND nb.w = e.w
+    AND nb.a = e.a AND nb.b = e.b
+), dm_e{i} AS MATERIALIZED (
+  SELECT e.a, e.b, e.w FROM {p} e
+  WHERE e.a NOT IN (SELECT a FROM dm_d{i}
+                    UNION ALL SELECT b FROM dm_d{i})
+    AND e.b NOT IN (SELECT a FROM dm_d{i}
+                    UNION ALL SELECT b FROM dm_d{i})
+)""")
+    un = "\nUNION ALL ".join(f"SELECT a, b, w FROM dm_d{i}"
+                             for i in range(1, rounds + 1))
+    parts.append(f"\n{un}")
+    return "".join(parts)
+
+
+def greedy_mis(edges: DataFrame, src: str = "src", dst: str = "dst",
+               max_rounds: int = 64) -> DataFrame:
+    """Maximal independent set of the undirected simple graph under
+    a fixed portable-hash priority, computed in Luby-style parallel
+    rounds: an undecided node enters the MIS when its (h, id) is
+    strictly smallest in its undecided neighborhood (vacuously when
+    the neighborhood emptied); MIS neighbors retire.  With the
+    priority FIXED across rounds this is exactly the sequential
+    greedy MIS in (h, id) order — deterministic and unique, so the
+    oracle can check it row-for-row.  Output: (id, h).
+
+    The MIS is the conflict-free selection primitive: from a
+    similarity/conflict graph pick a maximal set of mutually
+    non-adjacent items (diversity sampling of near-dup clusters,
+    non-overlapping mention spans, one-per-neighborhood training
+    exemplars).  Hash priorities make the choice reproducible AND
+    break adversarial orderings of sequential ids.
+
+    Scale shape
+    -----------
+    Each round: one min groupBy over edge endpoints + two semi/anti
+    joins on uniform node keys; a constant fraction of the
+    UNDECIDED neighborhood resolves per round in expectation over
+    the hash order (Luby's argument), so rounds are O(log V);
+    max_rounds bounds the adversarial tail and exhaustion raises.
+    Isolated nodes never appear in an edge list — the caller unions
+    them into the MIS directly.  localCheckpoint per round.
+    """
+    from biocypher_metta_spark.operators.text import portable_hash
+
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    und = _ckcut(edges.select(F.col(src).alias("id"))
+           .unionAll(edges.select(F.col(dst).alias("id")))
+           .filter(F.col("id").isNotNull()).distinct()
+           .select("id",
+                   portable_hash(F.col("id").cast("string")).alias("h")))
+    e = _ckcut(edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                      F.greatest(F.col(src), F.col(dst)).alias("b"))
+         .filter(F.col("a").isNotNull() & F.col("b").isNotNull()
+                 & (F.col("a") != F.col("b")))
+         .distinct())
+    mis = None
+    for _ in range(max_rounds):
+        if und.isEmpty():
+            break
+        pri = F.struct("h", "id")
+        nbr = (e.join(und.select(F.col("id").alias("a"),
+                                 F.col("h").alias("ha")), "a")
+               .join(und.select(F.col("id").alias("b"),
+                                F.col("h").alias("hb")), "b"))
+        nmin = (nbr.select(F.col("a").alias("id"),
+                           F.struct(F.col("hb").alias("h"),
+                                    F.col("b").alias("id")).alias("np"))
+                .unionAll(nbr.select(
+                    F.col("b").alias("id"),
+                    F.struct(F.col("ha").alias("h"),
+                             F.col("a").alias("id")).alias("np")))
+                .groupBy("id").agg(F.min("np").alias("np")))
+        win = _ckcut(und.join(nmin, "id", "left")
+               .filter(F.col("np").isNull() | (pri < F.col("np")))
+               .select("id", "h"))
+        mis = win if mis is None else mis.unionAll(win)
+        mis = _ckcut(mis)
+        # retire winners and their whole neighborhoods
+        retired = (win.select("id")
+                   .unionAll(nbr.join(win.select(F.col("id")
+                                                 .alias("a")), "a",
+                                      "left_semi")
+                             .select(F.col("b").alias("id")))
+                   .unionAll(nbr.join(win.select(F.col("id")
+                                                 .alias("b")), "b",
+                                      "left_semi")
+                             .select(F.col("a").alias("id"))))
+        und = _ckcut(und.join(retired, "id", "left_anti"))
+        e = _ckcut(e.join(und.select(F.col("id").alias("a")), "a",
+                    "left_semi")
+             .join(und.select(F.col("id").alias("b")), "b",
+                   "left_semi"))
+    else:
+        if not und.isEmpty():
+            raise RuntimeError(
+                f"greedy_mis did not converge within "
+                f"max_rounds={max_rounds}")
+    if mis is None:
+        return und.limit(0).select("id", "h")
+    return mis.select("id", "h")
+
+
+def greedy_mis_sql(edges_sql: str, rounds: int, src: str = "src",
+                   dst: str = "dst") -> str:
+    """DuckDB twin of greedy_mis: the fixed-priority Luby recurrence
+    unrolled to `rounds` (kcore_sql pattern), with the engine's
+    portable hash spelled as DuckDB md5 arithmetic so priorities are
+    bit-identical across engines."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    parts = [f"""WITH gm_n0 AS MATERIALIZED (
+  SELECT id, ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM (
+    SELECT DISTINCT {src} AS id FROM (
+{edges_sql.strip()}
+    ) WHERE {src} IS NOT NULL
+    UNION
+    SELECT DISTINCT {dst} FROM (
+{edges_sql.strip()}
+    ) WHERE {dst} IS NOT NULL
+  )
+), gm_e0 AS MATERIALIZED (
+  SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+  FROM (
+{edges_sql.strip()}
+  )
+  WHERE {src} IS NOT NULL AND {dst} IS NOT NULL AND {src} <> {dst}
+)"""]
+    for i in range(1, rounds + 1):
+        pn, pe = f"gm_n{i - 1}", f"gm_e{i - 1}"
+        parts.append(f""", gm_nm{i} AS MATERIALIZED (
+  SELECT id, nh, nid FROM (
+    SELECT id, nh, nid, row_number() OVER (
+      PARTITION BY id ORDER BY nh, nid) AS rn
+    FROM (
+      SELECT e.a AS id, nb.h AS nh, nb.id AS nid
+      FROM {pe} e JOIN {pn} nb ON nb.id = e.b
+      UNION ALL
+      SELECT e.b, na.h, na.id
+      FROM {pe} e JOIN {pn} na ON na.id = e.a
+    )
+  ) WHERE rn = 1
+), gm_w{i} AS MATERIALIZED (
+  SELECT u.id, u.h FROM {pn} u
+  LEFT JOIN gm_nm{i} m ON m.id = u.id
+  WHERE m.id IS NULL OR (u.h, u.id) < (m.nh, m.nid)
+), gm_n{i} AS MATERIALIZED (
+  SELECT u.id, u.h FROM {pn} u
+  WHERE u.id NOT IN (SELECT id FROM gm_w{i})
+    AND u.id NOT IN (
+      SELECT e.b FROM {pe} e JOIN gm_w{i} w ON w.id = e.a
+      UNION ALL
+      SELECT e.a FROM {pe} e JOIN gm_w{i} w ON w.id = e.b
+    )
+), gm_e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {pe} e
+  JOIN gm_n{i} na ON na.id = e.a
+  JOIN gm_n{i} nb ON nb.id = e.b
+)""")
+    un = "\nUNION ALL ".join(f"SELECT id, h FROM gm_w{i}"
+                             for i in range(1, rounds + 1))
+    parts.append(f"\n{un}")
+    return "".join(parts)
