@@ -163,7 +163,8 @@ def main() -> None:
              "emb_hamming_topk", "kg_clustering_coef",
              "doc_skipgrams", "multimodal_bmp_decode",
              "multimodal_ulaw_decode", "web_sitemap", "kg_mst",
-             "multimodal_gif_decode", "kg_matching", "kg_mis"]
+             "multimodal_gif_decode", "kg_matching", "kg_mis",
+             "kg_go_upprop", "kg_resnik_mica"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):

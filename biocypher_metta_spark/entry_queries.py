@@ -8321,6 +8321,109 @@ KG_MIS_SQL = graph_ops.greedy_mis_sql(_MIS_EDGES_SQL, rounds=16)
 QUERIES["kg_mis"] = (kg_mis, KG_MIS_SQL)
 
 
+# ontology analytics (operators/ontology_sim): true-path-rule
+# up-propagation + Resnik MICA over the binary-halving DAG the
+# kg_isa_closure gate already proves, restricted to a bounded term
+# space so output stays ontology-sized at every sf.
+_ONTO_EDGES = ("i >= 1 AND i <= 350",)
+
+
+def _onto_closure(spark, sf_dir):
+    from biocypher_metta_spark.canonicalize import transitive_closure
+
+    ids = _ids(spark, sf_dir)
+    edges = ids.filter(_ONTO_EDGES[0]).select(
+        F.concat(F.lit("C"), F.col("i").cast("string")).alias("src"),
+        F.concat(F.lit("C"), F.floor(F.col("i") / 2).cast("long")
+                 .cast("string")).alias("dst"))
+    return transitive_closure(edges).select(
+        F.col("src").alias("cls"), F.col("dst").alias("ancestor"))
+
+
+_ONTO_CLOSURE_SQL = """
+WITH RECURSIVE oc_e AS (
+  SELECT 'C' || i AS src, 'C' || CAST(i // 2 AS BIGINT) AS dst
+  FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+  WHERE i >= 1 AND i <= 350
+), oc_r AS (
+  SELECT src, dst FROM oc_e
+  UNION
+  SELECT oc_r.src, oc_e.dst FROM oc_r JOIN oc_e ON oc_r.dst = oc_e.src
+)
+SELECT src AS cls, dst AS ancestor FROM oc_r
+"""
+
+_ONTO_ANN_SQL = """SELECT 'G' || (i % 97) AS item,
+       'C' || (i % 350 + 1) AS term
+FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)"""
+
+
+def _onto_ann(spark, sf_dir):
+    ids = _ids(spark, sf_dir)
+    return ids.select(
+        F.concat(F.lit("G"), (F.col("i") % 97).cast("string"))
+        .alias("item"),
+        F.concat(F.lit("C"), (F.col("i") % 350 + 1).cast("string"))
+        .alias("term"))
+
+
+def kg_go_upprop(spark, sf_dir):
+    """Annotation up-propagation (ontology_sim.annotation_uppropagate
+    — the GOA true-path rule) over the halving-DAG closure with a
+    formula gene->term annotation table: every direct annotation
+    plus all implied ancestor annotations, distinct. The closure is
+    a broadcast-sized dimension; the corpus-scale side is the
+    annotation table (north-star shape). Twin composes the same
+    recursive-CTE closure with the union-distinct spelling."""
+    from biocypher_metta_spark.operators.ontology_sim import (
+        annotation_uppropagate,
+    )
+
+    return annotation_uppropagate(_onto_ann(spark, sf_dir),
+                                  _onto_closure(spark, sf_dir))
+
+
+from biocypher_metta_spark.operators.ontology_sim import (  # noqa: E402
+    annotation_uppropagate_sql as _upprop_sql,
+    resnik_mica_sql as _mica_sql,
+)
+
+KG_GO_UPPROP_SQL = _upprop_sql(_ONTO_ANN_SQL, _ONTO_CLOSURE_SQL)
+
+QUERIES["kg_go_upprop"] = (kg_go_upprop, KG_GO_UPPROP_SQL)
+
+
+_ONTO_PAIRS_SQL = """SELECT 'C' || (i % 120 + 30) AS t1,
+       'C' || ((i * 7) % 120 + 30) AS t2
+FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)"""
+
+
+def kg_resnik_mica(spark, sf_dir):
+    """Resnik most-informative common ancestor
+    (ontology_sim.resnik_mica) for a formula term-pair list over the
+    same closure + annotations: (t1, t2, mica, n_ann) with the MICA
+    picked by minimum up-propagated annotation count — the
+    integer-exact Resnik ordering (IC is monotone decreasing in the
+    count, so no cross-engine float logs). Pairs without an
+    annotated common ancestor are absent."""
+    from biocypher_metta_spark.operators.ontology_sim import resnik_mica
+
+    ids = _ids(spark, sf_dir)
+    pairs = ids.select(
+        F.concat(F.lit("C"), (F.col("i") % 120 + 30).cast("string"))
+        .alias("t1"),
+        F.concat(F.lit("C"), ((F.col("i") * 7) % 120 + 30)
+                 .cast("string")).alias("t2"))
+    return resnik_mica(pairs, _onto_ann(spark, sf_dir),
+                       _onto_closure(spark, sf_dir))
+
+
+KG_RESNIK_MICA_SQL = _mica_sql(_ONTO_PAIRS_SQL, _ONTO_ANN_SQL,
+                               _ONTO_CLOSURE_SQL)
+
+QUERIES["kg_resnik_mica"] = (kg_resnik_mica, KG_RESNIK_MICA_SQL)
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -8586,6 +8689,8 @@ CK_COLUMNS = {
                               "pix_sum", "width"],
     "kg_matching": ["a", "b", "w"],
     "kg_mis": ["h", "id"],
+    "kg_go_upprop": ["item", "term"],
+    "kg_resnik_mica": ["mica", "n_ann", "t1", "t2"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
@@ -8664,7 +8769,8 @@ CK_COMPOSITES = {
                         "kg_closeness", "kg_modularity", "kg_anf",
                         "kg_eff_radius", "kg_dag_depth",
                         "emb_hamming_topk", "kg_clustering_coef",
-                        "kg_mst", "kg_matching", "kg_mis"],
+                        "kg_mst", "kg_matching", "kg_mis",
+                        "kg_go_upprop", "kg_resnik_mica"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",
