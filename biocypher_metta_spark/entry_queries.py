@@ -8424,6 +8424,48 @@ KG_RESNIK_MICA_SQL = _mica_sql(_ONTO_PAIRS_SQL, _ONTO_ANN_SQL,
 QUERIES["kg_resnik_mica"] = (kg_resnik_mica, KG_RESNIK_MICA_SQL)
 
 
+def kg_single_linkage(spark, sf_dir):
+    """Single-linkage clustering at a distance threshold
+    (graph.single_linkage_clusters): the dendrogram cut of the MSF —
+    the near-dup cluster extractor at a similarity cutoff. The gate
+    graph reuses the kg_mst ring+chords family, thresholded so the
+    cut splits the ring into several arcs plus chord-bridged lumps;
+    the twin computes min-id reachability over the threshold-filtered
+    ORIGINAL edges (recursive CTE) — no MSF involved — so agreement
+    proves the cut property end-to-end."""
+    from biocypher_metta_spark.operators.graph import (
+        single_linkage_clusters,
+    )
+
+    ids = _ids(spark, sf_dir)
+    ring = ids.select((F.col("i") % 60).alias("src"),
+                      ((F.col("i") + 1) % 60).alias("dst"))
+    chord = ids.select((F.col("i") % 60).alias("src"),
+                       ((F.col("i") * 7 + 3) % 60).alias("dst"))
+    edges = (ring.unionAll(chord)
+             .withColumn("weight",
+                         (F.least("src", "dst") * 73
+                          + F.greatest("src", "dst") * 131) % 997 + 1))
+    return single_linkage_clusters(edges, threshold=400)
+
+
+_SL_EDGES_SQL = """SELECT src, dst,
+       (least(src, dst) * 73 + greatest(src, dst) * 131) % 997 + 1
+         AS weight
+FROM (
+  SELECT i % 60 AS src, (i + 1) % 60 AS dst
+  FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+  UNION ALL SELECT i % 60, (i * 7 + 3) % 60
+  FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)
+)"""
+
+KG_SINGLE_LINKAGE_SQL = graph_ops.single_linkage_clusters_sql(
+    _SL_EDGES_SQL, threshold=400)
+
+QUERIES["kg_single_linkage"] = (kg_single_linkage,
+                                KG_SINGLE_LINKAGE_SQL)
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -8691,6 +8733,7 @@ CK_COLUMNS = {
     "kg_mis": ["h", "id"],
     "kg_go_upprop": ["item", "term"],
     "kg_resnik_mica": ["mica", "n_ann", "t1", "t2"],
+    "kg_single_linkage": ["cluster", "id"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
@@ -8770,7 +8813,8 @@ CK_COMPOSITES = {
                         "kg_eff_radius", "kg_dag_depth",
                         "emb_hamming_topk", "kg_clustering_coef",
                         "kg_mst", "kg_matching", "kg_mis",
-                        "kg_go_upprop", "kg_resnik_mica"],
+                        "kg_go_upprop", "kg_resnik_mica",
+                        "kg_single_linkage"],
     "multimodal_codecs": ["multimodal_decode", "multimodal_png_decode",
                           "multimodal_jpeg_decode",
                           "multimodal_wav_decode",

@@ -3173,3 +3173,89 @@ def greedy_mis_sql(edges_sql: str, rounds: int, src: str = "src",
                              for i in range(1, rounds + 1))
     parts.append(f"\n{un}")
     return "".join(parts)
+
+
+def single_linkage_clusters(edges: DataFrame, threshold: int,
+                            src: str = "src", dst: str = "dst",
+                            weight: str = "weight",
+                            max_rounds: int = 32,
+                            cc_iter: int = 64) -> DataFrame:
+    """Single-linkage clustering at a distance threshold: every node
+    of the (filtered, simple) graph labeled with the minimum node id
+    reachable through edges of weight <= threshold.  Output:
+    (id, cluster); nodes whose every incident edge exceeds the
+    threshold are singleton clusters of themselves.
+
+    This is the dendrogram cut the MSF docstring promises: clusters
+    at threshold t are exactly the connected components of the
+    t-filtered graph, and those equal the components of the
+    t-filtered MINIMUM SPANNING FOREST (cut property) — so the
+    engine first contracts the graph to its MSF (boruvka_mst,
+    near-linear) and then runs hash-min component labeling over the
+    surviving FOREST edges (V-1 rows max, not E) — the standard
+    embedding/near-dup cluster extractor at a similarity cutoff.
+
+    The DuckDB twin is NOT this composition: it computes min-id
+    reachability over the t-filtered ORIGINAL edge set with a
+    recursive CTE — a different algorithm over a different edge set
+    that must agree exactly (the cut property is what's being
+    checked).
+    """
+    from biocypher_metta_spark.canonicalize import connected_components
+
+    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                      F.greatest(F.col(src), F.col(dst)).alias("b"),
+                      F.col(weight).cast("long").alias("w"))
+         .filter(F.col("a").isNotNull() & F.col("b").isNotNull()
+                 & F.col("w").isNotNull()
+                 & (F.col("a") != F.col("b"))))
+    nodes = (e.select(F.col("a").alias("id"))
+             .unionAll(e.select(F.col("b").alias("id")))
+             .distinct())
+    msf = boruvka_mst(e, src="a", dst="b", weight="w",
+                      max_rounds=max_rounds)
+    keep = msf.filter(F.col("w") <= F.lit(int(threshold)))
+    comp = (connected_components(keep, src="a", dst="b",
+                                 max_iter=cc_iter)
+            .select(F.col("id"), F.col("component").alias("cluster")))
+    return (nodes.join(comp, "id", "left")
+            .select("id", F.coalesce("cluster", "id").alias("cluster")))
+
+
+def single_linkage_clusters_sql(edges_sql: str, threshold: int,
+                                src: str = "src", dst: str = "dst",
+                                weight: str = "weight") -> str:
+    """Independent twin of single_linkage_clusters: min-id
+    reachability over the threshold-filtered ORIGINAL edges (no MSF
+    involved) as a recursive CTE."""
+    return f"""WITH RECURSIVE sl_e AS MATERIALIZED (
+  SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+  FROM (
+{edges_sql.strip()}
+  )
+  WHERE {src} IS NOT NULL AND {dst} IS NOT NULL
+    AND {weight} IS NOT NULL AND {src} <> {dst}
+    AND CAST({weight} AS BIGINT) <= {int(threshold)}
+), sl_n AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT least({src}, {dst}) AS id
+    FROM (
+{edges_sql.strip()}
+    )
+    WHERE {src} IS NOT NULL AND {dst} IS NOT NULL
+      AND {weight} IS NOT NULL AND {src} <> {dst}
+    UNION
+    SELECT greatest({src}, {dst})
+    FROM (
+{edges_sql.strip()}
+    )
+    WHERE {src} IS NOT NULL AND {dst} IS NOT NULL
+      AND {weight} IS NOT NULL AND {src} <> {dst}
+  )
+), sl_reach(id, node) AS (
+  SELECT id, id FROM sl_n
+  UNION
+  SELECT r.id, CASE WHEN e.a = r.node THEN e.b ELSE e.a END
+  FROM sl_reach r JOIN sl_e e ON e.a = r.node OR e.b = r.node
+)
+SELECT id, min(node) AS cluster FROM sl_reach GROUP BY id"""
