@@ -8466,6 +8466,145 @@ QUERIES["kg_single_linkage"] = (kg_single_linkage,
                                 KG_SINGLE_LINKAGE_SQL)
 
 
+# IMA ADPCM variants: int16 formula samples compressed driver-side
+# (tag-17 encode) and expanded on executors by the block decoder. The
+# twin is a SECOND DECODER IMPLEMENTATION: the nibble stream (parsed
+# structurally out of the encoded blob) embedded as literals, decoded
+# by a recursive CTE carrying the (predictor, step-index) state with
+# the public step/index tables as VALUES — SQL vs Python, same
+# recurrence, bit-identical samples or the gate fails.
+from biocypher_metta_spark.operators.wav import (  # noqa: E402
+    wav_encode_adpcm as _adpcm_encode,
+)
+
+_ADPCM_N = 200
+_ADPCM_BLOCK = 32                       # spb = (32-4)*2+1 = 57
+
+
+def _adpcm_formula(v: int) -> list:
+    return [((i * 1103 + 7 + v * 331) % 65536) - 32768
+            for i in range(_ADPCM_N)]
+
+
+_ADPCM_VARIANTS = [
+    _adpcm_encode(_adpcm_formula(v), 8000, block_align=_ADPCM_BLOCK)
+    for v in range(4)
+]
+
+
+def _adpcm_blob_rows():
+    """Parse each encoded blob's data chunk into header rows
+    (v, blk, 0, pred, idx) and nibble rows (v, blk, k, nib)."""
+    import struct as _s
+
+    hdr, nib = [], []
+    spb = (_ADPCM_BLOCK - 4) * 2 + 1
+    for v, blob in enumerate(_ADPCM_VARIANTS):
+        pos = 12
+        pcm = None
+        while pos + 8 <= len(blob):
+            cid = blob[pos:pos + 4]
+            csize = _s.unpack_from("<I", blob, pos + 4)[0]
+            if cid == b"data":
+                pcm = blob[pos + 8:pos + 8 + csize]
+            pos += 8 + csize + (csize & 1)
+        for blk in range(len(pcm) // _ADPCM_BLOCK):
+            boff = blk * _ADPCM_BLOCK
+            pred, idx, _r = _s.unpack_from("<hBB", pcm, boff)
+            hdr.append((v, blk, pred, idx))
+            k = 1
+            for b in pcm[boff + 4:boff + _ADPCM_BLOCK]:
+                for n in (b & 0x0F, b >> 4):
+                    nib.append((v, blk, k, n))
+                    k += 1
+        assert k == spb, "nibble count mismatch"
+    return hdr, nib
+
+
+def multimodal_adpcm_decode(spark, sf_dir):
+    """IMA/DVI ADPCM WAV (wav.py tag 17) through audio_stats: 4-bit
+    differential blocks with the 89-entry step table, fact-chunk
+    frame trim, mono. The twin re-decodes the SAME nibble stream
+    with an independent recursive-CTE implementation of the
+    recurrence."""
+    from biocypher_metta_spark.operators import multimodal as mm
+
+    ids = _ids(spark, sf_dir)
+    variants = F.array(*[F.lit(bytearray(b)) for b in _ADPCM_VARIANTS])
+    media = ids.select(
+        F.concat(F.lit("adpcm://"),
+                 F.col("i").cast("string")).alias("media_ref"),
+        F.lit("audio").alias("kind"),
+        F.element_at(variants,
+                     (F.col("i") % 4 + 1).cast("int")).alias("content"))
+    return mm.audio_stats(media).select(
+        "media_ref", "n_channels", "sample_rate", "bits", "n_samples",
+        "peak_abs", "sum_sq")
+
+
+def _adpcm_twin_sql() -> str:
+    from biocypher_metta_spark.operators.wav import (
+        IMA_INDEX_TABLE,
+        IMA_STEP_TABLE,
+    )
+
+    hdr, nib = _adpcm_blob_rows()
+    spb = (_ADPCM_BLOCK - 4) * 2 + 1
+    step_vals = ", ".join(f"({i}, {s})"
+                          for i, s in enumerate(IMA_STEP_TABLE))
+    idx_vals = ", ".join(f"({n}, {d})"
+                         for n, d in enumerate(IMA_INDEX_TABLE))
+    hdr_vals = ", ".join(f"({v}, {b}, {p}, {ix})"
+                         for v, b, p, ix in hdr)
+    nib_vals = ", ".join(f"({v}, {b}, {k}, {n})"
+                         for v, b, k, n in nib)
+    return f"""
+WITH RECURSIVE ad_step(i, s) AS (VALUES {step_vals}),
+ad_ix(n, d) AS (VALUES {idx_vals}),
+ad_hdr(v, blk, pred, idx) AS (VALUES {hdr_vals}),
+ad_nib(v, blk, k, nib) AS (VALUES {nib_vals}),
+ad_dec(v, blk, k, pred, idx) AS (
+  SELECT v, blk, 0, pred, idx FROM ad_hdr
+  UNION ALL
+  SELECT n.v, n.blk, n.k,
+         greatest(-32768, least(32767, d.pred
+           + (CASE WHEN n.nib >= 8 THEN -1 ELSE 1 END)
+             * ((st.s // 8)
+                + CASE WHEN n.nib % 2 = 1 THEN st.s // 4 ELSE 0 END
+                + CASE WHEN (n.nib // 2) % 2 = 1 THEN st.s // 2
+                       ELSE 0 END
+                + CASE WHEN (n.nib // 4) % 2 = 1 THEN st.s
+                       ELSE 0 END))),
+         greatest(0, least(88, d.idx + ix.d))
+  FROM ad_dec d
+  JOIN ad_nib n ON n.v = d.v AND n.blk = d.blk AND n.k = d.k + 1
+  JOIN ad_step st ON st.i = d.idx
+  JOIN ad_ix ix ON ix.n = n.nib
+),
+ad_s AS (
+  SELECT v, blk * {spb} + k AS pos, pred AS smp
+  FROM ad_dec WHERE blk * {spb} + k < {_ADPCM_N}
+),
+ad_stats AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(max(abs(smp)) AS BIGINT) AS peak_abs,
+         CAST(sum(smp * smp) AS BIGINT) AS sum_sq
+  FROM ad_s GROUP BY v
+)
+SELECT 'adpcm://' || i AS media_ref,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(4 AS INTEGER) AS bits,
+       s.n_samples, s.peak_abs, s.sum_sq
+FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents) ids
+JOIN ad_stats s ON s.v = i % 4
+"""
+
+
+QUERIES["multimodal_adpcm_decode"] = (multimodal_adpcm_decode,
+                                      _adpcm_twin_sql())
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -8734,6 +8873,9 @@ CK_COLUMNS = {
     "kg_go_upprop": ["item", "term"],
     "kg_resnik_mica": ["mica", "n_ann", "t1", "t2"],
     "kg_single_linkage": ["cluster", "id"],
+    "multimodal_adpcm_decode": ["bits", "media_ref", "n_channels",
+                                "n_samples", "peak_abs", "sample_rate",
+                                "sum_sq"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
@@ -8826,7 +8968,8 @@ CK_COMPOSITES = {
                           "multimodal_scene_cuts",
                           "multimodal_bmp_decode",
                           "multimodal_ulaw_decode",
-                          "multimodal_gif_decode"],
+                          "multimodal_gif_decode",
+                          "multimodal_adpcm_decode"],
     "multimodal_resize_family": ["multimodal_resize",
                                  "multimodal_jpeg_resize"],
     # both sub-gates run real checkpointed AvailableNow increments; the

@@ -72,6 +72,7 @@ def wav_decode(data: bytes) -> tuple[int, int, int, list[int]]:
     pos = 12
     fmt = None
     pcm = None
+    fact_frames = None
     while pos + 8 <= end:
         cid = data[pos:pos + 4]
         csize = struct.unpack_from("<I", data, pos + 4)[0]
@@ -84,16 +85,28 @@ def wav_decode(data: bytes) -> tuple[int, int, int, list[int]]:
             fmt = struct.unpack_from("<HHIIHH", data, cstart)
         elif cid == b"data":
             pcm = data[cstart:cstart + csize]
+        elif cid == b"fact" and csize >= 4:
+            fact_frames = struct.unpack_from("<I", data, cstart)[0]
         pos = cstart + csize + (csize & 1)  # odd chunks carry a pad byte
     if fmt is None or pcm is None:
         raise ValueError("missing fmt or data chunk")
-    tag, n_channels, sample_rate, _byte_rate, _block_align, bits = fmt
-    if tag not in (1, 3, 7):
+    tag, n_channels, sample_rate, _byte_rate, block_align, bits = fmt
+    if tag not in (1, 3, 7, 17):
         raise ValueError(f"format tag {tag} unsupported "
-                         "(PCM/float/mu-law only)")
+                         "(PCM/float/mu-law/IMA-ADPCM only)")
     if sample_rate < 1:
         raise ValueError("sample_rate must be >= 1")
-    if tag == 7:
+    if tag == 17:
+        # IMA/DVI ADPCM (compressed speech corpora): 4-bit nibbles in
+        # self-contained blocks; the fact chunk carries the frame count
+        if bits != 4:
+            raise ValueError(f"IMA ADPCM must be 4-bit, got {bits}")
+        if n_channels != 1:
+            raise ValueError("IMA ADPCM: mono only")
+        if fact_frames is None:
+            raise ValueError("IMA ADPCM WAV missing fact chunk")
+        samples = adpcm_decode(pcm, block_align, fact_frames)
+    elif tag == 7:
         # G.711 mu-law (telephony/speech corpora): one byte per
         # sample, expanded by the closed-form integer formula
         if bits != 8:
@@ -212,3 +225,128 @@ def ulaw_quantize_sql(sample_expr: str) -> str:
     case = "CASE " + " ".join(arms) + " END"
     return (f"(CASE WHEN {sample_expr} < 0 THEN -({case}) "
             f"ELSE ({case}) END)")
+
+
+# IMA/DVI ADPCM (WAV format tag 17): 4-bit differential coding with
+# the public 89-entry step table — the classic compressed-speech WAV
+# variant (4:1 vs int16). Mono blocks: a 4-byte header (predictor
+# int16, step index uint8, reserved 0) whose predictor IS the block's
+# first output sample, then two samples per byte, LOW nibble first.
+# References: IMA Digital Audio Focus Group recommendation (1992) and
+# the Microsoft WAVE IMA-ADPCM registration; tables are verbatim from
+# the public spec.
+
+IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_nibble(nibble: int, pred: int, index: int) -> tuple[int, int]:
+    step = IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    index = max(0, min(88, index + IMA_INDEX_TABLE[nibble]))
+    return pred, index
+
+
+def _ima_encode_sample(sample: int, pred: int, index: int) -> int:
+    """Pick the nibble whose decoded step lands nearest below sample -
+    the spec's successive-approximation encoder."""
+    step = IMA_STEP_TABLE[index]
+    delta = sample - pred
+    nibble = 0
+    if delta < 0:
+        nibble = 8
+        delta = -delta
+    if delta >= step:
+        nibble |= 4
+        delta -= step
+    if delta >= step >> 1:
+        nibble |= 2
+        delta -= step >> 1
+    if delta >= step >> 2:
+        nibble |= 1
+    return nibble
+
+
+def wav_encode_adpcm(samples: list[int], sample_rate: int = 8000,
+                     block_align: int = 256) -> bytes:
+    """Mono int16 samples -> IMA ADPCM WAV (format tag 17, 4 bits).
+    Lossy by design; decode returns exactly the decoder's
+    reconstruction of the encoder's nibble stream.  `block_align` is
+    the compressed block size in bytes (>= 8, multiple of 4); the
+    final partial block zero-pads its nibbles and the required
+    `fact` chunk records the true frame count for the decoder."""
+    if block_align < 8 or block_align % 4:
+        raise ValueError("block_align must be >= 8 and a multiple of 4")
+    if not samples:
+        raise ValueError("need at least one sample")
+    spb = (block_align - 4) * 2 + 1        # samples per full block
+    blocks = bytearray()
+    pred, index = 0, 0
+    pos = 0
+    while pos < len(samples):
+        chunk = samples[pos:pos + spb]
+        pos += spb
+        pred = max(-32768, min(32767, int(chunk[0])))
+        blocks += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for s in chunk[1:]:
+            nib = _ima_encode_sample(int(s), pred, index)
+            pred, index = _ima_decode_nibble(nib, pred, index)
+            nibbles.append(nib)
+        while len(nibbles) < spb - 1:
+            nibbles.append(_ima_encode_sample(pred, pred, index))
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            blocks.append(lo | (hi << 4))
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    fmt = struct.pack("<HHIIHHHH", 17, 1, sample_rate, byte_rate,
+                      block_align, 4, 2, spb)
+    fact = struct.pack("<I", len(samples))
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", len(fact)) + fact
+            + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks))
+    if len(blocks) % 2:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def adpcm_decode(pcm: bytes, block_align: int, n_frames: int) -> list[int]:
+    """IMA ADPCM data-chunk bytes -> int16 samples (mono), trimmed to
+    the fact-chunk frame count."""
+    spb = (block_align - 4) * 2 + 1
+    out = []
+    pos = 0
+    while pos < len(pcm) and len(out) < n_frames:
+        if pos + block_align > len(pcm):
+            raise ValueError("truncated ADPCM block")
+        pred, index, _r = struct.unpack_from("<hBB", pcm, pos)
+        if index > 88:
+            raise ValueError(f"ADPCM step index {index} out of range")
+        out.append(pred)
+        for b in pcm[pos + 4:pos + block_align]:
+            for nib in (b & 0x0F, b >> 4):
+                pred, index = _ima_decode_nibble(nib, pred, index)
+                out.append(pred)
+        pos += block_align
+    if len(out) < n_frames:
+        raise ValueError(
+            f"ADPCM data short: {len(out)} of {n_frames} frames")
+    return out[:n_frames]
