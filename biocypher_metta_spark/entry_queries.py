@@ -8605,6 +8605,146 @@ QUERIES["multimodal_adpcm_decode"] = (multimodal_adpcm_decode,
                                       _adpcm_twin_sql())
 
 
+# WebVTT variants: formula cue times rendered driver-side into real
+# VTT text (odd variants use the SRT comma + hour-less timestamps and
+# CRLF line endings), plus a negative-duration cue and a text-less cue
+# that must DROP. The twin derives the expected cue rows from the
+# same time formula — no regex — proving the parser end-to-end.
+def _vtt_ts(ms: int, comma: bool, no_hours: bool) -> str:
+    h, rest = divmod(ms, 3600_000)
+    m, rest = divmod(rest, 60_000)
+    s, mmm = divmod(rest, 1000)
+    sep = "," if comma else "."
+    if no_hours and h == 0:
+        return f"{m:02d}:{s:02d}{sep}{mmm:03d}"
+    return f"{h:02d}:{m:02d}:{s:02d}{sep}{mmm:03d}"
+
+
+def _vtt_start(v: int, k: int) -> int:
+    return v * 1000 + k * 2000 + 137
+
+
+def _vtt_end(v: int, k: int) -> int:
+    return _vtt_start(v, k) + 900 + 50 * v + 10 * k
+
+
+def _vtt_doc(v: int) -> str:
+    odd = v % 2 == 1
+    lines = ["WEBVTT", ""]
+    for k in range(3):
+        ts = (f"{_vtt_ts(_vtt_start(v, k), odd, odd)} --> "
+              f"{_vtt_ts(_vtt_end(v, k), odd, odd)}"
+              + (" align:start" if k == 1 else ""))
+        if k == 0:
+            lines.append(str(k + 1))           # numeric id line
+        lines += [ts, f"cue {v} {k}"]
+        if k == 2:
+            lines.append("line two")
+        lines.append("")
+    # malformed tails that must drop: negative duration, no text
+    lines += ["01:00:00.000 --> 00:59:59.000", "dropped", "",
+              "02:00:00.000 --> 02:00:01.000", ""]
+    text = "\n".join(lines)
+    return text.replace("\n", "\r\n") if odd else text
+
+
+_VTT_VARIANTS = [_vtt_doc(v) for v in range(5)]
+
+
+def multimodal_vtt_cues(spark, sf_dir):
+    """WebVTT parsing (subtitles.vtt_cues) over five driver-rendered
+    variants: optional-hours + comma timestamps, CRLF, id lines, cue
+    settings, multiline text, and malformed cues that must drop. The
+    twin derives the expected (cue_idx, start_ms, end_ms, cue_text)
+    rows from the SAME time formula with no regex at all."""
+    from biocypher_metta_spark.operators.subtitles import vtt_cues
+
+    ids = _ids(spark, sf_dir)
+    variants = F.array(*[F.lit(t) for t in _VTT_VARIANTS])
+    docs = ids.select(
+        F.concat(F.lit("vtt://"), F.col("i").cast("string"))
+        .alias("doc_id"),
+        F.element_at(variants,
+                     (F.col("i") % 5 + 1).cast("int")).alias("text"))
+    return vtt_cues(docs)
+
+
+MULTIMODAL_VTT_SQL = """
+WITH v_ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+v_cues AS (
+  SELECT v, k AS cue_idx,
+         CAST(v * 1000 + k * 2000 + 137 AS BIGINT) AS start_ms,
+         CAST(v * 1000 + k * 2000 + 137 + 900 + 50 * v + 10 * k
+              AS BIGINT) AS end_ms,
+         CASE WHEN k = 2 THEN 'cue ' || v || ' ' || k
+                   || chr(10) || 'line two'
+              ELSE 'cue ' || v || ' ' || k END AS cue_text
+  FROM (SELECT unnest(range(0, 5)) AS v),
+       (SELECT unnest(range(0, 3)) AS k)
+)
+SELECT 'vtt://' || i AS doc, c.cue_idx, c.start_ms, c.end_ms,
+       c.cue_text
+FROM v_ids JOIN v_cues c ON c.v = i % 5
+"""
+
+QUERIES["multimodal_vtt_cues"] = (multimodal_vtt_cues,
+                                  MULTIMODAL_VTT_SQL)
+
+
+def multimodal_vtt_align(spark, sf_dir):
+    """Cue->frame alignment (subtitles.align_cues_to_frames): frames
+    at formula timestamps joined to the active cue via the bucketed
+    point-in-interval path (media_ref as the chromosome — the
+    genomic range-join machinery reused verbatim). The twin derives
+    cue intervals from the formula and aligns with DuckDB's
+    inequality join (IEJoin) — an independent range-join strategy."""
+    from biocypher_metta_spark.operators.subtitles import (
+        align_cues_to_frames,
+        vtt_cues,
+    )
+
+    ids = _ids(spark, sf_dir)
+    variants = F.array(*[F.lit(t) for t in _VTT_VARIANTS])
+    docs = ids.select(
+        F.concat(F.lit("vtt://"), (F.col("i") % 5).cast("string"))
+        .alias("doc_id"),
+        F.element_at(variants,
+                     (F.col("i") % 5 + 1).cast("int")).alias("text"))
+    cues = vtt_cues(docs).distinct()
+    frames = ids.select(
+        F.concat(F.lit("vtt://"), (F.col("i") % 5).cast("string"))
+        .alias("media_ref"),
+        F.col("i").alias("frame_idx"),
+        ((F.col("i") * 311) % 12_000).alias("frame_ms"))
+    out = align_cues_to_frames(cues, frames, bucket=1000)
+    return out.select("media_ref", "cue_idx", "frame_idx", "frame_ms")
+
+
+MULTIMODAL_VTT_ALIGN_SQL = """
+WITH a_ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+a_cues AS (
+  SELECT v, k AS cue_idx,
+         CAST(v * 1000 + k * 2000 + 137 AS BIGINT) AS start_ms,
+         CAST(v * 1000 + k * 2000 + 137 + 900 + 50 * v + 10 * k
+              AS BIGINT) AS end_ms
+  FROM (SELECT unnest(range(0, 5)) AS v),
+       (SELECT unnest(range(0, 3)) AS k)
+),
+a_frames AS (
+  SELECT 'vtt://' || (i % 5) AS media_ref, i AS frame_idx,
+         CAST((i * 311) % 12000 AS BIGINT) AS frame_ms
+  FROM a_ids
+)
+SELECT f.media_ref, c.cue_idx, f.frame_idx, f.frame_ms
+FROM a_frames f
+JOIN a_cues c ON 'vtt://' || c.v = f.media_ref
+  AND f.frame_ms >= c.start_ms AND f.frame_ms < c.end_ms
+"""
+
+QUERIES["multimodal_vtt_align"] = (multimodal_vtt_align,
+                                   MULTIMODAL_VTT_ALIGN_SQL)
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -8876,6 +9016,10 @@ CK_COLUMNS = {
     "multimodal_adpcm_decode": ["bits", "media_ref", "n_channels",
                                 "n_samples", "peak_abs", "sample_rate",
                                 "sum_sq"],
+    "multimodal_vtt_cues": ["cue_idx", "cue_text", "doc", "end_ms",
+                            "start_ms"],
+    "multimodal_vtt_align": ["cue_idx", "frame_idx", "frame_ms",
+                             "media_ref"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
@@ -8969,7 +9113,9 @@ CK_COMPOSITES = {
                           "multimodal_bmp_decode",
                           "multimodal_ulaw_decode",
                           "multimodal_gif_decode",
-                          "multimodal_adpcm_decode"],
+                          "multimodal_adpcm_decode",
+                          "multimodal_vtt_cues",
+                          "multimodal_vtt_align"],
     "multimodal_resize_family": ["multimodal_resize",
                                  "multimodal_jpeg_resize"],
     # both sub-gates run real checkpointed AvailableNow increments; the
