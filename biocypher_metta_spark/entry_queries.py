@@ -8745,6 +8745,75 @@ QUERIES["multimodal_vtt_align"] = (multimodal_vtt_align,
                                    MULTIMODAL_VTT_ALIGN_SQL)
 
 
+def web_cidr_filter(spark, sf_dir):
+    """IPv4/CIDR containment join (web.ip_in_cidr_join): formula
+    client IPs against a formula block list — the crawl
+    allow/deny-list primitive. IPs and blocks parse to integer
+    ranges (malformed rows drop: a planted octet-256 ip and a /33
+    block) and containment rides the genomic bucketed
+    point-in-interval equi-join with a constant chromosome. The twin
+    parses with the generated SQL expressions and joins with
+    DuckDB's BETWEEN (IEJoin) — an independent strategy."""
+    from biocypher_metta_spark.operators.web import ip_in_cidr_join
+
+    ids = _ids(spark, sf_dir)
+    i = F.col("i")
+    ips = ids.select(
+        i.alias("ip_id"),
+        F.when(i % 97 == 0, F.lit("256.1.1.1")).otherwise(
+            F.concat(((i * 131) % 224).cast("string"), F.lit("."),
+                     ((i * 17) % 256).cast("string"), F.lit("."),
+                     ((i * 7) % 256).cast("string"), F.lit("."),
+                     (i % 256).cast("string"))).alias("ip"))
+    cidrs = ids.filter(i < 80).select(
+        i.alias("cidr_id"),
+        F.when(i % 37 == 0, F.lit("1.2.3.4/33")).otherwise(
+            F.concat(((i * 131) % 224).cast("string"),
+                     F.lit(".0.0.0/"),
+                     (i % 3 * 8 + 8).cast("string"))).alias("cidr"))
+    out = ip_in_cidr_join(ips, cidrs)
+    return out.select("ip_id", "ip", "cidr_id", "cidr")
+
+
+WEB_CIDR_SQL_PARTS = None  # built below from the expression twins
+
+
+def _web_cidr_sql() -> str:
+    from biocypher_metta_spark.operators.web import (
+        cidr_bounds_sql,
+        ipv4_to_long_sql,
+    )
+
+    lo, hi = cidr_bounds_sql("cidr")
+    return f"""
+WITH ci_ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+ci_ips AS (
+  SELECT i AS ip_id,
+         CASE WHEN i % 97 = 0 THEN '256.1.1.1'
+              ELSE ((i * 131) % 224) || '.' || ((i * 17) % 256)
+                   || '.' || ((i * 7) % 256) || '.' || (i % 256)
+         END AS ip
+  FROM ci_ids
+),
+ci_cidrs AS (
+  SELECT i AS cidr_id,
+         CASE WHEN i % 37 = 0 THEN '1.2.3.4/33'
+              ELSE ((i * 131) % 224) || '.0.0.0/'
+                   || CAST(i % 3 * 8 + 8 AS VARCHAR)
+         END AS cidr
+  FROM ci_ids WHERE i < 80
+)
+SELECT p.ip_id, p.ip, c.cidr_id, c.cidr
+FROM (SELECT ip_id, ip, {ipv4_to_long_sql('ip')} AS n FROM ci_ips) p
+JOIN (SELECT cidr_id, cidr, {lo} AS lo, {hi} AS hi FROM ci_cidrs) c
+  ON p.n IS NOT NULL AND c.lo IS NOT NULL
+     AND p.n BETWEEN c.lo AND c.hi
+"""
+
+
+QUERIES["web_cidr_filter"] = (web_cidr_filter, _web_cidr_sql())
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -9020,6 +9089,7 @@ CK_COLUMNS = {
                             "start_ms"],
     "multimodal_vtt_align": ["cue_idx", "frame_idx", "frame_ms",
                              "media_ref"],
+    "web_cidr_filter": ["cidr", "cidr_id", "ip", "ip_id"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
@@ -9081,7 +9151,7 @@ CK_COMPOSITES = {
                             "doc_ngram_novelty", "doc_heavy_tokens",
                             "web_robots_filter", "doc_rocchio",
                             "doc_containment", "doc_skipgrams",
-                            "web_sitemap"],
+                            "web_sitemap", "web_cidr_filter"],
     "kg_graph_checks": ["kg_pagerank", "kg_hits", "emb_semantic_dedup",
                         "emb_kmeans", "emb_pq_topk",
                         "kg_triangles", "kg_kcore",

@@ -494,3 +494,92 @@ FROM (
 WHERE nullif(regexp_extract(b, '{_SITEMAP_LOC_RE}', 1), '')
       IS NOT NULL""")
     return "\nUNION ALL\n".join(parts)
+
+
+# ---- IPv4 / CIDR: crawl-infrastructure filtering ----------------------
+#
+# Allow/deny-listing crawler traffic and corpus provenance by network
+# block is a standard web-pipeline step (bot ranges, datacenter
+# blocks, per-ASN caps). An IPv4 address is a 32-bit integer and a
+# CIDR block 'a.b.c.d/p' is the integer interval
+# [base & mask, (base & mask) + 2^(32-p) - 1] — so membership testing
+# at scale is EXACTLY the bucketed point-in-interval join the genomic
+# machinery already provides (functions/genomic.interval_point_join),
+# not a new operator: one constant chromosome, /16-sized buckets.
+
+_IPV4_RE = r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$"
+
+
+def ipv4_to_long(col):
+    """Dotted-quad string column -> BIGINT in [0, 2^32), NULL for
+    anything malformed (wrong shape or an octet > 255)."""
+    octs = [F.regexp_extract(col, _IPV4_RE, i).cast("long")
+            for i in (1, 2, 3, 4)]
+    valid = (F.regexp_extract(col, _IPV4_RE, 1) != F.lit(""))
+    for o in octs:
+        valid = valid & (o <= 255)
+    num = ((octs[0] * 16777216) + (octs[1] * 65536)
+           + (octs[2] * 256) + octs[3])
+    return F.when(valid, num)
+
+
+def ipv4_to_long_sql(expr: str) -> str:
+    """DuckDB twin of ipv4_to_long for a VARCHAR expression."""
+    octs = [f"CAST(regexp_extract({expr}, '{_IPV4_RE}', {i}) AS BIGINT)"
+            for i in (1, 2, 3, 4)]
+    valid = " AND ".join([f"regexp_extract({expr}, '{_IPV4_RE}', 1) <> ''"]
+                         + [f"{o} <= 255" for o in octs])
+    num = (f"({octs[0]} * 16777216 + {octs[1]} * 65536 "
+           f"+ {octs[2]} * 256 + {octs[3]})")
+    return f"(CASE WHEN {valid} THEN {num} END)"
+
+
+def cidr_bounds(col):
+    """CIDR string column 'a.b.c.d/p' -> (lo, hi) BIGINT columns —
+    the block's inclusive integer range; NULL pair when malformed
+    (bad address, p outside 0..32)."""
+    addr = F.regexp_extract(col, r"^([^/]+)/(\d{1,2})$", 1)
+    p = F.nullif(F.regexp_extract(col, r"^([^/]+)/(\d{1,2})$", 2),
+                 F.lit("")).cast("int")
+    base = ipv4_to_long(addr)
+    size = F.pow(F.lit(2.0), (32 - p)).cast("long")
+    lo = F.when(p.isNotNull() & (p <= 32) & base.isNotNull(),
+                (base - base % size))
+    return lo, lo + size - 1
+
+
+def cidr_bounds_sql(expr: str) -> tuple:
+    addr = f"regexp_extract({expr}, '^([^/]+)/(\\d{{1,2}})$', 1)"
+    p = (f"CAST(nullif(regexp_extract({expr}, "
+         f"'^([^/]+)/(\\d{{1,2}})$', 2), '') AS INTEGER)")
+    base = ipv4_to_long_sql(addr)
+    size = f"CAST(power(2, 32 - {p}) AS BIGINT)"
+    lo = (f"(CASE WHEN {p} IS NOT NULL AND {p} <= 32 "
+          f"AND {base} IS NOT NULL "
+          f"THEN {base} - ({base} % {size}) END)")
+    return lo, f"({lo} + {size} - 1)"
+
+
+def ip_in_cidr_join(ips: DataFrame, cidrs: DataFrame,
+                    ip_col: str = "ip", cidr_col: str = "cidr",
+                    bucket: int = 65_536) -> DataFrame:
+    """Every (ip row, containing CIDR block) pair: parse both sides to
+    integer ranges, then the bucketed point-in-interval equi-join
+    (genomic machinery, constant chromosome). Malformed ips/cidrs
+    drop. Buckets default to /16 granularity: a /16-or-longer block
+    explodes to exactly one bucket; shorter blocks to 2^(16-p)."""
+    from biocypher_metta_spark.functions.genomic import (
+        interval_point_join,
+    )
+
+    lo, hi = cidr_bounds(F.col(cidr_col))
+    iv = (cidrs.withColumn("_lo", lo).withColumn("_hi", hi)
+          .filter(F.col("_lo").isNotNull())
+          .withColumn("_chr", F.lit("ip"))
+          .withColumn("_end", F.col("_hi") + 1))
+    pt = (ips.withColumn("_ipn", ipv4_to_long(F.col(ip_col)))
+          .filter(F.col("_ipn").isNotNull())
+          .withColumn("_chr", F.lit("ip")))
+    out = interval_point_join(iv, pt, bucket=bucket, chrom="_chr",
+                              start="_lo", end="_end", pos="_ipn")
+    return out.drop("_chr", "_lo", "_hi", "_end", "_ipn")
