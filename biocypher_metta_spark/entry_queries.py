@@ -8814,6 +8814,67 @@ JOIN (SELECT cidr_id, cidr, {lo} AS lo, {hi} AS hi FROM ci_cidrs) c
 QUERIES["web_cidr_filter"] = (web_cidr_filter, _web_cidr_sql())
 
 
+# TIFF variants: formula pixels at five widths covering BOTH byte
+# orders, both compressions, and multi-strip layouts (rows_per_strip
+# 2 splits every variant into 3 strips), encoded driver-side and
+# decoded through the sniffing chain.
+from biocypher_metta_spark.operators.tiff import (  # noqa: E402
+    tiff_encode as _tiff_encode,
+)
+
+_TIFF_H = 5
+_TIFF_VARIANTS = [
+    _tiff_encode(6 + v, _TIFF_H,
+                 _png_formula_pixels(6 + v, _TIFF_H, 3, v),
+                 packbits=(v % 2 == 1), big_endian=(v >= 3),
+                 rows_per_strip=2)
+    for v in range(5)
+]
+
+
+def multimodal_tiff_decode(spark, sf_dir):
+    """Stdlib TIFF codec (operators/tiff.py) through image_stats via
+    the sniffing chain: IFD tag walk in BOTH byte orders ('II' and
+    'MM'), multi-strip assembly (rows_per_strip=2), and PackBits RLE
+    on the odd variants. The twin recomputes pixel sums from the
+    formula, proving header -> strips -> (de)compression -> RGB."""
+    from biocypher_metta_spark.operators import multimodal as mm
+
+    ids = _ids(spark, sf_dir)
+    variants = F.array(*[F.lit(bytearray(b)) for b in _TIFF_VARIANTS])
+    media = ids.select(
+        F.concat(F.lit("tiff://"),
+                 F.col("i").cast("string")).alias("media_ref"),
+        F.lit("image").alias("kind"),
+        F.element_at(variants,
+                     (F.col("i") % 5 + 1).cast("int")).alias("content"))
+    return mm.image_stats(media).select(
+        "media_ref", "width", "height", "channels", "pix_sum")
+
+
+MULTIMODAL_TIFF_SQL = f"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+tf_e AS (
+  SELECT v, 6 + v AS width, {_TIFF_H} AS height, 3 AS channels,
+         CAST(list_sum(flatten(list_transform(range(0, {_TIFF_H}), y ->
+           flatten(list_transform(range(0, 6 + v), x ->
+             list_transform(range(0, 3), ch ->
+               (x * 7 + y * 13 + ch * 29 + v * 101) % 256))))))
+           AS BIGINT) AS pix_sum
+  FROM (SELECT unnest(range(0, 5)) AS v)
+)
+SELECT 'tiff://' || i AS media_ref,
+       CAST(e.width AS INTEGER) AS width,
+       CAST(e.height AS INTEGER) AS height,
+       CAST(e.channels AS INTEGER) AS channels,
+       e.pix_sum
+FROM ids JOIN tf_e e ON e.v = i % 5
+"""
+
+QUERIES["multimodal_tiff_decode"] = (multimodal_tiff_decode,
+                                     MULTIMODAL_TIFF_SQL)
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -9090,6 +9151,8 @@ CK_COLUMNS = {
     "multimodal_vtt_align": ["cue_idx", "frame_idx", "frame_ms",
                              "media_ref"],
     "web_cidr_filter": ["cidr", "cidr_id", "ip", "ip_id"],
+    "multimodal_tiff_decode": ["channels", "height", "media_ref",
+                               "pix_sum", "width"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
@@ -9185,7 +9248,8 @@ CK_COMPOSITES = {
                           "multimodal_gif_decode",
                           "multimodal_adpcm_decode",
                           "multimodal_vtt_cues",
-                          "multimodal_vtt_align"],
+                          "multimodal_vtt_align",
+                          "multimodal_tiff_decode"],
     "multimodal_resize_family": ["multimodal_resize",
                                  "multimodal_jpeg_resize"],
     # both sub-gates run real checkpointed AvailableNow increments; the

@@ -78,9 +78,13 @@ def sniff_image_decode(content: bytes) -> tuple[int, int, int, bytes]:
         from biocypher_metta_spark.operators.gif import gif_decode
 
         return gif_decode(content)
+    if content[:2] in (b"II", b"MM"):
+        from biocypher_metta_spark.operators.tiff import tiff_decode
+
+        return tiff_decode(content)
     raise ValueError("unrecognized image format (PNG, baseline JPEG, "
-                     "24-bit BMP and GIF are the stdlib-decodable "
-                     "formats)")
+                     "24-bit BMP, GIF and TIFF are the "
+                     "stdlib-decodable formats)")
 
 
 def real_image_decode(content: bytes) -> tuple[int, int, int, list[float]]:
