@@ -8875,6 +8875,56 @@ QUERIES["multimodal_tiff_decode"] = (multimodal_tiff_decode,
                                      MULTIMODAL_TIFF_SQL)
 
 
+# script-detection variants: one text per major script family plus a
+# mixed and a scriptless one; the numeric doc-id tail adds no script
+# characters so the per-variant profile is exact at every sf.
+_SCRIPT_TEXTS = [
+    "The quick brown fox jumps over the lazy dog",
+    "Съешь же ещё этих мягких французских булок",
+    "汉字是世界上最古老的文字之一 with latin tail",
+    "ひらがなとカタカナと漢字のテキスト",
+    "12345 !!! ... ---",
+]
+
+
+def doc_script_detect(spark, sf_dir):
+    """Unicode script profiling (text.script_profile): per-document
+    dominant script by codepoint-range histogram — the multilingual
+    routing gate BEFORE within-script language ID (doc_lang_trigram
+    discriminates inside Latin; this routes Cyrillic/CJK/kana/...).
+    Map-only higher-order functions (split -> ascii -> filter/size),
+    no UDF, no shuffle. The twin is GENERATED from the same
+    SCRIPT_RANGES table (unicode() + list_filter) so range tables
+    cannot drift."""
+    from biocypher_metta_spark.operators.text import script_profile
+
+    ids = _ids(spark, sf_dir)
+    variants = F.array(*[F.lit(t) for t in _SCRIPT_TEXTS])
+    docs = ids.select(
+        F.concat(F.lit("sd://"), F.col("i").cast("string"))
+        .alias("doc_id"),
+        F.concat(F.element_at(variants,
+                              (F.col("i") % 5 + 1).cast("int")),
+                 F.lit(" "), F.col("i").cast("string")).alias("text"))
+    return script_profile(docs)
+
+
+def _script_detect_sql() -> str:
+    from biocypher_metta_spark.operators.text import script_profile_sql
+
+    cases = " ".join(
+        f"WHEN i % 5 = {k} THEN '{t}'"
+        for k, t in enumerate(_SCRIPT_TEXTS))
+    docs = f"""SELECT 'sd://' || i AS doc_id,
+       (CASE {cases} END) || ' ' || i AS text
+FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)"""
+    return script_profile_sql(docs)
+
+
+QUERIES["doc_script_detect"] = (doc_script_detect,
+                                _script_detect_sql())
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -9153,6 +9203,8 @@ CK_COLUMNS = {
     "web_cidr_filter": ["cidr", "cidr_id", "ip", "ip_id"],
     "multimodal_tiff_decode": ["channels", "height", "media_ref",
                                "pix_sum", "width"],
+    "doc_script_detect": ["doc_id", "n_letters", "script",
+                          "script_permille"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
@@ -9214,7 +9266,8 @@ CK_COMPOSITES = {
                             "doc_ngram_novelty", "doc_heavy_tokens",
                             "web_robots_filter", "doc_rocchio",
                             "doc_containment", "doc_skipgrams",
-                            "web_sitemap", "web_cidr_filter"],
+                            "web_sitemap", "web_cidr_filter",
+                            "doc_script_detect"],
     "kg_graph_checks": ["kg_pagerank", "kg_hits", "emb_semantic_dedup",
                         "emb_kmeans", "emb_pq_topk",
                         "kg_triangles", "kg_kcore",

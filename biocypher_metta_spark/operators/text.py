@@ -1525,3 +1525,124 @@ SELECT center, context, n FROM (
     SELECT context, center FROM sg_pairs
   ) GROUP BY center, context
 ) WHERE n >= {min_count}"""
+
+
+# Unicode script profiling: the lang-ID ladder's missing rung for
+# NON-Latin corpora (trigram/stopword ID discriminates languages
+# within a script; the script itself is a codepoint-range histogram
+# — the standard first gate of multilingual corpus routing).  Ranges
+# are the core Unicode blocks per script (public Unicode block list);
+# SCRIPT ORDER is the deterministic tie-break and the twin SQL is
+# GENERATED from this same table so the two engines cannot drift.
+SCRIPT_RANGES = {
+    "latin": [(0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F)],
+    "cyrillic": [(0x400, 0x4FF), (0x500, 0x52F)],
+    "greek": [(0x370, 0x3FF)],
+    "arabic": [(0x600, 0x6FF), (0x750, 0x77F)],
+    "hebrew": [(0x590, 0x5FF)],
+    "devanagari": [(0x900, 0x97F)],
+    "cjk": [(0x4E00, 0x9FFF), (0x3400, 0x4DBF)],
+    "kana": [(0x3040, 0x309F), (0x30A0, 0x30FF)],
+    "hangul": [(0xAC00, 0xD7AF), (0x1100, 0x11FF)],
+    "thai": [(0xE00, 0xE7F)],
+}
+
+
+def _script_pred(cp, ranges):
+    cond = None
+    for lo, hi in ranges:
+        c = (cp >= lo) & (cp <= hi)
+        cond = c if cond is None else (cond | c)
+    return cond
+
+
+def script_profile(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document dominant Unicode script: (doc_id, n_letters,
+    script, script_permille) where n_letters counts characters in ANY
+    known script range, script is the range family with the most
+    characters (ties broken by SCRIPT_RANGES order), and
+    script_permille = floor(1000 * n_script / n_letters).  Documents
+    with no script characters at all emit script 'none' with 0/0.
+
+    Map-only: one codepoint array per row (split + ascii inside
+    higher-order functions — JVM-side, no UDF), one size() per
+    script; nothing shuffles."""
+    cps = F.expr(
+        f"transform(filter(split({text_col}, ''), c -> c <> ''), "
+        f"c -> ascii(c))")
+    counts = []
+    row = df.select(F.col(id_col).alias("doc_id"),
+                    cps.alias("_cps"))
+
+    def _one_arg(ranges):
+        # a 2-parameter lambda would make PySpark pass (element,
+        # index) — the closure keeps the filter unary
+        return lambda c: _script_pred(c, ranges)
+
+    for name, ranges in SCRIPT_RANGES.items():
+        counts.append(
+            F.size(F.filter(F.col("_cps"), _one_arg(ranges)))
+            .cast("long").alias(f"_n_{name}"))
+    row = row.select("doc_id", *counts)
+    n_letters = None
+    for name in SCRIPT_RANGES:
+        c = F.col(f"_n_{name}")
+        n_letters = c if n_letters is None else (n_letters + c)
+    # dominant script under (count DESC, declaration order) — realized
+    # as a greatest(struct(count, rev_order, name)) pick
+    pick = F.greatest(*[
+        F.struct(F.col(f"_n_{name}").alias("n"),
+                 F.lit(len(SCRIPT_RANGES) - i).alias("prio"),
+                 F.lit(name).alias("s"))
+        for i, name in enumerate(SCRIPT_RANGES)])
+    return (row.select(
+        "doc_id", n_letters.alias("n_letters"), pick.alias("_p"))
+        .select(
+            "doc_id", "n_letters",
+            F.when(F.col("_p.n") > 0, F.col("_p.s"))
+            .otherwise(F.lit("none")).alias("script"),
+            F.when(F.col("n_letters") > 0,
+                   (F.lit(1000) * F.col("_p.n")
+                    - (F.lit(1000) * F.col("_p.n"))
+                    % F.col("n_letters"))
+                   / F.col("n_letters"))
+            .otherwise(F.lit(0)).cast("long").alias("script_permille")))
+
+
+def script_profile_sql(docs_sql: str, text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    """DuckDB twin of script_profile, generated from SCRIPT_RANGES."""
+    def pred(ranges):
+        return " OR ".join(f"(cp >= {lo} AND cp <= {hi})"
+                           for lo, hi in ranges)
+
+    rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, '{name}' AS script, {i} AS ord,\n"
+        f"       CAST(len(list_filter(cps, cp -> {pred(r)})) AS BIGINT)"
+        f" AS n FROM sp_cp"
+        for i, (name, r) in enumerate(SCRIPT_RANGES.items()))
+    return f"""WITH sp_cp AS MATERIALIZED (
+  SELECT {id_col} AS doc_id,
+         list_transform(regexp_extract_all({text_col}, '[\\s\\S]'),
+                        c -> unicode(c)) AS cps
+  FROM (
+{docs_sql.strip()}
+  )
+), sp_rows AS MATERIALIZED (
+  {rows}
+), sp_tot AS (
+  SELECT doc_id, sum(n) AS n_letters FROM sp_rows GROUP BY doc_id
+), sp_pick AS (
+  SELECT doc_id, script, n FROM (
+    SELECT doc_id, script, n, row_number() OVER (
+      PARTITION BY doc_id ORDER BY n DESC, ord ASC) AS rk
+    FROM sp_rows
+  ) WHERE rk = 1
+)
+SELECT t.doc_id, CAST(t.n_letters AS BIGINT) AS n_letters,
+       CASE WHEN p.n > 0 THEN p.script ELSE 'none' END AS script,
+       CAST(CASE WHEN t.n_letters > 0
+                 THEN (1000 * p.n) // t.n_letters ELSE 0 END
+            AS BIGINT) AS script_permille
+FROM sp_tot t JOIN sp_pick p USING (doc_id)"""
