@@ -167,7 +167,8 @@ def main() -> None:
              "kg_go_upprop", "kg_resnik_mica", "kg_single_linkage",
              "multimodal_adpcm_decode", "multimodal_vtt_cues",
              "multimodal_vtt_align", "web_cidr_filter",
-             "multimodal_tiff_decode", "doc_script_detect"]
+             "multimodal_tiff_decode", "doc_script_detect",
+             "rel_hilbert_key"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):

@@ -8925,6 +8925,36 @@ QUERIES["doc_script_detect"] = (doc_script_detect,
                                 _script_detect_sql())
 
 
+def rel_hilbert_key(spark, sf_dir):
+    """Hilbert-curve layout key (zorder.hilbert_key_udf, bits=10) on
+    a formula 2D scatter — the stronger-locality sibling of
+    rel_zorder_key (consecutive keys are grid neighbors, no Morton
+    seams). Kernel = vectorized Arrow numpy walk (the expression
+    spelling would re-inline into ~3^bits Catalyst nodes — the
+    documented CollapseProject hazard); twin = the SAME walk as a
+    10-level materialized CTE chain generated from the same
+    constants."""
+    from biocypher_metta_spark.operators.zorder import hilbert_key_udf
+
+    ids = _ids(spark, sf_dir)
+    h = hilbert_key_udf(bits=10)
+    pts = ids.select(((F.col("i") * 37) % 1024).alias("x"),
+                     ((F.col("i") * 53) % 1024).alias("y")).distinct()
+    return pts.select("x", "y", h(F.col("x"), F.col("y")).alias("hkey"))
+
+
+from biocypher_metta_spark.operators.zorder import (  # noqa: E402
+    hilbert_key_sql as _hilbert_sql,
+)
+
+REL_HILBERT_SQL = _hilbert_sql(
+    """SELECT DISTINCT (i * 37) % 1024 AS x, (i * 53) % 1024 AS y
+FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)""",
+    "x", "y", bits=10, out_cols="x, y")
+
+QUERIES["rel_hilbert_key"] = (rel_hilbert_key, REL_HILBERT_SQL)
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -9205,12 +9235,13 @@ CK_COLUMNS = {
                                "pix_sum", "width"],
     "doc_script_detect": ["doc_id", "n_letters", "script",
                           "script_permille"],
+    "rel_hilbert_key": ["hkey", "x", "y"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
 CK_COMPOSITES = {
     "rel_scalar_checks": ["rel_window_filter", "rel_composite_id",
-                          "rel_score_cutoff"],
+                          "rel_score_cutoff", "rel_hilbert_key"],
     "rel_join_checks": ["rel_broadcast_left_join", "rel_double_inner_join",
                         "rel_shuffle_join_agg", "rel_bloom_prefilter",
                         "rel_salted_join", "rel_bucketed_join",

@@ -99,3 +99,110 @@ def zorder_layout(df: DataFrame, cols: list, bits: int = 16,
             .repartitionByRange(n_chunks, "_zkey")
             .sortWithinPartitions("_zkey")
             .drop("_zkey"))
+
+
+def hilbert_key_udf(bits: int = 16):
+    """Hilbert-curve key for TWO quantized columns — the
+    stronger-locality sibling of zorder_key: consecutive Hilbert keys
+    are always GRID NEIGHBORS (no Morton 'seams' where the curve
+    jumps across the space), which tightens parquet min/max pruning
+    for 2D range scans at the same cost model as z-ordering.
+
+    The xy2d bit walk carries (x, y, d) state across bit levels with
+    a conditional reflect+swap per level — as a single Catalyst
+    expression that nesting re-inlines into ~3^bits nodes (the
+    CollapseProject hazard the doc_pipeline regression documented),
+    so the kernel is a VECTORIZED Arrow pandas UDF instead: numpy
+    integer ops, 5 array ops per level, one batch at a time
+    (ArrowEvalPython — the allowed lane; never row-at-a-time).
+    Algorithm: the canonical xy2d from the public Hilbert-curve
+    literature (reflect within the full 2^bits grid, then swap, when
+    the y bit is 0).  Returns a UDF usable as h(x, y) -> long; both
+    inputs must already sit in [0, 2^bits) (the zorder quantization
+    contract)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 (annotations below resolve here)
+    from pyspark.sql.functions import pandas_udf
+
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    n = np.int64(1) << bits
+
+    @pandas_udf("long")
+    def h(xs, ys):
+        # no type hints: they would need module-global pandas for
+        # PySpark's hint inspection; the explicit returnType plus
+        # 2-arg signature selects the scalar Arrow path regardless
+        x = xs.to_numpy(np.int64, copy=True)
+        y = ys.to_numpy(np.int64, copy=True)
+        if len(x) and (x.min() < 0 or x.max() >= n or y.min() < 0
+                       or y.max() >= n):
+            raise ValueError(
+                f"hilbert_key: value out of [0, 2^{bits})")
+        d = np.zeros(len(x), np.int64)
+        for lvl in range(bits - 1, -1, -1):
+            s = np.int64(1) << lvl
+            rx = (x >> lvl) & 1
+            ry = (y >> lvl) & 1
+            d += (s * s) * ((3 * rx) ^ ry)
+            flip = (ry == 0) & (rx == 1)
+            xf = np.where(flip, n - 1 - x, x)
+            yf = np.where(flip, n - 1 - y, y)
+            swap = ry == 0
+            x = np.where(swap, yf, xf)
+            y = np.where(swap, xf, yf)
+        return pd.Series(d)
+
+    return h
+
+
+def hilbert_key_sql(input_sql: str, x_col: str, y_col: str,
+                    bits: int = 16, out_cols: str = "*") -> str:
+    """DuckDB twin of hilbert_key_udf: the same xy2d walk as a chain
+    of per-level MATERIALIZED CTEs (state threading without the
+    expression-inlining blowup), generated from the same constants.
+    Emits `out_cols` plus hkey."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    n = 1 << bits
+    parts = [f"""WITH hk0 AS MATERIALIZED (
+  SELECT {out_cols}, CAST({x_col} AS BIGINT) AS hx,
+         CAST({y_col} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd
+  FROM (
+{input_sql.strip()}
+  )
+)"""]
+    step = 0
+    for lvl in range(bits - 1, -1, -1):
+        s = 1 << lvl
+        prev, cur = f"hk{step}", f"hk{step + 1}"
+        step += 1
+        parts.append(f""", {cur} AS MATERIALIZED (
+  SELECT {out_cols},
+         CASE WHEN ((hy >> {lvl}) & 1) = 0 THEN
+           CASE WHEN ((hx >> {lvl}) & 1) = 1
+                THEN {n - 1} - hy ELSE hy END
+         ELSE hx END AS hx,
+         CASE WHEN ((hy >> {lvl}) & 1) = 0 THEN
+           CASE WHEN ((hx >> {lvl}) & 1) = 1
+                THEN {n - 1} - hx ELSE hx END
+         ELSE hy END AS hy,
+         hd + {s} * {s}
+            * xor(3 * ((hx >> {lvl}) & 1), (hy >> {lvl}) & 1) AS hd
+  FROM {prev}
+)""")
+    parts.append(f"\nSELECT {out_cols}, hd AS hkey FROM hk{step}")
+    return "".join(parts)
+
+
+def hilbert_layout(df: DataFrame, x_col: str, y_col: str,
+                   bits: int = 16, n_chunks: int = 200) -> DataFrame:
+    """Rows range-partitioned and sorted by the Hilbert key — the
+    zorder_layout mechanics with the tighter curve."""
+    if n_chunks < 1:
+        raise ValueError(f"n_chunks must be >= 1, got {n_chunks}")
+    h = hilbert_key_udf(bits)
+    return (df.withColumn("_hkey", h(F.col(x_col), F.col(y_col)))
+            .repartitionByRange(n_chunks, "_hkey")
+            .sortWithinPartitions("_hkey")
+            .drop("_hkey"))
