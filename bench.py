@@ -168,7 +168,7 @@ def main() -> None:
              "multimodal_adpcm_decode", "multimodal_vtt_cues",
              "multimodal_vtt_align", "web_cidr_filter",
              "multimodal_tiff_decode", "doc_script_detect",
-             "rel_hilbert_key"]
+             "rel_hilbert_key", "multimodal_id3_tags"]
     rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(rounds):

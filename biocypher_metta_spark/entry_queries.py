@@ -8955,6 +8955,62 @@ FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents)""",
 QUERIES["rel_hilbert_key"] = (rel_hilbert_key, REL_HILBERT_SQL)
 
 
+# ID3 variants: formula text frames encoded driver-side as v2.3
+# (even variants: big-endian sizes, latin-1) and v2.4 (odd: syncsafe
+# sizes, utf-8), plus a malformed v2.2 blob that must null out.
+from biocypher_metta_spark.operators.id3 import (  # noqa: E402
+    id3_encode as _id3_encode,
+)
+
+_ID3_VARIANTS = [
+    _id3_encode([("TIT2", f"Track {v}"), ("TPE1", f"Artist {v % 3}"),
+                 ("TRCK", str(v))], version=3 + v % 2)
+    for v in range(4)
+] + [b"ID3\x02\x00\x00\x00\x00\x00\x00"]
+
+
+def multimodal_id3_tags(spark, sf_dir):
+    """ID3v2 metadata parse (id3.id3_frames): text frames as typed
+    (media_ref, frame_id, text) rows — both frame-size conventions
+    (v2.3 big-endian, v2.4 syncsafe) exercised, and a planted
+    unsupported-version blob that must emit the null row per the
+    modality error contract. The twin derives the expected frame
+    rows from the generation formula — no byte walking."""
+    from biocypher_metta_spark.operators.id3 import id3_frames
+
+    ids = _ids(spark, sf_dir)
+    variants = F.array(*[F.lit(bytearray(b)) for b in _ID3_VARIANTS])
+    media = ids.select(
+        F.concat(F.lit("id3://"),
+                 F.col("i").cast("string")).alias("media_ref"),
+        F.lit("audio").alias("kind"),
+        F.element_at(variants,
+                     (F.col("i") % 5 + 1).cast("int")).alias("content"))
+    return id3_frames(media)
+
+
+MULTIMODAL_ID3_SQL = """
+WITH i_ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+i_frames AS (
+  SELECT v, 'TIT2' AS frame_id, 'Track ' || v AS text
+  FROM (SELECT unnest(range(0, 4)) AS v)
+  UNION ALL
+  SELECT v, 'TPE1', 'Artist ' || (v % 3)
+  FROM (SELECT unnest(range(0, 4)) AS v)
+  UNION ALL
+  SELECT v, 'TRCK', CAST(v AS VARCHAR)
+  FROM (SELECT unnest(range(0, 4)) AS v)
+  UNION ALL
+  SELECT 4, NULL, NULL
+)
+SELECT 'id3://' || i AS media_ref, f.frame_id, f.text
+FROM i_ids JOIN i_frames f ON f.v = i % 5
+"""
+
+QUERIES["multimodal_id3_tags"] = (multimodal_id3_tags,
+                                  MULTIMODAL_ID3_SQL)
+
+
 # ===========================================================================
 # Checksum composites + the driver registry (50-row snapshot cap)
 # ===========================================================================
@@ -9236,6 +9292,7 @@ CK_COLUMNS = {
     "doc_script_detect": ["doc_id", "n_letters", "script",
                           "script_permille"],
     "rel_hilbert_key": ["hkey", "x", "y"],
+    "multimodal_id3_tags": ["frame_id", "media_ref", "text"],
 }
 
 # composite -> ordered sub-op names (each a fine gate in QUERIES)
@@ -9333,7 +9390,8 @@ CK_COMPOSITES = {
                           "multimodal_adpcm_decode",
                           "multimodal_vtt_cues",
                           "multimodal_vtt_align",
-                          "multimodal_tiff_decode"],
+                          "multimodal_tiff_decode",
+                          "multimodal_id3_tags"],
     "multimodal_resize_family": ["multimodal_resize",
                                  "multimodal_jpeg_resize"],
     # both sub-gates run real checkpointed AvailableNow increments; the
